@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface of the reference (SURVEY.md §2.7), as pure
+  * `Column` functions. Semantics pinned by the reference:
+  *
+  *  - unparseable numerics default to 0.0, NOT null
+  *    (ref `monday_etl_automated.py:305-309,381-385`)
+  *  - unparseable dates are null (ref `monday_etl_automated.py:263-267`)
+  *  - timeline strings split on " - " yield dates only when exactly 2 parts
+  *    (ref `monday_etl_automated.py:312-319`)
+  *  - board_relation JSON carries `linkedPulseIds[0].linkedPulseId`
+  *    (ref `monday_etl_automated.py:390-395`)
+  *
+  * All of these use `try_*` expressions so behavior is identical whether or
+  * not `spark.sql.ansi.enabled` is set (Spark 4 defaults it on).
+  */
+object Scalars {
+
+  /** `float(text)` with swallow-on-error → 0.0 default.
+    * Empty string is also unparseable → 0.0, matching the reference's
+    * truthy-check-then-float flow. */
+  def castFloatZero(c: Column): Column =
+    coalesce(c.try_cast("double"), lit(0.0))
+
+  /** `strptime('%Y-%m-%d')`, null on failure. */
+  def parseDate(c: Column): Column =
+    to_date(try_to_timestamp(c, lit("yyyy-MM-dd")))
+
+  /** ISO-8601 timestamp, `Z` handled natively, null on failure
+    * (ref `etl_final_fix.py:23-31` normalizes Z→+00:00 by hand; Spark's
+    * parser accepts both). */
+  def parseTimestampIso(c: Column): Column = try_to_timestamp(c)
+
+  /** `"2025-01-01 - 2025-03-31"` → (start, end); both null unless the split
+    * yields exactly 2 parts. */
+  def splitTimeline(c: Column): (Column, Column) = {
+    val parts = split(c, " - ")
+    def part(i: Int) =
+      when(size(parts) === 2, parseDate(trim(element_at(parts, i))))
+    (part(1), part(2))
+  }
+
+  /** Extract `linkedPulseIds[0].linkedPulseId` from a board_relation JSON
+    * payload; null on malformed/absent. */
+  def linkedPulseId(c: Column): Column =
+    get_json_object(c, "$.linkedPulseIds[0].linkedPulseId")
+
+  /** `((latest - prior) / prior) * 100` (ref `advanced_monitoring.py:403-405`). */
+  def pctChange(latest: Column, prior: Column): Column =
+    round((latest - prior) / prior * 100, 2)
+
+  /** Empty-string-is-missing: '' → null so `coalesce(default)` applies
+    * (ref truthy check `monday_etl_automated.py:259-261`). */
+  def nonEmpty(c: Column): Column = when(length(c) > 0, c)
+}

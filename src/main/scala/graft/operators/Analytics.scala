@@ -1,0 +1,702 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** The reference's relational analytics surface (SURVEY.md §2.3–§2.6 and the
+  * batch-expressible §2.8 keys), re-keyed to the driver testdata per
+  * FIXTURES.md: projects→orders, subitems→lineitem, costs→events.
+  *
+  * Every query here is declarative DataFrame/SQL so Catalyst gets full
+  * freedom: filters and projections reach the parquet scan, aggregates run
+  * partial+final, small join sides broadcast under AQE. Each result carries
+  * an explicit total order (unique tie-break keys) so the DuckDB oracle
+  * compare is byte-stable.
+  *
+  * Scale notes (100 TB posture) are on each operator.
+  */
+object Analytics {
+  import Tables.load
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def orders(s: SparkSession, dir: String) = load(s, dir, "orders")
+  private def lineitem(s: SparkSession, dir: String) = load(s, dir, "lineitem")
+  private def events(s: SparkSession, dir: String) = load(s, dir, "events")
+  private def customer(s: SparkSession, dir: String) = load(s, dir, "customer")
+
+  private val shipDate: Column = to_date(col("l_shipdate"))
+  private val orderDate: Column = to_date(col("o_orderdate"))
+
+  // -------------------------------------------------------------------------
+  // Flagship: daily metrics CTE + LAG outer select
+  // (ref `advanced_monitoring.py:54-75`: LEFT JOIN → GROUP BY day → 6 aggs →
+  //  day-over-day LAG). Covers scan, join, group, count/countDistinct/
+  //  conditional-count/sum/avg/max, window, sort in one plan.
+  //
+  // Scale: join shuffles on orderkey, agg reshuffles on date — at 100 TB both
+  // tables would be date-partitioned so the groupBy prunes; the global-order
+  // LAG window is safe because day-grain cardinality is tiny (escape hatch:
+  // partition the window by year).
+  // -------------------------------------------------------------------------
+  def dailyMetrics(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val l = lineitem(s, dir)
+    val daily = o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+      .groupBy(orderDate.as("extraction_date"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("total_projects"),
+        count(col("l_orderkey")).as("total_subitems"),
+        count(when(col("l_extendedprice") > 1000, col("l_linenumber")))
+          .as("subitems_with_revenue"),
+        round(sum(col("l_extendedprice")), 2).as("total_revenue"),
+        round(avg(col("l_extendedprice")), 2).as("avg_revenue"),
+        round(max(col("o_totalprice")), 2).as("max_order_price"))
+    val w = Window.orderBy(col("extraction_date"))
+    daily.select(
+        col("*"),
+        round(col("total_revenue") - lag(col("total_revenue"), 1).over(w), 2)
+          .as("revenue_change"),
+        (col("total_subitems") - lag(col("total_subitems"), 1).over(w))
+          .as("subitems_change"))
+      .orderBy(col("extraction_date").desc)
+  }
+
+  private val dailyMetricsOracle =
+    """WITH daily AS (
+      |  SELECT CAST(o.o_orderdate AS DATE) AS extraction_date,
+      |         COUNT(DISTINCT o.o_orderkey) AS total_projects,
+      |         COUNT(l.l_orderkey) AS total_subitems,
+      |         COUNT(CASE WHEN l.l_extendedprice > 1000 THEN l.l_linenumber END) AS subitems_with_revenue,
+      |         ROUND(SUM(l.l_extendedprice), 2) AS total_revenue,
+      |         ROUND(AVG(l.l_extendedprice), 2) AS avg_revenue,
+      |         ROUND(MAX(o.o_totalprice), 2) AS max_order_price
+      |  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1)
+      |SELECT extraction_date, total_projects, total_subitems, subitems_with_revenue,
+      |       total_revenue, avg_revenue, max_order_price,
+      |       ROUND(total_revenue - LAG(total_revenue) OVER (ORDER BY extraction_date), 2) AS revenue_change,
+      |       total_subitems - LAG(total_subitems) OVER (ORDER BY extraction_date) AS subitems_change
+      |FROM daily ORDER BY extraction_date DESC""".stripMargin
+
+  // --------------------------- §2.3 joins ----------------------------------
+
+  /** Snapshot-aligned two-key equi-join — the "FIX AMBIGUITÀ" form
+    * (ref `advanced_monitoring.py:63-65`). Scale: both keys in the shuffle
+    * hash → snapshot-aligned co-partitioning; with date-partitioned storage
+    * this becomes a per-partition join. */
+  def joinLeftTwoKey(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val l = lineitem(s, dir)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          to_date(o("o_orderdate")) === to_date(l("l_shipdate")), "left")
+      .select(o("o_orderkey"), to_date(o("o_orderdate")).as("order_date"),
+        l("l_linenumber"), round(l("l_extendedprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"), col("l_linenumber").asc_nulls_last)
+  }
+
+  private val joinLeftTwoKeyOracle =
+    """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+      |       l.l_linenumber, ROUND(l.l_extendedprice, 2) AS price
+      |FROM orders o LEFT JOIN lineitem l
+      |  ON o.o_orderkey = l.l_orderkey AND CAST(o.o_orderdate AS DATE) = CAST(l.l_shipdate AS DATE)
+      |ORDER BY o.o_orderkey, l.l_linenumber NULLS LAST""".stripMargin
+
+  /** Single-key left join (ref `advanced_monitoring.py:190-192`). */
+  def joinLeftSingleKey(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val l = lineitem(s, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+      .select(o("o_orderkey"), l("l_linenumber"),
+        round(l("l_extendedprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"), col("l_linenumber").asc_nulls_last)
+  }
+
+  private val joinLeftSingleKeyOracle =
+    """SELECT o.o_orderkey, l.l_linenumber, ROUND(l.l_extendedprice, 2) AS price
+      |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |ORDER BY o.o_orderkey, l.l_linenumber NULLS LAST""".stripMargin
+
+  /** Implicit 1×1 cross join of today/yesterday scalar CTEs with diff
+    * projections — the day-over-day compare (ref
+    * `monday_etl_automated.py:600-645`). Anchored on the data's max ship
+    * date (not wall-clock) so results are deterministic. Scale: both sides
+    * are single aggregate rows — broadcast-nested-loop on 1×1 is free. */
+  def joinCross1x1(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).withColumn("ship_date", shipDate)
+    val latest = li.agg(max(col("ship_date")).as("d"))
+    def snap(cond: Column, suffix: String) =
+      li.join(broadcast(latest), cond)
+        .agg(count(lit(1)).as(s"items_$suffix"),
+          round(coalesce(sum(col("l_extendedprice")), lit(0.0)), 2).as(s"revenue_$suffix"))
+    val today = snap(col("ship_date") === col("d"), "today")
+    val yest = snap(col("ship_date") === date_sub(col("d"), 1), "yesterday")
+    today.crossJoin(yest).select(col("*"),
+      (col("items_today") - col("items_yesterday")).as("items_diff"),
+      round(col("revenue_today") - col("revenue_yesterday"), 2).as("revenue_diff"))
+  }
+
+  private val joinCross1x1Oracle =
+    """WITH latest AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS d FROM lineitem),
+      |today AS (SELECT COUNT(*) AS items_today, ROUND(COALESCE(SUM(l_extendedprice), 0), 2) AS revenue_today
+      |          FROM lineitem, latest WHERE CAST(l_shipdate AS DATE) = d),
+      |yesterday AS (SELECT COUNT(*) AS items_yesterday, ROUND(COALESCE(SUM(l_extendedprice), 0), 2) AS revenue_yesterday
+      |          FROM lineitem, latest WHERE CAST(l_shipdate AS DATE) = d - 1)
+      |SELECT t.items_today, t.revenue_today, y.items_yesterday, y.revenue_yesterday,
+      |       t.items_today - y.items_yesterday AS items_diff,
+      |       ROUND(t.revenue_today - y.revenue_yesterday, 2) AS revenue_diff
+      |FROM today t, yesterday y""".stripMargin
+
+  /** FK extracted from embedded JSON then joined (ref
+    * `monday_etl_automated.py:386-395` prepares `linked_subitem_id`; we
+    * declare the downstream join too). Scale: the JSON extraction is
+    * codegen'd per-row, the join broadcasts the small dimension. */
+  def joinFkExtracted(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("linked_id",
+      get_json_object(col("props"), "$.k").try_cast("bigint"))
+    val c = customer(s, dir)
+    e.join(broadcast(c), e("linked_id") === c("c_custkey"), "left")
+      .select(e("event_id"), e("linked_id"), c("c_name"), c("c_mktsegment"))
+      .orderBy(col("event_id"))
+  }
+
+  private val joinFkExtractedOracle =
+    """SELECT e.event_id,
+      |       TRY_CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS linked_id,
+      |       c.c_name, c.c_mktsegment
+      |FROM events e LEFT JOIN customer c
+      |  ON TRY_CAST(json_extract_string(e.props, '$.k') AS BIGINT) = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Parent-child denormalization: children nested under the parent (as the
+    * Monday API returns them), then exploded carrying parent columns — the
+    * join the reference materializes at extraction time
+    * (ref `monday_etl_automated.py:283-289`). The explode IS the join: no
+    * shuffle once data is nested, the Spark-native win at scale. */
+  def joinParentChildDenorm(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val l = lineitem(s, dir)
+    val nested = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").as("line"),
+        round(col("l_extendedprice"), 2).as("price")))).as("subitems"))
+    nested.select(col("o_orderkey"), explode(col("subitems")).as("s"))
+      .select(col("o_orderkey"), col("s.line").as("l_linenumber"),
+        col("s.price").as("price"))
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
+
+  private val joinParentChildDenormOracle =
+    """SELECT o.o_orderkey, l.l_linenumber, ROUND(l.l_extendedprice, 2) AS price
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin
+
+  /** Semi/anti joins — free Spark extensions beyond the reference (SURVEY.md
+    * §2.3 "absent"): customers with/without an urgent order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+    val o = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+  }
+
+  private val joinSemiOracle =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+    val o = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+  }
+
+  private val joinAntiOracle =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------- §2.2 filters --------------------------------
+
+  /** Truthy-check filter: empty text keeps defaults
+    * (ref `monday_etl_automated.py:259-261`). */
+  def filterNonempty(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val filterNonemptyOracle =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE text IS NOT NULL AND length(text) > 0 ORDER BY doc_id""".stripMargin
+
+  /** `revenue_amount > 0` subset (ref `advanced_monitoring.py:117`). The
+    * predicate is pushed to the parquet scan (PushedFilters). */
+  def filterRevenuePositive(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).filter(col("l_extendedprice") > 5000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val filterRevenuePositiveOracle =
+    """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+      |FROM lineitem WHERE l_extendedprice > 5000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** One snapshot: `extraction_date = <latest>` (ref
+    * `monday_etl_automated.py:616-619`), anchored on max(date) in data.
+    * Scale: on date-partitioned storage this is partition pruning — one
+    * day's files read, nothing else. */
+  private val filterDateEqSql =
+    """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) = (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Trailing window: last 30 days of data (ref `advanced_monitoring.py:66`). */
+  def filterDateRange(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= date_sub((SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem), 30)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
+  private val filterDateRangeOracle =
+    """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem) - 30
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Dimension whitelist (ref `advanced_monitoring.py:97`). */
+  def filterInList(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  private val filterInListOracle =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Null-drop before downstream math (ref `advanced_monitoring.py:303-305`). */
+  def filterNotna(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).na.drop(Seq("value", "props"))
+      .select(col("event_id"), round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+
+  private val filterNotnaOracle =
+    """SELECT event_id, ROUND(value, 2) AS value FROM events
+      |WHERE value IS NOT NULL AND props IS NOT NULL ORDER BY event_id""".stripMargin
+
+  // --------------------------- §2.4 aggregations ---------------------------
+
+  def aggCountStar(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).agg(count(lit(1)).as("n"))
+
+  private val aggCountStarOracle = "SELECT COUNT(*) AS n FROM lineitem"
+
+  def aggCountDistinct(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).agg(
+      countDistinct(col("o_custkey")).as("active_customers"),
+      countDistinct(col("o_orderstatus")).as("statuses"))
+
+  private val aggCountDistinctOracle =
+    """SELECT COUNT(DISTINCT o_custkey) AS active_customers,
+      |       COUNT(DISTINCT o_orderstatus) AS statuses FROM orders""".stripMargin
+
+  /** Non-null count across a LEFT JOIN — counts 0 for unmatched parents
+    * (ref `advanced_monitoring.py:58`). */
+  def aggCountNonnull(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val l = lineitem(s, dir)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          to_date(o("o_orderdate")) === to_date(l("l_shipdate")), "left")
+      .agg(count(l("l_linenumber")).as("matched_items"),
+        count(lit(1)).as("total_rows"))
+  }
+
+  private val aggCountNonnullOracle =
+    """SELECT COUNT(l.l_linenumber) AS matched_items, COUNT(*) AS total_rows
+      |FROM orders o LEFT JOIN lineitem l
+      |  ON o.o_orderkey = l.l_orderkey AND CAST(o.o_orderdate AS DATE) = CAST(l.l_shipdate AS DATE)""".stripMargin
+
+  def aggCountConditional(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(count(when(col("l_extendedprice") > 1000, col("l_linenumber")))
+        .as("high_value_items"),
+        count(lit(1)).as("all_items"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggCountConditionalOracle =
+    """SELECT l_returnflag,
+      |       COUNT(CASE WHEN l_extendedprice > 1000 THEN l_linenumber END) AS high_value_items,
+      |       COUNT(*) AS all_items
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def aggSum(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("total_revenue"),
+        round(sum(col("l_quantity")), 2).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggSumOracle =
+    """SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) AS total_revenue,
+      |       ROUND(SUM(l_quantity), 2) AS total_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def aggAvg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).groupBy(col("l_linestatus"))
+      .agg(round(avg(col("l_extendedprice")), 2).as("avg_revenue"),
+        round(avg(col("l_discount")), 4).as("avg_discount"))
+      .orderBy(col("l_linestatus"))
+
+  private val aggAvgOracle =
+    """SELECT l_linestatus, ROUND(AVG(l_extendedprice), 2) AS avg_revenue,
+      |       ROUND(AVG(l_discount), 4) AS avg_discount
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  def aggMax(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).agg(
+      max(shipDate).as("last_ship_date"),
+      round(max(col("l_extendedprice")), 2).as("max_price"),
+      max(col("l_orderkey")).as("max_orderkey"))
+
+  private val aggMaxOracle =
+    """SELECT MAX(CAST(l_shipdate AS DATE)) AS last_ship_date,
+      |       ROUND(MAX(l_extendedprice), 2) AS max_price,
+      |       MAX(l_orderkey) AS max_orderkey FROM lineitem""".stripMargin
+
+  /** GROUP BY snapshot date (ref `advanced_monitoring.py:67`). Scale: the
+    * canonical partial+final hash agg; with date-partitioned input the
+    * partial agg is already key-local. */
+  def aggGroupSingle(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).groupBy(shipDate.as("ship_date"))
+      .agg(count(lit(1)).as("items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("ship_date"))
+
+  private val aggGroupSingleOracle =
+    """SELECT CAST(l_shipdate AS DATE) AS ship_date, COUNT(*) AS items,
+      |       ROUND(SUM(l_extendedprice), 2) AS revenue
+      |FROM lineitem GROUP BY 1 ORDER BY ship_date""".stripMargin
+
+  /** GROUP BY two dimensions (ref `advanced_monitoring.py:98`). */
+  def aggGroupMulti(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val aggGroupMultiOracle =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS items,
+      |       ROUND(SUM(l_extendedprice), 2) AS revenue,
+      |       ROUND(AVG(l_quantity), 2) AS avg_qty
+      |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Duplicate detection via GROUP BY … HAVING count > 1, then count the
+    * duplicates (ref `advanced_monitoring.py:146-154` — the compensating
+    * control for at-least-once appends). */
+  def aggHavingDup(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .agg(count(lit(1)).as("duplicate_keys"),
+        coalesce(sum(col("cnt")), lit(0L)).as("duplicate_rows"))
+
+  private val aggHavingDupOracle =
+    """SELECT COUNT(*) AS duplicate_keys,
+      |       CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS duplicate_rows
+      |FROM (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+      |      GROUP BY l_orderkey HAVING COUNT(*) > 1) t""".stripMargin
+
+  /** Parallel scalar subqueries assembled into one row — the completeness
+    * panel (ref `advanced_monitoring.py:113-125`). Identical SQL text runs
+    * on Spark and DuckDB. */
+  private val aggScalarSubqueriesSql =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders) AS orders_rows,
+      |  (SELECT COUNT(*) FROM lineitem) AS lineitem_rows,
+      |  (SELECT COUNT(*) FROM customer) AS customer_rows,
+      |  (SELECT COUNT(*) FROM events) AS events_rows,
+      |  (SELECT COUNT(*) FROM documents) AS documents_rows,
+      |  (SELECT ROUND(SUM(o_totalprice), 2) FROM orders) AS orders_total,
+      |  (SELECT ROUND(SUM(l_extendedprice), 2) FROM lineitem) AS lineitem_revenue,
+      |  (SELECT ROUND(SUM(value), 2) FROM events) AS events_value,
+      |  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS active_customers,
+      |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS distinct_parts""".stripMargin
+
+  /** Ratio/percentage over aggregates (ref `advanced_monitoring.py:140,244-248`). */
+  def aggRatioPct(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(
+        round(count(when(col("l_extendedprice") > 1000, lit(1))) * 100.0 /
+          count(lit(1)), 2).as("coverage_pct"),
+        round((sum(col("l_extendedprice")) -
+          sum(col("l_extendedprice") * col("l_discount"))) * 100.0 /
+          sum(col("l_extendedprice")), 2).as("net_margin_pct"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggRatioPctOracle =
+    """SELECT l_returnflag,
+      |       ROUND(COUNT(CASE WHEN l_extendedprice > 1000 THEN 1 END) * 100.0 / COUNT(*), 2) AS coverage_pct,
+      |       ROUND((SUM(l_extendedprice) - SUM(l_extendedprice * l_discount)) * 100.0 / SUM(l_extendedprice), 2) AS net_margin_pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------- §2.5 windows --------------------------------
+
+  /** pandas iloc[0] vs iloc[-1] week-over-week compare (ref
+    * `advanced_monitoring.py:221-228,399-405`) as LAG(7) + top-1. Shared SQL. */
+  private val windowLagManualSql =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d, ROUND(SUM(l_extendedprice), 2) AS revenue
+      |  FROM lineitem GROUP BY 1),
+      |w AS (SELECT d, revenue, LAG(revenue, 7) OVER (ORDER BY d) AS revenue_week_ago FROM daily)
+      |SELECT d AS latest_date, revenue AS latest_revenue, revenue_week_ago,
+      |       ROUND((revenue - revenue_week_ago) / revenue_week_ago * 100, 2) AS wow_pct
+      |FROM w WHERE d = (SELECT MAX(d) FROM daily)""".stripMargin
+
+  /** Ranking windows — free extension beyond the reference (§2.5 absent):
+    * top-3 items per return flag. Scale: partitioned window, no global sort. */
+  private val windowRankSql =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price, rn, rk
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
+      |         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      |  FROM lineitem) t
+      |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin
+
+  /** Moving average over a ROWS frame — free extension (§2.5 absent). */
+  private val windowMovingAvgSql =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d, ROUND(SUM(l_extendedprice), 2) AS revenue
+      |  FROM lineitem GROUP BY 1)
+      |SELECT d, revenue,
+      |       ROUND(AVG(revenue) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS revenue_ma7
+      |FROM daily ORDER BY d""".stripMargin
+
+  // --------------------- §2.6 sorts / limits / set ops ---------------------
+
+  private val sortSingleDescSql =
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
+
+  private val sortMultiSql =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, ROUND(o_totalprice, 2) AS o_totalprice
+      |FROM orders
+      |ORDER BY CAST(o_orderdate AS DATE) DESC, o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Top-1 of an ordered result (ref `monday_etl_automated.py:632`) — Spark
+    * plans this as TakeOrderedAndProject (true top-k, no global sort). */
+  private val limitHead1Sql =
+    """SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+      |FROM events ORDER BY ts DESC, event_id LIMIT 1""".stripMargin
+
+  /** Source-side LIMIT pushdown probe (ref `etl_debug.py:64,106`). */
+  private val srcLimitProbeSql =
+    """SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS l_quantity
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  /** UNION ALL of labeled per-table counts (ref `etl_final_fix.py:345-352`). */
+  private val setopUnionAllSql =
+    """SELECT 'orders' AS tbl, COUNT(*) AS n FROM orders
+      |UNION ALL SELECT 'lineitem' AS tbl, COUNT(*) AS n FROM lineitem
+      |UNION ALL SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+      |UNION ALL SELECT 'events' AS tbl, COUNT(*) AS n FROM events
+      |ORDER BY tbl""".stripMargin
+
+  /** INTERSECT / EXCEPT — free extensions (§2.6 absent). */
+  private val setopIntersectSql =
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+      |INTERSECT SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
+  private val setopExceptSql =
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+      |EXCEPT SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** SQL text submitted to the engine — Catalyst plays BigQuery's role
+    * (ref `advanced_monitoring.py:181-202`, circle performance). */
+  private val srcWarehouseSqlSql =
+    """SELECT c.c_mktsegment AS segment,
+      |       COUNT(DISTINCT c.c_custkey) AS customers,
+      |       COUNT(o.o_orderkey) AS orders,
+      |       ROUND(SUM(o.o_totalprice), 2) AS total_value,
+      |       ROUND(AVG(o.o_totalprice), 2) AS avg_value
+      |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY total_value DESC, segment""".stripMargin
+
+  // ------------------------ §2.8 batch analogs -----------------------------
+
+  /** Day-over-day compare on the parent table (ref
+    * `monday_etl_automated.py:600-645`), anchored on max order date. */
+  def streamDodCompare(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).withColumn("order_date", orderDate)
+    val latest = o.agg(max(col("order_date")).as("d"))
+    def snap(cond: Column, suffix: String) =
+      o.join(broadcast(latest), cond)
+        .agg(count(lit(1)).as(s"projects_$suffix"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as(s"value_$suffix"))
+    snap(col("order_date") === col("d"), "today")
+      .crossJoin(snap(col("order_date") === date_sub(col("d"), 1), "yesterday"))
+      .select(col("*"),
+        (col("projects_today") - col("projects_yesterday")).as("projects_diff"),
+        round(col("value_today") - col("value_yesterday"), 2).as("value_diff"))
+  }
+
+  private val streamDodCompareOracle =
+    """WITH latest AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders),
+      |today AS (SELECT COUNT(*) AS projects_today, ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS value_today
+      |          FROM orders, latest WHERE CAST(o_orderdate AS DATE) = d),
+      |yesterday AS (SELECT COUNT(*) AS projects_yesterday, ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS value_yesterday
+      |          FROM orders, latest WHERE CAST(o_orderdate AS DATE) = d - 1)
+      |SELECT t.projects_today, t.value_today, y.projects_yesterday, y.value_yesterday,
+      |       t.projects_today - y.projects_yesterday AS projects_diff,
+      |       ROUND(t.value_today - y.value_yesterday, 2) AS value_diff
+      |FROM today t, yesterday y""".stripMargin
+
+  /** 1-day tumbling window via `window()` (ref: all analytics group by
+    * `extraction_date`, SURVEY.md §2.8). */
+  def streamTumblingDay(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(to_date(col("window.start")).as("day"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("day"))
+
+  private val streamTumblingDayOracle =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_events,
+      |       ROUND(SUM(value), 2) AS total_value
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Freshness/liveness watermark (ref `advanced_monitoring.py:163-177`).
+    * Output is the stable boolean verdict, not the wall-clock day count. */
+  def streamFreshnessWatermark(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).agg(max(to_date(col("ts"))).as("last_event_date"))
+      .select(col("last_event_date"),
+        (datediff(current_date(), col("last_event_date")) > 1).as("is_stale"),
+        lit(1).as("threshold_days"))
+
+  private val streamFreshnessWatermarkOracle =
+    """SELECT MAX(CAST(ts AS DATE)) AS last_event_date,
+      |       (current_date - MAX(CAST(ts AS DATE))) > 1 AS is_stale,
+      |       1 AS threshold_days FROM events""".stripMargin
+
+  /** Threshold alert rules over aggregates (ref
+    * `advanced_monitoring.py:377-407`): coverage < 60%, duplicates > 0,
+    * day-over-day revenue drop > 5%. Shared SQL. */
+  private val streamThresholdAlertsSql =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n,
+      |         ROUND(SUM(l_extendedprice), 2) AS revenue,
+      |         100.0 * COUNT(CASE WHEN l_extendedprice > 1000 THEN 1 END) / COUNT(*) AS coverage
+      |  FROM lineitem GROUP BY 1),
+      |seq AS (SELECT d, revenue, LAG(revenue) OVER (ORDER BY d) AS prev, coverage FROM daily),
+      |latest AS (SELECT * FROM seq WHERE d = (SELECT MAX(d) FROM seq)),
+      |dups AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |  SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt FROM lineitem
+      |  GROUP BY 1, 2 HAVING COUNT(*) > 1) t)
+      |SELECT 'coverage_low' AS rule, ROUND(coverage, 2) AS value, coverage < 60 AS triggered FROM latest
+      |UNION ALL SELECT 'duplicate_rows' AS rule, CAST(c AS DOUBLE) AS value, c > 0 AS triggered FROM dups
+      |UNION ALL SELECT 'revenue_drop_dod' AS rule, ROUND((revenue - prev) / prev * 100, 2) AS value,
+      |       (revenue - prev) / prev * 100 < -5 AS triggered FROM latest
+      |ORDER BY rule""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  /** Queries whose Spark-side text IS the oracle text (ANSI-portable SQL). */
+  private val sharedSql: Map[String, String] = Map(
+    "filter_date_eq" -> filterDateEqSql,
+    "agg_scalar_subqueries" -> aggScalarSubqueriesSql,
+    "window_lag_manual" -> windowLagManualSql,
+    "window_rank" -> windowRankSql,
+    "window_moving_avg" -> windowMovingAvgSql,
+    "sort_single_desc" -> sortSingleDescSql,
+    "sort_multi" -> sortMultiSql,
+    "limit_head1" -> limitHead1Sql,
+    "src_limit_probe" -> srcLimitProbeSql,
+    "setop_union_all" -> setopUnionAllSql,
+    "setop_intersect" -> setopIntersectSql,
+    "setop_except" -> setopExceptSql,
+    "src_warehouse_sql" -> srcWarehouseSqlSql,
+    "stream_threshold_alerts" -> streamThresholdAlertsSql)
+
+  private def runSql(q: String): Q =
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q) }
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "window_lag" -> (dailyMetrics _),
+    "join_left_two_key" -> (joinLeftTwoKey _),
+    "join_left_single_key" -> (joinLeftSingleKey _),
+    "join_cross_1x1" -> (joinCross1x1 _),
+    "join_fk_extracted" -> (joinFkExtracted _),
+    "join_parent_child_denorm" -> (joinParentChildDenorm _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "filter_nonempty" -> (filterNonempty _),
+    "filter_revenue_positive" -> (filterRevenuePositive _),
+    "filter_date_range" -> (filterDateRange _),
+    "filter_in_list" -> (filterInList _),
+    "filter_notna" -> (filterNotna _),
+    "agg_count_star" -> (aggCountStar _),
+    "agg_count_distinct" -> (aggCountDistinct _),
+    "agg_count_nonnull" -> (aggCountNonnull _),
+    "agg_count_conditional" -> (aggCountConditional _),
+    "agg_sum" -> (aggSum _),
+    "agg_avg" -> (aggAvg _),
+    "agg_max" -> (aggMax _),
+    "agg_group_single" -> (aggGroupSingle _),
+    "agg_group_multi" -> (aggGroupMulti _),
+    "agg_having_dup" -> (aggHavingDup _),
+    "agg_ratio_pct" -> (aggRatioPct _),
+    "stream_dod_compare" -> (streamDodCompare _),
+    "stream_tumbling_day" -> (streamTumblingDay _),
+    "stream_freshness_watermark" -> (streamFreshnessWatermark _)
+  ) ++ sharedSql.map { case (k, sql) => k -> runSql(sql) }
+
+  val oracles: Map[String, String] = Map(
+    "window_lag" -> dailyMetricsOracle,
+    "join_left_two_key" -> joinLeftTwoKeyOracle,
+    "join_left_single_key" -> joinLeftSingleKeyOracle,
+    "join_cross_1x1" -> joinCross1x1Oracle,
+    "join_fk_extracted" -> joinFkExtractedOracle,
+    "join_parent_child_denorm" -> joinParentChildDenormOracle,
+    "join_semi" -> joinSemiOracle,
+    "join_anti" -> joinAntiOracle,
+    "filter_nonempty" -> filterNonemptyOracle,
+    "filter_revenue_positive" -> filterRevenuePositiveOracle,
+    "filter_date_range" -> filterDateRangeOracle,
+    "filter_in_list" -> filterInListOracle,
+    "filter_notna" -> filterNotnaOracle,
+    "agg_count_star" -> aggCountStarOracle,
+    "agg_count_distinct" -> aggCountDistinctOracle,
+    "agg_count_nonnull" -> aggCountNonnullOracle,
+    "agg_count_conditional" -> aggCountConditionalOracle,
+    "agg_sum" -> aggSumOracle,
+    "agg_avg" -> aggAvgOracle,
+    "agg_max" -> aggMaxOracle,
+    "agg_group_single" -> aggGroupSingleOracle,
+    "agg_group_multi" -> aggGroupMultiOracle,
+    "agg_having_dup" -> aggHavingDupOracle,
+    "agg_ratio_pct" -> aggRatioPctOracle,
+    "stream_dod_compare" -> streamDodCompareOracle,
+    "stream_tumbling_day" -> streamTumblingDayOracle,
+    "stream_freshness_watermark" -> streamFreshnessWatermarkOracle
+  ) ++ sharedSql
+}
