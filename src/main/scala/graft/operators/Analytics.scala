@@ -31,6 +31,23 @@ object Analytics {
   private val shipDate: Column = to_date(col("l_shipdate"))
   private val orderDate: Column = to_date(col("o_orderdate"))
 
+  // ---- exact-rounding helpers ----------------------------------------------
+  // `round(sum|avg(double))` is engine-dependent at .xx5 boundaries: Spark's
+  // partial-aggregation summation order yields ulp-different doubles than
+  // DuckDB's, and the two engines even round the *same* double differently
+  // when its shortest decimal repr lands on .xx5 (Spark BigDecimal HALF_UP of
+  // the repr vs DuckDB scaled std::round). So every rounded aggregate is
+  // computed in DECIMAL — exact, order-independent, identical tie rule
+  // (HALF_UP == ties-away-from-zero) — then cast back to double. Raw measure
+  // columns in the testdata are exactly 2dp, so round(rawCol, 2) stays as the
+  // identity and needs no treatment.
+  private def sumDec(c: Column): Column = sum(c.cast("decimal(18,4)"))
+  private def roundSumDec(c: Column, r: Int = 2): Column =
+    round(sumDec(c), r).cast("double")
+  private def roundAvgDec(c: Column, r: Int = 2): Column =
+    round((sumDec(c).cast("double") / count(c)).cast(s"decimal(28,${r + 4})"), r)
+      .cast("double")
+
   // -------------------------------------------------------------------------
   // Flagship: daily metrics CTE + LAG outer select
   // (ref `advanced_monitoring.py:54-75`: LEFT JOIN → GROUP BY day → 6 aggs →
@@ -52,13 +69,17 @@ object Analytics {
         count(col("l_orderkey")).as("total_subitems"),
         count(when(col("l_extendedprice") > 1000, col("l_linenumber")))
           .as("subitems_with_revenue"),
-        round(sum(col("l_extendedprice")), 2).as("total_revenue"),
-        round(avg(col("l_extendedprice")), 2).as("avg_revenue"),
+        // kept as DECIMAL through the LAG so revenue_change subtracts exactly
+        round(sumDec(col("l_extendedprice")), 2).as("rev_dec"),
+        roundAvgDec(col("l_extendedprice")).as("avg_revenue"),
         round(max(col("o_totalprice")), 2).as("max_order_price"))
     val w = Window.orderBy(col("extraction_date"))
     daily.select(
-        col("*"),
-        round(col("total_revenue") - lag(col("total_revenue"), 1).over(w), 2)
+        col("extraction_date"), col("total_projects"), col("total_subitems"),
+        col("subitems_with_revenue"),
+        col("rev_dec").cast("double").as("total_revenue"),
+        col("avg_revenue"), col("max_order_price"),
+        (col("rev_dec") - lag(col("rev_dec"), 1).over(w)).cast("double")
           .as("revenue_change"),
         (col("total_subitems") - lag(col("total_subitems"), 1).over(w))
           .as("subitems_change"))
@@ -71,14 +92,14 @@ object Analytics {
       |         COUNT(DISTINCT o.o_orderkey) AS total_projects,
       |         COUNT(l.l_orderkey) AS total_subitems,
       |         COUNT(CASE WHEN l.l_extendedprice > 1000 THEN l.l_linenumber END) AS subitems_with_revenue,
-      |         ROUND(SUM(l.l_extendedprice), 2) AS total_revenue,
-      |         ROUND(AVG(l.l_extendedprice), 2) AS avg_revenue,
+      |         ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS rev_dec,
+      |         CAST(ROUND(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l.l_extendedprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_revenue,
       |         ROUND(MAX(o.o_totalprice), 2) AS max_order_price
       |  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |  GROUP BY 1)
       |SELECT extraction_date, total_projects, total_subitems, subitems_with_revenue,
-      |       total_revenue, avg_revenue, max_order_price,
-      |       ROUND(total_revenue - LAG(total_revenue) OVER (ORDER BY extraction_date), 2) AS revenue_change,
+      |       CAST(rev_dec AS DOUBLE) AS total_revenue, avg_revenue, max_order_price,
+      |       CAST(rev_dec - LAG(rev_dec) OVER (ORDER BY extraction_date) AS DOUBLE) AS revenue_change,
       |       total_subitems - LAG(total_subitems) OVER (ORDER BY extraction_date) AS subitems_change
       |FROM daily ORDER BY extraction_date DESC""".stripMargin
 
@@ -347,24 +368,26 @@ object Analytics {
 
   def aggSum(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir).groupBy(col("l_returnflag"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("total_revenue"),
-        round(sum(col("l_quantity")), 2).as("total_qty"))
+      .agg(roundSumDec(col("l_extendedprice")).as("total_revenue"),
+        roundSumDec(col("l_quantity")).as("total_qty"))
       .orderBy(col("l_returnflag"))
 
   private val aggSumOracle =
-    """SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) AS total_revenue,
-      |       ROUND(SUM(l_quantity), 2) AS total_qty
+    """SELECT l_returnflag,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue,
+      |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   def aggAvg(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir).groupBy(col("l_linestatus"))
-      .agg(round(avg(col("l_extendedprice")), 2).as("avg_revenue"),
-        round(avg(col("l_discount")), 4).as("avg_discount"))
+      .agg(roundAvgDec(col("l_extendedprice")).as("avg_revenue"),
+        roundAvgDec(col("l_discount"), 4).as("avg_discount"))
       .orderBy(col("l_linestatus"))
 
   private val aggAvgOracle =
-    """SELECT l_linestatus, ROUND(AVG(l_extendedprice), 2) AS avg_revenue,
-      |       ROUND(AVG(l_discount), 4) AS avg_discount
+    """SELECT l_linestatus,
+      |       CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_revenue,
+      |       CAST(ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_discount
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   def aggMax(s: SparkSession, dir: String): DataFrame =
@@ -384,26 +407,26 @@ object Analytics {
   def aggGroupSingle(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir).groupBy(shipDate.as("ship_date"))
       .agg(count(lit(1)).as("items"),
-        round(sum(col("l_extendedprice")), 2).as("revenue"))
+        roundSumDec(col("l_extendedprice")).as("revenue"))
       .orderBy(col("ship_date"))
 
   private val aggGroupSingleOracle =
     """SELECT CAST(l_shipdate AS DATE) AS ship_date, COUNT(*) AS items,
-      |       ROUND(SUM(l_extendedprice), 2) AS revenue
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
       |FROM lineitem GROUP BY 1 ORDER BY ship_date""".stripMargin
 
   /** GROUP BY two dimensions (ref `advanced_monitoring.py:98`). */
   def aggGroupMulti(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir).groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("items"),
-        round(sum(col("l_extendedprice")), 2).as("revenue"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"))
+        roundSumDec(col("l_extendedprice")).as("revenue"),
+        roundAvgDec(col("l_quantity")).as("avg_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   private val aggGroupMultiOracle =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS items,
-      |       ROUND(SUM(l_extendedprice), 2) AS revenue,
-      |       ROUND(AVG(l_quantity), 2) AS avg_qty
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      |       CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_qty
       |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Duplicate detection via GROUP BY … HAVING count > 1, then count the
@@ -431,9 +454,9 @@ object Analytics {
       |  (SELECT COUNT(*) FROM customer) AS customer_rows,
       |  (SELECT COUNT(*) FROM events) AS events_rows,
       |  (SELECT COUNT(*) FROM documents) AS documents_rows,
-      |  (SELECT ROUND(SUM(o_totalprice), 2) FROM orders) AS orders_total,
-      |  (SELECT ROUND(SUM(l_extendedprice), 2) FROM lineitem) AS lineitem_revenue,
-      |  (SELECT ROUND(SUM(value), 2) FROM events) AS events_value,
+      |  (SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) FROM orders) AS orders_total,
+      |  (SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) FROM lineitem) AS lineitem_revenue,
+      |  (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) FROM events) AS events_value,
       |  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS active_customers,
       |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS distinct_parts""".stripMargin
 
@@ -441,18 +464,29 @@ object Analytics {
   def aggRatioPct(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir).groupBy(col("l_returnflag"))
       .agg(
-        round(count(when(col("l_extendedprice") > 1000, lit(1))) * 100.0 /
-          count(lit(1)), 2).as("coverage_pct"),
-        round((sum(col("l_extendedprice")) -
-          sum(col("l_extendedprice") * col("l_discount"))) * 100.0 /
-          sum(col("l_extendedprice")), 2).as("net_margin_pct"))
+        count(when(col("l_extendedprice") > 1000, lit(1))).as("hv"),
+        count(lit(1)).as("n"),
+        sumDec(col("l_extendedprice")).cast("double").as("gross"),
+        sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,8)"))
+          .cast("double").as("disc"))
+      .select(col("l_returnflag"),
+        round((col("hv") * lit(100.0) / col("n")).cast("decimal(28,6)"), 2)
+          .cast("double").as("coverage_pct"),
+        round(((col("gross") - col("disc")) * lit(100.0) / col("gross"))
+          .cast("decimal(28,6)"), 2).cast("double").as("net_margin_pct"))
       .orderBy(col("l_returnflag"))
 
   private val aggRatioPctOracle =
-    """SELECT l_returnflag,
-      |       ROUND(COUNT(CASE WHEN l_extendedprice > 1000 THEN 1 END) * 100.0 / COUNT(*), 2) AS coverage_pct,
-      |       ROUND((SUM(l_extendedprice) - SUM(l_extendedprice * l_discount)) * 100.0 / SUM(l_extendedprice), 2) AS net_margin_pct
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |         COUNT(CASE WHEN l_extendedprice > 1000 THEN 1 END) AS hv, COUNT(*) AS n,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS gross,
+      |         CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,8))) AS DOUBLE) AS disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |       CAST(ROUND(CAST(hv * 100.0 / n AS DECIMAL(28,6)), 2) AS DOUBLE) AS coverage_pct,
+      |       CAST(ROUND(CAST((gross - disc) * 100.0 / gross AS DECIMAL(28,6)), 2) AS DOUBLE) AS net_margin_pct
+      |FROM a ORDER BY l_returnflag""".stripMargin
 
   // --------------------------- §2.5 windows --------------------------------
 
@@ -460,11 +494,13 @@ object Analytics {
     * `advanced_monitoring.py:221-228,399-405`) as LAG(7) + top-1. Shared SQL. */
   private val windowLagManualSql =
     """WITH daily AS (
-      |  SELECT CAST(l_shipdate AS DATE) AS d, ROUND(SUM(l_extendedprice), 2) AS revenue
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS rev_dec
       |  FROM lineitem GROUP BY 1),
-      |w AS (SELECT d, revenue, LAG(revenue, 7) OVER (ORDER BY d) AS revenue_week_ago FROM daily)
-      |SELECT d AS latest_date, revenue AS latest_revenue, revenue_week_ago,
-      |       ROUND((revenue - revenue_week_ago) / revenue_week_ago * 100, 2) AS wow_pct
+      |w AS (SELECT d, rev_dec, LAG(rev_dec, 7) OVER (ORDER BY d) AS prev_dec FROM daily)
+      |SELECT d AS latest_date, CAST(rev_dec AS DOUBLE) AS latest_revenue,
+      |       CAST(prev_dec AS DOUBLE) AS revenue_week_ago,
+      |       CAST(ROUND(CAST((CAST(rev_dec AS DOUBLE) - CAST(prev_dec AS DOUBLE)) / CAST(prev_dec AS DOUBLE) * 100 AS DECIMAL(28,6)), 2) AS DOUBLE) AS wow_pct
       |FROM w WHERE d = (SELECT MAX(d) FROM daily)""".stripMargin
 
   /** Ranking windows — free extension beyond the reference (§2.5 absent):
@@ -478,14 +514,19 @@ object Analytics {
       |  FROM lineitem) t
       |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin
 
-  /** Moving average over a ROWS frame — free extension (§2.5 absent). */
+  /** Moving average over a ROWS frame — free extension (§2.5 absent). The
+    * windowed aggregate runs over DECIMAL: sliding-window implementations
+    * differ (DuckDB segment tree vs Spark streaming frame), so double
+    * summation order is NOT portable — decimal is. */
   private val windowMovingAvgSql =
     """WITH daily AS (
-      |  SELECT CAST(l_shipdate AS DATE) AS d, ROUND(SUM(l_extendedprice), 2) AS revenue
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS rev_dec
       |  FROM lineitem GROUP BY 1)
-      |SELECT d, revenue,
-      |       ROUND(AVG(revenue) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS revenue_ma7
-      |FROM daily ORDER BY d""".stripMargin
+      |SELECT d, CAST(rev_dec AS DOUBLE) AS revenue,
+      |       CAST(ROUND(CAST(CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(rev_dec) OVER w AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue_ma7
+      |FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY d""".stripMargin
 
   // --------------------- §2.6 sorts / limits / set ops ---------------------
 
@@ -502,7 +543,7 @@ object Analytics {
     * plans this as TakeOrderedAndProject (true top-k, no global sort). */
   private val limitHead1Sql =
     """SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
-      |FROM events ORDER BY ts DESC, event_id LIMIT 1""".stripMargin
+      |FROM events ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id LIMIT 1""".stripMargin
 
   /** Source-side LIMIT pushdown probe (ref `etl_debug.py:64,106`). */
   private val srcLimitProbeSql =
@@ -534,8 +575,8 @@ object Analytics {
     """SELECT c.c_mktsegment AS segment,
       |       COUNT(DISTINCT c.c_custkey) AS customers,
       |       COUNT(o.o_orderkey) AS orders,
-      |       ROUND(SUM(o.o_totalprice), 2) AS total_value,
-      |       ROUND(AVG(o.o_totalprice), 2) AS avg_value
+      |       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+      |       CAST(ROUND(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o.o_totalprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_value
       |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
       |GROUP BY c.c_mktsegment
       |ORDER BY total_value DESC, segment""".stripMargin
@@ -575,27 +616,33 @@ object Analytics {
     events(s, dir)
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"))
+        roundSumDec(col("value")).as("total_value"))
       .select(to_date(col("window.start")).as("day"),
         col("n_events"), col("total_value"))
       .orderBy(col("day"))
 
   private val streamTumblingDayOracle =
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_events,
-      |       ROUND(SUM(value), 2) AS total_value
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
   /** Freshness/liveness watermark (ref `advanced_monitoring.py:163-177`).
-    * Output is the stable boolean verdict, not the wall-clock day count. */
-  def streamFreshnessWatermark(s: SparkSession, dir: String): DataFrame =
+    * Anchored to an as-of date derived from the data (max order date), not
+    * wall-clock `current_date` — two engines evaluating `current_date` in
+    * different timezones/run-times would otherwise flip the verdict. */
+  def streamFreshnessWatermark(s: SparkSession, dir: String): DataFrame = {
+    val asOf = orders(s, dir).agg(max(orderDate).as("as_of_date"))
     events(s, dir).agg(max(to_date(col("ts"))).as("last_event_date"))
-      .select(col("last_event_date"),
-        (datediff(current_date(), col("last_event_date")) > 1).as("is_stale"),
+      .crossJoin(asOf)
+      .select(col("last_event_date"), col("as_of_date"),
+        (datediff(col("as_of_date"), col("last_event_date")) > 1).as("is_stale"),
         lit(1).as("threshold_days"))
+  }
 
   private val streamFreshnessWatermarkOracle =
     """SELECT MAX(CAST(ts AS DATE)) AS last_event_date,
-      |       (current_date - MAX(CAST(ts AS DATE))) > 1 AS is_stale,
+      |       (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders) AS as_of_date,
+      |       ((SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders) - MAX(CAST(ts AS DATE))) > 1 AS is_stale,
       |       1 AS threshold_days FROM events""".stripMargin
 
   /** Threshold alert rules over aggregates (ref
@@ -604,17 +651,20 @@ object Analytics {
   private val streamThresholdAlertsSql =
     """WITH daily AS (
       |  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n,
-      |         ROUND(SUM(l_extendedprice), 2) AS revenue,
+      |         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS rev_dec,
       |         100.0 * COUNT(CASE WHEN l_extendedprice > 1000 THEN 1 END) / COUNT(*) AS coverage
       |  FROM lineitem GROUP BY 1),
-      |seq AS (SELECT d, revenue, LAG(revenue) OVER (ORDER BY d) AS prev, coverage FROM daily),
-      |latest AS (SELECT * FROM seq WHERE d = (SELECT MAX(d) FROM seq)),
+      |seq AS (SELECT d, rev_dec, LAG(rev_dec) OVER (ORDER BY d) AS prev_dec, coverage FROM daily),
+      |latest AS (SELECT d, coverage,
+      |                  CAST(rev_dec AS DOUBLE) AS revenue, CAST(prev_dec AS DOUBLE) AS prev
+      |           FROM seq WHERE d = (SELECT MAX(d) FROM seq)),
       |dups AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM (
       |  SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt FROM lineitem
       |  GROUP BY 1, 2 HAVING COUNT(*) > 1) t)
-      |SELECT 'coverage_low' AS rule, ROUND(coverage, 2) AS value, coverage < 60 AS triggered FROM latest
+      |SELECT 'coverage_low' AS rule, CAST(ROUND(CAST(coverage AS DECIMAL(28,6)), 2) AS DOUBLE) AS value, coverage < 60 AS triggered FROM latest
       |UNION ALL SELECT 'duplicate_rows' AS rule, CAST(c AS DOUBLE) AS value, c > 0 AS triggered FROM dups
-      |UNION ALL SELECT 'revenue_drop_dod' AS rule, ROUND((revenue - prev) / prev * 100, 2) AS value,
+      |UNION ALL SELECT 'revenue_drop_dod' AS rule,
+      |       CAST(ROUND(CAST((revenue - prev) / prev * 100 AS DECIMAL(28,6)), 2) AS DOUBLE) AS value,
       |       (revenue - prev) / prev * 100 < -5 AS triggered FROM latest
       |ORDER BY rule""".stripMargin
 
