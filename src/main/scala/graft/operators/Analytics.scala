@@ -142,35 +142,56 @@ object Analytics {
       |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |ORDER BY o.o_orderkey, l.l_linenumber NULLS LAST""".stripMargin
 
-  /** Implicit 1×1 cross join of today/yesterday scalar CTEs with diff
-    * projections — the day-over-day compare (ref
-    * `monday_etl_automated.py:600-645`). Anchored on the data's max ship
-    * date (not wall-clock) so results are deterministic. Scale: both sides
-    * are single aggregate rows — broadcast-nested-loop on 1×1 is free. */
-  def joinCross1x1(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir).withColumn("ship_date", shipDate)
-    val latest = li.agg(max(col("ship_date")).as("d"))
-    def snap(cond: Column, suffix: String) =
-      li.join(broadcast(latest), cond)
-        .agg(count(lit(1)).as(s"items_$suffix"),
-          round(coalesce(sum(col("l_extendedprice")), lit(0.0)), 2).as(s"revenue_$suffix"))
-    val today = snap(col("ship_date") === col("d"), "today")
-    val yest = snap(col("ship_date") === date_sub(col("d"), 1), "yesterday")
-    today.crossJoin(yest).select(col("*"),
-      (col("items_today") - col("items_yesterday")).as("items_diff"),
-      round(col("revenue_today") - col("revenue_yesterday"), 2).as("revenue_diff"))
+  /** Day-over-day compare (ref `monday_etl_automated.py:600-645`), anchored
+    * on the data's max ship date (not wall-clock) so results are
+    * deterministic.
+    *
+    * Scale design: the anchor date is ONE scalar — collecting it to the
+    * driver is free and turns the snapshot filters into literals, so at
+    * 100 TB on date-partitioned storage partition pruning reads exactly two
+    * days of files. Both snapshots then come from a single scan with
+    * conditional aggregation (no per-row non-equi BroadcastNestedLoopJoin,
+    * no triple scan). */
+  def joinCross1x1(s: SparkSession, dir: String): DataFrame =
+    snapshotCompare(lineitem(s, dir), shipDate, col("l_extendedprice"),
+      "items", "revenue")
+
+  /** Shared single-pass today/yesterday compare used by joinCross1x1 and
+    * streamDodCompare. */
+  private def snapshotCompare(df: DataFrame, dateCol: Column, measure: Column,
+      cntName: String, valName: String): DataFrame = {
+    val d = df.agg(max(dateCol)).first().getDate(0)
+    val today = lit(d)
+    val yest = lit(java.sql.Date.valueOf(d.toLocalDate.minusDays(1)))
+    def sumDay(day: Column) = coalesce(
+      round(sum(when(dateCol === day, measure).cast("decimal(18,4)")), 2),
+      lit(0).cast("decimal(18,2)"))
+    df.filter(dateCol === today || dateCol === yest)
+      .agg(
+        count(when(dateCol === today, lit(1))).as(s"${cntName}_today"),
+        sumDay(today).as("vt"),
+        count(when(dateCol === yest, lit(1))).as(s"${cntName}_yesterday"),
+        sumDay(yest).as("vy"))
+      .select(
+        col(s"${cntName}_today"), col("vt").cast("double").as(s"${valName}_today"),
+        col(s"${cntName}_yesterday"), col("vy").cast("double").as(s"${valName}_yesterday"),
+        (col(s"${cntName}_today") - col(s"${cntName}_yesterday")).as(s"${cntName}_diff"),
+        (col("vt") - col("vy")).cast("double").as(s"${valName}_diff"))
   }
 
   private val joinCross1x1Oracle =
     """WITH latest AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS d FROM lineitem),
-      |today AS (SELECT COUNT(*) AS items_today, ROUND(COALESCE(SUM(l_extendedprice), 0), 2) AS revenue_today
-      |          FROM lineitem, latest WHERE CAST(l_shipdate AS DATE) = d),
-      |yesterday AS (SELECT COUNT(*) AS items_yesterday, ROUND(COALESCE(SUM(l_extendedprice), 0), 2) AS revenue_yesterday
-      |          FROM lineitem, latest WHERE CAST(l_shipdate AS DATE) = d - 1)
-      |SELECT t.items_today, t.revenue_today, y.items_yesterday, y.revenue_yesterday,
+      |t AS (SELECT COUNT(*) AS items_today,
+      |             COALESCE(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2), CAST(0 AS DECIMAL(18,2))) AS vt
+      |      FROM lineitem, latest WHERE CAST(l_shipdate AS DATE) = d),
+      |y AS (SELECT COUNT(*) AS items_yesterday,
+      |             COALESCE(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2), CAST(0 AS DECIMAL(18,2))) AS vy
+      |      FROM lineitem, latest WHERE CAST(l_shipdate AS DATE) = d - 1)
+      |SELECT t.items_today, CAST(t.vt AS DOUBLE) AS revenue_today,
+      |       y.items_yesterday, CAST(y.vy AS DOUBLE) AS revenue_yesterday,
       |       t.items_today - y.items_yesterday AS items_diff,
-      |       ROUND(t.revenue_today - y.revenue_yesterday, 2) AS revenue_diff
-      |FROM today t, yesterday y""".stripMargin
+      |       CAST(t.vt - y.vy AS DOUBLE) AS revenue_diff
+      |FROM t, y""".stripMargin
 
   /** FK extracted from embedded JSON then joined (ref
     * `monday_etl_automated.py:386-395` prepares `linked_subitem_id`; we
@@ -584,31 +605,25 @@ object Analytics {
   // ------------------------ §2.8 batch analogs -----------------------------
 
   /** Day-over-day compare on the parent table (ref
-    * `monday_etl_automated.py:600-645`), anchored on max order date. */
-  def streamDodCompare(s: SparkSession, dir: String): DataFrame = {
-    val o = orders(s, dir).withColumn("order_date", orderDate)
-    val latest = o.agg(max(col("order_date")).as("d"))
-    def snap(cond: Column, suffix: String) =
-      o.join(broadcast(latest), cond)
-        .agg(count(lit(1)).as(s"projects_$suffix"),
-          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as(s"value_$suffix"))
-    snap(col("order_date") === col("d"), "today")
-      .crossJoin(snap(col("order_date") === date_sub(col("d"), 1), "yesterday"))
-      .select(col("*"),
-        (col("projects_today") - col("projects_yesterday")).as("projects_diff"),
-        round(col("value_today") - col("value_yesterday"), 2).as("value_diff"))
-  }
+    * `monday_etl_automated.py:600-645`) — same single-scan literal-anchored
+    * plan as joinCross1x1 (see snapshotCompare). */
+  def streamDodCompare(s: SparkSession, dir: String): DataFrame =
+    snapshotCompare(orders(s, dir), orderDate, col("o_totalprice"),
+      "projects", "value")
 
   private val streamDodCompareOracle =
     """WITH latest AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders),
-      |today AS (SELECT COUNT(*) AS projects_today, ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS value_today
-      |          FROM orders, latest WHERE CAST(o_orderdate AS DATE) = d),
-      |yesterday AS (SELECT COUNT(*) AS projects_yesterday, ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS value_yesterday
-      |          FROM orders, latest WHERE CAST(o_orderdate AS DATE) = d - 1)
-      |SELECT t.projects_today, t.value_today, y.projects_yesterday, y.value_yesterday,
+      |t AS (SELECT COUNT(*) AS projects_today,
+      |             COALESCE(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2), CAST(0 AS DECIMAL(18,2))) AS vt
+      |      FROM orders, latest WHERE CAST(o_orderdate AS DATE) = d),
+      |y AS (SELECT COUNT(*) AS projects_yesterday,
+      |             COALESCE(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2), CAST(0 AS DECIMAL(18,2))) AS vy
+      |      FROM orders, latest WHERE CAST(o_orderdate AS DATE) = d - 1)
+      |SELECT t.projects_today, CAST(t.vt AS DOUBLE) AS value_today,
+      |       y.projects_yesterday, CAST(y.vy AS DOUBLE) AS value_yesterday,
       |       t.projects_today - y.projects_yesterday AS projects_diff,
-      |       ROUND(t.value_today - y.value_yesterday, 2) AS value_diff
-      |FROM today t, yesterday y""".stripMargin
+      |       CAST(t.vt - y.vy AS DOUBLE) AS value_diff
+      |FROM t, y""".stripMargin
 
   /** 1-day tumbling window via `window()` (ref: all analytics group by
     * `extraction_date`, SURVEY.md §2.8). */
