@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (fixes the round-1 harness flaws):
+  *  - full unmeasured warmup pass first, so JVM/codegen/parquet-footer
+  *    warmup is not charged to whichever query runs first;
+  *  - deterministic (sorted) query order;
+  *  - materialization via a noop-format write, which consumes every row of
+  *    every column — `.count()` let Catalyst drop sorts and projections;
+  *  - failures are reported per-query in an "errors" map instead of being
+  *    recorded as a normal-looking wall time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,16 +23,44 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    // warmup: run everything once, unmeasured
+    ordered.foreach { case (name, _) =>
+      try materialize(name) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // two measured passes, per-query min: robust to transient system load
+    // (this box is shared; a single pass was ±35% run to run)
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    (1 to 2).foreach { _ =>
+      ordered.foreach { case (name, _) =>
+        val t0 = System.nanoTime()
+        try {
+          materialize(name)
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(name) = times.get(name).fold(dt)(math.min(_, dt))
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        }
+      }
+    }
+
+    val qs = times.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = times.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
