@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.ScalarQueries
 import graft.operators.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,10 +20,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries
+    Analytics.queries ++ ScalarQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
-    Analytics.oracles
+    Analytics.oracles ++ ScalarQueries.oracles
 }

@@ -1,0 +1,299 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.model.Tables.load
+
+/** SURVEY.md §2.7 scalar-function surface as oracle-checked query keys.
+  *
+  * Each key exercises one pinned reference semantic through `Scalars` over
+  * the driver testdata. Parse-failure inputs are synthesized from integer
+  * columns (identical string construction on both engines) so the
+  * swallow-on-error rules — float→0.0 not null
+  * (`monday_etl_automated.py:305-309`), date→null (`:263-267`),
+  * exactly-2-parts timeline (`:312-319`), board_relation JSON
+  * (`:390-395`) — are actually hit, not just defined.
+  */
+object ScalarQueries {
+  import Scalars._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, dir: String) = load(s, dir, "events")
+  private def orders(s: SparkSession, dir: String) = load(s, dir, "orders")
+  private def lineitem(s: SparkSession, dir: String) = load(s, dir, "lineitem")
+
+  private val orderDate: Column = to_date(col("o_orderdate"))
+
+  // ---- fn_cast_float: float(text) with 0.0-on-error ------------------------
+  // 'error' rows → non-numeric, 'view' rows → empty string: both default 0.0.
+  def fnCastFloat(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("raw", when(col("event_type") === "error", lit("not-a-number"))
+        .when(col("event_type") === "view", lit(""))
+        .otherwise(col("user_id").cast("string")))
+      .select(col("event_id"), col("raw"), castFloatZero(col("raw")).as("parsed"))
+      .orderBy(col("event_id"))
+
+  private val fnCastFloatOracle =
+    """SELECT event_id,
+      |       CASE WHEN event_type = 'error' THEN 'not-a-number'
+      |            WHEN event_type = 'view' THEN ''
+      |            ELSE CAST(user_id AS VARCHAR) END AS raw,
+      |       COALESCE(TRY_CAST(CASE WHEN event_type = 'error' THEN 'not-a-number'
+      |                              WHEN event_type = 'view' THEN ''
+      |                              ELSE CAST(user_id AS VARCHAR) END AS DOUBLE), 0.0) AS parsed
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- fn_parse_date: strptime('%Y-%m-%d'), null on failure ----------------
+  // 'error' rows → garbage, 'click' rows → invalid calendar date: both null.
+  def fnParseDate(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("raw", when(col("event_type") === "error", lit("not-a-date"))
+        .when(col("event_type") === "click", lit("2025-02-30"))
+        .otherwise(date_format(col("ts"), "yyyy-MM-dd")))
+      .select(col("event_id"), col("raw"), parseDate(col("raw")).as("parsed"))
+      .orderBy(col("event_id"))
+
+  private val fnParseDateOracle =
+    """WITH r AS (
+      |  SELECT event_id,
+      |         CASE WHEN event_type = 'error' THEN 'not-a-date'
+      |              WHEN event_type = 'click' THEN '2025-02-30'
+      |              ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') END AS raw
+      |  FROM events)
+      |SELECT event_id, raw, CAST(try_strptime(raw, '%Y-%m-%d') AS DATE) AS parsed
+      |FROM r ORDER BY event_id""".stripMargin
+
+  // ---- fn_parse_timestamp_iso: ISO-8601 with Z suffix, null on failure -----
+  def fnParseTimestampIso(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("raw", when(col("event_type") === "error",
+          lit("2025-99-99T00:00:00Z"))
+        .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")))
+      .select(col("event_id"), col("raw"),
+        parseTimestampIso(col("raw")).as("parsed"))
+      .orderBy(col("event_id"))
+
+  private val fnParseTimestampIsoOracle =
+    """WITH r AS (
+      |  SELECT event_id,
+      |         CASE WHEN event_type = 'error' THEN '2025-99-99T00:00:00Z'
+      |              ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') END AS raw
+      |  FROM events)
+      |SELECT event_id, raw, TRY_CAST(raw AS TIMESTAMP) AS parsed
+      |FROM r ORDER BY event_id""".stripMargin
+
+  // ---- fn_split_timeline: "start - end", only when exactly 2 parts ---------
+  def fnSplitTimeline(s: SparkSession, dir: String): DataFrame = {
+    val tl = when(col("o_orderstatus") === "F", lit("no-timeline"))
+      .when(col("o_orderstatus") === "P",
+        lit("2025-01-01 - 2025-02-01 - 2025-03-01"))
+      .otherwise(concat(date_format(orderDate, "yyyy-MM-dd"), lit(" - "),
+        date_format(date_add(orderDate, 90), "yyyy-MM-dd")))
+    val df = orders(s, dir).withColumn("timeline", tl)
+    val (start, end) = splitTimeline(col("timeline"))
+    df.select(col("o_orderkey"), col("timeline"),
+        start.as("timeline_start"), end.as("timeline_end"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val fnSplitTimelineOracle =
+    """WITH r AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderstatus = 'F' THEN 'no-timeline'
+      |              WHEN o_orderstatus = 'P' THEN '2025-01-01 - 2025-02-01 - 2025-03-01'
+      |              ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || ' - ' ||
+      |                   strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') END AS timeline
+      |  FROM orders)
+      |SELECT o_orderkey, timeline,
+      |       CASE WHEN len(str_split(timeline, ' - ')) = 2
+      |            THEN CAST(try_strptime(trim(str_split(timeline, ' - ')[1]), '%Y-%m-%d') AS DATE) END AS timeline_start,
+      |       CASE WHEN len(str_split(timeline, ' - ')) = 2
+      |            THEN CAST(try_strptime(trim(str_split(timeline, ' - ')[2]), '%Y-%m-%d') AS DATE) END AS timeline_end
+      |FROM r ORDER BY o_orderkey""".stripMargin
+
+  // ---- fn_json_extract: board_relation linkedPulseIds[0].linkedPulseId -----
+  // Builds the reference's exact payload shape; 'error' rows get malformed
+  // JSON → null (ref swallow, `monday_etl_automated.py:390-395`).
+  def fnJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("payload", when(col("event_type") === "error",
+          lit("{not json"))
+        .otherwise(concat(lit("{\"linkedPulseIds\":[{\"linkedPulseId\":"),
+          col("user_id").cast("string"), lit("}]}"))))
+      .select(col("event_id"), linkedPulseId(col("payload")).as("linked_id"))
+      .orderBy(col("event_id"))
+
+  private val fnJsonExtractOracle =
+    """WITH r AS (
+      |  SELECT event_id,
+      |         CASE WHEN event_type = 'error' THEN '{not json'
+      |              ELSE '{"linkedPulseIds":[{"linkedPulseId":' || CAST(user_id AS VARCHAR) || '}]}' END AS payload
+      |  FROM events)
+      |SELECT event_id,
+      |       CASE WHEN json_valid(payload)
+      |            THEN json_extract_string(payload, '$.linkedPulseIds[0].linkedPulseId') END AS linked_id
+      |FROM r ORDER BY event_id""".stripMargin
+
+  // ---- fn_round: ROUND(x, 2) on a computed product (decimal domain) --------
+  def fnRound(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,6)"), 2).cast("double").as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val fnRoundOracle =
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(ROUND(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)), 2) AS DOUBLE) AS net_price
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- fn_date_sub_current: trailing-window lower bound --------------------
+  // "current" anchored to the data's max date, not wall-clock (determinism).
+  def fnDateSubCurrent(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= date_sub((SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders), 7)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val fnDateSubCurrentOracle =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders) - 7
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- fn_date_diff: days between order and ship ---------------------------
+  def fnDateDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val l = lineitem(s, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(l("l_orderkey"), l("l_linenumber"),
+        datediff(to_date(l("l_shipdate")), to_date(o("o_orderdate")))
+          .as("ship_lag_days"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val fnDateDiffOracle =
+    """SELECT l.l_orderkey, l.l_linenumber,
+      |       CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS ship_lag_days
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
+
+  // ---- fn_case_when (shared ANSI SQL text) ---------------------------------
+  private val fnCaseWhenSql =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderstatus = 'O' THEN 'open'
+      |            WHEN o_orderstatus = 'F' THEN 'filled'
+      |            ELSE 'other' END AS status_label
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- fn_arith_diff: projected arithmetic over joined aggregates ----------
+  private val fnArithDiffSql =
+    """SELECT o.o_orderkey,
+      |       CAST(o.o_totalprice AS DOUBLE) -
+      |       CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS price_minus_items
+      |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderkey, o.o_totalprice
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // ---- fn_strftime_fmt: date→string formats --------------------------------
+  def fnStrftimeFmt(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("ymd"),
+        date_format(col("o_orderdate"), "HH:mm:ss").as("hms"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("year_month"))
+      .orderBy(col("o_orderkey"))
+
+  private val fnStrftimeFmtOracle =
+    """SELECT o_orderkey,
+      |       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y%m%d') AS ymd,
+      |       strftime(CAST(o_orderdate AS TIMESTAMP), '%H:%M:%S') AS hms,
+      |       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS year_month
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- fn_pct_change: week-over-week via Scalars.pctChange -----------------
+  def fnPctChange(s: SparkSession, dir: String): DataFrame = {
+    val daily = lineitem(s, dir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+        .as("rev_dec"))
+    val w = Window.orderBy(col("d"))
+    daily
+      .withColumn("prev_dec", lag(col("rev_dec"), 1).over(w))
+      .filter(col("prev_dec").isNotNull)
+      .select(col("d"), col("rev_dec").cast("double").as("revenue"),
+        pctChange(col("rev_dec").cast("double"), col("prev_dec").cast("double"))
+          .as("pct_change"))
+      .orderBy(col("d"))
+  }
+
+  private val fnPctChangeOracle =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS rev_dec
+      |  FROM lineitem GROUP BY 1),
+      |w AS (SELECT d, rev_dec, LAG(rev_dec) OVER (ORDER BY d) AS prev_dec FROM daily)
+      |SELECT d, CAST(rev_dec AS DOUBLE) AS revenue,
+      |       CAST(ROUND(CAST((CAST(rev_dec AS DOUBLE) - CAST(prev_dec AS DOUBLE)) / CAST(prev_dec AS DOUBLE) * 100 AS DECIMAL(28,6)), 2) AS DOUBLE) AS pct_change
+      |FROM w WHERE prev_dec IS NOT NULL ORDER BY d""".stripMargin
+
+  // ---- agg_python_sum_len: driver-side sum()/len() stats analog ------------
+  // (ref `monday_etl_automated.py:326-328,557`: totals accumulated in Python)
+  def aggPythonSumLen(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).agg(
+      count(lit(1)).as("n_records"),
+      round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+        .cast("double").as("total_revenue"),
+      count(when(col("l_extendedprice") > 0, lit(1))).as("n_with_revenue"))
+
+  private val aggPythonSumLenOracle =
+    """SELECT COUNT(*) AS n_records,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue,
+      |       COUNT(CASE WHEN l_extendedprice > 0 THEN 1 END) AS n_with_revenue
+      |FROM lineitem""".stripMargin
+
+  // --------------------------------------------------------------------------
+
+  private val sharedSql: Map[String, String] = Map(
+    "fn_case_when" -> fnCaseWhenSql,
+    "fn_arith_diff" -> fnArithDiffSql)
+
+  private def runSql(q: String): Q =
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q) }
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "fn_cast_float" -> (fnCastFloat _),
+    "fn_parse_date" -> (fnParseDate _),
+    "fn_parse_timestamp_iso" -> (fnParseTimestampIso _),
+    "fn_split_timeline" -> (fnSplitTimeline _),
+    "fn_json_extract" -> (fnJsonExtract _),
+    "fn_round" -> (fnRound _),
+    "fn_date_sub_current" -> (fnDateSubCurrent _),
+    "fn_date_diff" -> (fnDateDiff _),
+    "fn_strftime_fmt" -> (fnStrftimeFmt _),
+    "fn_pct_change" -> (fnPctChange _),
+    "agg_python_sum_len" -> (aggPythonSumLen _)
+  ) ++ sharedSql.map { case (k, sql) => k -> runSql(sql) }
+
+  val oracles: Map[String, String] = Map(
+    "fn_cast_float" -> fnCastFloatOracle,
+    "fn_parse_date" -> fnParseDateOracle,
+    "fn_parse_timestamp_iso" -> fnParseTimestampIsoOracle,
+    "fn_split_timeline" -> fnSplitTimelineOracle,
+    "fn_json_extract" -> fnJsonExtractOracle,
+    "fn_round" -> fnRoundOracle,
+    "fn_date_sub_current" -> fnDateSubCurrentOracle,
+    "fn_date_diff" -> fnDateDiffOracle,
+    "fn_strftime_fmt" -> fnStrftimeFmtOracle,
+    "fn_pct_change" -> fnPctChangeOracle,
+    "agg_python_sum_len" -> aggPythonSumLenOracle
+  ) ++ sharedSql
+}

@@ -48,9 +48,12 @@ object Scalars {
   def linkedPulseId(c: Column): Column =
     get_json_object(c, "$.linkedPulseIds[0].linkedPulseId")
 
-  /** `((latest - prior) / prior) * 100` (ref `advanced_monitoring.py:403-405`). */
+  /** `((latest - prior) / prior) * 100` (ref `advanced_monitoring.py:403-405`).
+    * Rounded in the decimal domain — see Analytics "exact-rounding helpers"
+    * for why round(double, 2) is not portable across engines. */
   def pctChange(latest: Column, prior: Column): Column =
-    round((latest - prior) / prior * 100, 2)
+    round(((latest - prior) / prior * 100).cast("decimal(28,6)"), 2)
+      .cast("double")
 
   /** Empty-string-is-missing: '' → null so `coalesce(default)` applies
     * (ref truthy check `monday_etl_automated.py:259-261`). */
