@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
 import graft.operators.Analytics
 
@@ -20,10 +21,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ ScalarQueries.queries
+    Analytics.queries ++ ScalarQueries.queries ++ FlattenQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ ScalarQueries.oracles
+    Analytics.oracles ++ ScalarQueries.oracles ++ FlattenQueries.oracles
 }

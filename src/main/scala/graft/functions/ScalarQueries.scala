@@ -113,6 +113,7 @@ object ScalarQueries {
       |       CASE WHEN len(str_split(timeline, ' - ')) = 2
       |            THEN CAST(try_strptime(trim(str_split(timeline, ' - ')[1]), '%Y-%m-%d') AS DATE) END AS timeline_start,
       |       CASE WHEN len(str_split(timeline, ' - ')) = 2
+      |             AND try_strptime(trim(str_split(timeline, ' - ')[1]), '%Y-%m-%d') IS NOT NULL
       |            THEN CAST(try_strptime(trim(str_split(timeline, ' - ')[2]), '%Y-%m-%d') AS DATE) END AS timeline_end
       |FROM r ORDER BY o_orderkey""".stripMargin
 

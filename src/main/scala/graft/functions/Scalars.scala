@@ -35,12 +35,17 @@ object Scalars {
   def parseTimestampIso(c: Column): Column = try_to_timestamp(c)
 
   /** `"2025-01-01 - 2025-03-31"` → (start, end); both null unless the split
-    * yields exactly 2 parts. */
+    * yields exactly 2 parts. The reference assigns start then end inside one
+    * try-block (`monday_etl_automated.py:312-319`), so a failed START parse
+    * aborts before end is assigned: "garbage - 2025-03-31" → (null, null),
+    * while "2025-01-01 - garbage" → (2025-01-01, null). end is therefore
+    * gated on start parsing. */
   def splitTimeline(c: Column): (Column, Column) = {
     val parts = split(c, " - ")
-    def part(i: Int) =
-      when(size(parts) === 2, parseDate(trim(element_at(parts, i))))
-    (part(1), part(2))
+    val start = when(size(parts) === 2, parseDate(trim(element_at(parts, 1))))
+    val end = when(size(parts) === 2 && start.isNotNull,
+      parseDate(trim(element_at(parts, 2))))
+    (start, end)
   }
 
   /** Extract `linkedPulseIds[0].linkedPulseId` from a board_relation JSON

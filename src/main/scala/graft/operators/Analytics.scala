@@ -214,29 +214,9 @@ object Analytics {
       |  ON TRY_CAST(json_extract_string(e.props, '$.k') AS BIGINT) = c.c_custkey
       |ORDER BY e.event_id""".stripMargin
 
-  /** Parent-child denormalization: children nested under the parent (as the
-    * Monday API returns them), then exploded carrying parent columns — the
-    * join the reference materializes at extraction time
-    * (ref `monday_etl_automated.py:283-289`). The explode IS the join: no
-    * shuffle once data is nested, the Spark-native win at scale. */
-  def joinParentChildDenorm(s: SparkSession, dir: String): DataFrame = {
-    val o = orders(s, dir)
-    val l = lineitem(s, dir)
-    val nested = o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .groupBy(o("o_orderkey"))
-      .agg(sort_array(collect_list(struct(
-        col("l_linenumber").as("line"),
-        round(col("l_extendedprice"), 2).as("price")))).as("subitems"))
-    nested.select(col("o_orderkey"), explode(col("subitems")).as("s"))
-      .select(col("o_orderkey"), col("s.line").as("l_linenumber"),
-        col("s.price").as("price"))
-      .orderBy(col("o_orderkey"), col("l_linenumber"))
-  }
-
-  private val joinParentChildDenormOracle =
-    """SELECT o.o_orderkey, l.l_linenumber, ROUND(l.l_extendedprice, 2) AS price
-      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-      |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin
+  // join_parent_child_denorm lives in graft.flatten.FlattenQueries: the
+  // honest version explodes the genuinely nested GraphQL fixture instead of
+  // joining flat tables, collect_list-ing and re-exploding.
 
   /** Semi/anti joins — free Spark extensions beyond the reference (SURVEY.md
     * §2.3 "absent"): customers with/without an urgent order. */
@@ -711,7 +691,6 @@ object Analytics {
     "join_left_single_key" -> (joinLeftSingleKey _),
     "join_cross_1x1" -> (joinCross1x1 _),
     "join_fk_extracted" -> (joinFkExtracted _),
-    "join_parent_child_denorm" -> (joinParentChildDenorm _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "filter_nonempty" -> (filterNonempty _),
@@ -741,7 +720,6 @@ object Analytics {
     "join_left_single_key" -> joinLeftSingleKeyOracle,
     "join_cross_1x1" -> joinCross1x1Oracle,
     "join_fk_extracted" -> joinFkExtractedOracle,
-    "join_parent_child_denorm" -> joinParentChildDenormOracle,
     "join_semi" -> joinSemiOracle,
     "join_anti" -> joinAntiOracle,
     "filter_nonempty" -> filterNonemptyOracle,
