@@ -1,0 +1,123 @@
+package graft.source
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.flatten.Flatten
+
+/** Oracle-checked keys for the source connector (SURVEY.md §2.1).
+  *
+  * Each key drives MondayClient over a canned transport backed by the SAME
+  * fixture files the oracle reads with read_json — the client must actually
+  * retry / paginate / probe to produce the asserted rows, and the DuckDB
+  * side states what the final extracted relation must be.
+  */
+object SourceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def root = Flatten.fixtureRoot
+  private def readFile(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+
+  /** Raw page bodies → items relation (id, name). */
+  private def itemsDf(s: SparkSession, pages: Seq[String]): DataFrame = {
+    import s.implicits._
+    s.read.schema(Flatten.docSchema).json(pages.toDS())
+      .select(explode(col("data.boards")).as("board"))
+      .select(explode(col("board.items_page.items")).as("item"))
+      .select(col("item.id").as("item_id"), col("item.name").as("item_name"))
+      .orderBy(col("item_id").cast("long"))
+  }
+
+  private def itemsOracle(glob: String): String =
+    s"""WITH raw AS (SELECT data FROM read_json('$root/$glob')),
+       |boards AS (SELECT unnest(data.boards) AS board FROM raw),
+       |items AS (SELECT unnest(board.items_page.items) AS item FROM boards)
+       |SELECT item.id AS item_id, item.name AS item_name
+       |FROM items ORDER BY CAST(item_id AS BIGINT)""".stripMargin
+
+  // ---- src_http_graphql: POST → envelope parse → relation ------------------
+  def srcHttpGraphql(s: SparkSession, dir: String): DataFrame = {
+    val body = readFile(s"$root/personnel/2025-06-27.json")
+    val client = new MondayClient(new Transport {
+      def post(q: String): String = body
+    })
+    val resp = client.apiCall(MondayQueries.itemsPageQuery("8113598810", 100, None))
+    itemsDf(s, Seq(resp.toString))
+  }
+
+  // ---- src_retry: two transient failures, third attempt lands --------------
+  // Output carries the attempt count: the engine must really have retried.
+  def srcRetry(s: SparkSession, dir: String): DataFrame = {
+    val body = readFile(s"$root/travel/2025-06-27.json")
+    var n = 0
+    val client = new MondayClient(new Transport {
+      def post(q: String): String = {
+        n += 1
+        if (n <= 2) throw new java.io.IOException(s"transient failure $n")
+        body
+      }
+    })
+    val resp = client.apiCall(MondayQueries.itemsPageQuery("8113598920", 100, None))
+    itemsDf(s, Seq(resp.toString))
+      .agg(count(lit(1)).as("n_items"))
+      .select(lit(client.lastAttempts).as("attempts"), col("n_items"))
+  }
+
+  private val srcRetryOracle =
+    s"""WITH raw AS (SELECT data FROM read_json('$root/travel/2025-06-27.json')),
+       |boards AS (SELECT unnest(data.boards) AS board FROM raw),
+       |items AS (SELECT unnest(board.items_page.items) AS item FROM boards)
+       |SELECT 3 AS attempts, COUNT(*) AS n_items FROM items""".stripMargin
+
+  // ---- src_pagination: cursor loop over the two 2025-06-27 project pages ---
+  def srcPagination(s: SparkSession, dir: String): DataFrame = {
+    val p1 = readFile(s"$root/projects/2025-06-27_p1.json")
+    val p2 = readFile(s"$root/projects/2025-06-27_p2.json")
+    val client = new MondayClient(new Transport {
+      // page 1 carries cursor "cur-p2" (see gen_monday_fixture.py); the
+      // client must echo it into the next query to get page 2
+      def post(q: String): String = if (q.contains("cur-p2")) p2 else p1
+    })
+    val pages = client.fetchAllPages(cur =>
+      MondayQueries.itemsPageQuery("8113598675", 100, cur))
+    itemsDf(s, pages)
+  }
+
+  // ---- src_dialect_probe: first two dialects rejected, third works ---------
+  def srcDialectProbe(s: SparkSession, dir: String): DataFrame = {
+    val body = readFile(s"$root/suppliers/2025-06-27.json")
+    val client = new MondayClient(new Transport {
+      def post(q: String): String =
+        if (q.contains("items_page"))
+          """{"errors":[{"message":"items_page not supported on this API version"}]}"""
+        else body
+    })
+    val Some((dialect, resp)) =
+      client.probeDialect(MondayQueries.dialectCandidates("8113599030"))
+    itemsDf(s, Seq(resp.toString))
+      .agg(count(lit(1)).as("n_items"))
+      .select(lit(dialect).as("dialect"), col("n_items"))
+  }
+
+  private val srcDialectProbeOracle =
+    s"""WITH raw AS (SELECT data FROM read_json('$root/suppliers/2025-06-27.json')),
+       |boards AS (SELECT unnest(data.boards) AS board FROM raw),
+       |items AS (SELECT unnest(board.items_page.items) AS item FROM boards)
+       |SELECT 'legacy_items' AS dialect, COUNT(*) AS n_items FROM items""".stripMargin
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "src_http_graphql" -> (srcHttpGraphql _),
+    "src_retry" -> (srcRetry _),
+    "src_pagination" -> (srcPagination _),
+    "src_dialect_probe" -> (srcDialectProbe _))
+
+  val oracles: Map[String, String] = Map(
+    "src_http_graphql" -> itemsOracle("personnel/2025-06-27.json"),
+    "src_retry" -> srcRetryOracle,
+    "src_pagination" -> itemsOracle("projects/2025-06-27_p*.json"),
+    "src_dialect_probe" -> srcDialectProbeOracle)
+}
