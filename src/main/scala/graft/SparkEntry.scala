@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
 import graft.operators.Analytics
+import graft.sink.SinkQueries
 import graft.source.SourceQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,11 +24,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ ScalarQueries.queries ++ FlattenQueries.queries ++
-      SourceQueries.queries
+      SourceQueries.queries ++ SinkQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ ScalarQueries.oracles ++ FlattenQueries.oracles ++
-      SourceQueries.oracles
+      SourceQueries.oracles ++ SinkQueries.oracles
 }
