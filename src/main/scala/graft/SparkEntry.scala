@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.Analytics
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
@@ -24,11 +25,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ ScalarQueries.queries ++ FlattenQueries.queries ++
-      SourceQueries.queries ++ SinkQueries.queries
+      SourceQueries.queries ++ SinkQueries.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ ScalarQueries.oracles ++ FlattenQueries.oracles ++
-      SourceQueries.oracles ++ SinkQueries.oracles
+      SourceQueries.oracles ++ SinkQueries.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,260 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables.load
+
+/** Deduplication operators for a training-data pipeline, over `documents`.
+  *
+  * All four operators are bucketed/blocked — NEVER all-pairs: exact dedup
+  * shuffles a 32-byte fingerprint, MinHash-LSH joins only within signature
+  * bands, n-gram Jaccard joins through a frequency-capped inverted index,
+  * SimHash buckets by its 16-bit signature. At 100 TB each shuffle key is a
+  * short hash, candidate sets stay proportional to true-duplicate density,
+  * and every stage is plain hash-partition + hash-join — no driver state.
+  *
+  * Portability contract with the DuckDB oracle: every hash is md5 (identical
+  * in both engines), every threshold compare is integer arithmetic
+  * (`2*inter >= uni` instead of `inter/uni >= 0.5`), and reported ratios are
+  * rounded in the decimal domain.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared text → tokens → 3-gram shingles (same regexes in oracle) -----
+  private val toksE = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+  private val shinglesE =
+    "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))"
+
+  private[llm] def shingled(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(shinglesE).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  private val shingledSql =
+    """docs AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(0, len(toks)-3),
+      |           i -> array_to_string(list_slice(toks, i+1, i+3), ' '))) AS shingles
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      |        FROM documents) t
+      |  WHERE len(toks) >= 3)""".stripMargin
+
+  // ---- dedup_exact: hash-groupBy keep-first ---------------------------------
+  // Shuffle key is md5(text), not the text itself: at 100 TB the exchange
+  // carries 32 bytes + id per row. Keeper = min doc_id (deterministic).
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  private val dedupExactOracle =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ---- dedup_minhash_lsh ----------------------------------------------------
+  // 16 md5-minhashes → 4 bands × 4 rows → join within band buckets →
+  // exact-Jaccard verify of candidates only. Deterministic: candidates are a
+  // pure function of the data, so the oracle replays the identical algorithm.
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir).cache()
+    val sigs = docs.withColumn("sig", expr(
+      """transform(sequence(0,15),
+        |  s -> array_min(transform(shingles, sh -> md5(concat(cast(s as string), ':', sh)))))"""
+        .stripMargin))
+    val bands = sigs.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0,3), b -> md5(concat_ws('', slice(sig, b*4+1, 4))))"))
+          .as(Seq("bi", "bh")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(docs.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))).as("inter"),
+        (size(col("sa.shingles")) + size(col("sb.shingles"))).as("sz"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("sz") - col("inter")).as("uni"))
+      .filter(col("inter") * 2 >= col("uni"))  // J >= 0.5, integer-exact
+      .select(col("id_a"), col("id_b"),
+        round((col("inter").cast("double") / col("uni"))
+          .cast("decimal(28,8)"), 4).cast("double").as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupMinhashLshOracle =
+    s"""WITH $shingledSql,
+       |sigs AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(generate_series(0,15),
+       |           s -> list_min(list_transform(shingles, sh -> md5(CAST(s AS VARCHAR) || ':' || sh)))) AS sig
+       |  FROM docs WHERE len(shingles) > 0),
+       |bands AS (
+       |  SELECT doc_id, bi, md5(array_to_string(list_slice(sig, bi*4+1, bi*4+4), '')) AS bh
+       |  FROM sigs, (VALUES (0),(1),(2),(3)) t(bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+       |         len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+       |  FROM cand
+       |  JOIN docs sa ON sa.doc_id = id_a
+       |  JOIN docs sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b,
+       |       CAST(ROUND(CAST(CAST(inter AS DOUBLE) / uni AS DECIMAL(28,8)), 4) AS DOUBLE) AS jaccard
+       |FROM verified WHERE inter * 2 >= uni
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- dedup_ngram_jaccard --------------------------------------------------
+  // Exact Jaccard through an inverted index: explode shingles, drop hot
+  // shingles (present in > 20 docs — they generate quadratic candidates and
+  // carry no signal), self-join on shingle, then integer-threshold J >= 0.6
+  // over the retained-shingle space.
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20)
+    val inv = sh.join(rare, "sh").select(col("doc_id"), col("sh"))
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        (col("na.n") + col("nb.n") - col("common")).as("uni"))
+      .filter(col("common") * 5 >= col("uni") * 3)  // J >= 0.6, integer-exact
+      .select(col("id_a"), col("id_b"),
+        round((col("common").cast("double") / col("uni"))
+          .cast("decimal(28,8)"), 4).cast("double").as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupNgramJaccardOracle =
+    s"""WITH $shingledSql,
+       |inv0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+       |rare AS (SELECT sh FROM inv0 GROUP BY sh HAVING COUNT(*) <= 20),
+       |inv AS (SELECT doc_id, inv0.sh FROM inv0 JOIN rare ON inv0.sh = rare.sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+       |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       CAST(ROUND(CAST(CAST(common AS DOUBLE) / (na.n + nb.n - common) AS DECIMAL(28,8)), 4) AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN sizes na ON na.doc_id = id_a
+       |JOIN sizes nb ON nb.doc_id = id_b
+       |WHERE common * 5 >= (na.n + nb.n - common) * 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- dedup_simhash --------------------------------------------------------
+  // 16-bit SimHash from md5 hex digits of distinct tokens: bit i is the sign
+  // of the vote sum over tokens (+1 when the i-th hex digit >= 8). Docs
+  // sharing the signature land in one bucket — the dedup-candidate grouping.
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"array_distinct($toksE)").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0,15), 0L, (acc, i) -> acc +
+          |  CASE WHEN aggregate(toks, 0L, (a2, t) ->
+          |    a2 + CASE WHEN instr('0123456789abcdef', substring(md5(t), i+1, 1)) - 1 >= 8
+          |              THEN 1L ELSE -1L END) > 0
+          |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val dedupSimhashOracle =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |       list_sum(list_transform(generate_series(0,15), i ->
+      |         CASE WHEN list_sum(list_transform(toks, t ->
+      |           CASE WHEN instr('0123456789abcdef', substring(md5(t), i+1, 1)) - 1 >= 8
+      |                THEN 1 ELSE -1 END)) > 0
+      |         THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS simhash
+      |FROM toks WHERE len(toks) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- dedup_embedding_cosine -----------------------------------------------
+  // Near-dup by embedding similarity, blocked on the label column (the
+  // cluster/metadata blocking key — candidates only within a block, never
+  // all-pairs; at scale a skewed block is salted into sub-blocks). Cosine is
+  // computed on integer-quantized vectors (floor(x*1e6) as BIGINT): the dot
+  // product is exact integer arithmetic, order-independent and identical in
+  // both engines; only the final normalize runs in (identical) doubles.
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val q = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+        .as("qv"))
+      .withColumn("nrm",
+        expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+    q.as("a").join(q.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("dot"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= 0.35)
+      .select(col("id_a"), col("id_b"),
+        round(col("cos").cast("decimal(28,8)"), 4).cast("double").as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupEmbeddingCosineOracle =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, qv,
+      |         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS nrm
+      |  FROM q),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS dot,
+      |         a.nrm AS na, b.nrm AS nb
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b,
+      |       CAST(ROUND(CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
+      |FROM pairs
+      |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactOracle,
+    "dedup_minhash_lsh" -> dedupMinhashLshOracle,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_simhash" -> dedupSimhashOracle,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle)
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables.load
+
+/** Multimodal columns: media as opaque `binary` payloads + a typed metadata
+  * struct, with decode / feature-extract / resize / frame-sample plumbing.
+  *
+  * The Spark-side machinery is real — schema, per-partition batched decode,
+  * deterministic partitioning — while the codec itself is a STUB: this
+  * container has no image/audio libraries, so `FakeCodec` derives metadata
+  * deterministically from the payload bytes (documented below). Swapping in
+  * a real codec changes ONE function; every schema, batch shape and plan
+  * stays identical.
+  *
+  * Scale design: payloads live in their own column so parquet column pruning
+  * skips the bytes when a query touches only metadata; decode runs in
+  * `mapPartitions` (one codec init per partition, row-batched), exactly how
+  * a real pipeline amortizes decoder setup at 100 TB.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Decoded-media record produced by the (stubbed) codec. */
+  final case class MediaMeta(
+      doc_id: Long, modality: String, n_bytes: Long, header_hex: String,
+      width: Int, height: Int, channels: Int, sample_rate: Int, n_frames: Int)
+
+  /** The codec stub: a real implementation would parse the container format
+    * here (`???` seam). Deterministic fake: geometry derives from payload
+    * length, so both engines (and reruns) agree byte-for-byte. */
+  object FakeCodec {
+    def decode(docId: Long, payload: Array[Byte], headerHex: String): MediaMeta = {
+      val n = payload.length.toLong
+      val modality = (docId % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      MediaMeta(
+        doc_id = docId, modality = modality, n_bytes = n,
+        header_hex = headerHex,
+        width = if (modality == "audio") 0 else (64 + (n % 577)).toInt,
+        height = if (modality == "audio") 0 else (64 + ((n * 31 + 7) % 417)).toInt,
+        channels = if (modality == "audio") 1 else 3,
+        sample_rate = if (modality == "audio") (8000 + (n % 3) * 4000).toInt else 0,
+        n_frames = if (modality == "video") (1 + (n % 240)).toInt else 1)
+    }
+  }
+
+  /** documents.text reinterpreted as a binary payload column — the testdata
+    * stand-in for real media bytes. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Batched per-partition decode: one codec per partition, typed output. */
+  def decodeAll(s: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .withColumn("header_hex", expr("substring(hex(payload), 1, 8)"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        // real pipeline: initialize the codec ONCE here, then stream batches
+        rows.map { case (id, payload, hh) => FakeCodec.decode(id, payload, hh) }
+      }
+  }
+
+  /** Resize plumbing: pure metadata transform over decoded records (a real
+    * impl would also rewrite payload bytes — same seam as FakeCodec). */
+  def resize(meta: Dataset[MediaMeta], maxSide: Int): Dataset[MediaMeta] = {
+    import meta.sparkSession.implicits._
+    meta.map { m =>
+      if (m.width <= maxSide && m.height <= maxSide) m
+      else {
+        val scale = maxSide.toDouble / math.max(m.width, m.height)
+        m.copy(width = math.max(1, (m.width * scale).toInt),
+          height = math.max(1, (m.height * scale).toInt))
+      }
+    }
+  }
+
+  /** Frame sampling: every k-th frame of video records. */
+  def frameSample(meta: Dataset[MediaMeta], everyK: Int): Dataset[MediaMeta] = {
+    import meta.sparkSession.implicits._
+    meta.map(m => if (m.modality == "video")
+      m.copy(n_frames = (m.n_frames + everyK - 1) / everyK) else m)
+  }
+
+  // ---- mm_decode_meta: the oracle-checked slice -----------------------------
+  // Declarative twin of FakeCodec for the DuckDB compare: byte length +
+  // header come from real binary ops (cast-to-binary / encode, substring,
+  // hex) in BOTH engines; the fake geometry is the same integer arithmetic.
+  def mmDecodeMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("doc_id"),
+        expr("length(payload)").as("n_bytes"),
+        expr("substring(hex(payload), 1, 8)").as("header_hex"))
+      .withColumn("modality", expr(
+        "case when doc_id % 3 = 0 then 'image' when doc_id % 3 = 1 then 'audio' else 'video' end"))
+      .withColumn("width", expr(
+        "case when modality = 'audio' then 0 else cast(64 + n_bytes % 577 as int) end"))
+      .withColumn("height", expr(
+        "case when modality = 'audio' then 0 else cast(64 + (n_bytes * 31 + 7) % 417 as int) end"))
+      .withColumn("n_frames", expr(
+        "case when modality = 'video' then cast(1 + n_bytes % 240 as int) else 1 end"))
+      .orderBy(col("doc_id"))
+
+  private val mmDecodeMetaOracle =
+    """SELECT doc_id,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       substring(hex(encode(text)), 1, 8) AS header_hex,
+      |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |       CASE WHEN doc_id % 3 = 1 THEN 0
+      |            ELSE CAST(64 + octet_length(encode(text)) % 577 AS INT) END AS width,
+      |       CASE WHEN doc_id % 3 = 1 THEN 0
+      |            ELSE CAST(64 + (octet_length(encode(text)) * 31 + 7) % 417 AS INT) END AS height,
+      |       CASE WHEN doc_id % 3 = 2 THEN CAST(1 + octet_length(encode(text)) % 240 AS INT)
+      |            ELSE 1 END AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "mm_decode_meta" -> (mmDecodeMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_decode_meta" -> mmDecodeMetaOracle)
+}

@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables.load
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two tiers (SURVEY north-star):
+  *  - `sim_topk_bruteforce`: exact top-k for a small query set — one linear
+  *    scan per query batch (queries broadcast against the corpus), the
+  *    correctness baseline every ANN variant is measured against.
+  *  - `sim_lsh_ann`: the scale path — sign-LSH bucketing (4 hyperplanes →
+  *    16 buckets), candidates only within the query's bucket, exact re-rank
+  *    inside. At 100 TB: corpus bucketed once at ingest (partitionBy bucket),
+  *    a query touches 1/16th of the data per probe; recall is tuned with
+  *    more tables/probes, never by widening to all-pairs.
+  *
+  * Same portability contract as Dedup: integer-quantized dot products
+  * (exact, order-independent), decimal-domain rounding, deterministic
+  * tie-breaks on neighbor id.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+        .as("qv"))
+      .withColumn("nrm",
+        expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+
+  private val quantizedSql =
+    """q AS (
+      |  SELECT vec_id, embedding,
+      |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |qn AS (
+      |  SELECT vec_id, embedding, qv,
+      |         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS nrm
+      |  FROM q)""".stripMargin
+
+  // ---- sim_topk_bruteforce --------------------------------------------------
+  def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("dot"),
+        col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos").cast("decimal(28,8)"), 4).cast("double").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simTopkBruteforceOracle =
+    s"""WITH $quantizedSql,
+       |queries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qn WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q_qv)), i -> q_qv[i] * c.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+       |  FROM qn c JOIN queries ON c.vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id,
+       |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---- sim_lsh_ann ----------------------------------------------------------
+  // Bucket = sign bits of 4 fixed hyperplanes (coordinates 1, 9, 17, 25 —
+  // axis-aligned projections; embedding dims are already random directions).
+  // Float signs are bit-identical across engines, so bucketing is exact.
+  private val bucketE =
+    """cast(
+      |  (case when element_at(embedding, 1) > 0 then 1 else 0 end) +
+      |  (case when element_at(embedding, 9) > 0 then 2 else 0 end) +
+      |  (case when element_at(embedding, 17) > 0 then 4 else 0 end) +
+      |  (case when element_at(embedding, 25) > 0 then 8 else 0 end) as int)""".stripMargin
+
+  def simLshAnn(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir).withColumn("bucket", expr(bucketE))
+    val queries = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("bucket").as("q_bucket"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val scored = corpus.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("dot"),
+        col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos").cast("decimal(28,8)"), 4).cast("double").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simLshAnnOracle =
+    s"""WITH $quantizedSql,
+       |bucketed AS (
+       |  SELECT vec_id, qv, nrm,
+       |         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+       |         (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END) +
+       |         (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END) +
+       |         (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS bucket
+       |  FROM qn),
+       |queries AS (
+       |  SELECT vec_id AS query_id, bucket AS q_bucket, qv AS q_qv, nrm AS q_nrm
+       |  FROM bucketed WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q_qv)), i -> q_qv[i] * c.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+       |  FROM bucketed c JOIN queries ON c.bucket = q_bucket AND c.vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id,
+       |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "sim_topk_bruteforce" -> (simTopkBruteforce _),
+    "sim_lsh_ann" -> (simLshAnn _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" -> simTopkBruteforceOracle,
+    "sim_lsh_ann" -> simLshAnnOracle)
+}

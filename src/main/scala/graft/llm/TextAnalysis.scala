@@ -1,0 +1,152 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables.load
+
+/** Text-analysis operators over `documents` (SURVEY north-star): token
+  * counting, quality scoring, n-gram-heuristic language ID, fingerprinting.
+  * Pure per-row column pipelines — no shuffle at all except the final
+  * presentation sort, so they scale embarrassingly at 100 TB.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toksE = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  // ---- text_token_count -----------------------------------------------------
+  // Whitespace tokens vs regex word-tokens (the BPE-ish split) vs distinct.
+  def textTokenCount(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("size(filter(split(text, '\\\\s+'), t -> t <> ''))").as("n_ws_tokens"),
+        expr(s"size($toksE)").as("n_word_tokens"),
+        expr(s"size(array_distinct($toksE))").as("n_distinct_tokens"),
+        expr(s"""round(cast(
+                 |  aggregate($toksE, 0L, (a, t) -> a + length(t)) * 1.0 /
+                 |  greatest(size($toksE), 1) as decimal(28,6)), 2)""".stripMargin)
+          .cast("double").as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  private val textTokenCountOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id, len(ws) AS n_ws_tokens, len(toks) AS n_word_tokens,
+      |       len(list_distinct(toks)) AS n_distinct_tokens,
+      |       CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) * 1.0 /
+      |                       greatest(len(toks), 1) AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_token_len
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---- text_quality ---------------------------------------------------------
+  // Length / punctuation / stopword-density heuristics folded into one score
+  // (identical integer inputs → identical double arithmetic → decimal round).
+  private val stopEn =
+    "'the','a','of','and','to','in','is','on','for','with','as','by','at','an','be'"
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), expr(toksE).as("toks"))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        expr("length(regexp_replace(text, '[^.,;:!?]', ''))").as("n_punct"),
+        expr(s"size(filter(toks, t -> t in ($stopEn)))").as("n_stop"))
+      .withColumn("score", expr(
+        """round(cast(
+          |  least(n_tokens / 100.0, 1.0) * 0.5 +
+          |  (n_stop * 1.0 / greatest(n_tokens, 1)) * 0.3 +
+          |  (1.0 - least(n_punct * 10.0 / greatest(n_chars, 1), 1.0)) * 0.2
+          |as decimal(28,8)), 4)""".stripMargin).cast("double"))
+      .orderBy(col("doc_id"))
+
+  private val textQualityOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+       |         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+       |         len(list_filter(toks, x -> x IN ($stopEn))) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+       |       CAST(ROUND(CAST(
+       |         least(n_tokens / 100.0, 1.0) * 0.5 +
+       |         (n_stop * 1.0 / greatest(n_tokens, 1)) * 0.3 +
+       |         (1.0 - least(n_punct * 10.0 / greatest(n_chars, 1), 1.0)) * 0.2
+       |       AS DECIMAL(28,8)), 4) AS DOUBLE) AS score
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- text_langid ----------------------------------------------------------
+  // Stopword-list voting with a fixed priority tie-break (en > de > es > fr).
+  private val stopDe = "'der','die','das','und','zu','ist','mit','auf','ein','nicht'"
+  private val stopEs = "'el','la','de','y','que','en','un','es','por','con'"
+  private val stopFr = "'le','la','de','et','que','en','un','est','pour','avec'"
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .select(col("doc_id"),
+        expr(s"size(filter(toks, t -> t in ($stopEn)))").as("s_en"),
+        expr(s"size(filter(toks, t -> t in ($stopDe)))").as("s_de"),
+        expr(s"size(filter(toks, t -> t in ($stopEs)))").as("s_es"),
+        expr(s"size(filter(toks, t -> t in ($stopFr)))").as("s_fr"))
+      .withColumn("lang_pred", expr(
+        """case when s_en >= s_de and s_en >= s_es and s_en >= s_fr then 'en'
+          |     when s_de >= s_es and s_de >= s_fr then 'de'
+          |     when s_es >= s_fr then 'es'
+          |     else 'fr' end""".stripMargin))
+      .orderBy(col("doc_id"))
+
+  private val textLangidOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |         len(list_filter(toks, x -> x IN ($stopEn))) AS s_en,
+       |         len(list_filter(toks, x -> x IN ($stopDe))) AS s_de,
+       |         len(list_filter(toks, x -> x IN ($stopEs))) AS s_es,
+       |         len(list_filter(toks, x -> x IN ($stopFr))) AS s_fr
+       |  FROM t)
+       |SELECT doc_id, s_en, s_de, s_es, s_fr,
+       |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |            WHEN s_es >= s_fr THEN 'es'
+       |            ELSE 'fr' END AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---- text_fingerprint -----------------------------------------------------
+  // Whitespace-normalized md5 fingerprint (+ a 64-bit prefix for compact
+  // joins) — the content-defined identity used by exact dedup at scale.
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))").as("fp"))
+      .withColumn("fp64", expr("substring(fp, 1, 16)"))
+      .orderBy(col("doc_id"))
+
+  private val textFingerprintOracle =
+    """SELECT doc_id,
+      |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "text_token_count" -> (textTokenCount _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" -> textTokenCountOracle,
+    "text_quality" -> textQualityOracle,
+    "text_langid" -> textLangidOracle,
+    "text_fingerprint" -> textFingerprintOracle)
+}

@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavior checks for the LLM-pipeline operators (plan shape + semantics
+  * the DuckDB hash compare can't express). */
+class LlmOpsSpec extends SparkSpec {
+
+  test("dedup_exact collapses planted exact duplicates to the min doc_id") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "unique text here"), (7L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("spec_docs")
+    val out = docs.select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+    val dup = out.filter(col("n") === 3).collect()
+    assert(dup.length == 1 && dup(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash-LSH finds the planted near-dup pairs with high jaccard") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sfDir).collect()
+    // sf0.001 plants ~28 near-dup pairs; the exact count is data, not contract
+    assert(pairs.length >= 20 && pairs.length <= 40,
+      s"expected the planted near-dup pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+    assert(pairs.count(_.getAs[Double]("jaccard") >= 0.9) >= 15,
+      "most planted pairs are ~0.99 jaccard")
+  }
+
+  test("minhash-LSH plan has no cartesian/nested-loop stage (bucketed, not all-pairs)") {
+    val plan = Dedup.dedupMinhashLsh(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "all-pairs join leaked into the plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "non-equi join leaked into the plan")
+  }
+
+  test("ngram-jaccard agrees with minhash-LSH on high-similarity pairs") {
+    val mh = Dedup.dedupMinhashLsh(spark, sfDir)
+      .filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ng = Dedup.dedupNgramJaccard(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(ng),
+      s"exact inverted-index jaccard must cover all LSH pairs above threshold: missing ${mh.diff(ng)}")
+  }
+
+  test("simhash of near-duplicate docs differs in few bits") {
+    val sims = Dedup.dedupSimhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.dedupMinhashLsh(spark, sfDir)
+      .filter(col("jaccard") >= 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty)
+    val dists = pairs.flatMap { case (a, b) =>
+      for (x <- sims.get(a); y <- sims.get(b))
+        yield java.lang.Long.bitCount(x ^ y)
+    }
+    assert(dists.forall(_ <= 4),
+      s"near-dup pairs should be within 4/16 simhash bits, got ${dists.max}")
+  }
+
+  test("brute-force top-k is deterministic, complete and correctly ranked") {
+    val out = Similarity.simTopkBruteforce(spark, sfDir).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10 && byQuery.values.forall(_.length == 5))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+        "rank order must follow cosine desc")
+    }
+  }
+
+  test("LSH-ANN candidates come only from the query's bucket (subset of brute force space)") {
+    val ann = Similarity.simLshAnn(spark, sfDir).collect()
+    assert(ann.nonEmpty)
+    // every returned neighbor must share the query's sign-bucket
+    val buckets = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr(
+        """(case when embedding[0] > 0 then 1 else 0 end) +
+          |(case when embedding[8] > 0 then 2 else 0 end) +
+          |(case when embedding[16] > 0 then 4 else 0 end) +
+          |(case when embedding[24] > 0 then 8 else 0 end)""".stripMargin).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ann.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(buckets(q) == buckets(n), s"neighbor $n not in query $q's bucket")
+    }
+  }
+
+  test("multimodal decode: typed batch pipeline with deterministic stub codec") {
+    val decoded = Multimodal.decodeAll(spark, sfDir).cache()
+    val n = decoded.count()
+    assert(n > 0)
+    val mods = decoded.collect()
+    assert(mods.forall(m => Set("image", "audio", "video")(m.modality)))
+    assert(mods.filter(_.modality == "audio").forall(m =>
+      m.channels == 1 && m.sample_rate >= 8000 && m.width == 0))
+    assert(mods.filter(_.modality == "image").forall(m =>
+      m.width >= 64 && m.height >= 64 && m.n_frames == 1))
+    // resize clamps the long side, preserves aspect-ish
+    val resized = Multimodal.resize(decoded, 128).collect()
+    assert(resized.filter(_.modality != "audio")
+      .forall(m => m.width <= 128 && m.height <= 128))
+    // frame sampling reduces only videos
+    val sampled = Multimodal.frameSample(decoded, 10).collect()
+      .map(m => m.doc_id -> m).toMap
+    mods.filter(_.modality == "video").foreach { m =>
+      assert(sampled(m.doc_id).n_frames == (m.n_frames + 9) / 10)
+    }
+    decoded.unpersist()
+  }
+
+  test("text quality and langid stay inside one projection (no shuffle)") {
+    val plan = TextAnalysis.textQuality(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the presentation sort
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"per-row text ops must not shuffle:\n$plan")
+  }
+}
