@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+import graft.functions.Scalars._
+
+/** Property tests for the reference-pinned parse semantics (SURVEY.md §2.7).
+  * Evaluated through Catalyst on literal one-row frames, so what is tested
+  * is the engine behavior, not a Scala reimplementation. scalacheck `Gen`
+  * drives the cases directly (the scalatest bridge artifact isn't in the
+  * offline cache). */
+class ScalarsSpec extends SparkSpec {
+
+  private def eval(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).head().get(0)
+
+  /** Minimal forAll: 60 samples per property, fixed seed via Gen retries. */
+  private def forAll[A](gen: Gen[A])(check: A => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(60).foreach(check)
+
+  test("castFloatZero: parseable numerics round-trip") {
+    forAll(Gen.chooseNum(-1e9, 1e9)) { (d: Double) =>
+      assert(eval(castFloatZero(lit(d.toString))) == d)
+    }
+  }
+
+  test("castFloatZero: unparseable and empty input defaults to 0.0, not null") {
+    forAll(Gen.alphaStr) { (s: String) =>
+      val in = s + "x"  // never a valid double
+      assert(eval(castFloatZero(lit(in))) == 0.0)
+    }
+    assert(eval(castFloatZero(lit(""))) == 0.0)
+    assert(eval(castFloatZero(lit(null).cast("string"))) == 0.0)
+  }
+
+  test("parseDate: valid dates parse, garbage and invalid calendar dates are null") {
+    assert(eval(parseDate(lit("2025-06-23"))) == java.sql.Date.valueOf("2025-06-23"))
+    assert(eval(parseDate(lit("30/06/2025"))) == null)
+    assert(eval(parseDate(lit("2025-02-30"))) == null)
+    assert(eval(parseDate(lit("not-a-date"))) == null)
+  }
+
+  test("splitTimeline: exactly-2-parts rule with start-gated end") {
+    def tl(s: String): (Any, Any) = {
+      val (a, b) = splitTimeline(lit(s))
+      (eval(a), eval(b))
+    }
+    assert(tl("2025-01-01 - 2025-03-31") ==
+      (java.sql.Date.valueOf("2025-01-01"), java.sql.Date.valueOf("2025-03-31")))
+    assert(tl("TBD") == (null, null), "1 part -> both null")
+    assert(tl("a - b - c") == (null, null), "3 parts -> both null")
+    assert(tl("2025-01-01 - garbage") ==
+      (java.sql.Date.valueOf("2025-01-01"), null), "end fails alone")
+    assert(tl("garbage - 2025-03-31") == (null, null),
+      "failed start aborts before end is assigned (ref :312-319)")
+  }
+
+  test("splitTimeline property: any string without ' - ' yields (null, null)") {
+    forAll(Gen.alphaNumStr) { (s: String) =>
+      val (a, b) = splitTimeline(lit(s))
+      assert(eval(a) == null && eval(b) == null)
+    }
+  }
+
+  test("linkedPulseId: reference payload shape, malformed JSON, empty list") {
+    assert(eval(linkedPulseId(
+      lit("""{"linkedPulseIds":[{"linkedPulseId":201}]}"""))) == "201")
+    assert(eval(linkedPulseId(lit("{not json"))) == null)
+    assert(eval(linkedPulseId(lit("""{"linkedPulseIds":[]}"""))) == null)
+    assert(eval(linkedPulseId(lit("{}"))) == null)
+  }
+
+  test("nonEmpty: empty string becomes null so defaults apply") {
+    assert(eval(nonEmpty(lit(""))) == null)
+    assert(eval(nonEmpty(lit("x"))) == "x")
+  }
+
+  test("pctChange matches the reference formula with decimal rounding") {
+    assert(eval(pctChange(lit(110.0), lit(100.0))) == 10.0)
+    assert(eval(pctChange(lit(95.0), lit(100.0))) == -5.0)
+  }
+}
