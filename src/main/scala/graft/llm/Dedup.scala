@@ -174,10 +174,13 @@ object Dedup {
       .select(col("doc_id"),
         expr(s"array_distinct($toksE)").as("toks"))
       .filter(size(col("toks")) > 0)
+      // hash once per token, then vote per bit over the cached digests
+      .select(col("doc_id"),
+        expr("transform(toks, t -> md5(t))").as("hashes"))
       .select(col("doc_id"), expr(
         """aggregate(sequence(0,15), 0L, (acc, i) -> acc +
-          |  CASE WHEN aggregate(toks, 0L, (a2, t) ->
-          |    a2 + CASE WHEN instr('0123456789abcdef', substring(md5(t), i+1, 1)) - 1 >= 8
+          |  CASE WHEN aggregate(hashes, 0L, (a2, h) ->
+          |    a2 + CASE WHEN instr('0123456789abcdef', substring(h, i+1, 1)) - 1 >= 8
           |              THEN 1L ELSE -1L END) > 0
           |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin).as("simhash"))
       .orderBy(col("doc_id"))
@@ -186,14 +189,17 @@ object Dedup {
     """WITH toks AS (
       |  SELECT doc_id,
       |         list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS toks
-      |  FROM documents)
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT doc_id, list_transform(toks, t -> md5(t)) AS hashes
+      |  FROM toks WHERE len(toks) > 0)
       |SELECT doc_id,
       |       list_sum(list_transform(generate_series(0,15), i ->
-      |         CASE WHEN list_sum(list_transform(toks, t ->
-      |           CASE WHEN instr('0123456789abcdef', substring(md5(t), i+1, 1)) - 1 >= 8
+      |         CASE WHEN list_sum(list_transform(hashes, h ->
+      |           CASE WHEN instr('0123456789abcdef', substring(h, i+1, 1)) - 1 >= 8
       |                THEN 1 ELSE -1 END)) > 0
       |         THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS simhash
-      |FROM toks WHERE len(toks) > 0
+      |FROM hashed
       |ORDER BY doc_id""".stripMargin
 
   // ---- dedup_embedding_cosine -----------------------------------------------
