@@ -1,0 +1,203 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the two hash-sketch hot loops
+  * (SURVEY.md §2.9: the only operators where built-ins genuinely can't
+  * express the computation efficiently).
+  *
+  * The declarative forms (nested `transform`/`aggregate` lambdas) are
+  * semantically identical but run interpreted — higher-order functions are
+  * not whole-stage-codegen'd — and allocate a substring per token per bit.
+  * These expressions keep the EXACT same output (the DuckDB oracle still
+  * checks them against its own declarative replay) while running as a tight
+  * primitive loop inside generated code: `doGenCode` emits a direct static
+  * call, so the surrounding projection stays in one codegen stage.
+  */
+object HashSupport {
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  private val HEX = "0123456789abcdef".getBytes
+
+  def md5Hex(bytes: Array[Byte]): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((d(i) >>> 4) & 0xf)
+      out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** 16-bit SimHash: bit i set iff the count of tokens whose i-th md5 hex
+    * digit is >= 8 strictly exceeds the count of those below — identical to
+    * the declarative hex-digit vote. */
+  def simhash16(tokens: ArrayData): Long = {
+    val votes = new Array[Int](16)
+    val md = md5Local.get()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        var j = 0
+        while (j < 8) {
+          val b = d(j) & 0xff
+          if ((b >>> 4) >= 8) votes(2 * j) += 1 else votes(2 * j) -= 1
+          if ((b & 0xf) >= 8) votes(2 * j + 1) += 1 else votes(2 * j + 1) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 16) { if (votes(k) > 0) out |= 1L << k; k += 1 }
+    out
+  }
+
+  /** 16 md5-minhashes: element s is min over shingles of
+    * md5Hex(s + ":" + shingle) — byte-identical to the declarative
+    * `array_min(transform(shingles, sh -> md5(concat(s, ':', sh))))`
+    * (lexicographic min over lowercase hex == unsigned byte min). */
+  def minhash16(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Array[Byte]](16)
+    var i = 0
+    while (i < n) {
+      val sh = shingles.getUTF8String(i)
+      if (sh != null) {
+        val shBytes = sh.getBytes
+        var s = 0
+        while (s < 16) {
+          val seed = (s + ":").getBytes
+          val buf = new Array[Byte](seed.length + shBytes.length)
+          System.arraycopy(seed, 0, buf, 0, seed.length)
+          System.arraycopy(shBytes, 0, buf, seed.length, shBytes.length)
+          val h = md5Hex(buf)
+          if (mins(s) == null || compareHex(h, mins(s)) < 0) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](16)
+    var s = 0
+    while (s < 16) {
+      out(s) = if (mins(s) == null) null else UTF8String.fromBytes(mins(s))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return (a(i) & 0xff) - (b(i) & 0xff)
+      i += 1
+    }
+    0
+  }
+
+  /** Quantized dot product over float vectors: Σ floor(a_i*1e6)*floor(b_i*1e6)
+    * as exact BIGINT — identical to the declarative
+    * `aggregate(zip_with(qa, qb, (x,y) -> x*y), 0L, +)` over
+    * `transform(v, x -> cast(floor(cast(x as double)*1e6) as bigint))`. */
+  def dotQ(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val qa = math.floor(a.getFloat(i).toDouble * 1e6).toLong
+      val qb = math.floor(b.getFloat(i).toDouble * 1e6).toLong
+      acc += qa * qb
+      i += 1
+    }
+    acc
+  }
+}
+
+/** simhash16(array<string>) → bigint. */
+case class SimHash16(child: Expression)
+    extends UnaryExpression {
+
+  // input contract: array<string> (AbstractDataType is private[sql] in
+  // Spark 4, so ExpectsInputTypes can't be mixed in from outside)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash16"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSupport.simhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashSupport$$.MODULE$$.simhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+/** minhash16(array<string>) → array<string> of 16 min-md5-hex values. */
+case class MinHash16(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "graft_minhash16"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSupport.minhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashSupport$$.MODULE$$.minhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash16 =
+    copy(child = newChild)
+}
+
+/** dotq(array<float>, array<float>) → bigint (exact quantized dot product). */
+case class DotQ(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dotq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashSupport.dotQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.HashSupport$$.MODULE$$.dotQ($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotQ =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration (the SparkSessionExtensions-style hook, applied via
+  * the function registry so any query text can call the functions). */
+object GraftFunctions {
+  def register(s: SparkSession): Unit = {
+    val r = s.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("graft_simhash16",
+      exprs => SimHash16(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("graft_minhash16",
+      exprs => MinHash16(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("graft_dotq",
+      exprs => DotQ(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -64,11 +64,11 @@ object Dedup {
   // exact-Jaccard verify of candidates only. Deterministic: candidates are a
   // pure function of the data, so the oracle replays the identical algorithm.
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
     val docs = shingled(s, dir).cache()
-    val sigs = docs.withColumn("sig", expr(
-      """transform(sequence(0,15),
-        |  s -> array_min(transform(shingles, sh -> md5(concat(cast(s as string), ':', sh)))))"""
-        .stripMargin))
+    // native codegen twin of: transform(sequence(0,15), s ->
+    //   array_min(transform(shingles, sh -> md5(concat(s, ':', sh)))))
+    val sigs = docs.withColumn("sig", expr("graft_minhash16(shingles)"))
     val bands = sigs.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0,3), b -> md5(concat_ws('', slice(sig, b*4+1, 4))))"))
@@ -169,21 +169,17 @@ object Dedup {
   // 16-bit SimHash from md5 hex digits of distinct tokens: bit i is the sign
   // of the vote sum over tokens (+1 when the i-th hex digit >= 8). Docs
   // sharing the signature land in one bucket — the dedup-candidate grouping.
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    // native codegen twin of the declarative per-bit md5-hex-digit vote
+    // (graft.expressions.SimHash16); output is bit-identical
     load(s, dir, "documents")
       .select(col("doc_id"),
         expr(s"array_distinct($toksE)").as("toks"))
       .filter(size(col("toks")) > 0)
-      // hash once per token, then vote per bit over the cached digests
-      .select(col("doc_id"),
-        expr("transform(toks, t -> md5(t))").as("hashes"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0,15), 0L, (acc, i) -> acc +
-          |  CASE WHEN aggregate(hashes, 0L, (a2, h) ->
-          |    a2 + CASE WHEN instr('0123456789abcdef', substring(h, i+1, 1)) - 1 >= 8
-          |              THEN 1L ELSE -1L END) > 0
-          |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin).as("simhash"))
+      .select(col("doc_id"), expr("graft_simhash16(toks)").as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   private val dedupSimhashOracle =
     """WITH toks AS (
@@ -210,17 +206,16 @@ object Dedup {
   // product is exact integer arithmetic, order-independent and identical in
   // both engines; only the final normalize runs in (identical) doubles.
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    // graft_dotq = native exact quantized dot product (see HashExpressions);
+    // bit-identical to the declarative zip_with/aggregate the oracle replays
     val q = load(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), expr(
-        "transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
-        .as("qv"))
-      .withColumn("nrm",
-        expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
     q.as("a").join(q.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-          .as("dot"),
+        expr("graft_dotq(a.embedding, b.embedding)").as("dot"),
         col("a.nrm").as("na"), col("b.nrm").as("nb"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))

@@ -26,13 +26,15 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  /** Corpus with the native quantized self-dot (see HashExpressions.DotQ —
+    * bit-identical to the declarative quantize/zip_with/aggregate chain the
+    * oracle replays). */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
     load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), expr(
-        "transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
-        .as("qv"))
-      .withColumn("nrm",
-        expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
+  }
 
   private val quantizedSql =
     """q AS (
@@ -48,12 +50,11 @@ object Similarity {
   def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
     val queries = corpus.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-          .as("dot"),
+        expr("graft_dotq(q_emb, embedding)").as("dot"),
         col("q_nrm"), col("nrm"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))
@@ -97,12 +98,11 @@ object Similarity {
     val corpus = quantized(s, dir).withColumn("bucket", expr(bucketE))
     val queries = corpus.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("bucket").as("q_bucket"),
-        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = corpus.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-          .as("dot"),
+        expr("graft_dotq(q_emb, embedding)").as("dot"),
         col("q_nrm"), col("nrm"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))

@@ -1,0 +1,72 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native codegen expressions must be BIT-IDENTICAL to their declarative
+  * higher-order-function twins (which is what the DuckDB oracle replays). */
+class HashExpressionsSpec extends SparkSpec {
+
+  private val toksE = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  test("graft_simhash16 equals the declarative hex-digit-vote simhash") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), expr(s"array_distinct($toksE)").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val both = docs.select(col("doc_id"),
+      expr("graft_simhash16(toks)").as("native"),
+      expr(
+        """aggregate(sequence(0,15), 0L, (acc, i) -> acc +
+          |  CASE WHEN aggregate(toks, 0L, (a2, t) ->
+          |    a2 + CASE WHEN instr('0123456789abcdef', substring(md5(t), i+1, 1)) - 1 >= 8
+          |              THEN 1L ELSE -1L END) > 0
+          |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin).as("declarative"))
+    assert(both.filter(col("native") =!= col("declarative")).count() == 0)
+  }
+
+  test("graft_minhash16 equals the declarative md5 minhash signature") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))")
+        .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val both = docs.select(col("doc_id"),
+      expr("graft_minhash16(shingles)").as("native"),
+      expr(
+        """transform(sequence(0,15),
+          |  s -> array_min(transform(shingles, sh -> md5(concat(cast(s as string), ':', sh)))))"""
+          .stripMargin).as("declarative"))
+    assert(both.filter(not(col("native") <=> col("declarative"))).count() == 0)
+  }
+
+  test("graft_dotq equals the declarative quantize/zip_with/aggregate dot product") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+          .as("qv"))
+    val both = e.select(
+      expr("graft_dotq(embedding, embedding)").as("native"),
+      expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+        .as("declarative"))
+    assert(both.filter(col("native") =!= col("declarative")).count() == 0)
+  }
+
+  test("expressions participate in whole-stage codegen (no fallback)") {
+    GraftFunctions.register(spark)
+    // input built from codegen-able expressions only (a higher-order-function
+    // lambda in the INPUT would block codegen of the whole projection — which
+    // is exactly why these native expressions exist)
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(expr("graft_simhash16(split(lower(text), '[^a-z0-9]+'))").as("h"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("*(1)"),
+      s"projection not in a WholeStageCodegen stage:\n$plan")
+    assert(df.count() > 0)
+  }
+}
