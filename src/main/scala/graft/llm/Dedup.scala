@@ -129,7 +129,8 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 20)
-    val inv = sh.join(rare, "sh").select(col("doc_id"), col("sh"))
+    // cached: consumed three times (sizes, both sides of the self-join)
+    val inv = sh.join(rare, "sh").select(col("doc_id"), col("sh")).cache()
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = inv.as("a").join(inv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
