@@ -109,15 +109,26 @@ object SourceQueries {
        |items AS (SELECT unnest(board.items_page.items) AS item FROM boards)
        |SELECT 'legacy_items' AS dialect, COUNT(*) AS n_items FROM items""".stripMargin
 
+  // ---- src_dsv2_scan: the scale path — DSv2 scan, one partition per page --
+  def srcDsv2Scan(s: SparkSession, dir: String): DataFrame =
+    s.read.format("monday")
+      .option("pages",
+        s"$root/projects/2025-06-27_p1.json,$root/projects/2025-06-27_p2.json")
+      .load()
+      .select(col("item_id"), col("item_name"))
+      .orderBy(col("item_id").cast("long"))
+
   val queries: Map[String, Q] = Map[String, Q](
     "src_http_graphql" -> (srcHttpGraphql _),
     "src_retry" -> (srcRetry _),
     "src_pagination" -> (srcPagination _),
-    "src_dialect_probe" -> (srcDialectProbe _))
+    "src_dialect_probe" -> (srcDialectProbe _),
+    "src_dsv2_scan" -> (srcDsv2Scan _))
 
   val oracles: Map[String, String] = Map(
     "src_http_graphql" -> itemsOracle("personnel/2025-06-27.json"),
     "src_retry" -> srcRetryOracle,
     "src_pagination" -> itemsOracle("projects/2025-06-27_p*.json"),
-    "src_dialect_probe" -> srcDialectProbeOracle)
+    "src_dialect_probe" -> srcDialectProbeOracle,
+    "src_dsv2_scan" -> itemsOracle("projects/2025-06-27_p*.json"))
 }
