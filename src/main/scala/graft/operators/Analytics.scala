@@ -461,6 +461,22 @@ object Analytics {
       |  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS active_customers,
       |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS distinct_parts""".stripMargin
 
+  /** ROLLUP / CUBE — free Spark extensions (SURVEY.md §2.4 "absent"); shared
+    * ANSI text, GROUPING() flags disambiguate the null super-aggregate rows. */
+  private val aggRollupSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      |       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
+  private val aggCubeSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      |       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
   /** Ratio/percentage over aggregates (ref `advanced_monitoring.py:140,244-248`). */
   def aggRatioPct(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir).groupBy(col("l_returnflag"))
@@ -669,6 +685,8 @@ object Analytics {
   private val sharedSql: Map[String, String] = Map(
     "filter_date_eq" -> filterDateEqSql,
     "agg_scalar_subqueries" -> aggScalarSubqueriesSql,
+    "agg_rollup" -> aggRollupSql,
+    "agg_cube" -> aggCubeSql,
     "window_lag_manual" -> windowLagManualSql,
     "window_rank" -> windowRankSql,
     "window_moving_avg" -> windowMovingAvgSql,

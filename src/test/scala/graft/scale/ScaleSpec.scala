@@ -1,0 +1,61 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Plan-level proof of the scale utilities. */
+class ScaleSpec extends SparkSpec {
+
+  test("co-bucketed tables join without a shuffle") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    Scale.writeBucketed(orders.select("o_orderkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 8)
+    Scale.writeBucketed(lineitem.select("l_orderkey", "l_extendedprice"),
+      "lineitem_b", "l_orderkey", 8)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        orders.join(lineitem, col("o_orderkey") === col("l_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "value")
+    val customer = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = events.join(customer, Seq("user_id"))
+      .select("event_id", "c_mktsegment")
+    val salted = Scale.saltedJoin(events, customer, "user_id",
+      salts = 7, bigUniqueCol = "event_id")
+      .select("event_id", "c_mktsegment")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("salting spreads a hot key over multiple salt values") {
+    import spark.implicits._
+    // one pathological key: 10k rows on key 42
+    val big = (1 to 10000).map(i => (42L, i.toLong)).toDF("k", "row_id")
+    val small = Seq((42L, "hot")).toDF("k", "tag")
+    val salted = big.withColumn("__salt",
+      pmod(hash(col("row_id")), lit(7)).cast("int"))
+    val spread = salted.groupBy("__salt").count().collect()
+    assert(spread.length == 7, "hash salt must hit every bucket")
+    assert(spread.map(_.getAs[Long]("count")).max < 3000,
+      "no single salt bucket holds the whole hot key")
+    val joined = Scale.saltedJoin(big, small, "k", 7, "row_id")
+    assert(joined.count() == 10000)
+  }
+}
