@@ -138,15 +138,66 @@ object TextAnalysis {
       |       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- text_tfidf -----------------------------------------------------------
+  // Top-5 characteristic terms per doc. idf is the exact rational N/df
+  // rather than ln(N/df): IEEE division of identical integers is
+  // bit-deterministic across engines while libm ln() is not — and ln is a
+  // monotone transform of N/df, so the per-doc RANKING (the operator's
+  // contract) is identical to the classic formulation.
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val n = docs.count()  // one scalar to the driver, like the snapshot anchor
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(df_, "term")
+      .withColumn("score",
+        round((col("tf") * lit(n.toDouble) / col("df")).cast("decimal(28,8)"), 4)
+          .cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val textTfidfOracle =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) > 0),
+      |n AS (SELECT COUNT(*) AS n_docs FROM docs),
+      |tf AS (
+      |  SELECT doc_id, unnest(toks) AS term FROM docs),
+      |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+      |dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, term, tf,
+      |         CAST(ROUND(CAST(tf * (SELECT CAST(n_docs AS DOUBLE) FROM n) / df AS DECIMAL(28,8)), 4) AS DOUBLE) AS score
+      |  FROM tfc JOIN dfc USING (term)),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, score,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tf, score FROM ranked
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "text_token_count" -> (textTokenCount _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_tfidf" -> (textTfidf _))
 
   val oracles: Map[String, String] = Map(
     "text_token_count" -> textTokenCountOracle,
     "text_quality" -> textQualityOracle,
     "text_langid" -> textLangidOracle,
-    "text_fingerprint" -> textFingerprintOracle)
+    "text_fingerprint" -> textFingerprintOracle,
+    "text_tfidf" -> textTfidfOracle)
 }

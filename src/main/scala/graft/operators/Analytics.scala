@@ -246,6 +246,48 @@ object Analytics {
       |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  /** As-of join — the classic operator Spark lacks natively (SURVEY.md §2.3
+    * "absent"), composed from existing ops per the custom-operator
+    * preference order (a): each event matched to its customer's latest
+    * order at-or-before the event time. Implementation: union the two
+    * streams tagged (reference rows sort before probe rows at equal time),
+    * one window per key carries the last order id forward — a single
+    * shuffle on the key, no nested-loop anywhere; at 100 TB this is one
+    * sort-merge pass, the same topology a native as-of operator would use.
+    * The DuckDB oracle uses its NATIVE `ASOF LEFT JOIN`, so the composition
+    * is checked against an independent first-class implementation. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ord = orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"),
+        orderDate.cast("timestamp").as("t"))
+      .agg(max(col("o_orderkey")).as("orderkey"))
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts").as("t"), col("event_id"))
+    val tagged = ord
+      .select(col("user_id"), col("t"), lit(0).as("kind"),
+        col("orderkey"), lit(null).cast("bigint").as("event_id"))
+      .unionByName(ev.select(col("user_id"), col("t"), lit(1).as("kind"),
+        lit(null).cast("bigint").as("orderkey"), col("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_orderkey", last(col("orderkey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  private val joinAsofOracle =
+    """WITH ord AS (
+      |  SELECT o_custkey AS user_id, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS t,
+      |         MAX(o_orderkey) AS orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o.orderkey AS asof_orderkey
+      |FROM events e ASOF LEFT JOIN ord o
+      |  ON e.user_id = o.user_id AND CAST(e.ts AS TIMESTAMP) >= o.t
+      |ORDER BY e.event_id""".stripMargin
+
   // --------------------------- §2.2 filters --------------------------------
 
   /** Truthy-check filter: empty text keeps defaults
@@ -711,6 +753,7 @@ object Analytics {
     "join_fk_extracted" -> (joinFkExtracted _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
+    "join_asof" -> (joinAsof _),
     "filter_nonempty" -> (filterNonempty _),
     "filter_revenue_positive" -> (filterRevenuePositive _),
     "filter_date_range" -> (filterDateRange _),
@@ -740,6 +783,7 @@ object Analytics {
     "join_fk_extracted" -> joinFkExtractedOracle,
     "join_semi" -> joinSemiOracle,
     "join_anti" -> joinAntiOracle,
+    "join_asof" -> joinAsofOracle,
     "filter_nonempty" -> filterNonemptyOracle,
     "filter_revenue_positive" -> filterRevenuePositiveOracle,
     "filter_date_range" -> filterDateRangeOracle,
