@@ -11,6 +11,13 @@ class ScaleSpec extends SparkSpec {
   test("co-bucketed tables join without a shuffle") {
     val orders = Tables.load(spark, sfDir, "orders")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
+    // a fresh metastore + a leftover warehouse dir from a previous JVM
+    // collide on LOCATION_ALREADY_EXISTS: drop both first
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sink.Sinks.deleteDir(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$t")
+    }
     Scale.writeBucketed(orders.select("o_orderkey", "o_totalprice"),
       "orders_b", "o_orderkey", 8)
     Scale.writeBucketed(lineitem.select("l_orderkey", "l_extendedprice"),
