@@ -288,6 +288,38 @@ object Analytics {
       |  ON e.user_id = o.user_id AND CAST(e.ts AS TIMESTAMP) >= o.t
       |ORDER BY e.event_id""".stripMargin
 
+  /** Range join, bucketed — events within 3 days at-or-after an order of the
+    * same customer. A naive inequality join is a nested loop; bucketing the
+    * range turns it into an EQUI-join: each order expands to its 4 candidate
+    * days (bounded, constant fan-out), the join runs on (customer, day), and
+    * the exact range predicate filters residue. At 100 TB: shuffle on a
+    * compound equi-key, fan-out = range/bucket width, no BNLJ anywhere.
+    * The oracle states the same relation as a plain inequality join. */
+  def joinRangeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ord = orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"), orderDate.as("d"))
+      .agg(max(col("o_orderkey")).as("orderkey"))
+      .withColumn("day", explode(expr("sequence(d, date_add(d, 3))")))
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"))
+    ev.join(ord, Seq("user_id", "day"))
+      .filter(col("day") >= col("d"))  // residual exact range check
+      .select(col("event_id"), col("user_id"), col("orderkey"), col("d"))
+      .orderBy(col("event_id"), col("orderkey"))
+  }
+
+  private val joinRangeBucketedOracle =
+    """WITH ord AS (
+      |  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS d,
+      |         MAX(o_orderkey) AS orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o.orderkey, o.d
+      |FROM events e JOIN ord o
+      |  ON e.user_id = o.user_id
+      | AND CAST(e.ts AS DATE) >= o.d
+      | AND CAST(e.ts AS DATE) <= o.d + 3
+      |ORDER BY e.event_id, o.orderkey""".stripMargin
+
   // --------------------------- §2.2 filters --------------------------------
 
   /** Truthy-check filter: empty text keeps defaults
@@ -587,6 +619,36 @@ object Analytics {
       |FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY d""".stripMargin
 
+  /** ntile / first_value / last_value — further free window extensions
+    * (§2.5 absent); shared ANSI text with explicit frames and tie-breaks. */
+  private val windowNtileSql =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS rev_dec
+      |  FROM lineitem GROUP BY 1)
+      |SELECT d, CAST(rev_dec AS DOUBLE) AS revenue,
+      |       NTILE(4) OVER (ORDER BY rev_dec, d) AS quartile,
+      |       CAST(FIRST_VALUE(rev_dec) OVER w AS DOUBLE) AS best_revenue,
+      |       CAST(LAST_VALUE(rev_dec) OVER w AS DOUBLE) AS worst_revenue
+      |FROM daily
+      |WINDOW w AS (ORDER BY rev_dec DESC, d ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY d""".stripMargin
+
+  /** Exact median/quantiles — free extension (§2.4 absent). Both engines
+    * interpolate at p*(n-1) over the sorted doubles; operands are identical
+    * 2dp values so the interpolation arithmetic is IEEE-identical. */
+  private val aggMedianSql =
+    """SELECT l_returnflag,
+      |       CAST(ROUND(CAST(MEDIAN(l_extendedprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS median_price,
+      |       CAST(ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.9) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val aggMedianSparkSql =
+    """SELECT l_returnflag,
+      |       CAST(ROUND(CAST(MEDIAN(l_extendedprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS median_price,
+      |       CAST(ROUND(CAST(PERCENTILE(l_extendedprice, 0.9) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // --------------------- §2.6 sorts / limits / set ops ---------------------
 
   private val sortSingleDescSql =
@@ -729,6 +791,7 @@ object Analytics {
     "agg_scalar_subqueries" -> aggScalarSubqueriesSql,
     "agg_rollup" -> aggRollupSql,
     "agg_cube" -> aggCubeSql,
+    "window_ntile" -> windowNtileSql,
     "window_lag_manual" -> windowLagManualSql,
     "window_rank" -> windowRankSql,
     "window_moving_avg" -> windowMovingAvgSql,
@@ -754,6 +817,8 @@ object Analytics {
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_asof" -> (joinAsof _),
+    "join_range_bucketed" -> (joinRangeBucketed _),
+    "agg_median" -> runSql(aggMedianSparkSql),
     "filter_nonempty" -> (filterNonempty _),
     "filter_revenue_positive" -> (filterRevenuePositive _),
     "filter_date_range" -> (filterDateRange _),
@@ -784,6 +849,8 @@ object Analytics {
     "join_semi" -> joinSemiOracle,
     "join_anti" -> joinAntiOracle,
     "join_asof" -> joinAsofOracle,
+    "join_range_bucketed" -> joinRangeBucketedOracle,
+    "agg_median" -> aggMedianSql,
     "filter_nonempty" -> filterNonemptyOracle,
     "filter_revenue_positive" -> filterRevenuePositiveOracle,
     "filter_date_range" -> filterDateRangeOracle,
