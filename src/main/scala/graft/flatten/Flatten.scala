@@ -107,11 +107,6 @@ object Flatten {
 
   private val cvs = col("item.column_values")
 
-  private def itemMeta: Seq[Column] = Seq(
-    col("item.id"), col("item.name"),
-    parseTimestampIso(col("item.created_at")).as("created_at"),
-    parseTimestampIso(col("item.updated_at")).as("updated_at"))
-
   // ---- flatten_projects (ref `monday_etl_automated.py:238-279`) ------------
   def projects(s: SparkSession, dir: String = fixtureRoot): DataFrame =
     items(s, s"${dir}/projects")
