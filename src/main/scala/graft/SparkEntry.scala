@@ -8,6 +8,7 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.Analytics
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
+import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,12 +27,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ ScalarQueries.queries ++ FlattenQueries.queries ++
       SourceQueries.queries ++ SinkQueries.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
+      StreamQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ ScalarQueries.oracles ++ FlattenQueries.oracles ++
       SourceQueries.oracles ++ SinkQueries.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
+      Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
+      StreamQueries.oracles
 }
