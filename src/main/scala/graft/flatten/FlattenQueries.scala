@@ -143,6 +143,59 @@ object FlattenQueries {
        |FROM (SELECT ed, item, unnest(item.subitems) AS sub FROM items) t
        |ORDER BY extraction_date, CAST(subitem_id AS BIGINT)""".stripMargin
 
+  /** The reference's FLAGSHIP analytics over the ACTUAL flattened tables —
+    * flatten → snapshot join → daily metrics with LAG, end-to-end under one
+    * oracle (ref `advanced_monitoring.py:51-81` applied to the output of
+    * `monday_etl_automated.py:238-324`). The DuckDB side re-derives the
+    * flattened relations from the raw JSON and runs the same analytics, so
+    * a drift in EITHER layer fails the hash. */
+  def flattenDailyMetrics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = Flatten.subitems(s)
+    val daily = Flatten.projects(s).as("p")
+      .join(subs.as("sub"),
+        col("p.project_id") === col("sub.project_id") &&
+          col("p.extraction_date") === col("sub.extraction_date"), "left")
+      .groupBy(col("p.extraction_date").as("extraction_date"))
+      .agg(
+        countDistinct(col("p.project_id")).as("total_projects"),
+        count(col("sub.subitem_id")).as("total_subitems"),
+        count(when(col("sub.revenue_amount") > 0, col("sub.subitem_id")))
+          .as("subitems_with_revenue"),
+        round(sum(col("sub.revenue_amount").cast("decimal(18,4)")), 2)
+          .as("rev_dec"))
+    val w = Window.orderBy(col("extraction_date"))
+    daily.select(col("extraction_date"), col("total_projects"),
+        col("total_subitems"), col("subitems_with_revenue"),
+        col("rev_dec").cast("double").as("total_revenue"),
+        (col("rev_dec") - lag(col("rev_dec"), 1).over(w)).cast("double")
+          .as("revenue_change"))
+      .orderBy(col("extraction_date"))
+  }
+
+  private val flattenDailyMetricsOracle =
+    s"""${itemsCte("projects")},
+       |projects AS (SELECT ed, item.id AS project_id FROM items),
+       |subs AS (
+       |  SELECT ed, item.id AS project_id, unnest(item.subitems) AS sub FROM items),
+       |subitems AS (
+       |  SELECT ed, project_id, sub.id AS subitem_id,
+       |         COALESCE(TRY_CAST(${tt("numbers")} AS DOUBLE), 0.0) AS revenue_amount
+       |  FROM subs),
+       |daily AS (
+       |  SELECT p.ed AS extraction_date,
+       |         COUNT(DISTINCT p.project_id) AS total_projects,
+       |         COUNT(s.subitem_id) AS total_subitems,
+       |         COUNT(CASE WHEN s.revenue_amount > 0 THEN s.subitem_id END) AS subitems_with_revenue,
+       |         ROUND(SUM(CAST(s.revenue_amount AS DECIMAL(18,4))), 2) AS rev_dec
+       |  FROM projects p LEFT JOIN subitems s
+       |    ON p.project_id = s.project_id AND p.ed = s.ed
+       |  GROUP BY 1)
+       |SELECT extraction_date, total_projects, total_subitems, subitems_with_revenue,
+       |       CAST(rev_dec AS DOUBLE) AS total_revenue,
+       |       CAST(rev_dec - LAG(rev_dec) OVER (ORDER BY extraction_date) AS DOUBLE) AS revenue_change
+       |FROM daily ORDER BY extraction_date""".stripMargin
+
   private def sorted(df: DataFrame, idCol: String): DataFrame =
     df.orderBy(col("extraction_date"), col(idCol).cast("long"))
 
@@ -152,7 +205,8 @@ object FlattenQueries {
     "flatten_personnel" -> ((s, _) => sorted(Flatten.personnel(s), "cost_id")),
     "flatten_travel" -> ((s, _) => sorted(Flatten.travel(s), "cost_id")),
     "flatten_suppliers" -> ((s, _) => sorted(Flatten.suppliers(s), "cost_id")),
-    "join_parent_child_denorm" -> (joinParentChildDenorm _))
+    "join_parent_child_denorm" -> (joinParentChildDenorm _),
+    "flatten_daily_metrics" -> (flattenDailyMetrics _))
 
   val oracles: Map[String, String] = Map(
     "flatten_projects" -> flattenProjectsOracle,
@@ -160,5 +214,6 @@ object FlattenQueries {
     "flatten_personnel" -> flattenPersonnelOracle,
     "flatten_travel" -> flattenTravelOracle,
     "flatten_suppliers" -> flattenSuppliersOracle,
-    "join_parent_child_denorm" -> joinParentChildDenormOracle)
+    "join_parent_child_denorm" -> joinParentChildDenormOracle,
+    "flatten_daily_metrics" -> flattenDailyMetricsOracle)
 }

@@ -551,6 +551,14 @@ object Analytics {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
 
+  private val aggGroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      |       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
   /** Ratio/percentage over aggregates (ref `advanced_monitoring.py:140,244-248`). */
   def aggRatioPct(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir).groupBy(col("l_returnflag"))
@@ -791,6 +799,7 @@ object Analytics {
     "agg_scalar_subqueries" -> aggScalarSubqueriesSql,
     "agg_rollup" -> aggRollupSql,
     "agg_cube" -> aggCubeSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
     "window_ntile" -> windowNtileSql,
     "window_lag_manual" -> windowLagManualSql,
     "window_rank" -> windowRankSql,
