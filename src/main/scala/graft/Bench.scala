@@ -46,6 +46,7 @@ object Bench {
           materialize(name)
           val dt = (System.nanoTime() - t0) / 1e9
           times(name) = times.get(name).fold(dt)(math.min(_, dt))
+          errors.remove(name)  // a transient earlier failure is not an error
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -70,6 +70,9 @@ object HashSupport {
     out
   }
 
+  private val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(16)(s => (s + ":").getBytes)
+
   /** 16 md5-minhashes: element s is min over shingles of
     * md5Hex(s + ":" + shingle) — byte-identical to the declarative
     * `array_min(transform(shingles, sh -> md5(concat(s, ':', sh))))`
@@ -84,7 +87,7 @@ object HashSupport {
         val shBytes = sh.getBytes
         var s = 0
         while (s < 16) {
-          val seed = (s + ":").getBytes
+          val seed = seedPrefixes(s)
           val buf = new Array[Byte](seed.length + shBytes.length)
           System.arraycopy(seed, 0, buf, 0, seed.length)
           System.arraycopy(shBytes, 0, buf, seed.length, shBytes.length)

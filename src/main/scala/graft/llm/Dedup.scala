@@ -65,6 +65,9 @@ object Dedup {
   // pure function of the data, so the oracle replays the identical algorithm.
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
+    // cache intentionally session-retained: Spark dedupes cache entries by
+    // plan, so repeated invocations (bench passes, specs) reuse ONE entry
+    // sized by the shingle set, not one per call
     val docs = shingled(s, dir).cache()
     // native codegen twin of: transform(sequence(0,15), s ->
     //   array_min(transform(shingles, sh -> md5(concat(s, ':', sh)))))

@@ -16,31 +16,40 @@ object TextAnalysis {
 
   private val toksE = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** Whitespace class as LITERAL control characters, not `\s`: Java regex
+    * includes \x0B in \s while DuckDB's RE2 does not, and Spark's SQL string
+    * parser mangles unknown backslash escapes — literal chars behave
+    * identically in both engines. */
+  private val ws = "[ \t\n\u000B\f\r]+"
+
   // ---- text_token_count -----------------------------------------------------
   // Whitespace tokens vs regex word-tokens (the BPE-ish split) vs distinct.
+  // toks projected ONCE (the interpreted lambda would otherwise run 3x/row).
   def textTokenCount(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .select(col("doc_id"),
-        expr("size(filter(split(text, '\\\\s+'), t -> t <> ''))").as("n_ws_tokens"),
-        expr(s"size($toksE)").as("n_word_tokens"),
-        expr(s"size(array_distinct($toksE))").as("n_distinct_tokens"),
-        expr(s"""round(cast(
-                 |  aggregate($toksE, 0L, (a, t) -> a + length(t)) * 1.0 /
-                 |  greatest(size($toksE), 1) as decimal(28,6)), 2)""".stripMargin)
+        expr(s"size(filter(split(text, '$ws'), t -> t <> ''))").as("n_ws_tokens"),
+        expr(toksE).as("toks"))
+      .select(col("doc_id"), col("n_ws_tokens"),
+        size(col("toks")).as("n_word_tokens"),
+        expr("size(array_distinct(toks))").as("n_distinct_tokens"),
+        expr("""round(cast(
+                |  aggregate(toks, 0L, (a, t) -> a + length(t)) * 1.0 /
+                |  greatest(size(toks), 1) as decimal(28,6)), 2)""".stripMargin)
           .cast("double").as("avg_token_len"))
       .orderBy(col("doc_id"))
 
   private val textTokenCountOracle =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
-      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-      |  FROM documents)
-      |SELECT doc_id, len(ws) AS n_ws_tokens, len(toks) AS n_word_tokens,
-      |       len(list_distinct(toks)) AS n_distinct_tokens,
-      |       CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) * 1.0 /
-      |                       greatest(len(toks), 1) AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_token_len
-      |FROM t ORDER BY doc_id""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '$ws'), x -> x <> '') AS ws,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents)
+       |SELECT doc_id, len(ws) AS n_ws_tokens, len(toks) AS n_word_tokens,
+       |       len(list_distinct(toks)) AS n_distinct_tokens,
+       |       CAST(ROUND(CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) * 1.0 /
+       |                       greatest(len(toks), 1) AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_token_len
+       |FROM t ORDER BY doc_id""".stripMargin
 
   // ---- text_quality ---------------------------------------------------------
   // Length / punctuation / stopword-density heuristics folded into one score
@@ -128,15 +137,15 @@ object TextAnalysis {
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .select(col("doc_id"),
-        expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))").as("fp"))
+        expr(s"md5(trim(regexp_replace(lower(text), '$ws', ' ')))").as("fp"))
       .withColumn("fp64", expr("substring(fp, 1, 16)"))
       .orderBy(col("doc_id"))
 
   private val textFingerprintOracle =
-    """SELECT doc_id,
-      |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-      |       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |       md5(trim(regexp_replace(lower(text), '$ws', ' ', 'g'))) AS fp,
+       |       substring(md5(trim(regexp_replace(lower(text), '$ws', ' ', 'g'))), 1, 16) AS fp64
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- text_tfidf -----------------------------------------------------------
   // Top-5 characteristic terms per doc. idf is the exact rational N/df

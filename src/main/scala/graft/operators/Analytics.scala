@@ -160,9 +160,13 @@ object Analytics {
     * streamDodCompare. */
   private def snapshotCompare(df: DataFrame, dateCol: Column, measure: Column,
       cntName: String, valName: String): DataFrame = {
-    val d = df.agg(max(dateCol)).first().getDate(0)
-    val today = lit(d)
-    val yest = lit(java.sql.Date.valueOf(d.toLocalDate.minusDays(1)))
+    // empty input: no anchor date exists — degrade to an impossible literal
+    // so the aggregate still returns one all-zero row (the old join-based
+    // implementation's behavior) instead of NPEing on the null max
+    val maxDate = Option(df.agg(max(dateCol)).first().getDate(0))
+    val d = maxDate.map(_.toLocalDate).getOrElse(java.time.LocalDate.of(1, 1, 1))
+    val today = lit(java.sql.Date.valueOf(d))
+    val yest = lit(java.sql.Date.valueOf(d.minusDays(1)))
     def sumDay(day: Column) = coalesce(
       round(sum(when(dateCol === day, measure).cast("decimal(18,4)")), 2),
       lit(0).cast("decimal(18,2)"))

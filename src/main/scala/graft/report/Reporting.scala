@@ -71,7 +71,9 @@ object Reporting {
       s"Personnel costs: ${stats.getOrElse("personnel_costs", 0L)}",
       s"Travel costs:    ${stats.getOrElse("travel_costs", 0L)}",
       s"Supplier costs:  ${stats.getOrElse("supplier_costs", 0L)}",
-      f"Total revenue:   $totalRevenue%,.2f EUR") ++
+      // pinned locale: f"%,.2f" would group per the host JVM's locale
+      "Total revenue:   " + String.format(java.util.Locale.US,
+        "%,.2f EUR", Double.box(totalRevenue))) ++
       diffs.toSeq.sortBy(_._1).map { case (k, v) =>
         val sign = if (v >= 0) "+" else ""
         s"  $k: $sign$v vs yesterday"

@@ -117,9 +117,13 @@ final class MondayClient(
 }
 
 object MondayQueries {
-  /** items_page dialect with cursor (ref `etl_quick_fix.py:96-131`). */
+  /** items_page dialect with cursor (ref `etl_quick_fix.py:96-131`). The
+    * cursor is a server-provided opaque token — escape it so a quote or
+    * backslash in the token (or a hostile response body) can't break out of
+    * the GraphQL string literal. */
   def itemsPageQuery(boardId: String, limit: Int, cursor: Option[String]): String = {
-    val cur = cursor.map(c => s""", cursor: "$c"""").getOrElse("")
+    def esc(c: String) = c.replace("\\", "\\\\").replace("\"", "\\\"")
+    val cur = cursor.map(c => s""", cursor: "${esc(c)}"""").getOrElse("")
     s"""query { boards(ids: [$boardId]) { items_page(limit: $limit$cur) {
        |  cursor items { id name created_at updated_at
        |    column_values { id text value } } } } }""".stripMargin
