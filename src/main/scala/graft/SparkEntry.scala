@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
-import graft.llm.{Dedup, MinHashAgg, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, MinHashAgg, Multimodal, Similarity, TextAnalysis}
 import graft.operators.Analytics
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
@@ -28,7 +28,7 @@ object SparkEntry {
     Analytics.queries ++ ScalarQueries.queries ++ FlattenQueries.queries ++
       SourceQueries.queries ++ SinkQueries.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      StreamQueries.queries ++ MinHashAgg.queries
+      StreamQueries.queries ++ MinHashAgg.queries ++ Curation.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -36,5 +36,5 @@ object SparkEntry {
     Analytics.oracles ++ ScalarQueries.oracles ++ FlattenQueries.oracles ++
       SourceQueries.oracles ++ SinkQueries.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      StreamQueries.oracles ++ MinHashAgg.oracles
+      StreamQueries.oracles ++ MinHashAgg.oracles ++ Curation.oracles
 }
