@@ -88,12 +88,18 @@ object Flatten {
       c.getField("id") === id && c.getField("text").isNotNull &&
         length(c.getField("text")) > 0), lit(1)).getField("text")
 
-  /** Same, dispatched on column.type (subitem boards carry metadata). */
-  private def cvTextByType(cvs: Column, tpe: String): Column =
+  /** Same, dispatched on column.type (subitem boards carry metadata).
+    *
+    * The reference's subitem loop OVERWRITES on every matching entry for
+    * numbers/person/timeline — so the LAST non-empty entry of a type wins —
+    * while status alone is guarded first-wins (`if not subitem_data['status']`,
+    * `monday_etl_automated.py:305-322`). `firstWins` selects which end. */
+  private def cvTextByType(cvs: Column, tpe: String,
+      firstWins: Boolean = false): Column =
     try_element_at(filter(cvs, c =>
       c.getField("column").getField("type") === tpe &&
         c.getField("text").isNotNull && length(c.getField("text")) > 0),
-      lit(1)).getField("text")
+      lit(if (firstWins) 1 else -1)).getField("text")
 
   /** The raw value JSON of the first non-empty-text entry with this id. */
   private def cvValue(cvs: Column, id: String): Column =
@@ -138,7 +144,7 @@ object Flatten {
       cvTextByType(scvs, "person").as("po"),
       tlStart.as("timeline_start"), tlEnd.as("timeline_end"),
       castFloatZero(cvTextByType(scvs, "numbers")).as("revenue_amount"),
-      cvTextByType(scvs, "status").as("status"),
+      cvTextByType(scvs, "status", firstWins = true).as("status"),
       lit(null).cast("string").as("tipologia"),  // declared, never populated (ref :309)
       parseTimestampIso(col("sub.created_at")).as("created_at"),
       parseTimestampIso(col("sub.updated_at")).as("updated_at"),

@@ -35,9 +35,14 @@ object FlattenQueries {
   private def t(id: String, src: String = "item.column_values"): String =
     s"list_filter($src, c -> c.id = '$id' AND c.text IS NOT NULL AND c.text <> '')[1].text"
 
-  /** Same, dispatched on column.type. */
-  private def tt(tpe: String, src: String = "sub.column_values"): String =
-    s"list_filter($src, c -> c.column.type = '$tpe' AND c.text IS NOT NULL AND c.text <> '')[1].text"
+  /** Same, dispatched on column.type. Non-status types take the LAST
+    * non-empty entry (the reference loop overwrites per match); status is
+    * first-wins — mirrors Flatten.cvTextByType. */
+  private def tt(tpe: String, src: String = "sub.column_values",
+      firstWins: Boolean = false): String = {
+    val idx = if (firstWins) "1" else "-1"
+    s"list_filter($src, c -> c.column.type = '$tpe' AND c.text IS NOT NULL AND c.text <> '')[$idx].text"
+  }
 
   private def v(id: String, src: String = "item.column_values"): String =
     s"list_filter($src, c -> c.id = '$id' AND c.text IS NOT NULL AND c.text <> '')[1].value"
@@ -82,7 +87,7 @@ object FlattenQueries {
        |             AND try_strptime(trim(str_split(tl, ' - ')[1]), '%Y-%m-%d') IS NOT NULL
        |            THEN CAST(try_strptime(trim(str_split(tl, ' - ')[2]), '%Y-%m-%d') AS DATE) END AS timeline_end,
        |       COALESCE(TRY_CAST(num AS DOUBLE), 0.0) AS revenue_amount,
-       |       ${tt("status")} AS status,
+       |       ${tt("status", firstWins = true)} AS status,
        |       CAST(NULL AS VARCHAR) AS tipologia,
        |       TRY_CAST(sub.created_at AS TIMESTAMP) AS created_at,
        |       TRY_CAST(sub.updated_at AS TIMESTAMP) AS updated_at,

@@ -65,10 +65,13 @@ object Dedup {
   // pure function of the data, so the oracle replays the identical algorithm.
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
-    // cache intentionally session-retained: Spark dedupes cache entries by
-    // plan, so repeated invocations (bench passes, specs) reuse ONE entry
-    // sized by the shingle set, not one per call
-    val docs = shingled(s, dir).cache()
+    // no operator-owned cache: a session-retained .cache() of the full
+    // shingle set is an OOM hazard at 100 TB and a policy the caller, not
+    // the operator, should own. The three consumers below share identical
+    // scan+shingle subplans, so ReuseExchange/AQE dedupes the physical work
+    // where partitioning lines up; a caller that wants memory reuse can
+    // persist the input before calling.
+    val docs = shingled(s, dir)
     // native codegen twin of: transform(sequence(0,15), s ->
     //   array_min(transform(shingles, sh -> md5(concat(s, ':', sh)))))
     val sigs = docs.withColumn("sig", expr("graft_minhash16(shingles)"))
@@ -124,16 +127,33 @@ object Dedup {
 
   // ---- dedup_ngram_jaccard --------------------------------------------------
   // Exact Jaccard through an inverted index: explode shingles, drop hot
-  // shingles (present in > 20 docs — they generate quadratic candidates and
-  // carry no signal), self-join on shingle, then integer-threshold J >= 0.6
-  // over the retained-shingle space.
+  // shingles (they generate quadratic candidates and carry no signal),
+  // self-join on shingle, then integer-threshold J >= 0.6 over the
+  // retained-shingle space.
+  //
+  // The hot-shingle cut is CORPUS-RELATIVE: df <= greatest(20, n_docs div 25)
+  // (integer arithmetic in both engines, so the bound is deterministic). An
+  // absolute cap makes recall drift with corpus size — at 500 docs, df = 20
+  // is a 4% commonality cut, but at 1B docs the same 20 drops every shingle
+  // shared by more than 0.000002% of the corpus, discarding legitimate
+  // near-dup evidence. Tying the cut to n_docs/25 keeps "too common to be
+  // signal" meaning the same 4% at every scale; the floor of 20 preserves
+  // behavior on tiny corpora. Worst-case candidates per retained shingle are
+  // cap^2/2 pairs, so at extreme scale the cut composes with banding (LSH)
+  // rather than replacing it — this operator is the exact-index path.
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val docs = shingled(s, dir)
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // one-row corpus count, broadcast into the df filter — no driver collect
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 20)
-    // cached: consumed three times (sizes, both sides of the self-join)
-    val inv = sh.join(rare, "sh").select(col("doc_id"), col("sh")).cache()
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= expr("greatest(CAST(20 AS BIGINT), n_docs div 25)"))
+      .select(col("sh"))
+    // no operator-owned cache (see dedupMinhashLsh): the self-join's two
+    // sides are identical subplans shuffled on the same key, which
+    // ReuseExchange collapses to one physical exchange
+    val inv = sh.join(rare, "sh").select(col("doc_id"), col("sh"))
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = inv.as("a").join(inv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -154,7 +174,8 @@ object Dedup {
   private val dedupNgramJaccardOracle =
     s"""WITH $shingledSql,
        |inv0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
-       |rare AS (SELECT sh FROM inv0 GROUP BY sh HAVING COUNT(*) <= 20),
+       |rare AS (SELECT sh FROM inv0 GROUP BY sh
+       |         HAVING COUNT(*) <= GREATEST(20, (SELECT COUNT(*) FROM docs) // 25)),
        |inv AS (SELECT doc_id, inv0.sh FROM inv0 JOIN rare ON inv0.sh = rare.sh),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
        |common AS (
@@ -194,11 +215,11 @@ object Dedup {
       |  SELECT doc_id, list_transform(toks, t -> md5(t)) AS hashes
       |  FROM toks WHERE len(toks) > 0)
       |SELECT doc_id,
-      |       list_sum(list_transform(generate_series(0,15), i ->
+      |       CAST(list_sum(list_transform(generate_series(0,15), i ->
       |         CASE WHEN list_sum(list_transform(hashes, h ->
       |           CASE WHEN instr('0123456789abcdef', substring(h, i+1, 1)) - 1 >= 8
       |                THEN 1 ELSE -1 END)) > 0
-      |         THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS simhash
+      |         THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS simhash
       |FROM hashed
       |ORDER BY doc_id""".stripMargin
 

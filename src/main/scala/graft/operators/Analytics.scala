@@ -292,37 +292,83 @@ object Analytics {
       |  ON e.user_id = o.user_id AND CAST(e.ts AS TIMESTAMP) >= o.t
       |ORDER BY e.event_id""".stripMargin
 
-  /** Range join, bucketed — events within 3 days at-or-after an order of the
-    * same customer. A naive inequality join is a nested loop; bucketing the
-    * range turns it into an EQUI-join: each order expands to its 4 candidate
-    * days (bounded, constant fan-out), the join runs on (customer, day), and
-    * the exact range predicate filters residue. At 100 TB: shuffle on a
-    * compound equi-key, fan-out = range/bucket width, no BNLJ anywhere.
-    * The oracle states the same relation as a plain inequality join. */
-  def joinRangeBucketed(s: SparkSession, dir: String): DataFrame = {
+  /** As-of join with INTERLEAVED cutoffs — each order day matched to the
+    * same customer's most recent STRICTLY-EARLIER order day (probe at
+    * d - 1 with at-or-before ≡ strictly-before at day grain). Unlike
+    * `join_asof` (whose events fixture postdates every order, so the cutoff
+    * never discards anything), every customer's own order history
+    * interleaves with itself: the carried value changes at each probe and
+    * first orders exercise the left-join null path. Same single-shuffle
+    * union+window composition; the oracle is DuckDB's native ASOF LEFT
+    * JOIN, an independent first-class implementation. */
+  def joinAsofPrev(s: SparkSession, dir: String): DataFrame = {
     val ord = orders(s, dir)
       .groupBy(col("o_custkey").as("user_id"), orderDate.as("d"))
       .agg(max(col("o_orderkey")).as("orderkey"))
-      .withColumn("day", explode(expr("sequence(d, date_add(d, 3))")))
-    val ev = events(s, dir)
-      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"))
-    ev.join(ord, Seq("user_id", "day"))
-      .filter(col("day") >= col("d"))  // residual exact range check
-      .select(col("event_id"), col("user_id"), col("orderkey"), col("d"))
-      .orderBy(col("event_id"), col("orderkey"))
+    val refs = ord.select(col("user_id"), col("d").as("t"), lit(0).as("kind"),
+      col("orderkey").as("ref_orderkey"),
+      lit(null).cast("date").as("d"), lit(null).cast("bigint").as("orderkey"))
+    val probes = ord.select(col("user_id"), date_sub(col("d"), 1).as("t"),
+      lit(1).as("kind"), lit(null).cast("bigint").as("ref_orderkey"),
+      col("d"), col("orderkey"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    refs.unionByName(probes)
+      .withColumn("prev_orderkey",
+        last(col("ref_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("orderkey"), col("user_id"), col("d"), col("prev_orderkey"))
+      .orderBy(col("user_id"), col("d"))
   }
 
-  private val joinRangeBucketedOracle =
+  private val joinAsofPrevOracle =
     """WITH ord AS (
       |  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS d,
       |         MAX(o_orderkey) AS orderkey
-      |  FROM orders GROUP BY 1, 2)
-      |SELECT e.event_id, e.user_id, o.orderkey, o.d
-      |FROM events e JOIN ord o
-      |  ON e.user_id = o.user_id
-      | AND CAST(e.ts AS DATE) >= o.d
-      | AND CAST(e.ts AS DATE) <= o.d + 3
-      |ORDER BY e.event_id, o.orderkey""".stripMargin
+      |  FROM orders GROUP BY 1, 2),
+      |probe AS (SELECT user_id, d, d - 1 AS d1, orderkey FROM ord)
+      |SELECT p.orderkey, p.user_id, p.d, o.orderkey AS prev_orderkey
+      |FROM probe p ASOF LEFT JOIN ord o
+      |  ON p.user_id = o.user_id AND p.d1 >= o.d
+      |ORDER BY p.user_id, p.d""".stripMargin
+
+  /** Range join, bucketed — follow-up orders of the same customer within 3
+    * days at-or-after an order (orders × orders share the 1992-1998 date
+    * axis, so the key is non-vacuous — the r2 events-vs-orders anchoring
+    * could never match, fixture domains being 23 years apart). A naive
+    * inequality join is a nested loop; bucketing the range turns it into an
+    * EQUI-join: each left order expands to its 4 candidate days (bounded,
+    * constant fan-out), the join runs on (customer, day) where the right
+    * side sits at its exact date — the expansion enforces both range bounds,
+    * so no residual range predicate remains. At 100 TB: shuffle on a
+    * compound equi-key, fan-out = range/bucket width, no BNLJ anywhere.
+    * The oracle states the same relation as a plain inequality join. */
+  def joinRangeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val a = orders(s, dir)
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderkey").as("orderkey_a"), orderDate.as("d_a"))
+      .withColumn("day", explode(expr("sequence(d_a, date_add(d_a, 3))")))
+    val b = orders(s, dir)
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderkey").as("orderkey_b"), orderDate.as("day"))
+    a.join(b, Seq("user_id", "day"))
+      .filter(col("orderkey_a") =!= col("orderkey_b"))  // residual: no self-pair
+      .select(col("orderkey_a"), col("orderkey_b"), col("user_id"),
+        col("d_a"), col("day").as("d_b"))
+      .orderBy(col("orderkey_a"), col("orderkey_b"))
+  }
+
+  private val joinRangeBucketedOracle =
+    """SELECT a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+      |       a.o_custkey AS user_id,
+      |       CAST(a.o_orderdate AS DATE) AS d_a, CAST(b.o_orderdate AS DATE) AS d_b
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey
+      | AND CAST(b.o_orderdate AS DATE) >= CAST(a.o_orderdate AS DATE)
+      | AND CAST(b.o_orderdate AS DATE) <= CAST(a.o_orderdate AS DATE) + 3
+      | AND a.o_orderkey <> b.o_orderkey
+      |ORDER BY orderkey_a, orderkey_b""".stripMargin
 
   // --------------------------- §2.2 filters --------------------------------
 
@@ -702,6 +748,16 @@ object Analytics {
       |EXCEPT SELECT user_id FROM events WHERE event_type = 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** EXCEPT with a guaranteed non-empty difference — customers who ordered
+    * but never emitted an event (non-empty at every fixture SF: 135 / 1,350
+    * / 13,499 rows at sf0.001/0.01/0.1; events sample only a subset of
+    * customers). The purchase-vs-error variant above happens to be empty at
+    * every SF, which proves DISTINCT-set semantics only vacuously. */
+  private val setopExceptNonemptySql =
+    """SELECT o_custkey FROM orders
+      |EXCEPT SELECT user_id FROM events
+      |ORDER BY o_custkey""".stripMargin
+
   /** SQL text submitted to the engine — Catalyst plays BigQuery's role
     * (ref `advanced_monitoring.py:181-202`, circle performance). */
   private val srcWarehouseSqlSql =
@@ -815,6 +871,7 @@ object Analytics {
     "setop_union_all" -> setopUnionAllSql,
     "setop_intersect" -> setopIntersectSql,
     "setop_except" -> setopExceptSql,
+    "setop_except_nonempty" -> setopExceptNonemptySql,
     "src_warehouse_sql" -> srcWarehouseSqlSql,
     "stream_threshold_alerts" -> streamThresholdAlertsSql)
 
@@ -830,6 +887,7 @@ object Analytics {
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_asof" -> (joinAsof _),
+    "join_asof_prev" -> (joinAsofPrev _),
     "join_range_bucketed" -> (joinRangeBucketed _),
     "agg_median" -> runSql(aggMedianSparkSql),
     "filter_nonempty" -> (filterNonempty _),
@@ -862,6 +920,7 @@ object Analytics {
     "join_semi" -> joinSemiOracle,
     "join_anti" -> joinAntiOracle,
     "join_asof" -> joinAsofOracle,
+    "join_asof_prev" -> joinAsofPrevOracle,
     "join_range_bucketed" -> joinRangeBucketedOracle,
     "agg_median" -> aggMedianSql,
     "filter_nonempty" -> filterNonemptyOracle,

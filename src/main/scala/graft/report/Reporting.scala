@@ -11,13 +11,13 @@ import graft.operators.Analytics
   *
   * The chart sink collects the ALREADY-AGGREGATED day-grain series (a few
   * hundred rows — the only collect() in the codebase is presentation, never
-  * a data-path operator); rendering to PNG needs a plotting library this
-  * container doesn't ship, so `ChartData` produces the exact series the
-  * reference plots (`advanced_monitoring.py:270-325`: 2×2 trend panel) and
-  * rendering stays behind the seam. Email mirrors
+  * a data-path operator) and renders the reference's 2×2 trend panel
+  * (`advanced_monitoring.py:270-325`) to a real PNG through the JDK-only
+  * `ChartPng` backend; `chartData`/`writeChartArtifact` keep the plotted
+  * series inspectable as CSV. Email mirrors
   * `monday_etl_automated.py:647-691`: a report string built from stats,
-  * delivered through an injectable sender (SMTP in production, canned in
-  * tests).
+  * delivered through an injectable sender (`SmtpSender` — a socket-level
+  * SMTP client — in production, canned in tests).
   */
 object Reporting {
 
@@ -43,9 +43,45 @@ object Reporting {
       series(3, "Total revenue"), series(4, "Avg revenue"))
   }
 
-  /** Render seam: a real deployment plugs a plotting backend here. The
-    * default writes the series as CSV next to where the PNG would go, so
-    * the artifact pipeline (path, naming, one file per run) is exercised. */
+  /** The reference's ACTUAL 2×2 trend panel (`advanced_monitoring.py:
+    * 287-319`): total revenue (line), subitems vs with-revenue (two lines),
+    * daily revenue change (sign-colored bars + zero axis), avg revenue
+    * (line) — built from the flagship daily metrics and rendered to PNG by
+    * the JDK-only `ChartPng` backend. Collects day-grain aggregates only. */
+  def trendPanels(s: SparkSession, dir: String, days: Int = 30): Seq[ChartPng.Panel] = {
+    val dm = Analytics.dailyMetrics(s, dir)
+      .orderBy(col("extraction_date").desc).limit(days)
+      .orderBy(col("extraction_date"))
+      .select(col("extraction_date").cast("string"),
+        col("total_revenue"), col("total_subitems").cast("double"),
+        col("subitems_with_revenue").cast("double"),
+        col("revenue_change"), col("avg_revenue"))
+      .collect()
+    val x = dm.map(_.getString(0)).toSeq
+    def series(i: Int): Seq[Option[Double]] =
+      dm.map(r => if (r.isNullAt(i)) None else Some(r.getDouble(i))).toSeq
+    import java.awt.Color
+    Seq(
+      ChartPng.Panel("Total revenue", x,
+        Seq(ChartPng.Series("revenue", series(1), Color.BLUE))),
+      ChartPng.Panel("Subitems: total vs with revenue", x, Seq(
+        ChartPng.Series("total", series(2), new Color(0x2E, 0x7D, 0x32)),
+        ChartPng.Series("with revenue", series(3), Color.RED))),
+      ChartPng.Panel("Daily revenue change", x,
+        Seq(ChartPng.Series("change", series(4), Color.BLACK)),
+        kind = ChartPng.BarKind),
+      ChartPng.Panel("Avg revenue", x,
+        Seq(ChartPng.Series("avg", series(5), new Color(0x6A, 0x1B, 0x9A)))))
+  }
+
+  /** sink_chart_png end-to-end: daily metrics → 2×2 trend PNG on disk. */
+  def renderTrendPng(s: SparkSession, dir: String, outPath: String,
+      days: Int = 30): String =
+    ChartPng.render("ETL trend - last %d days".format(days),
+      trendPanels(s, dir, days), outPath)
+
+  /** CSV twin of the chart artifact: the exact plotted series, for diffing
+    * a render against the data it plots. */
   def writeChartArtifact(series: Seq[ChartSeries], outPath: String): String = {
     val sb = new StringBuilder
     series.foreach { cs =>

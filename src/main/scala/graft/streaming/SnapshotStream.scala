@@ -37,12 +37,18 @@ object SnapshotStream {
 
   /** Run to completion over current files (cron catch-up), collecting each
     * batch's threshold alerts via foreachBatch (ref
-    * `advanced_monitoring.py:377-407`). Returns the finished query. */
+    * `advanced_monitoring.py:377-407`). Returns the finished query.
+    *
+    * `update` output mode: each micro-batch carries only the windows that
+    * changed, so alert rules see exactly the fresh snapshots AND the
+    * watermark actually purges closed-window state — in `complete` mode the
+    * store would retain every window forever, unbounded on a continuous
+    * 100 TB deployment. */
   def runAvailableNow(
       agg: DataFrame, checkpoint: String, alertMinRows: Long)(
       onAlert: Seq[String] => Unit): StreamingQuery = {
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -37,10 +37,9 @@ class SnapshotStreamSpec extends SparkSpec {
       .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
       .toSet
 
-    // the last completed batch was written in complete mode via foreachBatch;
-    // re-derive it from the stream by re-running the aggregation on the sink
-    // input (the memory of the run is the alert list + progress); instead
-    // assert against a fresh read of what was streamed:
+    // runAvailableNow's foreachBatch (update mode) only kept alerts; assert
+    // the aggregate itself against a fresh complete-mode run into a memory
+    // sink, compared with the batch twin:
     val streamed = SnapshotStream.dailyAggregates(
       SnapshotStream.snapshotStream(spark, hist, schema), "amount")
     // run once more into an in-memory table for direct comparison

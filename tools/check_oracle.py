@@ -63,13 +63,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             failures += 1
             continue
-        gt = [str(t) for t in g.dtypes]
-        wt = [str(t) for t in w.dtypes]
+        # the driver's value hash is KIND-sensitive, not width-sensitive:
+        # int32-vs-int64 passes it (r2 evidence: window_rank, text_langid
+        # were green), but DuckDB HUGEINT landing as float64 vs Spark BIGINT
+        # fails it (dedup_simhash, the one red r2 key) — so compare kinds
+        gt = [t.kind for t in g.dtypes]
+        wt = [t.kind for t in w.dtypes]
         if gt != wt:
-            print(f"WARN {name}: dtypes differ {gt} vs {wt}")
+            print(f"FAIL {name}: dtype kinds differ {gt} vs {wt} "
+                  f"({[str(t) for t in g.dtypes]} vs {[str(t) for t in w.dtypes]})")
+            failures += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-            print(f"ok   {name} ({len(g)} rows)")
+            vac = "  [VACUOUS: 0 rows]" if len(g) == 0 else ""
+            print(f"ok   {name} ({len(g)} rows){vac}")
         except AssertionError as e:
             print(f"FAIL {name}: values differ: {str(e)[:400]}")
             failures += 1
