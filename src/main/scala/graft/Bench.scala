@@ -55,13 +55,15 @@ object Bench {
       }
     }
 
-    val qs = times.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // kept compact (%.2f, no whitespace): the driver parses this from a
+    // bounded log tail, and r2 lost the line's head to window overflow
+    val qs = times.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // the driver parses the log tail, which sbt noise can truncate — also
     // persist the line as a file so the number survives log capture

@@ -116,6 +116,55 @@ object HashSupport {
     0
   }
 
+  /** Distinct 3-gram word shingles straight from the raw text — identical to
+    * the declarative chain
+    * `array_distinct(transform(sequence(0, size(toks)-3),
+    *    i -> concat_ws(' ', slice(toks, i+1, 3))))` over
+    * `toks = filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')`,
+    * which ran INTERPRETED (nested lambdas) and dominated every dedup key
+    * (5.7s of a 6.6s LSH run at sf0.1 was this projection). Tokens are the
+    * maximal runs of ASCII [a-z0-9] in the lowered string — equivalent to
+    * the regex split because UTF-8 continuation bytes never collide with
+    * ASCII, and `UTF8String.toLowerCase` is the exact `lower()` Spark
+    * applies. Returns an EMPTY array when fewer than 3 tokens (callers
+    * filter on size > 0, matching the old `len(toks) >= 3` gate). */
+  def shingle3(text: UTF8String): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    val toks = new java.util.ArrayList[String](64)
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        val start = i
+        var j = i
+        var run = true
+        while (j < n && run) {
+          val c = bytes(j)
+          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) j += 1
+          else run = false
+        }
+        toks.add(new String(bytes, start, j - start,
+          java.nio.charset.StandardCharsets.US_ASCII))
+        i = j
+      } else i += 1
+    }
+    val m = toks.size
+    if (m < 3) return new GenericArrayData(new Array[AnyRef](0))
+    // first-occurrence order, like array_distinct
+    val seen = new java.util.LinkedHashSet[String](2 * m)
+    var k = 0
+    while (k + 2 < m) {
+      seen.add(toks.get(k) + " " + toks.get(k + 1) + " " + toks.get(k + 2))
+      k += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Quantized dot product over float vectors: Σ floor(a_i*1e6)*floor(b_i*1e6)
     * as exact BIGINT — identical to the declarative
     * `aggregate(zip_with(qa, qb, (x,y) -> x*y), 0L, +)` over
@@ -172,6 +221,24 @@ case class MinHash16(child: Expression)
     copy(child = newChild)
 }
 
+/** shingle3(string) → array<string> of distinct 3-gram word shingles. */
+case class Shingle3(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "graft_shingle3"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSupport.shingle3(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashSupport$$.MODULE$$.shingle3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingle3 =
+    copy(child = newChild)
+}
+
 /** dotq(array<float>, array<float>) → bigint (exact quantized dot product). */
 case class DotQ(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -202,5 +269,7 @@ object GraftFunctions {
       exprs => MinHash16(exprs.head), "built-in")
     r.createOrReplaceTempFunction("graft_dotq",
       exprs => DotQ(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("graft_shingle3",
+      exprs => Shingle3(exprs.head), "built-in")
   }
 }

@@ -140,11 +140,124 @@ object Similarity {
        |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ---- sim_ivf_ann ----------------------------------------------------------
+  // True IVF: a k=10 coarse quantizer (centroids seeded from the label
+  // column — deterministic, no RNG), every corpus vector assigned to its
+  // NEAREST centroid (those assignments ARE the inverted lists), queries
+  // probe the nprobe nearest lists and re-rank exactly inside them. At
+  // 100 TB the corpus is partitioned by assigned cell at ingest, so a query
+  // reads nprobe/k of the data; recall tunes with nprobe, never all-pairs —
+  // and at nprobe = k the operator provably degrades to exact search
+  // (asserted in LlmOpsSpec). Recall at small nprobe is a property of the
+  // data's cluster structure; the fixture embeddings are isotropic, so the
+  // CORRECTNESS contract here is the oracle replay + the nprobe=k identity,
+  // not a recall floor.
+  //
+  // Portability: centroids are element-wise TRUNCATED means of the
+  // quantized vectors (`sum div n` — BIGINT, exact; Spark `div` and DuckDB
+  // `//` both truncate toward zero, verified on negatives), so every
+  // centroid coordinate, assignment dot and re-rank dot is identical
+  // integer arithmetic in both engines; only the final cosine runs in
+  // (identical) doubles.
+  def simIvfAnn(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val base = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("qv",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+      .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
+    // centroids: per-label element-wise truncated mean — k rows, broadcast
+    val cent = base
+      .select(col("label").as("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("cd"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), x -> x.cd)")
+        .as("cvec"))
+      .withColumn("cnrm",
+        expr("aggregate(zip_with(cvec, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+    // assignment: nearest centroid per vector (rank 1 = inverted list,
+    // ranks 1-2 for query vectors = the probed cells)
+    val scoredCent = base.drop("label").crossJoin(broadcast(cent))
+      .withColumn("cdot",
+        expr("aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val ranked = scoredCent.withColumn("rk", row_number().over(wA))
+    val lists = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cell"))
+    val probes = ranked.filter(col("vec_id") < 10 && col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val qvecs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = lists.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(base.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_dotq(q_emb, embedding)").as("dot"), col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos").cast("decimal(28,8)"), 4).cast("double").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simIvfAnnOracle =
+    s"""WITH $quantizedSql,
+       |qnl AS (SELECT qn.vec_id, e.label, qn.qv, qn.nrm
+       |        FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id),
+       |cpos AS (
+       |  SELECT cell, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd
+       |  FROM (SELECT label AS cell, unnest(qv) AS v,
+       |               unnest(generate_series(1, len(qv))) AS pos FROM qnl) t
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell, list(cd ORDER BY pos) AS cvec FROM cpos GROUP BY cell),
+       |centn AS (
+       |  SELECT cell, cvec,
+       |         CAST(list_sum(list_transform(generate_series(1, len(cvec)), i -> cvec[i] * cvec[i])) AS BIGINT) AS cnrm
+       |  FROM cent),
+       |scoredc AS (
+       |  SELECT qn.vec_id, c.cell,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(qn.qv)), i -> qn.qv[i] * c.cvec[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM qn CROSS JOIN centn c),
+       |assign AS (
+       |  SELECT vec_id, cell,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rk
+       |  FROM scoredc),
+       |lists AS (SELECT vec_id, cell FROM assign WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM assign WHERE vec_id < 10 AND rk <= 2),
+       |cand AS (
+       |  SELECT p.query_id, l.vec_id AS neighbor_id
+       |  FROM probes p JOIN lists l ON l.cell = p.cell AND l.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+       |  FROM cand JOIN qn a ON a.vec_id = query_id JOIN qn b ON b.vec_id = neighbor_id),
+       |rankedq AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id,
+       |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
+       |FROM rankedq WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
-    "sim_lsh_ann" -> (simLshAnn _))
+    "sim_lsh_ann" -> (simLshAnn _),
+    "sim_ivf_ann" -> ((s: SparkSession, dir: String) => simIvfAnn(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
-    "sim_lsh_ann" -> simLshAnnOracle)
+    "sim_lsh_ann" -> simLshAnnOracle,
+    "sim_ivf_ann" -> simIvfAnnOracle)
 }

@@ -44,6 +44,22 @@ class HashExpressionsSpec extends SparkSpec {
     assert(both.filter(not(col("native") <=> col("declarative"))).count() == 0)
   }
 
+  test("graft_shingle3 equals the declarative tokenize+3gram+distinct chain") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // exercise the tokenizer edges too: punctuation, unicode, digits
+      .withColumn("text", concat(col("text"),
+        lit(" Héllo,  WORLD42—café 1a2b 1a2b x y z x y z .")))
+    val both = docs
+      .select(col("doc_id"), col("text"), expr(toksE).as("toks"))
+      .select(col("doc_id"),
+        expr("graft_shingle3(text)").as("native"),
+        when(size(col("toks")) >= 3, expr(
+          "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))"))
+          .otherwise(expr("cast(array() as array<string>)")).as("declarative"))
+    assert(both.filter(not(col("native") <=> col("declarative"))).count() == 0)
+  }
+
   test("graft_dotq equals the declarative quantize/zip_with/aggregate dot product") {
     GraftFunctions.register(spark)
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")

