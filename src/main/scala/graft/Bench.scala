@@ -39,6 +39,10 @@ object Bench {
     // (this box is shared; a single pass was ±35% run to run)
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // a query is OK iff at least one measured pass succeeded (timing = min
+    // of the successful passes); `errors` holds only queries that NEVER
+    // succeeded — so n_ok + n_err always equals the key count and a
+    // currently-flaky query can't appear in both maps at once
     (1 to 2).foreach { _ =>
       ordered.foreach { case (name, _) =>
         val t0 = System.nanoTime()
@@ -48,9 +52,10 @@ object Bench {
           times(name) = times.get(name).fold(dt)(math.min(_, dt))
           errors.remove(name)  // a transient earlier failure is not an error
         } catch {
-          case e: Throwable =>
+          case e: Throwable if !times.contains(name) =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          case _: Throwable => () // already has a good pass; keep its timing
         }
       }
     }

@@ -103,23 +103,32 @@ object ChartPng {
     g.drawLine(px, py, px, py + ih - 1)                       // y axis
     g.drawLine(px, py + ih - 1, px + iw - 1, py + ih - 1)     // x axis
 
+    // bars get one slot per category (fully inside the panel); lines map
+    // endpoints to the panel edges
+    def slotCenter(i: Int): Int = px + (i * iw + iw / 2) / math.max(1, n)
+    def labelX(i: Int): Int = if (p.kind == BarKind) slotCenter(i) else sx(i)
+
     // first/last x labels (the reference rotates all of them; first/last
     // keeps the render readable without glyph-rotation rasterization)
-    drawCentered(g, p.x.head, sx(0), py + ih + 16)
-    if (n > 1) drawCentered(g, p.x.last, sx(n - 1), py + ih + 16)
+    drawCentered(g, p.x.head, labelX(0), py + ih + 16)
+    if (n > 1) drawCentered(g, p.x.last, labelX(n - 1), py + ih + 16)
 
     p.kind match {
       case BarKind =>
         val zero = sy(0.0)
-        val bw = math.max(1, iw / math.max(1, n) - 2)
+        // slot layout: bar i spans its own 1/n column with a 1px gutter, so
+        // no bar can overpaint the y-axis, a neighboring panel, or be
+        // clipped at the image edge regardless of n
         p.series.foreach { s =>
           s.y.zipWithIndex.foreach {
             case (Some(v), i) =>
               g.setColor(if (v >= 0) PosBar else NegBar)
-              val xc = sx(i)
+              val x0b = px + i * iw / n + 1
+              val x1b = px + (i + 1) * iw / n - 1
+              val bw = math.max(1, x1b - x0b)
               val yv = sy(v)
-              if (v >= 0) g.fillRect(xc - bw / 2, yv, bw, math.max(1, zero - yv))
-              else g.fillRect(xc - bw / 2, zero, bw, math.max(1, yv - zero))
+              if (v >= 0) g.fillRect(x0b, yv, bw, math.max(1, zero - yv))
+              else g.fillRect(x0b, zero, bw, math.max(1, yv - zero))
             case _ => ()
           }
         }
@@ -153,10 +162,15 @@ object ChartPng {
     }
   }
 
+  // pinned locale: f"%,.0f" would group per the host JVM's locale, breaking
+  // the cross-deployment determinism the renderer promises (same rule as
+  // Reporting.buildReport)
   private def fmt(v: Double): String =
-    if (math.abs(v) >= 1000) f"$v%,.0f"
-    else if (v == math.rint(v)) f"$v%.0f"
-    else f"$v%.2f"
+    if (math.abs(v) >= 1000)
+      String.format(java.util.Locale.US, "%,.0f", Double.box(v))
+    else if (v == math.rint(v))
+      String.format(java.util.Locale.US, "%.0f", Double.box(v))
+    else String.format(java.util.Locale.US, "%.2f", Double.box(v))
 
   private def drawCentered(g: Graphics2D, s: String, cx: Int, y: Int): Unit =
     g.drawString(s, cx - g.getFontMetrics.stringWidth(s) / 2, y)

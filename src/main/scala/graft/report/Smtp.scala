@@ -19,12 +19,34 @@ object Smtp {
 
   final class SmtpException(msg: String) extends RuntimeException(msg)
 
+  /** Default factory: connect + read timeouts, so a blackholed or wedged
+    * MTA fails the notification instead of hanging the scheduler run. */
+  private def connectWithTimeout(timeoutMs: Int)(host: String, port: Int): Socket = {
+    val s = new Socket()
+    s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+    s.setSoTimeout(timeoutMs)
+    s
+  }
+
+  /** Header/envelope injection guard: addresses and subjects are data, not
+    * protocol — fold any CR/LF (+ a stray leading dot-line chance is handled
+    * by body dot-stuffing) into spaces before interpolating into commands
+    * or RFC 5322 headers. */
+  private def oneLine(v: String): String =
+    v.replaceAll("[\\r\\n]+", " ")
+
   final class SmtpSender(host: String, port: Int, from: String,
-      socketFactory: (String, Int) => Socket = new Socket(_, _))
+      socketFactory: (String, Int) => Socket = null,
+      timeoutMs: Int = 30000)
       extends Reporting.Sender {
 
-    def send(to: String, subject: String, body: String): Unit = {
-      val sock = socketFactory(host, port)
+    private val factory: (String, Int) => Socket =
+      Option(socketFactory).getOrElse(connectWithTimeout(timeoutMs))
+
+    def send(to0: String, subject0: String, body: String): Unit = {
+      val to = oneLine(to0)
+      val subject = oneLine(subject0)
+      val sock = factory(host, port)
       try {
         val in = new BufferedReader(
           new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
@@ -32,7 +54,7 @@ object Smtp {
           sock.getOutputStream, StandardCharsets.UTF_8)
         expect(in, 220, "greeting")
         command(out, in, s"EHLO graft.local", 250)
-        command(out, in, s"MAIL FROM:<$from>", 250)
+        command(out, in, s"MAIL FROM:<${oneLine(from)}>", 250)
         command(out, in, s"RCPT TO:<$to>", 250)
         command(out, in, "DATA", 354)
         out.write(message(to, subject, body))
@@ -43,10 +65,11 @@ object Smtp {
       } finally sock.close()
     }
 
-    /** RFC 5322 payload: headers, blank line, dot-stuffed CRLF body. */
+    /** RFC 5322 payload: headers, blank line, dot-stuffed CRLF body.
+      * Callers pass `to`/`subject` already CR/LF-folded. */
     private[report] def message(to: String, subject: String, body: String): String = {
       val headers = Seq(
-        s"From: $from", s"To: $to", s"Subject: $subject",
+        s"From: ${oneLine(from)}", s"To: $to", s"Subject: $subject",
         "MIME-Version: 1.0", "Content-Type: text/plain; charset=utf-8")
       val stuffed = body.split("\n", -1).map { line =>
         val l = line.stripSuffix("\r")

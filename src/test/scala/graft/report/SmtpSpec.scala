@@ -83,6 +83,22 @@ class SmtpSpec extends AnyFunSuite {
     assert(stub.data.contains("line three"))
   }
 
+  test("CR/LF in addresses and subjects is folded: no header or envelope injection") {
+    val stub = new StubServer()
+    val sender = new Smtp.SmtpSender("127.0.0.1", stub.port, "etl@example.invalid")
+    sender.send("victim@example.invalid>\r\nRCPT TO:<evil@example.invalid",
+      "Run OK\r\nBcc: attacker@example.invalid", "body")
+    stub.close()
+    val cmds = stub.commands.toArray.map(_.toString)
+    // the CR/LF fold keeps the hostile text INSIDE one command/header as
+    // inert data — what must never happen is a separate protocol line
+    assert(cmds.count(_.toUpperCase.startsWith("RCPT TO")) == 1,
+      s"injected envelope command leaked as its own line: ${cmds.toSeq}")
+    assert(!stub.data.contains("\r\nBcc:"), "injected header leaked as its own line")
+    assert(stub.data.contains("Subject: Run OK Bcc: attacker@example.invalid\r\n"),
+      "folded subject keeps the text as inert data")
+  }
+
   test("a rejected RCPT raises instead of silently dropping the mail") {
     val stub = new StubServer(failRcpt = true)
     val sender = new Smtp.SmtpSender("127.0.0.1", stub.port, "etl@example.invalid")
