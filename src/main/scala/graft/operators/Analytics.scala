@@ -701,11 +701,49 @@ object Analytics {
       |       CAST(ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.9) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p90_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  private val aggMedianSparkSql =
-    """SELECT l_returnflag,
-      |       CAST(ROUND(CAST(MEDIAN(l_extendedprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS median_price,
-      |       CAST(ROUND(CAST(PERCENTILE(l_extendedprice, 0.9) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p90_price
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  /** Spark side: SORT-BASED exact percentiles instead of the built-in
+    * `percentile`/`median` aggregate. The built-in is an
+    * ObjectHashAggregate whose buffer holds EVERY value of the group (an
+    * OpenHashMap shipped to one reducer per group) — at 100 TB a large
+    * group OOMs the reducer, and it can't spill. This form is one window
+    * sort per group partition (SortExec spills to disk), then picks the
+    * two bracketing ranks per percentile and interpolates with the SAME
+    * `a + (b - a) * g` at `pos = p * (n - 1)` the built-in (and DuckDB
+    * QUANTILE_CONT) computes — operands are identical 2dp doubles, so the
+    * result is bit-identical (the key stays green against the unchanged
+    * DuckDB oracle). */
+  def aggMedian(s: SparkSession, dir: String): DataFrame = {
+    val ws = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+    val wf = Window.partitionBy(col("l_returnflag"))
+    val ranked = lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("n", count(lit(1)).over(wf))
+    val withPos = ranked
+      .withColumn("pos50", lit(0.5) * (col("n") - 1).cast("double"))
+      .withColumn("pos90", lit(0.9) * (col("n") - 1).cast("double"))
+      .withColumn("l50", floor(col("pos50")).cast("long") + 1) // 1-based rank
+      .withColumn("l90", floor(col("pos90")).cast("long") + 1)
+    def interp(a: Column, b: Column, g: Column): Column =
+      when(g === 0.0, a).otherwise(a + (b - a) * g)
+    withPos
+      .filter(col("rn") === col("l50") || col("rn") === col("l50") + 1 ||
+        col("rn") === col("l90") || col("rn") === col("l90") + 1)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rn") === col("l50"), col("v"))).as("a50"),
+        max(when(col("rn") === col("l50") + 1, col("v"))).as("b50"),
+        max(when(col("rn") === col("l90"), col("v"))).as("a90"),
+        max(when(col("rn") === col("l90") + 1, col("v"))).as("b90"),
+        first(col("pos50") - floor(col("pos50"))).as("g50"),
+        first(col("pos90") - floor(col("pos90"))).as("g90"))
+      .select(col("l_returnflag"),
+        round(interp(col("a50"), col("b50"), col("g50"))
+          .cast("decimal(28,6)"), 2).cast("double").as("median_price"),
+        round(interp(col("a90"), col("b90"), col("g90"))
+          .cast("decimal(28,6)"), 2).cast("double").as("p90_price"))
+      .orderBy(col("l_returnflag"))
+  }
 
   // --------------------- §2.6 sorts / limits / set ops ---------------------
 
@@ -889,7 +927,7 @@ object Analytics {
     "join_asof" -> (joinAsof _),
     "join_asof_prev" -> (joinAsofPrev _),
     "join_range_bucketed" -> (joinRangeBucketed _),
-    "agg_median" -> runSql(aggMedianSparkSql),
+    "agg_median" -> (aggMedian _),
     "filter_nonempty" -> (filterNonempty _),
     "filter_revenue_positive" -> (filterRevenuePositive _),
     "filter_date_range" -> (filterDateRange _),
