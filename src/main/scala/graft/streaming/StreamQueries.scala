@@ -55,9 +55,53 @@ object StreamQueries {
       |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Streaming INGEST DEDUP — the stateful op a training pipeline runs on
+    * arrival: documents stream in waves, and a running groupBy on the
+    * content fingerprint (md5) keeps the min doc_id + copy count per
+    * distinct text. Staged as two coalesced files with
+    * `maxFilesPerTrigger=1`, so the second wave's micro-batch UPDATES state
+    * built by the first — the final table must equal the batch dedup
+    * (`dedup_exact`'s oracle verbatim), proving exactly-once stateful
+    * accumulation across micro-batches, not a single-batch replay. At
+    * 100 TB the same topology holds: state keyed by 32-byte fp in RocksDB,
+    * new files per trigger, min/count merge per key. */
+  def streamDedupIngest(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_dedup/$id"
+    Sinks.deleteDir(base)
+    val src = s"$base/src"
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    // two arrival waves, one file each → exactly two micro-batches
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(src)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val streamed = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+    val table = s"stream_dedup_$id"
+    val q = streamed.writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("memory").queryName(table)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(table).orderBy(col("keep_id"))
+  }
+
+  /** Same relation as dedup_exact: the streamed state must converge to it. */
+  private val streamDedupIngestOracle =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
-    "stream_micro_batch" -> (streamMicroBatch _))
+    "stream_micro_batch" -> (streamMicroBatch _),
+    "stream_dedup_ingest" -> (streamDedupIngest _))
 
   val oracles: Map[String, String] = Map(
-    "stream_micro_batch" -> streamMicroBatchOracle)
+    "stream_micro_batch" -> streamMicroBatchOracle,
+    "stream_dedup_ingest" -> streamDedupIngestOracle)
 }
