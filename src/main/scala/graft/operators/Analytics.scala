@@ -370,6 +370,37 @@ object Analytics {
       | AND a.o_orderkey <> b.o_orderkey
       |ORDER BY orderkey_a, orderkey_b""".stripMargin
 
+  /** Salted skew join, oracle-checked end to end: events (big, potentially
+    * hot user_ids) join a per-customer dimension through
+    * `Scale.saltedJoin` — the big side salts on a row-unique hash, the
+    * small side explodes to every salt, so one pathological key spreads
+    * over `salts` tasks instead of one straggler. The aggregate downstream
+    * would shift on any duplicated or dropped row, and the DuckDB oracle
+    * states the PLAIN join — so the key proves salting preserves exact
+    * inner-join semantics, not just row counts (ScaleSpec asserts the
+    * spread; this asserts the algebra). */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val dim = orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    graft.scale.Scale.saltedJoin(ev, dim, "user_id",
+        salts = 8, bigUniqueCol = "event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("n_orders")).as("sum_orders"))
+      .orderBy(col("event_type"))
+  }
+
+  private val joinSkewSaltedOracle =
+    """WITH dim AS (
+      |  SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(d.n_orders) AS BIGINT) AS sum_orders
+      |FROM events e JOIN dim d ON e.user_id = d.user_id
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // --------------------------- §2.2 filters --------------------------------
 
   /** Truthy-check filter: empty text keeps defaults
@@ -927,6 +958,7 @@ object Analytics {
     "join_asof" -> (joinAsof _),
     "join_asof_prev" -> (joinAsofPrev _),
     "join_range_bucketed" -> (joinRangeBucketed _),
+    "join_skew_salted" -> (joinSkewSalted _),
     "agg_median" -> (aggMedian _),
     "filter_nonempty" -> (filterNonempty _),
     "filter_revenue_positive" -> (filterRevenuePositive _),
@@ -960,6 +992,7 @@ object Analytics {
     "join_asof" -> joinAsofOracle,
     "join_asof_prev" -> joinAsofPrevOracle,
     "join_range_bucketed" -> joinRangeBucketedOracle,
+    "join_skew_salted" -> joinSkewSaltedOracle,
     "agg_median" -> aggMedianSql,
     "filter_nonempty" -> filterNonemptyOracle,
     "filter_revenue_positive" -> filterRevenuePositiveOracle,
