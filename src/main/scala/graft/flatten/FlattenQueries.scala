@@ -44,6 +44,12 @@ object FlattenQueries {
     s"list_filter($src, c -> c.column.type = '$tpe' AND c.text IS NOT NULL AND c.text <> '')[$idx].text"
   }
 
+  /** Numbers dispatch adds the reference's parse guard: only a
+    * float-parseable text overwrites, so the LAST parseable non-empty
+    * entry wins — mirrors Flatten.subitemNumbersText. */
+  private def ttNum(src: String = "sub.column_values"): String =
+    s"list_filter($src, c -> c.column.type = 'numbers' AND c.text IS NOT NULL AND c.text <> '' AND TRY_CAST(c.text AS DOUBLE) IS NOT NULL)[-1].text"
+
   private def v(id: String, src: String = "item.column_values"): String =
     s"list_filter($src, c -> c.id = '$id' AND c.text IS NOT NULL AND c.text <> '')[1].value"
 
@@ -77,7 +83,7 @@ object FlattenQueries {
        |ext AS (
        |  SELECT ed, project_id, sub,
        |         ${tt("timeline")} AS tl,
-       |         ${tt("numbers")} AS num
+       |         ${ttNum()} AS num
        |  FROM subs)
        |SELECT sub.id AS subitem_id, project_id, sub.name AS subitem_name,
        |       ${tt("person")} AS po,
@@ -185,7 +191,7 @@ object FlattenQueries {
        |  SELECT ed, item.id AS project_id, unnest(item.subitems) AS sub FROM items),
        |subitems AS (
        |  SELECT ed, project_id, sub.id AS subitem_id,
-       |         COALESCE(TRY_CAST(${tt("numbers")} AS DOUBLE), 0.0) AS revenue_amount
+       |         COALESCE(TRY_CAST(${ttNum()} AS DOUBLE), 0.0) AS revenue_amount
        |  FROM subs),
        |daily AS (
        |  SELECT p.ed AS extraction_date,

@@ -55,6 +55,13 @@ class FlattenSpec extends SparkSpec {
     assert(one(subitems, "subitem_id", "9033").getAs[String]("status") == "WINS")
   }
 
+  test("multi numbers columns: the LAST float-parseable non-empty entry wins") {
+    // 120, 240, "N/A", "" → 240: the reference overwrites per PARSEABLE
+    // match, so "N/A" and "" cannot reset 240, and 120 is overwritten
+    assert(one(subitems, "subitem_id", "9036").getAs[Double]("revenue_amount")
+      == 240.0)
+  }
+
   test("timeline edge cases: 1 part, 3 parts, end-garbage, start-garbage") {
     assert(one(subitems, "subitem_id", "9031").getAs[Any]("timeline_start") == null)
     val threeParts = one(subitems, "subitem_id", "9033")

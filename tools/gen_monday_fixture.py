@@ -18,6 +18,8 @@ Edge cases planted (all pinned by SURVEY §2.7/§7 semantics):
   - "start - garbage"        -> start set, end null
   - "garbage - end"          -> BOTH null (reference aborts mid-assignment)
   - two status columns       -> first non-empty wins
+  - multi numbers columns    -> LAST float-parseable non-empty wins (the
+                                reference overwrites per parseable match)
   - malformed board_relation value JSON -> linked name set, id null
   - empty linkedPulseIds []  -> id null
   - item with subitems null and subitems []
@@ -141,6 +143,21 @@ def make_projects(day_idx, rng):
              "column_values": [
                  cv("timeline3", "garbage - 2025-03-31", ctype="timeline",
                     title="Timeline"),
+             ]},
+            {"id": "9036", "name": "multi numbers cols: LAST PARSEABLE wins",
+             # the reference loop OVERWRITES revenue on every numbers match
+             # whose text parses as float (try/except pass,
+             # monday_etl_automated.py:305-308) — unlike status, which is
+             # guarded first-wins. Expected 240: first-wins would give 120,
+             # unguarded last-non-empty would give 0.0 (from "N/A"), an
+             # empty tail must not reset anything.
+             "created_at": iso(day, 8), "updated_at": iso(day, 9),
+             "column_values": [
+                 cv("numbers9", "120", ctype="numbers", title="Revenue"),
+                 cv("numbers8", "240", ctype="numbers", title="Forecast"),
+                 cv("numbers7", "N/A", ctype="numbers", title="Unparseable"),
+                 cv("numbers6", "", ctype="numbers", title="Empty tail"),
+                 cv("status2", "In corso", ctype="status", title="Status"),
              ]},
         ],
     })
