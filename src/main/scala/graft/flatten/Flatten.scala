@@ -106,13 +106,13 @@ object Flatten {
     * `monday_etl_automated.py:305-308`) — so the winner is the LAST entry
     * that is non-empty AND parseable, and an unparseable trailing value
     * ("N/A") cannot reset an earlier numeric one. Exotic literals parse
-    * engine-natively on both sides; the fixture pins the decimal cases.
-    * (Bound to the `sub` explode alias: the type-dispatched path exists
-    * only on the subitem board.) */
-  private def subitemNumbersText: Column =
-    expr("""try_element_at(filter(sub.column_values, c ->
-           |  c.column.type = 'numbers' AND c.text IS NOT NULL AND c.text <> ''
-           |  AND try_cast(c.text AS double) IS NOT NULL), -1).text""".stripMargin)
+    * engine-natively on both sides; the fixture pins the decimal cases. */
+  private def cvNumbersText(cvs: Column): Column =
+    try_element_at(filter(cvs, c =>
+      c.getField("column").getField("type") === "numbers" &&
+        c.getField("text").isNotNull && length(c.getField("text")) > 0 &&
+        c.getField("text").try_cast(DoubleType).isNotNull),
+      lit(-1)).getField("text")
 
   /** The raw value JSON of the first non-empty-text entry with this id. */
   private def cvValue(cvs: Column, id: String): Column =
@@ -156,7 +156,7 @@ object Flatten {
       col("sub.name").as("subitem_name"),
       cvTextByType(scvs, "person").as("po"),
       tlStart.as("timeline_start"), tlEnd.as("timeline_end"),
-      castFloatZero(subitemNumbersText).as("revenue_amount"),
+      castFloatZero(cvNumbersText(scvs)).as("revenue_amount"),
       cvTextByType(scvs, "status", firstWins = true).as("status"),
       lit(null).cast("string").as("tipologia"),  // declared, never populated (ref :309)
       parseTimestampIso(col("sub.created_at")).as("created_at"),

@@ -748,6 +748,9 @@ object Analytics {
     val wf = Window.partitionBy(col("l_returnflag"))
     val ranked = lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      // percentile aggregates IGNORE nulls (both engines); unfiltered they
+      // would rank first and inflate n, shifting every bracketing rank
+      .filter(col("v").isNotNull)
       .withColumn("rn", row_number().over(ws))
       .withColumn("n", count(lit(1)).over(wf))
     val withPos = ranked

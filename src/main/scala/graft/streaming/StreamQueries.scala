@@ -24,8 +24,11 @@ object StreamQueries {
 
   def streamMicroBatch(s: SparkSession, dir: String): DataFrame = {
     val id = runId.incrementAndGet()
-    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_q/$id"
-    Sinks.deleteDir(base)
+    // delete the ROOT, not just this id's dir: ids restart per JVM, so
+    // per-id cleanup leaked every previous JVM's staged copy + checkpoint
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_q"
+    Sinks.deleteDir(root)
+    val base = s"$root/$id"
     val src = s"$base/src"
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("value"))
@@ -65,10 +68,17 @@ object StreamQueries {
     * accumulation across micro-batches, not a single-batch replay. At
     * 100 TB the same topology holds: state keyed by 32-byte fp in RocksDB,
     * new files per trigger, min/count merge per key. */
+  /** Base dir of the most recent streamDedupIngest run — lets the spec
+    * inspect the checkpoint of THE RUN IT MADE instead of guessing dirs
+    * (ids restart per JVM, so max-numbered-dir guessing reads stale runs). */
+  @volatile private[streaming] var lastDedupBase: String = _
+
   def streamDedupIngest(s: SparkSession, dir: String): DataFrame = {
     val id = runId.incrementAndGet()
-    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_dedup/$id"
-    Sinks.deleteDir(base)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_dedup"
+    Sinks.deleteDir(root) // root, not id: bound /tmp across JVMs
+    val base = s"$root/$id"
+    lastDedupBase = base
     val src = s"$base/src"
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
     // two arrival waves, one file each → exactly two micro-batches

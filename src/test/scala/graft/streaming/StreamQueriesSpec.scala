@@ -17,11 +17,10 @@ class StreamQueriesSpec extends SparkSpec {
       s"stream state must converge to the batch dedup (${streamed.size} vs ${batch.size})")
 
     // the checkpoint's offsets log records one entry per micro-batch; with
-    // two staged files and maxFilesPerTrigger=1 there must be at least two
-    val root = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_stream_dedup")
-    val latest = root.listFiles().map(_.getName.toInt).max
-    val offsets = new java.io.File(root, s"$latest/ckpt/offsets")
+    // two staged files and maxFilesPerTrigger=1 there must be at least two.
+    // Inspect the run we just made (exposed base), never a guessed dir.
+    val offsets = new java.io.File(
+      s"${StreamQueries.lastDedupBase}/ckpt/offsets")
       .list().filterNot(_.endsWith(".crc"))
     assert(offsets.length >= 2,
       s"expected >= 2 micro-batches, checkpoint has offsets ${offsets.toSeq}")
