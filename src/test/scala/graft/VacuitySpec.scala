@@ -31,6 +31,17 @@ class VacuitySpec extends SparkSpec {
       s"vacuous/broken keys:\n  ${empties.map { case (k, v) => s"$k: $v" }.mkString("\n  ")}")
   }
 
+  test("every query key carries an oracle (no silent rows-only downgrades)") {
+    // the driver records a WEAKER rows-only check for keys missing an
+    // oracleSql entry — every key must keep full hash-checked coverage,
+    // and no oracle may point at a key that doesn't exist
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q.diff(o).isEmpty, s"keys without an oracle: ${q.diff(o).toSeq.sorted}")
+    assert(o.diff(q).isEmpty, s"orphan oracles: ${o.diff(q).toSeq.sorted}")
+    assert(q.forall(_.matches("[a-z0-9_]+")), "keys are stable snake_case ids")
+  }
+
   test("allowlist entries stay genuinely empty (else the entry is stale)") {
     emptyOk.keys.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).isEmpty,
