@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: the bench runs 300+ query executions in one JVM; at 8g the
+  // localCheckpoint blocks + shuffle buffers of earlier keys kept later
+  // keys GC-bound (suite timings ran 2-3x the isolated timings)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// keep sbt's "[success] Total time" trailer out of the log tail the
+// driver's bench parser reads — the JSON summary line must stay last
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess

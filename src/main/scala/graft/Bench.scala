@@ -35,7 +35,7 @@ object Bench {
       try materialize(name) catch { case _: Throwable => () }
     }
 
-    // two measured passes, per-query min: robust to transient system load
+    // three measured passes, per-query min: robust to transient system load
     // (this box is shared; a single pass was ±35% run to run)
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -43,8 +43,12 @@ object Bench {
     // of the successful passes); `errors` holds only queries that NEVER
     // succeeded — so n_ok + n_err always equals the key count and a
     // currently-flaky query can't appear in both maps at once
-    (1 to 2).foreach { _ =>
+    (1 to 3).foreach { _ =>
       ordered.foreach { case (name, _) =>
+        // drain garbage from the previous query before timing this one:
+        // without it, heavy keys inherit GC debt from whatever ran before
+        // them and the suite-context timing runs 2-3x the isolated timing
+        System.gc()
         val t0 = System.nanoTime()
         try {
           materialize(name)
@@ -60,20 +64,29 @@ object Bench {
       }
     }
 
-    // kept compact (%.2f, no whitespace): the driver parses this from a
-    // bounded log tail, and r2 lost the line's head to window overflow
-    val qs = times.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+    // locale-pinned numeric formatting: the f-interpolator uses the default
+    // JVM locale, which on comma-decimal locales emits unparseable "JSON"
+    def f2(v: Double): String =
+      String.format(java.util.Locale.US, "%.2f", Double.box(v))
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     println(line)
-    // the driver parses the log tail, which sbt noise can truncate — also
-    // persist the line as a file so the number survives log capture
+    // the driver parses a BOUNDED (2000-char) log tail; with 100+ keys the
+    // full line above is ~2.5k chars and can NEVER fit, so its head is
+    // always clipped and the driver recorded parsed=null in r2 AND r3.
+    // Persist the full line as a file, then print a compact summary LAST —
+    // headline metric + slowest keys — small enough that the tail always
+    // holds it intact for the driver's parser.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    val slow = times.toSeq.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir","queries":$slow,"note":"slowest 12 of ${times.size} keys; full per-query timings in BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

@@ -105,13 +105,24 @@ object Flatten {
     * overwrites when `float(text)` SUCCEEDS (`try/except pass`,
     * `monday_etl_automated.py:305-308`) — so the winner is the LAST entry
     * that is non-empty AND parseable, and an unparseable trailing value
-    * ("N/A") cannot reset an earlier numeric one. Exotic literals parse
-    * engine-natively on both sides; the fixture pins the decimal cases. */
+    * ("N/A") cannot reset an earlier numeric one.
+    *
+    * "Parseable" is pinned to a plain-decimal grammar (below) instead of
+    * each engine's native cast: Python `float()`, Spark `try_cast`, and
+    * DuckDB `TRY_CAST` disagree on exotic literals ('1_000' is Python-only,
+    * 'inf' is Python+DuckDB but Spark wants 'Infinity'), so a native-cast
+    * guard makes last-parseable-wins engine-dependent on unpinned inputs.
+    * Every grammar-matching string parses identically in all three engines,
+    * and every exotic literal is uniformly rejected — the accept-set is
+    * defined by the grammar, not by whichever runtime evaluates it.
+    * (FlattenQueries' oracle applies the same regex.) */
+  private[flatten] val NumberGrammar = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$"
+
   private def cvNumbersText(cvs: Column): Column =
     try_element_at(filter(cvs, c =>
       c.getField("column").getField("type") === "numbers" &&
         c.getField("text").isNotNull && length(c.getField("text")) > 0 &&
-        c.getField("text").try_cast(DoubleType).isNotNull),
+        c.getField("text").rlike(NumberGrammar)),
       lit(-1)).getField("text")
 
   /** The raw value JSON of the first non-empty-text entry with this id. */

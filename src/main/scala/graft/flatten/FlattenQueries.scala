@@ -46,9 +46,13 @@ object FlattenQueries {
 
   /** Numbers dispatch adds the reference's parse guard: only a
     * float-parseable text overwrites, so the LAST parseable non-empty
-    * entry wins — mirrors Flatten.subitemNumbersText. */
+    * entry wins — mirrors Flatten.cvNumbersText. "Parseable" is the pinned
+    * plain-decimal grammar (Flatten.NumberGrammar), NOT the engine-native
+    * TRY_CAST: native casts disagree across Python/Spark/DuckDB on exotic
+    * literals ('1_000', 'inf'), so the guard's accept-set is defined by the
+    * shared regex in both engines. */
   private def ttNum(src: String = "sub.column_values"): String =
-    s"list_filter($src, c -> c.column.type = 'numbers' AND c.text IS NOT NULL AND c.text <> '' AND TRY_CAST(c.text AS DOUBLE) IS NOT NULL)[-1].text"
+    s"list_filter($src, c -> c.column.type = 'numbers' AND c.text IS NOT NULL AND c.text <> '' AND regexp_matches(c.text, '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$$'))[-1].text"
 
   private def v(id: String, src: String = "item.column_values"): String =
     s"list_filter($src, c -> c.id = '$id' AND c.text IS NOT NULL AND c.text <> '')[1].value"

@@ -80,6 +80,13 @@ object Dedup {
     // that references it, not as long as the session. The alternative
     // (recompute per consumer, measured r3) was 5.8x slower: the three
     // consumers each re-ran tokenize+shingle over the corpus.
+    // Fault-tolerance tradeoff: localCheckpoint truncates lineage and its
+    // blocks are UNREPLICATED executor-local state — on a real cluster an
+    // executor loss mid-job makes the shingle set unrecoverable and FAILS
+    // the job (cache/persist could recompute; persist(MEMORY_AND_DISK_2)
+    // or reliable checkpoint survive). That is the right trade for a
+    // re-runnable batch dedup pass; a pipeline that must survive executor
+    // churn swaps this one call for persist-with-replication.
     val docs = shingled(s, dir).localCheckpoint()
     // native codegen twin of: transform(sequence(0,15), s ->
     //   array_min(transform(shingles, sh -> md5(concat(s, ':', sh)))))
@@ -313,7 +320,19 @@ object Dedup {
       .localCheckpoint()
     val sym = pairs.toDF("src", "dst")
       .union(pairs.select(col("id_b"), col("id_a")).toDF("src", "dst"))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    // ACTIVE-VERTEX set (r4): only vertices incident to a pair can ever
+    // change label — everyone else is its own singleton cluster. Iterating
+    // over that set instead of the whole corpus shrinks every superstep
+    // from |corpus| to |dup vertices| (orders of magnitude at 100 TB,
+    // where dup density is a few percent), and the corpus is touched
+    // exactly once, by the final left join. Each superstep also carries
+    // the previous label alongside the new one, so the convergence check
+    // reads the checkpointed superstep output directly instead of
+    // re-joining against the previous labels (one join per superstep, not
+    // two).
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -322,18 +341,18 @@ object Dedup {
       val nbrMin = sym.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), labels("cluster_id").as("old_cluster"),
           least(labels("cluster_id"),
             coalesce(col("nbr_min"), labels("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      val delta = next.withColumnRenamed("cluster_id", "nc")
-        .join(labels.withColumnRenamed("cluster_id", "oc"), "doc_id")
-        .filter(col("nc") < col("oc")).count()
-      labels = next
+      val delta = next.filter(col("cluster_id") < col("old_cluster")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
       converged = delta == 0
     }
     require(converged, s"label propagation did not converge in $iter supersteps")
-    labels
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("keep"))
       .orderBy(col("doc_id"))

@@ -88,18 +88,23 @@ object Smtp {
     /** Read one (possibly multiline `NNN-`) reply and require `want`. */
     private def expect(in: BufferedReader, want: Int, phase: String): Reply = {
       val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-      var more = true
-      while (more) {
+      var terminal = false
+      var eof = false
+      while (!terminal && !eof) {
         val line = in.readLine()
-        if (line == null) more = false
+        if (line == null) eof = true
         else {
           lines += line
           // continuation lines are `NNN-text`; the final line is `NNN text`
-          more = line.length >= 4 && line.charAt(3) == '-'
+          terminal = !(line.length >= 4 && line.charAt(3) == '-')
         }
       }
-      if (lines.isEmpty)
-        throw new SmtpException(s"$phase: connection closed")
+      // a reply is only complete once a terminal `NNN<space>` line arrives —
+      // EOF after a `NNN-` continuation is a truncated reply, not a success
+      if (!terminal)
+        throw new SmtpException(
+          if (lines.isEmpty) s"$phase: connection closed"
+          else s"$phase: connection closed mid-reply")
       val code = lines.last.take(3).toIntOption.getOrElse(-1)
       val reply = Reply(code, lines.map(_.drop(4)).mkString("\n"))
       if (code != want)

@@ -22,13 +22,47 @@ object StreamQueries {
 
   private val runId = new AtomicInteger(0)
 
+  /** Per-JVM staging root under a shared parent. Scoping the root by pid
+    * means cleanup can never clobber a DIFFERENT JVM's in-flight staged
+    * source or live checkpoint (the r3 shared-root delete could); the
+    * cross-JVM /tmp bound is age-based instead — sibling roots untouched
+    * for 6h are pruned, and our own pid's root is cleared once per JVM
+    * (handles a dead JVM whose pid we reused; ids restart per JVM). Runs
+    * within one JVM use distinct `runId` subdirs, so nothing is deleted
+    * while a same-JVM stream is live either. */
+  private def initRoot(kind: String): String = {
+    val parent = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_stream")
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.lastModified() < cutoff).foreach(f => Sinks.deleteDir(f.getPath))
+    val root = s"${parent.getPath}/$kind-${ProcessHandle.current().pid()}"
+    Sinks.deleteDir(root)
+    root
+  }
+  private lazy val qRoot: String = initRoot("q")
+  private lazy val dedupRoot: String = initRoot("dedup")
+
+  /** Start a streaming query with 8 state partitions instead of the
+    * session's 32. A stateful stream pins one state-store instance (with
+    * per-micro-batch snapshot + commit file I/O) per shuffle partition for
+    * the life of the query, and the partition count is FROZEN into the
+    * checkpoint at first start — so it must be sized to expected state
+    * volume, not to the session's batch-shuffle width. For these
+    * fixture-scale streams 32 stores were pure commit-latency overhead
+    * (4x the file round-trips per micro-batch for KBs of state); at
+    * 100 TB the same knob is set high once at first deployment because a
+    * restart inherits it from the checkpoint. The session conf is restored
+    * immediately after start — the frozen-in value is read at query start
+    * only, and later micro-batches of the SAME query keep using it. */
+  private def withFewStatePartitions[A](s: SparkSession)(start: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def streamMicroBatch(s: SparkSession, dir: String): DataFrame = {
     val id = runId.incrementAndGet()
-    // delete the ROOT, not just this id's dir: ids restart per JVM, so
-    // per-id cleanup leaked every previous JVM's staged copy + checkpoint
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_q"
-    Sinks.deleteDir(root)
-    val base = s"$root/$id"
+    val base = s"$qRoot/$id"
     val src = s"$base/src"
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("value"))
@@ -44,11 +78,13 @@ object StreamQueries {
         col("n_events"), col("total_value"))
 
     val table = s"stream_micro_batch_$id"
-    val q = streamed.writeStream.outputMode("complete")
-      .option("checkpointLocation", s"$base/ckpt")
-      .format("memory").queryName(table)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withFewStatePartitions(s) {
+      streamed.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table(table).orderBy(col("day"))
   }
@@ -75,9 +111,7 @@ object StreamQueries {
 
   def streamDedupIngest(s: SparkSession, dir: String): DataFrame = {
     val id = runId.incrementAndGet()
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_dedup"
-    Sinks.deleteDir(root) // root, not id: bound /tmp across JVMs
-    val base = s"$root/$id"
+    val base = s"$dedupRoot/$id"
     lastDedupBase = base
     val src = s"$base/src"
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -93,11 +127,13 @@ object StreamQueries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
     val table = s"stream_dedup_$id"
-    val q = streamed.writeStream.outputMode("complete")
-      .option("checkpointLocation", s"$base/ckpt")
-      .format("memory").queryName(table)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withFewStatePartitions(s) {
+      streamed.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table(table).orderBy(col("keep_id"))
   }
