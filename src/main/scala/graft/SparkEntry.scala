@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
 import graft.llm.{Curation, Dedup, MinHashAgg, Multimodal, Similarity, TextAnalysis}
-import graft.operators.Analytics
+import graft.operators.{Analytics, PipelineOps}
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
 import graft.streaming.StreamQueries
@@ -28,7 +28,8 @@ object SparkEntry {
     Analytics.queries ++ ScalarQueries.queries ++ FlattenQueries.queries ++
       SourceQueries.queries ++ SinkQueries.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      StreamQueries.queries ++ MinHashAgg.queries ++ Curation.queries
+      StreamQueries.queries ++ MinHashAgg.queries ++ Curation.queries ++
+      PipelineOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -36,5 +37,6 @@ object SparkEntry {
     Analytics.oracles ++ ScalarQueries.oracles ++ FlattenQueries.oracles ++
       SourceQueries.oracles ++ SinkQueries.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      StreamQueries.oracles ++ MinHashAgg.oracles ++ Curation.oracles
+      StreamQueries.oracles ++ MinHashAgg.oracles ++ Curation.oracles ++
+      PipelineOps.oracles
 }

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables.load
+
+/** Warehouse-pipeline operators beyond the reference's own surface (r4):
+  * sessionization, SCD2 interval builds, runtime-filter (bloom) join
+  * pruning, deterministic train/holdout splits, and pivot/unpivot
+  * reshapes. Each is a first-class `queries` key with a DuckDB oracle that
+  * independently re-derives the answer from the raw tables.
+  *
+  * Scale posture: every operator here is a single hash-partitioned window
+  * or aggregation over its natural key (user_id / join key / pivot group)
+  * — no driver-side loops over data, no all-pairs joins, no collect of
+  * anything larger than one scalar or one bloom sketch.
+  */
+object PipelineOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- window_session: gap-based sessionization -----------------------------
+  // The canonical event-stream operator (GA/clickstream "session = events
+  // separated by < gap"): one window partitioned by user to flag session
+  // starts (lag + gap compare), a running sum to number them, then a
+  // per-session aggregate. Both windows share ONE shuffle on user_id — the
+  // session_seq sum and the lag ride the same sort, and the groupBy keys
+  // (user_id, session_seq) are a prefix-extension of the window partition,
+  // so Catalyst reuses the partitioning. At 100 TB this is the standard
+  // topology: shuffle by user once, never materialize cross-user state.
+  // The gap compare is exact integer micros (unix_micros / epoch_us) —
+  // no float time arithmetic to diverge between engines.
+  private val SessionGapUs = 12L * 3600 * 1000000 // 12 hours, exact µs
+
+  def windowSession(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  private val windowSessionOracle =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+       |flagged AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+       |              THEN 1 ELSE 0 END AS is_new
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM flagged)
+       |SELECT user_id, session_seq, COUNT(*) AS n_events,
+       |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value
+       |FROM sess GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  // ---- scd2_intervals: change log → type-2 dimension ------------------------
+  // Slowly-changing-dimension build: treat each user's event_type stream as
+  // a state log, compress consecutive repeats (lag compare), and emit
+  // validity intervals [valid_from, valid_to) via lead(), open-ended for
+  // the current state. This is how a snapshot/CDC feed becomes a queryable
+  // dimension. Two window passes over the SAME (user_id sort) shuffle; at
+  // scale the interval table is orders of magnitude smaller than the log.
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("state"))
+  }
+
+  private val scd2IntervalsOracle =
+    """WITH ev AS (
+      |  SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |changed AS (
+      |  SELECT user_id, state, ts, event_id
+      |  FROM (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      |        FROM ev) t
+      |  WHERE prev_state IS NULL OR prev_state <> state)
+      |SELECT user_id, state, ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM changed
+      |ORDER BY user_id, valid_from, state""".stripMargin
+
+  // ---- join_bloom_prefilter: runtime-filter join pruning --------------------
+  // The scan-reduction pattern for selective dim joins at scale: build an
+  // exact-key bloom filter from the (filtered, small) dimension side — ONE
+  // action over the dim, the only driver-side artifact is the sketch
+  // itself — broadcast it, and drop fact rows BEFORE the join shuffle.
+  // False positives are eliminated by the exact join that follows, so the
+  // result is algebraically identical to the plain join (which is exactly
+  // what the oracle states — the pruning provably preserves the answer).
+  // This hand-rolls what Spark's runtime row-level filtering does under
+  // AQE for shuffle joins; expressing it explicitly makes the knob (fpp,
+  // expected keys) visible and testable. The mightContain UDF sits outside
+  // codegen — acceptable because it replaces a full shuffle of the
+  // non-matching 80% of the fact table, the same trade the built-in
+  // BloomFilterMightContain makes.
+  def joinBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val cust = load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloom = cust.stat.bloomFilter("c_custkey",
+      math.max(cust.count(), 1L), 0.01)
+    val bBloom = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bBloom.value.mightContain(k))
+    load(s, dir, "orders")
+      .filter(mightContain(col("o_custkey")))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val joinBloomPrefilterOracle =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- sample_split_hash: deterministic train/holdout split -----------------
+  // The split every training pipeline needs: assignment must be a PURE
+  // FUNCTION of the stable key — reproducible across runs, engines and
+  // cluster sizes, unlike sample()/rand(seed) whose output depends on
+  // partitioning. First md5 byte of the id → 256 buckets, < 230 → train
+  // (230/256 ≈ 89.8%); per-row projection, shuffle-free, and the same
+  // expression works as a WHERE clause to materialize either side.
+  def sampleSplitHash(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int").as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 230, "train").otherwise("holdout").as("split"))
+      .orderBy(col("doc_id"))
+
+  private val sampleSplitHashOracle =
+    """SELECT doc_id,
+      |       CASE WHEN (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |              + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
+      |            THEN 'train' ELSE 'holdout' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- agg_pivot / agg_unpivot: reshape operators ---------------------------
+  // Pivot with PINNED values: passing the value list skips the extra
+  // distinct-scan Spark otherwise runs to discover pivot columns — at
+  // 100 TB that implicit scan is a full pass over the fact table, so
+  // pinning is the rule, not an optimization. The oracle states the same
+  // reshape as conditional aggregation (which is exactly what Catalyst
+  // lowers pivot to).
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double"))
+      .orderBy(col("o_orderpriority"))
+
+  private val aggPivotOracle =
+    """SELECT o_orderpriority,
+      |       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "F",
+      |       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "O",
+      |       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // Unpivot (melt): wide one-row metric panel → long (metric, value) rows —
+  // the inverse reshape, used to feed generic metric sinks. Spark 3.4+
+  // native `unpivot` (an Expand node: no shuffle, no join).
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame = {
+    def m(c: String) =
+      round(sum(col(c).cast("decimal(18,4)")), 2).cast("double")
+    load(s, dir, "lineitem")
+      .agg(m("l_quantity").as("sum_qty"),
+        m("l_extendedprice").as("sum_price"),
+        m("l_discount").as("sum_disc"))
+      .unpivot(Array.empty[Column],
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy(col("metric"))
+  }
+
+  private val aggUnpivotOracle =
+    """WITH agg AS (
+      |  SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+      |         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+      |         CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc
+      |  FROM lineitem)
+      |SELECT 'sum_qty' AS metric, sum_qty AS value FROM agg
+      |UNION ALL SELECT 'sum_price' AS metric, sum_price AS value FROM agg
+      |UNION ALL SELECT 'sum_disc' AS metric, sum_disc AS value FROM agg
+      |ORDER BY metric""".stripMargin
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "window_session" -> (windowSession _),
+    "scd2_intervals" -> (scd2Intervals _),
+    "join_bloom_prefilter" -> (joinBloomPrefilter _),
+    "sample_split_hash" -> (sampleSplitHash _),
+    "agg_pivot" -> (aggPivot _),
+    "agg_unpivot" -> (aggUnpivot _))
+
+  val oracles: Map[String, String] = Map(
+    "window_session" -> windowSessionOracle,
+    "scd2_intervals" -> scd2IntervalsOracle,
+    "join_bloom_prefilter" -> joinBloomPrefilterOracle,
+    "sample_split_hash" -> sampleSplitHashOracle,
+    "agg_pivot" -> aggPivotOracle,
+    "agg_unpivot" -> aggUnpivotOracle)
+}
