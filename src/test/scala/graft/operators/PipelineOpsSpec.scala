@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic + plan-shape checks for the r4 pipeline operators. The DuckDB
+  * oracle already hash-checks every key end to end; these tests pin the
+  * INVARIANTS that make the operators correct-by-construction (session
+  * boundaries, interval chaining, bloom algebra, split determinism) and the
+  * plan shapes that make them scale (single data shuffle for the window
+  * family).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val gapUs = 12L * 3600 * 1000000
+
+  test("window_session: sessions partition the event stream exactly") {
+    val sessions = PipelineOps.windowSession(spark, sfDir).cache()
+    val nEvents = graft.model.Tables.load(spark, sfDir, "events").count()
+    // every event lands in exactly one session
+    assert(sessions.agg(sum("n_events")).head.getLong(0) == nEvents)
+    // sessions are well-formed intervals
+    assert(sessions.filter(col("session_start") > col("session_end")).isEmpty)
+    // consecutive sessions of one user are separated by MORE than the gap
+    // (otherwise they would have been one session)
+    val gaps = sessions
+      .withColumn("next_start", lead(unix_micros(col("session_start")), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("session_seq")))
+      .filter(col("next_start").isNotNull &&
+        col("next_start") - unix_micros(col("session_end")) <= gapUs)
+    assert(gaps.isEmpty, "adjacent sessions closer than the gap")
+    sessions.unpersist()
+  }
+
+  test("scd2_intervals: intervals chain, one current row per user") {
+    val iv = PipelineOps.scd2Intervals(spark, sfDir).cache()
+    // exactly one open-ended (current) interval per user
+    val users = iv.select("user_id").distinct().count()
+    assert(iv.filter(col("is_current")).count() == users)
+    // consecutive intervals never repeat a state (the compression worked)
+    // and valid_to chains to the next interval's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from")
+    val chained = iv
+      .withColumn("next_state", lead(col("state"), 1).over(w))
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+    assert(chained.filter(col("next_state").isNotNull &&
+      col("state") === col("next_state")).isEmpty, "uncompressed repeat state")
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("valid_to") =!= col("next_from")).isEmpty, "valid_to gap in chain")
+    iv.unpersist()
+  }
+
+  test("window family shuffles once on user_id (plus the output sort)") {
+    Seq(PipelineOps.windowSession(spark, sfDir),
+      PipelineOps.scd2Intervals(spark, sfDir)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      // 1 data shuffle shared by both windows AND the session aggregate
+      // (hash(user_id) clusters every downstream key), + 1 range exchange
+      // for the presentation ORDER BY — anything more means a window or
+      // aggregate re-shuffled and the single-pass topology is broken
+      assert(plan.split("Exchange").length - 1 <= 2, plan)
+    }
+  }
+
+  test("join_bloom_prefilter equals the plain join (bloom is sound)") {
+    import graft.model.Tables.load
+    val plain = load(spark, sfDir, "orders")
+      .join(load(spark, sfDir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_price"))
+    val pruned = PipelineOps.joinBloomPrefilter(spark, sfDir)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("sample_split_hash is deterministic and partition-invariant") {
+    val a = PipelineOps.sampleSplitHash(spark, sfDir)
+    // re-derive under a different physical layout — a rand()-style split
+    // would diverge here; the hash split must not
+    val b = graft.model.Tables.load(spark, sfDir, "documents").repartition(7)
+      .select(col("doc_id"),
+        when(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") < 230, "train").otherwise("holdout").as("split"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // split sizes are in the designed neighborhood (230/256 ≈ 89.8%)
+    val frac = a.filter(col("split") === "train").count().toDouble /
+      a.count().toDouble
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
+  }
+
+  test("pivot/unpivot reshape reconciles with the straight aggregates") {
+    import graft.model.Tables.load
+    val pivoted = PipelineOps.aggPivot(spark, sfDir)
+    assert(pivoted.columns.toSeq == Seq("o_orderpriority", "F", "O", "P"))
+    // row-wise sum of the pivot cells == unpivoted group totals
+    val cellTotal = pivoted
+      .select((coalesce(col("F"), lit(0.0)) + coalesce(col("O"), lit(0.0)) +
+        coalesce(col("P"), lit(0.0))).as("t"))
+      .agg(round(sum(col("t").cast("decimal(18,4)")), 2)).head.getDecimal(0)
+    val straight = load(spark, sfDir, "orders")
+      .agg(round(sum(round(col("o_totalprice").cast("decimal(18,4)"), 2)), 2))
+      .head.getDecimal(0)
+    // cells are per-(priority,status) rounded sums; compare at cell grain:
+    // recompute the same rounded-cell total directly
+    val cells = load(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 2).as("c"))
+      .agg(round(sum(col("c")), 2)).head.getDecimal(0)
+    assert(cellTotal.compareTo(cells) == 0, s"$cellTotal vs $cells ($straight)")
+    assert(PipelineOps.aggUnpivot(spark, sfDir).count() == 3)
+  }
+}
