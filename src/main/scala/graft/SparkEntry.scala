@@ -8,7 +8,7 @@ import graft.llm.{Curation, Dedup, MinHashAgg, Multimodal, Similarity, TextAnaly
 import graft.operators.{Analytics, PipelineOps}
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
-import graft.streaming.StreamQueries
+import graft.streaming.{SessionStream, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,7 @@ object SparkEntry {
       SourceQueries.queries ++ SinkQueries.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       StreamQueries.queries ++ MinHashAgg.queries ++ Curation.queries ++
-      PipelineOps.queries
+      PipelineOps.queries ++ SessionStream.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -38,5 +38,5 @@ object SparkEntry {
       SourceQueries.oracles ++ SinkQueries.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       StreamQueries.oracles ++ MinHashAgg.oracles ++ Curation.oracles ++
-      PipelineOps.oracles
+      PipelineOps.oracles ++ SessionStream.oracles
 }

@@ -30,7 +30,7 @@ object StreamQueries {
     * (handles a dead JVM whose pid we reused; ids restart per JVM). Runs
     * within one JVM use distinct `runId` subdirs, so nothing is deleted
     * while a same-JVM stream is live either. */
-  private def initRoot(kind: String): String = {
+  private[streaming] def initRoot(kind: String): String = {
     val parent = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_stream")
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     Option(parent.listFiles()).getOrElse(Array.empty)
