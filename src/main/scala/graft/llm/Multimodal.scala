@@ -121,9 +121,57 @@ object Multimodal {
       |            ELSE 1 END AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- mm_resize_sample: the TYPED pipeline end to end ----------------------
+  // Unlike mm_decode_meta (the declarative twin), this key runs the real
+  // Dataset plumbing — mapPartitions decode, map-based resize(512) and
+  // frameSample(4) — and the oracle replays the whole chain relationally:
+  // truncating resize (floor of w * (512/maxside), identical IEEE-double
+  // order of operations in both engines) and ceil-division frame
+  // sampling. A hash match here proves the typed path computes exactly
+  // what the declarative spec says, so swapping FakeCodec for a real
+  // codec is the only step left to production.
+  def mmResizeSample(s: SparkSession, dir: String): DataFrame =
+    frameSample(resize(decodeAll(s, dir), 512), 4)
+      .toDF()
+      .select(col("doc_id"), col("modality"), col("n_bytes"),
+        col("header_hex"), col("width"), col("height"), col("channels"),
+        col("sample_rate"), col("n_frames"))
+      .orderBy(col("doc_id"))
+
+  private val mmResizeSampleOracle =
+    """WITH dec AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |         octet_length(encode(text)) AS n_bytes,
+      |         substring(hex(encode(text)), 1, 8) AS header_hex,
+      |         CASE WHEN doc_id % 3 = 1 THEN 0
+      |              ELSE CAST(64 + octet_length(encode(text)) % 577 AS INT) END AS width,
+      |         CASE WHEN doc_id % 3 = 1 THEN 0
+      |              ELSE CAST(64 + (octet_length(encode(text)) * 31 + 7) % 417 AS INT) END AS height,
+      |         CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels,
+      |         CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (octet_length(encode(text)) % 3) * 4000 AS INT) ELSE 0 END AS sample_rate,
+      |         CASE WHEN doc_id % 3 = 2 THEN CAST(1 + octet_length(encode(text)) % 240 AS INT)
+      |              ELSE 1 END AS n_frames
+      |  FROM documents),
+      |resized AS (
+      |  SELECT doc_id, modality, n_bytes, header_hex,
+      |         CASE WHEN width <= 512 AND height <= 512 THEN width
+      |              ELSE GREATEST(1, CAST(FLOOR(width * (512.0 / GREATEST(width, height))) AS INT)) END AS width,
+      |         CASE WHEN width <= 512 AND height <= 512 THEN height
+      |              ELSE GREATEST(1, CAST(FLOOR(height * (512.0 / GREATEST(width, height))) AS INT)) END AS height,
+      |         channels, sample_rate,
+      |         CASE WHEN modality = 'video' THEN CAST((n_frames + 3) // 4 AS INT) ELSE n_frames END AS n_frames
+      |  FROM dec)
+      |SELECT doc_id, modality, n_bytes, header_hex, width, height,
+      |       channels, sample_rate, n_frames
+      |FROM resized ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
-    "mm_decode_meta" -> (mmDecodeMeta _))
+    "mm_decode_meta" -> (mmDecodeMeta _),
+    "mm_resize_sample" -> (mmResizeSample _))
 
   val oracles: Map[String, String] = Map(
-    "mm_decode_meta" -> mmDecodeMetaOracle)
+    "mm_decode_meta" -> mmDecodeMetaOracle,
+    "mm_resize_sample" -> mmResizeSampleOracle)
 }
