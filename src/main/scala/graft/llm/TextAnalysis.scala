@@ -196,17 +196,63 @@ object TextAnalysis {
       |SELECT doc_id, rank, term, tf, score FROM ranked
       |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  // ---- text_ngram_freq ------------------------------------------------------
+  // Corpus-level top-k n-gram frequencies (r4) — the contamination /
+  // boilerplate / memorization check every LM-data pipeline runs: which
+  // bigrams dominate the corpus, with doc-frequency alongside so "frequent
+  // because common" separates from "frequent because one doc repeats it".
+  // Shape: per-row bigram projection → one hash agg on the bigram (count +
+  // approx-free exact distinct via a second agg level) → global top-k.
+  // Ties are broken lexicographically so the top-k cut is deterministic in
+  // both engines. At 100 TB the bigram agg is the same map-side-combining
+  // hash agg as a word count; the top-k is TakeOrderedAndProject, not a
+  // full sort.
+  def textNgramFreq(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), expr(s"$toksE").as("toks"))
+      // guard BEFORE the sequence: Spark's sequence(0, -1) DESCENDS (it is
+      // not empty like DuckDB's generate_series), so a 0/1-token doc would
+      // feed slice() a 0 start and throw
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))"))
+        .as("bigram"))
+      .filter(length(col("bigram")) > 0 && col("bigram").contains(" "))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(50)
+
+  private val textNgramFreqOracle =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(0, len(toks)-2),
+      |           i -> array_to_string(list_slice(toks, i+1, i+2), ' '))) AS bigram
+      |  FROM toks),
+      |counted AS (
+      |  SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+      |  FROM grams WHERE len(bigram) > 0 AND contains(bigram, ' ')
+      |  GROUP BY bigram)
+      |SELECT bigram, n_occurrences, n_docs FROM counted
+      |ORDER BY n_occurrences DESC, bigram LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "text_token_count" -> (textTokenCount _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_tfidf" -> (textTfidf _))
+    "text_tfidf" -> (textTfidf _),
+    "text_ngram_freq" -> (textNgramFreq _))
 
   val oracles: Map[String, String] = Map(
     "text_token_count" -> textTokenCountOracle,
     "text_quality" -> textQualityOracle,
     "text_langid" -> textLangidOracle,
     "text_fingerprint" -> textFingerprintOracle,
-    "text_tfidf" -> textTfidfOracle)
+    "text_tfidf" -> textTfidfOracle,
+    "text_ngram_freq" -> textNgramFreqOracle)
 }
