@@ -80,10 +80,19 @@ object SessionStream {
     if (open.isEmpty) state.remove()
     else {
       state.update(open)
-      // seal check runs when the watermark passes the oldest possible
-      // seal point; Spark requires the timeout to be beyond the watermark,
-      // which `open`'s partition guarantees (endUs + gap > wmUs)
-      state.setTimeoutTimestamp((open.map(_.endUs).min + GapUs) / 1000 + 1)
+      // Timeout arithmetic must match the seal rule EXACTLY: Spark fires an
+      // event-time timeout on t < watermark (strict, ms grain), and a
+      // session is sealable when sealUs <= wmMs*1000. t = ceil(sealUs/1000)-1
+      // = (sealUs-1)/1000 makes "fires" ⟺ "sealable" — the naive
+      // floor(sealUs/1000)+1 misses a session whose seal instant lands
+      // exactly on the watermark millisecond, leaving it unemitted forever
+      // if no later batch touches the group. Spark additionally requires
+      // t > current watermark at set time; the max() covers the 1 ms
+      // boundary where the oldest session seals within the next
+      // millisecond (it then fires at the next watermark advance, which
+      // the seal rule provably allows).
+      val sealUs = open.map(_.endUs).min + GapUs
+      state.setTimeoutTimestamp(math.max((sealUs - 1) / 1000, wmUs / 1000 + 1))
     }
     finished.sortBy(_.startUs).map(close(_, user)).iterator
   }
@@ -136,12 +145,18 @@ object SessionStream {
       .option("maxFilesPerTrigger", "1").parquet(src)
       .as[SessionEvent]
     val table = s"stream_session_state_$id"
-    val q = sessionize(s, streamed)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$base/ckpt")
-      .format("memory").queryName(table)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // 8 state partitions (not the session's 32): the per-user session state
+    // is KBs here and the store count is frozen into the checkpoint —
+    // see StreamQueries.withFewStatePartitions. start() clones the session,
+    // so the narrowed conf is captured synchronously and restored after.
+    val q = StreamQueries.withFewStatePartitions(s) {
+      sessionize(s, streamed)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table(table).orderBy(col("user_id"), col("session_start"))
   }

@@ -54,7 +54,7 @@ object StreamQueries {
     * restart inherits it from the checkpoint. The session conf is restored
     * immediately after start — the frozen-in value is read at query start
     * only, and later micro-batches of the SAME query keep using it. */
-  private def withFewStatePartitions[A](s: SparkSession)(start: => A): A = {
+  private[streaming] def withFewStatePartitions[A](s: SparkSession)(start: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
