@@ -167,11 +167,76 @@ object Multimodal {
       |       channels, sample_rate, n_frames
       |FROM resized ORDER BY doc_id""".stripMargin
 
+  // ---- mm_feature_extract: per-media feature vectors ------------------------
+  // The feature-extraction stage of a multimodal pipeline (the step between
+  // decode and embedding): a per-partition featurizer walks the payload
+  // bytes ONCE and emits exact integer aggregates; the ratio features are
+  // then derived declaratively in the repo's decimal-rounding convention,
+  // so the formula is shared with the oracle and the only engine-specific
+  // code is the byte loop. A real pipeline swaps the nibble statistics for
+  // codec-specific features (spectrograms, pixel stats) behind the same
+  // seam — integer accumulators out of the loop, declarative math after.
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, sum_nibbles: Long, n_high_nibbles: Long)
+
+  def featurizeAll(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // one featurizer init per partition; payload walked exactly once
+        rows.map { case (id, payload) =>
+          var sum = 0L
+          var high = 0L
+          var i = 0
+          while (i < payload.length) {
+            val b = payload(i) & 0xff
+            val hi = b >>> 4
+            val lo = b & 0xf
+            sum += hi + lo
+            if (hi >= 8) high += 1
+            if (lo >= 8) high += 1
+            i += 1
+          }
+          MediaFeatures(id, payload.length.toLong, sum, high)
+        }
+      }
+  }
+
+  def mmFeatureExtract(s: SparkSession, dir: String): DataFrame =
+    featurizeAll(s, dir)
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("sum_nibbles"),
+        col("n_high_nibbles"),
+        expr("""cast(round(cast(cast(sum_nibbles as double) / (2 * n_bytes)
+                |  as decimal(28,8)), 4) as double)""".stripMargin)
+          .as("mean_nibble"),
+        expr("""cast(round(cast(cast(n_high_nibbles as double) / (2 * n_bytes)
+                |  as decimal(28,8)), 4) as double)""".stripMargin)
+          .as("frac_high"))
+      .orderBy(col("doc_id"))
+
+  private val mmFeatureExtractOracle =
+    """WITH f AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |         list_sum(list_transform(generate_series(1, len(hex(encode(text)))),
+      |           i -> instr('0123456789ABCDEF', substring(hex(encode(text)), i, 1)) - 1)) AS sum_nibbles,
+      |         len(regexp_replace(hex(encode(text)), '[^89ABCDEF]', '', 'g')) AS n_high_nibbles
+      |  FROM documents)
+      |SELECT doc_id, n_bytes,
+      |       CAST(sum_nibbles AS BIGINT) AS sum_nibbles,
+      |       CAST(n_high_nibbles AS BIGINT) AS n_high_nibbles,
+      |       CAST(ROUND(CAST(CAST(sum_nibbles AS DOUBLE) / (2 * n_bytes) AS DECIMAL(28,8)), 4) AS DOUBLE) AS mean_nibble,
+      |       CAST(ROUND(CAST(CAST(n_high_nibbles AS DOUBLE) / (2 * n_bytes) AS DECIMAL(28,8)), 4) AS DOUBLE) AS frac_high
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "mm_decode_meta" -> (mmDecodeMeta _),
-    "mm_resize_sample" -> (mmResizeSample _))
+    "mm_resize_sample" -> (mmResizeSample _),
+    "mm_feature_extract" -> (mmFeatureExtract _))
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" -> mmDecodeMetaOracle,
-    "mm_resize_sample" -> mmResizeSampleOracle)
+    "mm_resize_sample" -> mmResizeSampleOracle,
+    "mm_feature_extract" -> mmFeatureExtractOracle)
 }
