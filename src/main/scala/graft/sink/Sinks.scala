@@ -65,8 +65,16 @@ object Sinks {
   /** Recursive delete for test/verify target dirs. */
   def deleteDir(dir: String): Unit = {
     val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      // deleteIfExists + the NoSuchFile catch make concurrent deleters
+      // safe: two JVMs may age-prune the same stale streaming root
+      // (StreamQueries.initRoot), and the walk stream must be closed
+      val walk = Files.walk(p)
+      try
+        walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      catch { case _: java.nio.file.NoSuchFileException => () }
+      finally walk.close()
+    }
   }
 }
