@@ -51,7 +51,7 @@ object SessionStream {
   private def quantize(v: Double): Long = math.round(v * 10000)
 
   /** Merge intervals closer than the gap; input in any order. */
-  private def merge(sessions: List[OpenSession]): List[OpenSession] =
+  private[streaming] def merge(sessions: List[OpenSession]): List[OpenSession] =
     sessions.sortBy(s => (s.startUs, s.endUs)).foldLeft(List.empty[OpenSession]) {
       case (acc @ (prev :: rest), s) if s.startUs - prev.endUs <= GapUs =>
         OpenSession(prev.startUs, math.max(prev.endUs, s.endUs),

@@ -65,6 +65,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom prefilter actually prunes fact rows (not vacuously pass-all)") {
+    import graft.model.Tables.load
+    // the equality test below would also pass for a mightContain that
+    // returns true for everything — prove the sketch rejects most
+    // non-matching custkeys at the configured fpp
+    val cust = load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bloom = cust.stat.bloomFilter("c_custkey",
+      math.max(cust.count(), 1L), 0.01)
+    val b = spark.sparkContext.broadcast(bloom)
+    val mc = udf((k: Long) => b.value.mightContain(k))
+    val orders = load(spark, sfDir, "orders")
+    val total = orders.count()
+    val passed = orders.filter(mc(col("o_custkey"))).count()
+    val trueMatches = orders.join(cust,
+      col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(passed >= trueMatches, "bloom dropped a true match")
+    // ~20% of customers are BUILDING; fpp=1% ⇒ passed ≈ matches + 1% of rest
+    assert(passed < total * 0.5,
+      s"bloom passed $passed of $total — not actually pruning")
+  }
+
   test("join_bloom_prefilter equals the plain join (bloom is sound)") {
     import graft.model.Tables.load
     val plain = load(spark, sfDir, "orders")
