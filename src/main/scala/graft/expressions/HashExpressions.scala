@@ -258,6 +258,28 @@ case class DotQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen bloom-filter membership test: wraps Spark's own internal
+  * `BloomFilterMightContain` (the expression AQE's runtime row-level
+  * filtering injects) around a driver-built sketch, so the fact-scan
+  * prefilter runs INSIDE whole-stage codegen instead of as a Scala UDF
+  * that breaks the stage. The sketch travels as a binary literal — the
+  * expression deserializes it once per task, not per row.
+  */
+object BloomSupport {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def mightContain(filter: org.apache.spark.util.sketch.BloomFilter,
+      value: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      ColumnBridge.expression(value.cast("long"))))
+  }
+}
+
 /** Session registration (the SparkSessionExtensions-style hook, applied via
   * the function registry so any query text can call the functions). */
 object GraftFunctions {

@@ -122,20 +122,18 @@ object PipelineOps {
   // what the oracle states — the pruning provably preserves the answer).
   // This hand-rolls what Spark's runtime row-level filtering does under
   // AQE for shuffle joins; expressing it explicitly makes the knob (fpp,
-  // expected keys) visible and testable. The mightContain UDF sits outside
-  // codegen — acceptable because it replaces a full shuffle of the
-  // non-matching 80% of the fact table, the same trade the built-in
-  // BloomFilterMightContain makes.
+  // expected keys) visible and testable. The membership test is Spark's
+  // own codegen `BloomFilterMightContain` expression (the one AQE's
+  // runtime filters inject), so the prefilter stays inside the fact
+  // scan's whole-stage-codegen span — PipelineOpsSpec asserts the plan.
   def joinBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     val cust = load(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
     val bloom = cust.stat.bloomFilter("c_custkey",
       math.max(cust.count(), 1L), 0.01)
-    val bBloom = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bBloom.value.mightContain(k))
     load(s, dir, "orders")
-      .filter(mightContain(col("o_custkey")))
+      .filter(graft.expressions.BloomSupport.mightContain(bloom, col("o_custkey")))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),

@@ -74,17 +74,28 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
     val bloom = cust.stat.bloomFilter("c_custkey",
       math.max(cust.count(), 1L), 0.01)
-    val b = spark.sparkContext.broadcast(bloom)
-    val mc = udf((k: Long) => b.value.mightContain(k))
+    val mc = graft.expressions.BloomSupport.mightContain(bloom, col("o_custkey"))
     val orders = load(spark, sfDir, "orders")
     val total = orders.count()
-    val passed = orders.filter(mc(col("o_custkey"))).count()
+    val passed = orders.filter(mc).count()
     val trueMatches = orders.join(cust,
       col("o_custkey") === col("c_custkey"), "left_semi").count()
     assert(passed >= trueMatches, "bloom dropped a true match")
     // ~20% of customers are BUILDING; fpp=1% ⇒ passed ≈ matches + 1% of rest
     assert(passed < total * 0.5,
       s"bloom passed $passed of $total — not actually pruning")
+  }
+
+  test("bloom prefilter runs inside whole-stage codegen (no UDF stage break)") {
+    val df = PipelineOps.joinBloomPrefilter(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // the membership test must be the native might_contain expression...
+    assert(plan.contains("might_contain"), plan)
+    // ...sitting in a codegen'd Filter (the `*(n)` prefix marks codegen),
+    // not a BatchEvalPython/ScalaUDF stage break ahead of the fact scan
+    assert("""\*\(\d+\) Filter .*might_contain""".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("UDF("), plan)
   }
 
   test("join_bloom_prefilter equals the plain join (bloom is sound)") {
