@@ -8,12 +8,19 @@ import graft.model.Tables.load
 /** Multimodal columns: media as opaque `binary` payloads + a typed metadata
   * struct, with decode / feature-extract / resize / frame-sample plumbing.
   *
-  * The Spark-side machinery is real — schema, per-partition batched decode,
-  * deterministic partitioning — while the codec itself is a STUB: this
-  * container has no image/audio libraries, so `FakeCodec` derives metadata
-  * deterministically from the payload bytes (documented below). Swapping in
-  * a real codec changes ONE function; every schema, batch shape and plan
-  * stays identical.
+  * Two codecs sit behind the decode seam:
+  *  - `ImageIoCodec` — a REAL image decoder/encoder on JDK `javax.imageio`
+  *    (PNG/GIF/BMP/JPEG, zero new dependencies): magic-byte sniff, true
+  *    pixel-dimension decode, Graphics2D resize + PNG re-encode. The
+  *    `mm_decode_real` key drives genuine PNG bytes through the full
+  *    encode → decode → resize → re-encode → re-decode chain and the
+  *    DuckDB oracle independently predicts every decoded dimension.
+  *  - `FakeCodec` — the disclosed deterministic stand-in for the audio /
+  *    video modalities ImageIO cannot parse (this container has no media
+  *    libraries beyond the JDK): geometry derives from payload length so
+  *    both engines agree byte-for-byte.
+  * `ImageIoCodec.decode` sniffs first and falls back to `FakeCodec` for
+  * non-image payloads, so one seam serves both.
   *
   * Scale design: payloads live in their own column so parquet column pruning
   * skips the bytes when a query touches only metadata; decode runs in
@@ -49,6 +56,87 @@ object Multimodal {
     }
   }
 
+  /** Real image codec on JDK `javax.imageio` — no dependencies beyond the
+    * JDK. Handles the formats ImageIO ships readers for (PNG, GIF, BMP,
+    * JPEG); everything else falls back to the disclosed FakeCodec so the
+    * decode seam is total over arbitrary payloads. */
+  object ImageIoCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Container sniff on magic bytes — cheap, no decoder spin-up for
+      * payloads that can't be images. */
+    def sniff(payload: Array[Byte]): Option[String] = {
+      def at(i: Int): Int = payload(i) & 0xff
+      if (payload.length < 8) None
+      else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+        Some("png")
+      else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
+        Some("gif")
+      else if (at(0) == 'B' && at(1) == 'M') Some("bmp")
+      else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("jpeg")
+      else None
+    }
+
+    /** True pixel decode; None when the payload is not a parseable image. */
+    def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+      sniff(payload).flatMap { _ =>
+        Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      }
+
+    /** The total decode seam: real ImageIO metadata for image payloads,
+      * FakeCodec (disclosed) for the audio/video modalities the JDK can't
+      * parse. */
+    def decode(docId: Long, payload: Array[Byte], headerHex: String): MediaMeta =
+      decodeImage(payload) match {
+        case Some(img) => MediaMeta(
+          doc_id = docId, modality = "image", n_bytes = payload.length.toLong,
+          header_hex = headerHex, width = img.getWidth, height = img.getHeight,
+          channels = img.getRaster.getNumBands, sample_rate = 0, n_frames = 1)
+        case None => FakeCodec.decode(docId, payload, headerHex)
+      }
+
+    /** Deterministic PNG encode: a w×h RGB image with a fixed per-pixel
+      * gradient (so re-decodes exercise real pixel data, not a degenerate
+      * all-black frame). */
+    def encodePng(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((x * 37 + y * 101) & 0xffffff))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real byte-level resize: decode, scale the long side down to
+      * `maxSide` with the SAME truncation arithmetic as the metadata-level
+      * `resize` (scale = maxSide/max(w,h); floor; clamp ≥ 1), render via
+      * Graphics2D, re-encode PNG. No-op (returns input) when already
+      * within bounds. */
+    def resizeBytes(payload: Array[Byte], maxSide: Int): Array[Byte] =
+      decodeImage(payload) match {
+        case Some(img) if img.getWidth > maxSide || img.getHeight > maxSide =>
+          val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
+          val tw = math.max(1, (img.getWidth * scale).toInt)
+          val th = math.max(1, (img.getHeight * scale).toInt)
+          val out = new BufferedImage(tw, th, BufferedImage.TYPE_3BYTE_BGR)
+          val g = out.createGraphics()
+          try g.drawImage(img, 0, 0, tw, th, null) finally g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        case _ => payload
+      }
+  }
+
   /** documents.text reinterpreted as a binary payload column — the testdata
     * stand-in for real media bytes. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
@@ -62,8 +150,11 @@ object Multimodal {
       .withColumn("header_hex", expr("substring(hex(payload), 1, 8)"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
-        // real pipeline: initialize the codec ONCE here, then stream batches
-        rows.map { case (id, payload, hh) => FakeCodec.decode(id, payload, hh) }
+        // one codec init per partition; ImageIoCodec sniffs and decodes
+        // real image payloads, falling back to FakeCodec for the rest
+        // (documents.text payloads are not images, so the existing oracle
+        // contract is unchanged — mm_decode_real drives the real path)
+        rows.map { case (id, payload, hh) => ImageIoCodec.decode(id, payload, hh) }
       }
   }
 
@@ -167,6 +258,53 @@ object Multimodal {
       |       channels, sample_rate, n_frames
       |FROM resized ORDER BY doc_id""".stripMargin
 
+  // ---- mm_decode_real: REAL codec round-trip, oracle-predicted --------------
+  // The key that proves the decoder is real: per doc_id, synthesize genuine
+  // PNG bytes at a deterministic size (16+id%113 × 16+(7id+3)%97), decode
+  // them with ImageIO (true pixel dimensions, raster band count), resize
+  // the BYTES to maxSide=64 via Graphics2D + PNG re-encode, and decode
+  // AGAIN. Every emitted number comes out of a real image decoder, twice —
+  // yet the oracle predicts all of them arithmetically, because the encode
+  // geometry and the truncating resize rule are pure functions of doc_id.
+  // A fake decoder (or a resize that didn't really rewrite pixels) could
+  // not hash-match: the second decode reads dimensions from re-encoded
+  // PNG bytes the oracle never sees.
+  def mmDecodeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    load(s, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        // codec (ImageIO plugin registry) warmed once per partition
+        ids.map { id =>
+          val w = (16 + id % 113).toInt
+          val h = (16 + (id * 7 + 3) % 97).toInt
+          val png = ImageIoCodec.encodePng(w, h)
+          val dec = ImageIoCodec.decode(id, png, "89504E47")
+          val resized = ImageIoCodec.resizeBytes(png, 64)
+          val dec2 = ImageIoCodec.decode(id, resized, "89504E47")
+          (id, dec.modality, dec.width, dec.height, dec.channels,
+            dec2.width, dec2.height)
+        }
+      }
+      .toDF("doc_id", "modality", "width", "height", "channels",
+        "resized_w", "resized_h")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodeRealOracle =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         CAST(16 + doc_id % 113 AS INT) AS width,
+      |         CAST(16 + (doc_id * 7 + 3) % 97 AS INT) AS height
+      |  FROM documents)
+      |SELECT doc_id, 'image' AS modality, width, height, CAST(3 AS INT) AS channels,
+      |       CASE WHEN width <= 64 AND height <= 64 THEN width
+      |            ELSE GREATEST(1, CAST(FLOOR(width * (64.0 / GREATEST(width, height))) AS INT)) END AS resized_w,
+      |       CASE WHEN width <= 64 AND height <= 64 THEN height
+      |            ELSE GREATEST(1, CAST(FLOOR(height * (64.0 / GREATEST(width, height))) AS INT)) END AS resized_h
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // ---- mm_feature_extract: per-media feature vectors ------------------------
   // The feature-extraction stage of a multimodal pipeline (the step between
   // decode and embedding): a per-partition featurizer walks the payload
@@ -232,11 +370,13 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map[String, Q](
     "mm_decode_meta" -> (mmDecodeMeta _),
+    "mm_decode_real" -> (mmDecodeReal _),
     "mm_resize_sample" -> (mmResizeSample _),
     "mm_feature_extract" -> (mmFeatureExtract _))
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" -> mmDecodeMetaOracle,
+    "mm_decode_real" -> mmDecodeRealOracle,
     "mm_resize_sample" -> mmResizeSampleOracle,
     "mm_feature_extract" -> mmFeatureExtractOracle)
 }
