@@ -454,6 +454,60 @@ object Analytics {
       |WHERE CAST(l_shipdate AS DATE) >= (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem) - 30
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---- partitioned-layout variants of the date filters ----------------------
+  // The flat keys prove predicate pushdown (PushedFilters); these prove the
+  // STORAGE side of the same story: lineitem laid out partitionBy(month of
+  // l_shipdate) — the reference's day-partitioned historical tables at
+  // warehouse scale (`monday_etl_automated.py:164-168`) — and the filter
+  // carries the partition-column predicate, so the scan's file index prunes
+  // to the one (or two) month directories BEFORE reading any data. The
+  // oracle states the identical answer from the FLAT table: layout must
+  // never change results, only the files touched. The layout is written
+  // once per (JVM, sf) under a pid-scoped root — the same no-cross-JVM-
+  // clobber rule as StreamQueries.initRoot.
+  private val partLock = new Object
+  private[graft] def lineitemByMonth(s: SparkSession, dir: String): String =
+    partLock.synchronized {
+      val sf = new java.io.File(dir).getName
+      val path = s"${sys.props("java.io.tmpdir")}/graft_part_" +
+        s"${ProcessHandle.current().pid()}/$sf/lineitem_by_month"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate").cast("date").as("ship_date"))
+          .withColumn("ship_month", date_format(col("ship_date"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+      }
+      path
+    }
+
+  /** One scalar action anchors the literal date (same pattern as the
+    * snapshot compares); the partitioned read then has static literal
+    * filters on both the partition column and the data column. */
+  private def maxShipDate(s: SparkSession, dir: String): java.sql.Date =
+    lineitem(s, dir).agg(max(col("l_shipdate").cast("date"))).head.getDate(0)
+
+  def filterDateEqPart(s: SparkSession, dir: String): DataFrame = {
+    val path = lineitemByMonth(s, dir)
+    val d = maxShipDate(s, dir)
+    s.read.parquet(path)
+      .filter(col("ship_month") === d.toString.substring(0, 7) &&
+        col("ship_date") === lit(d))
+      .select(col("l_orderkey"), col("l_linenumber"), col("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  def filterDateRangePart(s: SparkSession, dir: String): DataFrame = {
+    val path = lineitemByMonth(s, dir)
+    val d = maxShipDate(s, dir)
+    val lo = java.sql.Date.valueOf(d.toLocalDate.minusDays(30))
+    val months = Seq(lo.toString.substring(0, 7), d.toString.substring(0, 7)).distinct
+    s.read.parquet(path)
+      .filter(col("ship_month").isin(months: _*) && col("ship_date") >= lit(lo))
+      .select(col("l_orderkey"), col("l_linenumber"), col("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Dimension whitelist (ref `advanced_monitoring.py:97`). */
   def filterInList(s: SparkSession, dir: String): DataFrame =
     customer(s, dir)
@@ -966,6 +1020,8 @@ object Analytics {
     "filter_nonempty" -> (filterNonempty _),
     "filter_revenue_positive" -> (filterRevenuePositive _),
     "filter_date_range" -> (filterDateRange _),
+    "filter_date_eq_part" -> (filterDateEqPart _),
+    "filter_date_range_part" -> (filterDateRangePart _),
     "filter_in_list" -> (filterInList _),
     "filter_notna" -> (filterNotna _),
     "agg_count_star" -> (aggCountStar _),
@@ -1000,6 +1056,8 @@ object Analytics {
     "filter_nonempty" -> filterNonemptyOracle,
     "filter_revenue_positive" -> filterRevenuePositiveOracle,
     "filter_date_range" -> filterDateRangeOracle,
+    "filter_date_eq_part" -> filterDateEqSql,
+    "filter_date_range_part" -> filterDateRangeOracle,
     "filter_in_list" -> filterInListOracle,
     "filter_notna" -> filterNotnaOracle,
     "agg_count_star" -> aggCountStarOracle,

@@ -78,4 +78,53 @@ class SinksSpec extends SparkSpec {
       .select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(scanned.nonEmpty && scanned.forall(_.contains("extraction_date=2025-06-24")))
   }
+
+  test("filter_date_eq_part prunes the month-partitioned layout to one directory") {
+    import graft.operators.Analytics
+    val df = Analytics.filterDateEqPart(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ship_month"), plan)
+    // exactly ONE month directory is touched by the pruned scan
+    // (input_file_name() must be read pre-shuffle — re-apply the key's
+    // filters on the same layout without the presentation sort)
+    val maxD = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(max(col("l_shipdate").cast("date"))).head.getDate(0)
+    val dirs = spark.read.parquet(Analytics.lineitemByMonth(spark, sfDir))
+      .filter(col("ship_month") === maxD.toString.substring(0, 7) &&
+        col("ship_date") === lit(maxD))
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0).replaceAll("/[^/]*$", ""))
+      .distinct
+    assert(dirs.length == 1 && dirs.head.contains("ship_month="), dirs.mkString(","))
+    // and the layout never changes the answer
+    graft.model.Tables.registerAll(spark, sfDir)
+    val flat = spark.sql(
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) = (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem)""".stripMargin)
+    assert(df.exceptAll(flat).isEmpty && flat.exceptAll(df).isEmpty)
+  }
+
+  test("filter_date_range_part touches at most the two boundary months") {
+    import graft.operators.Analytics
+    val maxD = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(max(col("l_shipdate").cast("date"))).head.getDate(0)
+    val lo = java.sql.Date.valueOf(maxD.toLocalDate.minusDays(30))
+    val ms = Seq(lo.toString.substring(0, 7), maxD.toString.substring(0, 7)).distinct
+    val months = spark.read.parquet(Analytics.lineitemByMonth(spark, sfDir))
+      .filter(col("ship_month").isin(ms: _*) && col("ship_date") >= lit(lo))
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0).replaceAll(".*ship_month=", "").replaceAll("/.*", ""))
+      .distinct
+    assert(months.nonEmpty && months.length <= 2 &&
+      months.forall(m => m.matches("\\d{4}-\\d{2}")), months.mkString(","))
+    // the key itself returns the same rows as the flat-table range filter
+    graft.model.Tables.registerAll(spark, sfDir)
+    val flat = spark.sql(
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= date_sub((SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem), 30)""".stripMargin)
+    val df = Analytics.filterDateRangePart(spark, sfDir)
+    assert(df.exceptAll(flat).isEmpty && flat.exceptAll(df).isEmpty)
+  }
 }
