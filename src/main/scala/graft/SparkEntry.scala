@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
-import graft.llm.{Curation, Dedup, MinHashAgg, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, DedupStress, MinHashAgg, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{Analytics, PipelineOps}
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
@@ -27,6 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ ScalarQueries.queries ++ FlattenQueries.queries ++
       SourceQueries.queries ++ SinkQueries.queries ++ Dedup.queries ++
+      DedupStress.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       StreamQueries.queries ++ MinHashAgg.queries ++ Curation.queries ++
       PipelineOps.queries ++ SessionStream.queries
@@ -36,6 +37,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ ScalarQueries.oracles ++ FlattenQueries.oracles ++
       SourceQueries.oracles ++ SinkQueries.oracles ++ Dedup.oracles ++
+      DedupStress.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       StreamQueries.oracles ++ MinHashAgg.oracles ++ Curation.oracles ++
       PipelineOps.oracles ++ SessionStream.oracles

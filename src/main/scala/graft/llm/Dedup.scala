@@ -34,22 +34,29 @@ object Dedup {
     * interpreted nested-lambda form was 5.7s of every dedup key at sf0.1.
     * `graft_shingle3` returns [] below 3 tokens, so the size filter keeps
     * exactly the old `len(toks) >= 3` rows. */
-  private[llm] def shingled(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def shingledFrom(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
-    load(s, dir, "documents")
+    docs
       .select(col("doc_id"), expr("graft_shingle3(text)").as("shingles"))
       .filter(size(col("shingles")) > 0)
   }
 
-  private val shingledSql =
-    """docs AS (
-      |  SELECT doc_id,
-      |         list_distinct(list_transform(generate_series(0, len(toks)-3),
-      |           i -> array_to_string(list_slice(toks, i+1, i+3), ' '))) AS shingles
-      |  FROM (SELECT doc_id,
-      |               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
-      |        FROM documents) t
-      |  WHERE len(toks) >= 3)""".stripMargin
+  private[llm] def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledFrom(s, load(s, dir, "documents"))
+
+  /** The shingle CTE over an arbitrary source table — `table` is swapped to
+    * a derived (e.g. skew-stress) corpus CTE by DedupStress. */
+  private[llm] def shingledSqlFrom(table: String): String =
+    s"""docs AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(generate_series(0, len(toks)-3),
+       |           i -> array_to_string(list_slice(toks, i+1, i+3), ' '))) AS shingles
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+       |        FROM $table) t
+       |  WHERE len(toks) >= 3)""".stripMargin
+
+  private val shingledSql = shingledSqlFrom("documents")
 
   // ---- dedup_exact: hash-groupBy keep-first ---------------------------------
   // Shuffle key is md5(text), not the text itself: at 100 TB the exchange
@@ -69,7 +76,10 @@ object Dedup {
   // 16 md5-minhashes → 4 bands × 4 rows → join within band buckets →
   // exact-Jaccard verify of candidates only. Deterministic: candidates are a
   // pure function of the data, so the oracle replays the identical algorithm.
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashLshOver(s, load(s, dir, "documents"))
+
+  private[llm] def dedupMinhashLshOver(s: SparkSession, docsIn: DataFrame): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
     // shingle-set lifecycle (r2 verdict): no session-retained .cache() —
     // that entry outlived every action and at 100 TB pins the full shingle
@@ -87,7 +97,7 @@ object Dedup {
     // or reliable checkpoint survive). That is the right trade for a
     // re-runnable batch dedup pass; a pipeline that must survive executor
     // churn swaps this one call for persist-with-replication.
-    val docs = shingled(s, dir).localCheckpoint()
+    val docs = shingledFrom(s, docsIn).localCheckpoint()
     // native codegen twin of: transform(sequence(0,15), s ->
     //   array_min(transform(shingles, sh -> md5(concat(s, ':', sh)))))
     val sigs = docs.withColumn("sig", expr("graft_minhash16(shingles)"))
@@ -116,10 +126,11 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** The full LSH candidate+verify chain as CTEs — shared by the pair key
-    * and the connected-components clustering key. */
-  private val lshCtes =
-    s"""$shingledSql,
+  /** The full LSH candidate+verify chain as CTEs — shared by the pair key,
+    * the connected-components clustering key, and the skew-stress keys
+    * (which swap `table` for a derived corpus CTE). */
+  private[llm] def lshCtesFrom(table: String): String =
+    s"""${shingledSqlFrom(table)},
        |sigs AS (
        |  SELECT doc_id, shingles,
        |         list_transform(generate_series(0,15),
@@ -138,6 +149,8 @@ object Dedup {
        |  FROM cand
        |  JOIN docs sa ON sa.doc_id = id_a
        |  JOIN docs sb ON sb.doc_id = id_b)""".stripMargin
+
+  private val lshCtes = lshCtesFrom("documents")
 
   private val dedupMinhashLshOracle =
     s"""WITH $lshCtes
@@ -162,9 +175,12 @@ object Dedup {
   // behavior on tiny corpora. Worst-case candidates per retained shingle are
   // cap^2/2 pairs, so at extreme scale the cut composes with banding (LSH)
   // rather than replacing it — this operator is the exact-index path.
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccardOver(s, load(s, dir, "documents"))
+
+  private[llm] def dedupNgramJaccardOver(s: SparkSession, docsIn: DataFrame): DataFrame = {
     // same per-invocation localCheckpoint lifecycle as dedupMinhashLsh
-    val docs = shingled(s, dir).localCheckpoint()
+    val docs = shingledFrom(s, docsIn).localCheckpoint()
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // one-row corpus count, broadcast into the df filter — no driver collect
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -193,8 +209,10 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private val dedupNgramJaccardOracle =
-    s"""WITH $shingledSql,
+  /** The full inverted-index Jaccard oracle over an arbitrary docs-CTE
+    * chain (DedupStress prepends a derived-corpus CTE). */
+  private[llm] def ngramJaccardOracleFrom(docsCtes: String): String =
+    s"""WITH $docsCtes,
        |inv0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
        |rare AS (SELECT sh FROM inv0 GROUP BY sh
        |         HAVING COUNT(*) <= GREATEST(20, (SELECT COUNT(*) FROM docs) // 25)),
@@ -211,6 +229,8 @@ object Dedup {
        |JOIN sizes nb ON nb.doc_id = id_b
        |WHERE common * 5 >= (na.n + nb.n - common) * 3
        |ORDER BY id_a, id_b""".stripMargin
+
+  private val dedupNgramJaccardOracle = ngramJaccardOracleFrom(shingledSql)
 
   // ---- dedup_simhash --------------------------------------------------------
   // 16-bit SimHash from md5 hex digits of distinct tokens: bit i is the sign
@@ -311,12 +331,15 @@ object Dedup {
   // The oracle replays the SAME fixpoint with a recursive CTE
   // (reachability → MIN over the reachable set), so the two engines agree
   // via entirely different execution strategies.
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = load(s, dir, "documents").select(col("doc_id"))
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersOver(s, load(s, dir, "documents"))
+
+  private[llm] def dedupClustersOver(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"))
     // checkpoint BEFORE the symmetric union: both branches (and every
     // superstep join) read the materialized pair list, so the LSH
     // band-join + verify chain runs exactly once per invocation
-    val pairs = dedupMinhashLsh(s, dir).select(col("id_a"), col("id_b"))
+    val pairs = dedupMinhashLshOver(s, docsIn).select(col("id_a"), col("id_b"))
       .localCheckpoint()
     val sym = pairs.toDF("src", "dst")
       .union(pairs.select(col("id_b"), col("id_a")).toDF("src", "dst"))
@@ -358,17 +381,21 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private val dedupClustersOracle =
-    s"""WITH RECURSIVE $lshCtes,
+  /** The recursive-CTE clusters oracle over an arbitrary LSH-CTE chain and
+    * vertex table (DedupStress swaps in a derived corpus for both). */
+  private[llm] def clustersOracleFrom(ctes: String, vertices: String): String =
+    s"""WITH RECURSIVE $ctes,
        |pairs AS (SELECT id_a, id_b FROM verified WHERE inter * 2 >= uni),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),
        |reach AS (
-       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  SELECT doc_id AS id, doc_id AS r FROM $vertices
        |  UNION
        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
        |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  private val dedupClustersOracle = clustersOracleFrom(lshCtes, "documents")
 
   val queries: Map[String, Q] = Map[String, Q](
     "dedup_exact" -> (dedupExact _),
