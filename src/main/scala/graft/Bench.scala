@@ -43,24 +43,35 @@ object Bench {
     // of the successful passes); `errors` holds only queries that NEVER
     // succeeded — so n_ok + n_err always equals the key count and a
     // currently-flaky query can't appear in both maps at once
-    (1 to 3).foreach { _ =>
+    def measure(name: String): Unit = {
+      // drain garbage from the previous query before timing this one:
+      // without it, heavy keys inherit GC debt from whatever ran before
+      // them and the suite-context timing runs 2-3x the isolated timing
+      System.gc()
+      val t0 = System.nanoTime()
+      try {
+        materialize(name)
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = times.get(name).fold(dt)(math.min(_, dt))
+        errors.remove(name)  // a transient earlier failure is not an error
+      } catch {
+        case e: Throwable if !times.contains(name) =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        case _: Throwable => () // already has a good pass; keep its timing
+      }
+    }
+    (1 to 3).foreach(_ => ordered.foreach { case (name, _) => measure(name) })
+    // variance pinning (r4 verdict: three sub-2.5s keys drifted >1.25x
+    // between rounds with NO code change — scheduler noise dominates short
+    // keys): fast keys get two extra measured passes, so their reported
+    // min is a 5-sample min and round-over-round drift on unchanged keys
+    // stays inside the claimed band. Heavy keys keep 3 passes — their
+    // runtime already averages the noise, and 2 extra passes of the slow
+    // tail would double the bench wall time for no precision gain.
+    (1 to 2).foreach { _ =>
       ordered.foreach { case (name, _) =>
-        // drain garbage from the previous query before timing this one:
-        // without it, heavy keys inherit GC debt from whatever ran before
-        // them and the suite-context timing runs 2-3x the isolated timing
-        System.gc()
-        val t0 = System.nanoTime()
-        try {
-          materialize(name)
-          val dt = (System.nanoTime() - t0) / 1e9
-          times(name) = times.get(name).fold(dt)(math.min(_, dt))
-          errors.remove(name)  // a transient earlier failure is not an error
-        } catch {
-          case e: Throwable if !times.contains(name) =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-          case _: Throwable => () // already has a good pass; keep its timing
-        }
+        if (times.get(name).exists(_ < 1.5)) measure(name)
       }
     }
 
