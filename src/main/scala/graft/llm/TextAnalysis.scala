@@ -240,7 +240,67 @@ object TextAnalysis {
       |SELECT bigram, n_occurrences, n_docs FROM counted
       |ORDER BY n_occurrences DESC, bigram LIMIT 50""".stripMargin
 
+  // ---- text_repetition ------------------------------------------------------
+  // The Gopher-class repetition signals a curation pipeline filters on:
+  // what fraction of a document's bigram mass is repeats (1 - distinct/
+  // total), how dominant the single most frequent bigram and token are.
+  // High values mark boilerplate/spam/generated text. Topology is the
+  // tfidf one — explode → map-side-combining hash agg on (doc_id, gram) →
+  // per-doc roll-up — so the shuffle key is (doc_id, gram) and the
+  // operator scales like any word-count at 100 TB. Ratios divide exact
+  // integers in doubles and round in the decimal domain (identical IEEE
+  // in both engines).
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))"))
+      .as("g"))
+    val tk = toks.select(col("doc_id"), explode(col("toks")).as("g"))
+    def stats(grams: DataFrame, prefix: String): DataFrame =
+      grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"${prefix}_total"),
+          count(lit(1)).as(s"${prefix}_distinct"),
+          max(col("c")).as(s"${prefix}_top"))
+    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      round((num.cast("double") / den).cast("decimal(28,8)"), 4).cast("double")
+    stats(bg, "bg").join(stats(tk, "tk"), "doc_id")
+      .select(col("doc_id"), col("bg_total").as("n_bigrams"),
+        frac(col("bg_total") - col("bg_distinct"), col("bg_total"))
+          .as("dup_bigram_frac"),
+        frac(col("bg_top"), col("bg_total")).as("top_bigram_frac"),
+        frac(col("tk_top"), col("tk_total")).as("top_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textRepetitionOracle =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |base AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 2),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+      |           i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM base),
+      |tk AS (SELECT doc_id, unnest(toks) AS g FROM base),
+      |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |tkc AS (SELECT doc_id, g, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+      |bstat AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist, MAX(c) AS top
+      |          FROM bgc GROUP BY 1),
+      |tstat AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS top FROM tkc GROUP BY 1)
+      |SELECT b.doc_id, CAST(b.total AS BIGINT) AS n_bigrams,
+      |       CAST(ROUND(CAST(CAST(b.total - b.dist AS DOUBLE) / b.total AS DECIMAL(28,8)), 4) AS DOUBLE) AS dup_bigram_frac,
+      |       CAST(ROUND(CAST(CAST(b.top AS DOUBLE) / b.total AS DECIMAL(28,8)), 4) AS DOUBLE) AS top_bigram_frac,
+      |       CAST(ROUND(CAST(CAST(t.top AS DOUBLE) / t.total AS DECIMAL(28,8)), 4) AS DOUBLE) AS top_token_frac
+      |FROM bstat b JOIN tstat t ON t.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "text_repetition" -> (textRepetition _),
     "text_token_count" -> (textTokenCount _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -249,6 +309,7 @@ object TextAnalysis {
     "text_ngram_freq" -> (textNgramFreq _))
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionOracle,
     "text_token_count" -> textTokenCountOracle,
     "text_quality" -> textQualityOracle,
     "text_langid" -> textLangidOracle,

@@ -143,11 +143,73 @@ object StreamQueries {
     """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** Stream-STATIC enrichment join — the canonical streaming-ETL shape the
+    * reference's daily pipeline maps to at event grain: facts stream in,
+    * each micro-batch hash-joins a static dimension (re-read per batch, so
+    * a dim refresh is picked up at the next trigger — Spark's documented
+    * stream-static semantics), and a windowed aggregate rolls the enriched
+    * stream up. The dim here is derived deterministically from the same
+    * corpus (per-user tier by id hash — the reproducible-split idiom), so
+    * the DuckDB oracle states the whole thing relationally. At 100 TB the
+    * static side is a broadcast (small dim) or pre-bucketed table; the
+    * stream side shuffles once on the window/tier keys. */
+  def streamJoinEnrich(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val src = s"$base/src"
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    events.write.parquet(src)
+
+    // static dim: deterministic tier from the md5-bucket split idiom
+    // (pure function of user_id — reproducible across engines)
+    val dim = events.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") < 64, "vip").otherwise("std").as("tier"))
+
+    val streamed = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+      .join(dim, "user_id") // stream-static inner hash join, per micro-batch
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
+      .select(to_date(col("w.start")).as("day"), col("tier"),
+        col("n_events"), col("total_value"))
+
+    val table = s"stream_join_enrich_$id"
+    val q = withFewStatePartitions(s) {
+      streamed.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(table).orderBy(col("day"), col("tier"))
+  }
+
+  private val streamJoinEnrichOracle =
+    """WITH dim AS (
+      |  SELECT user_id,
+      |         CASE WHEN (instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |                + (instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) < 64
+      |              THEN 'vip' ELSE 'std' END AS tier
+      |  FROM (SELECT DISTINCT user_id FROM events) u)
+      |SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day, d.tier,
+      |       COUNT(*) AS n_events,
+      |       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+      |FROM events e JOIN dim d ON d.user_id = e.user_id
+      |GROUP BY 1, 2 ORDER BY day, tier""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "stream_micro_batch" -> (streamMicroBatch _),
-    "stream_dedup_ingest" -> (streamDedupIngest _))
+    "stream_dedup_ingest" -> (streamDedupIngest _),
+    "stream_join_enrich" -> (streamJoinEnrich _))
 
   val oracles: Map[String, String] = Map(
     "stream_micro_batch" -> streamMicroBatchOracle,
-    "stream_dedup_ingest" -> streamDedupIngestOracle)
+    "stream_dedup_ingest" -> streamDedupIngestOracle,
+    "stream_join_enrich" -> streamJoinEnrichOracle)
 }

@@ -170,9 +170,12 @@ class LlmOpsSpec extends SparkSpec {
         exact(q).size).sum / qs.size
     }
     val lsh = recall(top3(Similarity.simLshAnn(spark, sfDir).collect()))
+    val lshMt = recall(top3(Similarity.simLshMultitable(spark, sfDir).collect()))
     val ivf2 = recall(top3(Similarity.simIvfAnn(spark, sfDir, nprobe = 2).collect()))
     val ivf5 = recall(top3(Similarity.simIvfAnn(spark, sfDir, nprobe = 5).collect()))
-    info(f"recall@3 vs exact — lsh(16 buckets): $lsh%.3f, ivf(nprobe=2): $ivf2%.3f, ivf(nprobe=5): $ivf5%.3f")
+    info(f"recall@3 vs exact — lsh(1 table): $lsh%.3f, lsh(4 tables): $lshMt%.3f, ivf(nprobe=2): $ivf2%.3f, ivf(nprobe=5): $ivf5%.3f")
+    // more tables must buy recall — the knob the single-table key documents
+    assert(lshMt > lsh, f"4-table recall $lshMt%.3f not above 1-table $lsh%.3f")
     // floors, pinned to the deterministic fixture: a single 4-bit sign-LSH
     // table on ISOTROPIC vectors sits at the 1/16 random-bucket baseline by
     // construction (measured 0.033 — the scale path is multiple tables /
