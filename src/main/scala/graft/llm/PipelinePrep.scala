@@ -1,0 +1,221 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables.load
+
+/** Training-set preparation operators — the steps between "curated corpus"
+  * and "tokens on the trainer": benchmark decontamination, sequence packing,
+  * temperature-stratified sampling, and embedding quantization.
+  *
+  * Portability contract (same as Dedup): hashes are md5, thresholds are
+  * integer compares, ratio-valued knobs are frozen into integer thresholds
+  * before any row is touched, so the DuckDB oracle replays each decision
+  * bit-for-bit from the raw tables.
+  */
+object PipelinePrep {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toksE = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  // ---- curate_decontaminate -------------------------------------------------
+  // Benchmark decontamination: drop training documents that share >= 5
+  // distinct 3-gram shingles with the held-out benchmark set (the overlap
+  // rule GPT-3/Llama-class pipelines apply before training). The benchmark
+  // here is the deterministic doc_id % 37 == 0 slice — at deployment it is
+  // the real eval suites, which are megabytes against a 100 TB corpus: the
+  // distinct benchmark shingle set is broadcast, so the corpus side is ONE
+  // scan + a map-side hash-semijoin + one hash-agg on doc_id — no shuffle
+  // of the corpus text, never a corpus×benchmark shuffle join.
+  def curateDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingledFrom(s, load(s, dir, "documents"))
+    val bench = sh.filter(col("doc_id") % 37 === 0)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val cand = sh.filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // shingle lists are distinct per doc and bench is distinct, so the join
+    // multiplicity per (doc, shingle) is exactly 1 and count(*) IS the
+    // distinct-overlap count
+    val overlap = cand.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    load(s, dir, "documents").filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= 5)
+      .orderBy(col("doc_id"))
+  }
+
+  private val curateDecontaminateOracle = {
+    val shingled = Dedup.shingledSqlFrom("documents")
+    s"""WITH $shingled,
+       |bench AS (
+       |  SELECT DISTINCT unnest(shingles) AS shingle FROM docs WHERE doc_id % 37 = 0),
+       |cand AS (
+       |  SELECT doc_id, unnest(shingles) AS shingle FROM docs WHERE doc_id % 37 <> 0),
+       |ov AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_overlap
+       |  FROM cand c JOIN bench b ON c.shingle = b.shingle
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |       COALESCE(ov.n_overlap, 0) >= 5 AS contaminated
+       |FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+       |WHERE d.doc_id % 37 <> 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---- pack_sequences -------------------------------------------------------
+  // Sequence packing with document boundaries: each document is assigned the
+  // training sequence its first token lands in, packing greedily in doc_id
+  // order within a shard at a 512-token budget. The assignment is a pure
+  // function of (shard, doc_id order, token counts) — reproducible across
+  // engines and partitionings, like sample_split_hash. Topology: ONE
+  // exchange on shard, then a per-shard sort + running sum (SortExec spills,
+  // window state is O(1) per row); shard count is the parallelism knob — the
+  // fixture pins 8, a 100 TB run pins thousands, and the running sum never
+  // leaves the shard.
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        expr(s"size($toksE)").as("n_tokens"))
+      .withColumn("start_off",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr("start_off div 512"))
+      .withColumn("tok_offset", col("start_off") - col("seq_id") * 512)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("seq_id"), col("tok_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val packSequencesOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) AS start_off
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens,
+       |       start_off // 512 AS seq_id,
+       |       start_off - (start_off // 512) * 512 AS tok_offset
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---- sample_stratified ----------------------------------------------------
+  // Temperature sampling across languages (alpha = 0.5): group g is kept at
+  // rate sqrt(n_min / n_g), so sampled counts scale with sqrt(n_g) — the
+  // multilingual rebalancing step of mT5/XLM-class pipelines. The rate is
+  // frozen into an integer threshold (floor(65536 * rate) against the first
+  // 16 md5 bits of doc_id) BEFORE any row is selected: membership is a pure
+  // function of doc_id, so the sample is reproducible across engines,
+  // partitionings and reruns, and the smallest group is kept whole
+  // (thr = 65536 > any 16-bit bucket). Topology: per-group counts are a
+  // tiny agg (|langs| rows) broadcast back onto the corpus scan — the corpus
+  // is read once, filtered map-side, re-aggregated; no wide shuffle.
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val thr = counts.crossJoin(broadcast(nMin))
+      .select(col("lang"), col("n_docs"),
+        floor(lit(65536.0) *
+          sqrt(col("n_min").cast("double") / col("n_docs").cast("double")))
+          .as("thr"))
+    val sampled = docs
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .join(broadcast(thr.select(col("lang"), col("thr"))), Seq("lang"))
+      .filter(col("bucket") < col("thr"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    thr.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("thr"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  /** First 16 md5 bits of doc_id as an integer, in portable SQL. */
+  private def hex16(col: String): String =
+    (1 to 4).map(i =>
+      s"(instr('0123456789abcdef', substring(md5(CAST($col AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      .mkString(" + ")
+
+  private val sampleStratifiedOracle =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |m AS (SELECT MIN(n_docs) AS n_min FROM c),
+       |t AS (
+       |  SELECT lang, n_docs,
+       |         CAST(FLOOR(65536.0 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS BIGINT) AS thr
+       |  FROM c, m),
+       |k AS (
+       |  SELECT d.lang, COUNT(*) AS n_sampled
+       |  FROM documents d JOIN t ON t.lang = d.lang
+       |  WHERE ${hex16("d.doc_id")} < t.thr
+       |  GROUP BY d.lang)
+       |SELECT t.lang, t.n_docs, t.thr, COALESCE(k.n_sampled, 0) AS n_sampled
+       |FROM t LEFT JOIN k ON k.lang = t.lang
+       |ORDER BY t.lang""".stripMargin
+
+  // ---- embed_quantize -------------------------------------------------------
+  // Symmetric int8 quantization of the embedding column — the storage/ANN
+  // compression step (4x smaller vectors, SIMD int8 dots downstream). All
+  // arithmetic is anchored in the integer domain: floats are first quantized
+  // to BIGINT micros (the dedup_embedding_cosine contract), the per-vector
+  // scale is the exact integer max |x|, and each int8 code is
+  // floor(micro * 127 / scale) — identical IEEE doubles in both engines.
+  // Per-row projection, shuffle-free; the reported integer moments
+  // (sum, sum-of-squares, min, max) pin every code without exporting the
+  // full vector.
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+          .as("qv"))
+      .withColumn("qscale", expr("aggregate(qv, 0L, (a, x) -> greatest(a, abs(x)))"))
+      .filter(col("qscale") > 0)
+      .withColumn("q8",
+        expr("transform(qv, x -> cast(floor(cast(x as double) * 127.0 / cast(qscale as double)) as bigint))"))
+      .select(col("vec_id"), col("qscale"),
+        expr("aggregate(q8, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("aggregate(q8, 0L, (a, x) -> a + x * x)").as("q_sumsq"),
+        expr("array_min(q8)").as("q_min"),
+        expr("array_max(q8)").as("q_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val embedQuantizeOracle =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, qv, list_max(list_transform(qv, x -> abs(x))) AS qscale
+      |  FROM q),
+      |c AS (
+      |  SELECT vec_id, qscale,
+      |         list_transform(qv, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / CAST(qscale AS DOUBLE)) AS BIGINT)) AS q8
+      |  FROM m WHERE qscale > 0)
+      |SELECT vec_id, qscale,
+      |       CAST(list_sum(q8) AS BIGINT) AS q_sum,
+      |       CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT) AS q_sumsq,
+      |       list_min(q8) AS q_min,
+      |       list_max(q8) AS q_max
+      |FROM c ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "curate_decontaminate" -> (curateDecontaminate _),
+    "pack_sequences" -> (packSequences _),
+    "sample_stratified" -> (sampleStratified _),
+    "embed_quantize" -> (embedQuantize _))
+
+  val oracles: Map[String, String] = Map(
+    "curate_decontaminate" -> curateDecontaminateOracle,
+    "pack_sequences" -> packSequencesOracle,
+    "sample_stratified" -> sampleStratifiedOracle,
+    "embed_quantize" -> embedQuantizeOracle)
+}

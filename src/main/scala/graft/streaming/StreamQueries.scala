@@ -203,13 +203,65 @@ object StreamQueries {
       |FROM events e JOIN dim d ON d.user_id = e.user_id
       |GROUP BY 1, 2 ORDER BY day, tier""".stripMargin
 
+  /** Stream-STREAM interval join — two live streams correlated on a key
+    * plus an event-time range (impression→conversion attribution at event
+    * grain): even-id events stream from one source, odd-id events from
+    * another, and a pair is emitted when the odd event lands within 30
+    * minutes after the even one for the same user. This exercises
+    * StreamingSymmetricHashJoin — both sides buffer keyed state, and the
+    * per-side watermarks + the time-range condition bound how long a row
+    * must be retained (state expiry is derived from the interval, so at
+    * 100 TB each side holds ~30 minutes of events per key, not the stream's
+    * history). The match set is a pure function of the data — the oracle
+    * states the identical interval join in batch SQL. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    events.filter(col("event_id") % 2 === 0).write.parquet(s"$base/srcA")
+    events.filter(col("event_id") % 2 === 1).write.parquet(s"$base/srcB")
+
+    def side(src: String, p: String) =
+      s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+        .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+          col("ts").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "1 day")
+
+    val joined = side(s"$base/srcA", "a").join(side(s"$base/srcB", "b"),
+      expr("""a_user = b_user AND
+             |b_ts > a_ts AND b_ts <= a_ts + interval 30 minutes""".stripMargin))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"))
+
+    val table = s"stream_stream_join_$id"
+    val q = withFewStatePartitions(s) {
+      joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(table).orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val streamStreamJoinOracle =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "stream_micro_batch" -> (streamMicroBatch _),
     "stream_dedup_ingest" -> (streamDedupIngest _),
-    "stream_join_enrich" -> (streamJoinEnrich _))
+    "stream_join_enrich" -> (streamJoinEnrich _),
+    "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_micro_batch" -> streamMicroBatchOracle,
     "stream_dedup_ingest" -> streamDedupIngestOracle,
-    "stream_join_enrich" -> streamJoinEnrichOracle)
+    "stream_join_enrich" -> streamJoinEnrichOracle,
+    "stream_stream_join" -> streamStreamJoinOracle)
 }

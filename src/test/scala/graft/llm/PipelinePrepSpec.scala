@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic + plan-shape checks for the training-set preparation operators.
+  * The DuckDB oracle hash-checks each key end to end; these pin the
+  * invariants that make the operators right-by-construction (benchmark
+  * exclusion, packing monotonicity, whole-kept smallest stratum, int8 range)
+  * and the plan shapes that make them scale (broadcast benchmark/threshold
+  * joins, one shard shuffle for packing).
+  */
+class PipelinePrepSpec extends SparkSpec {
+
+  test("curate_decontaminate: benchmark slice excluded, overlaps flag dups") {
+    val d = PipelinePrep.curateDecontaminate(spark, sfDir).cache()
+    // the benchmark docs themselves never appear as candidates
+    assert(d.filter(col("doc_id") % 37 === 0).isEmpty)
+    // the fixture corpus has near-dups crossing the benchmark boundary
+    val flagged = d.filter(col("contaminated")).count()
+    assert(flagged > 0, "no contaminated docs found — threshold drifted")
+    // flag is exactly the threshold predicate
+    assert(d.filter(col("contaminated") =!= (col("n_overlap") >= 5)).isEmpty)
+    d.unpersist()
+  }
+
+  test("curate_decontaminate: benchmark set joins as a broadcast (corpus never shuffled)") {
+    val plan = PipelinePrep.curateDecontaminate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only wide exchanges are the doc_id agg + presentation sort; the
+    // corpus-side shingle explode must NOT shuffle to meet the benchmark
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("pack_sequences: packing is monotone and budget-aligned per shard") {
+    val p = PipelinePrep.packSequences(spark, sfDir).cache()
+    val n = graft.model.Tables.load(spark, sfDir, "documents").count()
+    assert(p.count() == n) // every document is assigned
+    assert(p.filter(col("tok_offset") < 0 || col("tok_offset") >= 512).isEmpty)
+    // within a shard, (seq_id, tok_offset) is nondecreasing in doc_id order
+    // and reconstructs the exclusive running sum exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    val bad = p
+      .withColumn("start_off", col("seq_id") * 512 + col("tok_offset"))
+      .withColumn("expect", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("start_off") =!= col("expect"))
+    assert(bad.isEmpty, "packing offsets diverge from the running sum")
+    // first doc of each shard starts at sequence 0, offset 0
+    val firsts = p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(firsts.filter(col("seq_id") =!= 0 || col("tok_offset") =!= 0).isEmpty)
+    p.unpersist()
+  }
+
+  test("sample_stratified: smallest stratum kept whole, rates monotone in size") {
+    val t = PipelinePrep.sampleStratified(spark, sfDir).cache()
+    assert(t.filter(col("n_sampled") > col("n_docs")).isEmpty)
+    // the smallest group's threshold is 65536 — above every 16-bit bucket,
+    // so it is kept in full (the alpha=0.5 temperature anchors there)
+    val row = t.orderBy(col("n_docs")).head()
+    assert(row.getAs[Long]("thr") == 65536L)
+    assert(row.getAs[Long]("n_sampled") == row.getAs[Long]("n_docs"))
+    // bigger strata never get a higher threshold
+    val cmp = t.as("x").crossJoin(t.as("y"))
+      .filter(col("x.n_docs") > col("y.n_docs") && col("x.thr") > col("y.thr"))
+    assert(cmp.isEmpty, "sampling threshold not monotone in stratum size")
+    t.unpersist()
+  }
+
+  test("embed_quantize: codes stay in int8 range, scale is positive") {
+    val q = PipelinePrep.embedQuantize(spark, sfDir).cache()
+    assert(q.count() > 0)
+    assert(q.filter(col("q_min") < -127 || col("q_max") > 127).isEmpty)
+    assert(q.filter(col("qscale") <= 0).isEmpty)
+    // at least one code saturates per vector: max |q| is 127 exactly when
+    // the max-|x| element quantizes to +/-127 (floor keeps -127 for the
+    // negative extreme, 127 for the positive one)
+    assert(q.filter(greatest(abs(col("q_min")), abs(col("q_max"))) === 127)
+      .count() == q.count())
+    q.unpersist()
+  }
+
+  test("stream_stream_join: streamed matches equal the batch interval join") {
+    val streamed = graft.streaming.StreamQueries.streamStreamJoin(spark, sfDir)
+    val e = graft.model.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val batch = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") % 2 === 0 && col("b.event_id") % 2 === 1 &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("interval 30 minutes"))
+      .select(col("a.user_id").as("user_id"),
+        col("a.event_id").as("a_id"), col("b.event_id").as("b_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-stream join diverges from the batch interval join")
+  }
+}
