@@ -133,7 +133,7 @@ object PipelinePrep {
       .join(broadcast(thr.select(col("lang"), col("thr"))), Seq("lang"))
       .filter(col("bucket") < col("thr"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
-    thr.join(sampled, Seq("lang"), "left")
+    thr.join(broadcast(sampled), Seq("lang"), "left")
       .select(col("lang"), col("n_docs"), col("thr"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
       .orderBy(col("lang"))

@@ -221,13 +221,74 @@ object PipelineOps {
       |UNION ALL SELECT 'sum_disc' AS metric, sum_disc AS value FROM agg
       |ORDER BY metric""".stripMargin
 
+  // ---- merge_upsert ---------------------------------------------------------
+  // MERGE (CDC apply): a deterministic changeset — deletes for key%13=0,
+  // status/price updates for key%10=0 (not deleted), inserts at key+10^8 for
+  // key%97=0 — is applied onto the orders snapshot with
+  // delete-wins > update > insert > keep semantics. Spark-first MERGE is a
+  // single full-outer hash join on the key plus a row-level CASE: one
+  // shuffle of each side at any scale (or zero with co-bucketed layouts),
+  // hot keys handled by AQE skew split — the copy-on-write path every
+  // Delta/Iceberg MERGE lowers to. The changeset is a pure function of the
+  // base table, so the oracle replays the identical join relationally.
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("total"))
+    val deletes = base.filter(col("key") % 13 === 0)
+      .select(col("key"), lit("D").as("op"),
+        lit(null).cast("string").as("new_status"),
+        lit(null).cast("double").as("new_total"))
+    val updates = base.filter(col("key") % 10 === 0 && col("key") % 13 =!= 0)
+      .select(col("key"), lit("U").as("op"), lit("X").as("new_status"),
+        round((col("total") * lit(1.1)).cast("decimal(18,4)"), 2)
+          .cast("double").as("new_total"))
+    val inserts = base.filter(col("key") % 97 === 0)
+      .select((col("key") + 100000000L).as("key"), lit("I").as("op"),
+        lit("N").as("new_status"), col("total").as("new_total"))
+    val changes = deletes.unionAll(updates).unionAll(inserts)
+    base.join(changes, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        when(col("op").isNotNull, col("new_status")).otherwise(col("status"))
+          .as("status"),
+        when(col("op").isNotNull, col("new_total")).otherwise(col("total"))
+          .as("total"),
+        coalesce(col("op"), lit("K")).as("last_op"))
+      .orderBy(col("key"))
+  }
+
+  private val mergeUpsertOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders),
+      |changes AS (
+      |  SELECT key, 'D' AS op, CAST(NULL AS VARCHAR) AS new_status,
+      |         CAST(NULL AS DOUBLE) AS new_total
+      |  FROM base WHERE key % 13 = 0
+      |  UNION ALL
+      |  SELECT key, 'U', 'X',
+      |         CAST(ROUND(CAST(total * 1.1 AS DECIMAL(18,4)), 2) AS DOUBLE)
+      |  FROM base WHERE key % 10 = 0 AND key % 13 <> 0
+      |  UNION ALL
+      |  SELECT key + 100000000, 'I', 'N', total
+      |  FROM base WHERE key % 97 = 0)
+      |SELECT COALESCE(b.key, c.key) AS key,
+      |       CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END AS status,
+      |       CASE WHEN c.op IS NOT NULL THEN c.new_total ELSE b.total END AS total,
+      |       COALESCE(c.op, 'K') AS last_op
+      |FROM base b FULL OUTER JOIN changes c ON c.key = b.key
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "window_session" -> (windowSession _),
     "scd2_intervals" -> (scd2Intervals _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "sample_split_hash" -> (sampleSplitHash _),
     "agg_pivot" -> (aggPivot _),
-    "agg_unpivot" -> (aggUnpivot _))
+    "agg_unpivot" -> (aggUnpivot _),
+    "merge_upsert" -> (mergeUpsert _))
 
   val oracles: Map[String, String] = Map(
     "window_session" -> windowSessionOracle,
@@ -235,5 +296,6 @@ object PipelineOps {
     "join_bloom_prefilter" -> joinBloomPrefilterOracle,
     "sample_split_hash" -> sampleSplitHashOracle,
     "agg_pivot" -> aggPivotOracle,
-    "agg_unpivot" -> aggUnpivotOracle)
+    "agg_unpivot" -> aggUnpivotOracle,
+    "merge_upsert" -> mergeUpsertOracle)
 }

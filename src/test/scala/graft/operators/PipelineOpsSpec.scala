@@ -148,4 +148,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cellTotal.compareTo(cells) == 0, s"$cellTotal vs $cells ($straight)")
     assert(PipelineOps.aggUnpivot(spark, sfDir).count() == 3)
   }
+
+  test("merge_upsert: row accounting and op semantics hold exactly") {
+    val base = graft.model.Tables.load(spark, sfDir, "orders")
+    val n = base.count()
+    val nDel = base.filter(col("o_orderkey") % 13 === 0).count()
+    val nUpd = base.filter(col("o_orderkey") % 10 === 0 &&
+      col("o_orderkey") % 13 =!= 0).count()
+    val nIns = base.filter(col("o_orderkey") % 97 === 0).count()
+    val m = PipelineOps.mergeUpsert(spark, sfDir).cache()
+    // deletes remove, inserts add, updates/keeps preserve cardinality
+    assert(m.count() == n - nDel + nIns)
+    assert(m.filter(col("last_op") === "U").count() == nUpd)
+    assert(m.filter(col("last_op") === "I").count() == nIns)
+    assert(m.filter(col("last_op") === "D").isEmpty)
+    // every deleted key is gone; every updated row carries the new status
+    assert(m.filter(col("key") % 13 === 0 && col("key") < 100000000L).isEmpty)
+    assert(m.filter(col("last_op") === "U" && col("status") =!= "X").isEmpty)
+    // keys stay unique after the merge (MERGE must never duplicate)
+    assert(m.select("key").distinct().count() == m.count())
+    m.unpersist()
+  }
 }
