@@ -338,15 +338,117 @@ object Similarity {
        |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
        |FROM rankedq WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ---- cluster_kmeans -------------------------------------------------------
+  // One exact Lloyd iteration over the IVF coarse quantizer: assign every
+  // vector to its nearest label-seeded centroid (cosine on quantized ints —
+  // the IVF assignment verbatim), then RECOMPUTE each centroid as the
+  // element-wise truncated mean of its assigned vectors. This is the k-means
+  // update the IVF/PQ codebook trainers iterate; one iteration is the whole
+  // pattern (the loop repeats the same two joins, convergence is a scalar —
+  // the dedup_clusters control-flow story). Topology at 100 TB: centroids
+  // are k rows broadcast for assignment; the update is ONE
+  // (cell, pos)-keyed hash agg with map-side partials — no all-pairs, no
+  // driver-side vectors. Every reported number is exact integer arithmetic;
+  // empty cells drop (the classic Lloyd empty-cluster case, identically in
+  // both engines).
+  def clusterKmeans(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val base = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("qv",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+      .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
+    val oldPos = base
+      .select(col("label").as("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("cd_old"))
+    val cent = oldPos
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cd_old))), x -> x.cd_old)")
+        .as("cvec"))
+      .withColumn("cnrm",
+        expr("aggregate(zip_with(cvec, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val assign = base.drop("label").crossJoin(broadcast(cent))
+      .withColumn("cdot",
+        expr("aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"))
+    val nAssigned = assign.groupBy(col("cell")).agg(count(lit(1)).as("n_assigned"))
+    val newPos = assign
+      .join(base.select(col("vec_id"), col("qv")), Seq("vec_id"))
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("cd_new"))
+    newPos.join(oldPos, Seq("cell", "pos"))
+      .groupBy(col("cell"))
+      .agg(sum(col("cd_new")).as("new_sum"),
+        sum(col("cd_new") * col("cd_new")).as("new_norm"),
+        sum(abs(col("cd_new") - col("cd_old"))).as("shift_abs"))
+      .join(broadcast(nAssigned), Seq("cell"))
+      .select(col("cell"), col("n_assigned"), col("new_sum"),
+        col("new_norm"), col("shift_abs"))
+      .orderBy(col("cell"))
+  }
+
+  private val clusterKmeansOracle =
+    s"""WITH $quantizedSql,
+       |qnl AS (SELECT qn.vec_id, e.label, qn.qv, qn.nrm
+       |        FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id),
+       |oldpos AS (
+       |  SELECT cell, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd_old
+       |  FROM (SELECT label AS cell, unnest(qv) AS v,
+       |               unnest(generate_series(1, len(qv))) AS pos FROM qnl) t
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell, list(cd_old ORDER BY pos) AS cvec FROM oldpos GROUP BY cell),
+       |centn AS (
+       |  SELECT cell, cvec,
+       |         CAST(list_sum(list_transform(generate_series(1, len(cvec)), i -> cvec[i] * cvec[i])) AS BIGINT) AS cnrm
+       |  FROM cent),
+       |scoredc AS (
+       |  SELECT qn.vec_id, c.cell,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(qn.qv)), i -> qn.qv[i] * c.cvec[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM qn CROSS JOIN centn c),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rk
+       |    FROM scoredc) r WHERE rk = 1),
+       |na AS (SELECT cell, COUNT(*) AS n_assigned FROM assign GROUP BY cell),
+       |newpos AS (
+       |  SELECT cell, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd_new
+       |  FROM (SELECT a.cell, unnest(qn.qv) AS v,
+       |               unnest(generate_series(1, len(qn.qv))) AS pos
+       |        FROM assign a JOIN qn ON qn.vec_id = a.vec_id) t
+       |  GROUP BY 1, 2),
+       |roll AS (
+       |  SELECT n.cell,
+       |         CAST(SUM(n.cd_new) AS BIGINT) AS new_sum,
+       |         CAST(SUM(n.cd_new * n.cd_new) AS BIGINT) AS new_norm,
+       |         CAST(SUM(abs(n.cd_new - o.cd_old)) AS BIGINT) AS shift_abs
+       |  FROM newpos n JOIN oldpos o ON o.cell = n.cell AND o.pos = n.pos
+       |  GROUP BY n.cell)
+       |SELECT r.cell, na.n_assigned, r.new_sum, r.new_norm, r.shift_abs
+       |FROM roll r JOIN na ON na.cell = r.cell
+       |ORDER BY r.cell""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_lsh_multitable" -> (simLshMultitable _),
-    "sim_ivf_ann" -> ((s: SparkSession, dir: String) => simIvfAnn(s, dir)))
+    "sim_ivf_ann" -> ((s: SparkSession, dir: String) => simIvfAnn(s, dir)),
+    "cluster_kmeans" -> (clusterKmeans _))
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_lsh_ann" -> simLshAnnOracle,
     "sim_lsh_multitable" -> simLshMultitableOracle,
-    "sim_ivf_ann" -> simIvfAnnOracle)
+    "sim_ivf_ann" -> simIvfAnnOracle,
+    "cluster_kmeans" -> clusterKmeansOracle)
 }

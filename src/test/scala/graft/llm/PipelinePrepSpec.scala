@@ -82,6 +82,19 @@ class PipelinePrepSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("cluster_kmeans: Lloyd step conserves vectors and moves centroids") {
+    val k = Similarity.clusterKmeans(spark, sfDir).cache()
+    val n = graft.model.Tables.load(spark, sfDir, "embeddings").count()
+    // every vector lands in exactly one cell (assignment is a partition);
+    // no cell went empty on this fixture, so the counts add back up
+    assert(k.agg(sum("n_assigned")).head.getLong(0) == n)
+    // reassignment actually moved at least one centroid (label seeding is
+    // not the cosine-Voronoi fixpoint on the isotropic fixture)
+    assert(k.agg(sum("shift_abs")).head.getLong(0) > 0,
+      "Lloyd update was the identity — assignment step is vacuous")
+    k.unpersist()
+  }
+
   test("stream_stream_join: streamed matches equal the batch interval join") {
     val streamed = graft.streaming.StreamQueries.streamStreamJoin(spark, sfDir)
     val e = graft.model.Tables.load(spark, sfDir, "events")
