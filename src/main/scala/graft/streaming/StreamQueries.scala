@@ -253,15 +253,56 @@ object StreamQueries {
       | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Watermark-BOUNDED streaming dedup — `dropDuplicatesWithinWatermark`,
+    * the state-expiring twin of stream_dedup_ingest's unbounded groupBy
+    * state: keys are remembered only while inside the watermark, so state
+    * size is arrival-rate × delay-bound instead of corpus size — the knob
+    * that makes exactly-once ingest dedup viable on an unbounded 100 TB/day
+    * feed (the groupBy form must keep every fingerprint forever). The whole
+    * events table is staged TWICE with `maxFilesPerTrigger=1`: wave 2 is
+    * byte-identical to wave 1, so every one of its rows must be dropped by
+    * the key state built in wave 1 — the converged output is exactly the
+    * distinct base table, which is what the oracle states. */
+  def streamDropDupWatermark(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val src = s"$base/src"
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+    events.coalesce(1).write.parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src) // the dup wave
+
+    val streamed = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val table = s"stream_dropdup_$id"
+    val q = withFewStatePartitions(s) {
+      streamed.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(table).orderBy(col("event_id"))
+  }
+
+  private val streamDropDupWatermarkOracle =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "stream_micro_batch" -> (streamMicroBatch _),
     "stream_dedup_ingest" -> (streamDedupIngest _),
     "stream_join_enrich" -> (streamJoinEnrich _),
-    "stream_stream_join" -> (streamStreamJoin _))
+    "stream_stream_join" -> (streamStreamJoin _),
+    "stream_drop_dup_watermark" -> (streamDropDupWatermark _))
 
   val oracles: Map[String, String] = Map(
     "stream_micro_batch" -> streamMicroBatchOracle,
     "stream_dedup_ingest" -> streamDedupIngestOracle,
     "stream_join_enrich" -> streamJoinEnrichOracle,
-    "stream_stream_join" -> streamStreamJoinOracle)
+    "stream_stream_join" -> streamStreamJoinOracle,
+    "stream_drop_dup_watermark" -> streamDropDupWatermarkOracle)
 }
