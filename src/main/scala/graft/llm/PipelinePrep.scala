@@ -207,15 +207,52 @@ object PipelinePrep {
       |       list_max(q8) AS q_max
       |FROM c ORDER BY vec_id""".stripMargin
 
+  // ---- text_chunk -----------------------------------------------------------
+  // Overlapping token-window chunking — the RAG/embedding-index step: each
+  // document is cut into 64-token windows on a 48-token stride (16-token
+  // overlap), every chunk fingerprinted. Pure per-row explode — chunk count
+  // and content are a function of the document alone, no shuffle before the
+  // presentation sort, so it rides the corpus scan at any scale. The slice
+  // clamps at the document end (the final chunk may be short), and both
+  // engines clamp identically.
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, (size(toks) - 1) div 48)")).as("chunk_seq"))
+      .select(col("doc_id"), col("chunk_seq"),
+        expr("slice(toks, chunk_seq * 48 + 1, 64)").as("chunk"))
+      .select(col("doc_id"), col("chunk_seq"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_seq"))
+
+  private val textChunkOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(0, (len(toks) - 1) // 48)) AS chunk_seq
+       |  FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, chunk_seq,
+       |       len(list_slice(toks, chunk_seq * 48 + 1, chunk_seq * 48 + 64)) AS n_chunk_tokens,
+       |       md5(array_to_string(list_slice(toks, chunk_seq * 48 + 1, chunk_seq * 48 + 64), ' ')) AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_seq""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "curate_decontaminate" -> (curateDecontaminate _),
     "pack_sequences" -> (packSequences _),
     "sample_stratified" -> (sampleStratified _),
-    "embed_quantize" -> (embedQuantize _))
+    "embed_quantize" -> (embedQuantize _),
+    "text_chunk" -> (textChunk _))
 
   val oracles: Map[String, String] = Map(
     "curate_decontaminate" -> curateDecontaminateOracle,
     "pack_sequences" -> packSequencesOracle,
     "sample_stratified" -> sampleStratifiedOracle,
-    "embed_quantize" -> embedQuantizeOracle)
+    "embed_quantize" -> embedQuantizeOracle,
+    "text_chunk" -> textChunkOracle)
 }

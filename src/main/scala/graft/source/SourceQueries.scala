@@ -118,17 +118,54 @@ object SourceQueries {
       .select(col("item_id"), col("item_name"))
       .orderBy(col("item_id").cast("long"))
 
+  // ---- src_schema_evolution -------------------------------------------------
+  // Schema evolution on the read path: an old-schema batch (doc_id, source)
+  // and a new-schema batch (+ lang) land in one dataset; `mergeSchema=true`
+  // unions the footers and null-fills the missing column — the contract a
+  // long-lived 100 TB table depends on when producers add columns. The
+  // rollup groups on the evolved column, so a wrong merge (dropped column,
+  // failed union, misaligned nulls) changes the counts and fails the hash.
+  // At scale the same read works because merging is footer-only (schema
+  // metadata, not data); the oracle states the union + null-fill
+  // relationally.
+  def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_src_evo"
+    graft.sink.Sinks.deleteDir(path)
+    val docs = graft.model.Tables.load(s, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))
+      .write.parquet(s"$path/v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .write.parquet(s"$path/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val srcSchemaEvolutionOracle =
+    """WITH merged AS (
+      |  SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, source, lang FROM documents WHERE doc_id % 2 = 1)
+      |SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+      |FROM merged GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "src_http_graphql" -> (srcHttpGraphql _),
     "src_retry" -> (srcRetry _),
     "src_pagination" -> (srcPagination _),
     "src_dialect_probe" -> (srcDialectProbe _),
-    "src_dsv2_scan" -> (srcDsv2Scan _))
+    "src_dsv2_scan" -> (srcDsv2Scan _),
+    "src_schema_evolution" -> (srcSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
     "src_http_graphql" -> itemsOracle("personnel/2025-06-27.json"),
     "src_retry" -> srcRetryOracle,
     "src_pagination" -> itemsOracle("projects/2025-06-27_p*.json"),
     "src_dialect_probe" -> srcDialectProbeOracle,
-    "src_dsv2_scan" -> itemsOracle("projects/2025-06-27_p*.json"))
+    "src_dsv2_scan" -> itemsOracle("projects/2025-06-27_p*.json"),
+    "src_schema_evolution" -> srcSchemaEvolutionOracle)
 }

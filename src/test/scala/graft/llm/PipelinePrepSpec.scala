@@ -82,6 +82,26 @@ class PipelinePrepSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("text_chunk: windows tile every document end to end") {
+    val toksE = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(s"size($toksE)").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val chunks = PipelinePrep.textChunk(spark, sfDir).cache()
+    // chunk count per doc is exactly floor((n-1)/48)+1
+    val counts = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"), max("chunk_seq").as("max_seq"),
+      max(col("chunk_seq") * 48 + col("n_chunk_tokens")).as("covered"))
+    val joined = counts.join(docs, "doc_id")
+    assert(joined.filter(
+      col("n_chunks") =!= expr("(n_tokens - 1) div 48 + 1")).isEmpty)
+    // the last chunk ends exactly at the document's last token
+    assert(joined.filter(col("covered") =!= col("n_tokens")).isEmpty)
+    // every doc with tokens is chunked
+    assert(counts.count() == docs.count())
+    chunks.unpersist()
+  }
+
   test("cluster_kmeans: Lloyd step conserves vectors and moves centroids") {
     val k = Similarity.clusterKmeans(spark, sfDir).cache()
     val n = graft.model.Tables.load(spark, sfDir, "embeddings").count()
