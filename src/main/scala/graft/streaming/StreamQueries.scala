@@ -292,17 +292,105 @@ object StreamQueries {
   private val streamDropDupWatermarkOracle =
     """SELECT event_id, ts, value FROM events ORDER BY event_id""".stripMargin
 
+  /** Streaming CDC apply — `foreachBatch` + MERGE, the standard streaming
+    * upsert sink: the merge_upsert changeset arrives in two waves (split by
+    * key parity, `maxFilesPerTrigger=1`), and every micro-batch full-outer
+    * merges its changes into a VERSIONED base table (read vN → merge →
+    * write vN+1 — the copy-on-write commit a Delta/Iceberg MERGE performs
+    * per batch, with the version swap standing in for the transaction log).
+    * Each key changes in exactly one wave, so the converged table equals
+    * the one-shot batch MERGE — which is what the oracle states. At 100 TB
+    * the per-batch cost is the same single key-shuffle join as
+    * merge_upsert, and the rewrite narrows to touched partitions under a
+    * partitioned/MoR layout. */
+  def streamMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("total"))
+    orders.write.parquet(s"$base/table_v0")
+
+    val deletes = orders.filter(col("key") % 13 === 0)
+      .select(col("key"), lit("D").as("op"),
+        lit(null).cast("string").as("new_status"),
+        lit(null).cast("double").as("new_total"))
+    val updates = orders.filter(col("key") % 10 === 0 && col("key") % 13 =!= 0)
+      .select(col("key"), lit("U").as("op"), lit("X").as("new_status"),
+        round((col("total") * lit(1.1)).cast("decimal(18,4)"), 2)
+          .cast("double").as("new_total"))
+    val inserts = orders.filter(col("key") % 97 === 0)
+      .select((col("key") + 100000000L).as("key"), lit("I").as("op"),
+        lit("N").as("new_status"), col("total").as("new_total"))
+    val changes = deletes.unionAll(updates).unionAll(inserts)
+    // two arrival waves, one file each → two micro-batches, each key once
+    changes.filter(col("key") % 2 === 0).coalesce(1).write.parquet(s"$base/src")
+    changes.filter(col("key") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$base/src")
+
+    var version = 0
+    val q = withFewStatePartitions(s) {
+      s.readStream.schema(s.read.parquet(s"$base/src").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cur = s.read.parquet(s"$base/table_v$version")
+          cur.join(batch, Seq("key"), "full_outer")
+            .filter(col("op").isNull || col("op") =!= "D")
+            .select(col("key"),
+              when(col("op").isNotNull, col("new_status")).otherwise(col("status"))
+                .as("status"),
+              when(col("op").isNotNull, col("new_total")).otherwise(col("total"))
+                .as("total"))
+            .write.parquet(s"$base/table_v${version + 1}")
+          version += 1
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.read.parquet(s"$base/table_v$version").orderBy(col("key"))
+  }
+
+  /** The one-shot batch MERGE the two-wave streamed apply must converge to
+    * (merge_upsert's oracle minus the last_op audit column). */
+  private val streamMergeUpsertOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders),
+      |changes AS (
+      |  SELECT key, 'D' AS op, CAST(NULL AS VARCHAR) AS new_status,
+      |         CAST(NULL AS DOUBLE) AS new_total
+      |  FROM base WHERE key % 13 = 0
+      |  UNION ALL
+      |  SELECT key, 'U', 'X',
+      |         CAST(ROUND(CAST(total * 1.1 AS DECIMAL(18,4)), 2) AS DOUBLE)
+      |  FROM base WHERE key % 10 = 0 AND key % 13 <> 0
+      |  UNION ALL
+      |  SELECT key + 100000000, 'I', 'N', total
+      |  FROM base WHERE key % 97 = 0)
+      |SELECT COALESCE(b.key, c.key) AS key,
+      |       CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END AS status,
+      |       CASE WHEN c.op IS NOT NULL THEN c.new_total ELSE b.total END AS total
+      |FROM base b FULL OUTER JOIN changes c ON c.key = b.key
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "stream_micro_batch" -> (streamMicroBatch _),
     "stream_dedup_ingest" -> (streamDedupIngest _),
     "stream_join_enrich" -> (streamJoinEnrich _),
     "stream_stream_join" -> (streamStreamJoin _),
-    "stream_drop_dup_watermark" -> (streamDropDupWatermark _))
+    "stream_drop_dup_watermark" -> (streamDropDupWatermark _),
+    "stream_merge_upsert" -> (streamMergeUpsert _))
 
   val oracles: Map[String, String] = Map(
     "stream_micro_batch" -> streamMicroBatchOracle,
     "stream_dedup_ingest" -> streamDedupIngestOracle,
     "stream_join_enrich" -> streamJoinEnrichOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
-    "stream_drop_dup_watermark" -> streamDropDupWatermarkOracle)
+    "stream_drop_dup_watermark" -> streamDropDupWatermarkOracle,
+    "stream_merge_upsert" -> streamMergeUpsertOracle)
 }
