@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
 import graft.llm.{Curation, Dedup, DedupStress, MinHashAgg, Multimodal, PipelinePrep, Similarity, TextAnalysis}
-import graft.operators.{Analytics, PipelineOps}
+import graft.operators.{Analytics, GraphOps, PipelineOps}
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
 import graft.streaming.{SessionStream, StreamQueries}
@@ -30,7 +30,8 @@ object SparkEntry {
       DedupStress.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       StreamQueries.queries ++ MinHashAgg.queries ++ Curation.queries ++
-      PipelineOps.queries ++ PipelinePrep.queries ++ SessionStream.queries
+      PipelineOps.queries ++ PipelinePrep.queries ++ GraphOps.queries ++
+      SessionStream.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -40,5 +41,6 @@ object SparkEntry {
       DedupStress.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       StreamQueries.oracles ++ MinHashAgg.oracles ++ Curation.oracles ++
-      PipelineOps.oracles ++ PipelinePrep.oracles ++ SessionStream.oracles
+      PipelineOps.oracles ++ PipelinePrep.oracles ++ GraphOps.oracles ++
+      SessionStream.oracles
 }

@@ -149,6 +149,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(PipelineOps.aggUnpivot(spark, sfDir).count() == 3)
   }
 
+  test("graph_pagerank: ranks cover every vertex and discriminate") {
+    val r = GraphOps.graphPagerank(spark, sfDir).cache()
+    val nVerts = graft.model.Tables.load(spark, sfDir, "lineitem")
+      .select("l_suppkey").distinct().count()
+    // the co-supply graph reaches every supplier on this fixture
+    assert(r.count() == nVerts)
+    // the damping floor holds
+    assert(r.filter(col("rank_micros") < 150000L).isEmpty)
+    // ranks must discriminate exactly when degrees do: at sf0.001 the
+    // co-supply graph is COMPLETE (every supplier co-occurs with every
+    // other, all degrees equal), so uniform ranks are the correct answer —
+    // a regular graph with non-uniform ranks, or an irregular one with
+    // uniform ranks, is the bug
+    val pairs = graft.model.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val nDegs = pairs.as("a").join(pairs.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      .groupBy("src").count()
+      .select("count").distinct().count()
+    assert((r.select("rank_micros").distinct().count() > 1) == (nDegs > 1))
+    r.unpersist()
+  }
+
   test("merge_upsert: row accounting and op semantics hold exactly") {
     val base = graft.model.Tables.load(spark, sfDir, "orders")
     val n = base.count()
