@@ -242,17 +242,85 @@ object PipelinePrep {
        |       md5(array_to_string(list_slice(toks, chunk_seq * 48 + 1, chunk_seq * 48 + 64), ' ')) AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_seq""".stripMargin
 
+  // ---- sketch_cms_topk ------------------------------------------------------
+  // Count-min sketch over the corpus token stream (depth 4 × width 64,
+  // hash rows derived from md5(row || token) — deterministic, so the DuckDB
+  // oracle rebuilds the IDENTICAL sketch) and point-queries it for the top
+  // 10 true heavy hitters: the estimate is min over rows of the counter
+  // cell, and CMS guarantees estimate >= true count (the spec asserts it;
+  // equality holds when no collision hits all 4 rows). This is the
+  // bounded-memory frequency infrastructure for streams the exact hash-agg
+  // (text_ngram_freq) can't serve: the sketch is a FIXED 256-cell array
+  // regardless of corpus size, built by one (row, cell)-keyed
+  // map-side-combining hash agg, and two sketches merge by cell-wise sum
+  // (the same partial-agg algebra as the MinHash union).
+  def sketchCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(explode(expr(toksE)).as("token"))
+    // 4 hash rows per token occurrence: cell = first 16 md5 bits mod 64
+    val cells = toks
+      .select(col("token"), explode(expr("sequence(0, 3)")).as("row"))
+      .select(col("row"),
+        (conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("token"))), 1, 4), 16, 10)
+          .cast("long") % 64).as("cell"))
+    val sketch = cells.groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("token")).limit(10)
+    top
+      .select(col("token"), col("true_count"),
+        explode(expr("sequence(0, 3)")).as("row"))
+      .select(col("token"), col("true_count"), col("row"),
+        (conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("token"))), 1, 4), 16, 10)
+          .cast("long") % 64).as("cell"))
+      .join(broadcast(sketch), Seq("row", "cell"))
+      .groupBy(col("token"), col("true_count"))
+      .agg(min(col("n")).as("cms_estimate"))
+      .orderBy(col("true_count").desc, col("token"))
+  }
+
+  /** 16-bit md5 prefix of an arbitrary SQL string expression. */
+  private def hex16expr(e: String): String =
+    (1 to 4).map(i =>
+      s"(instr('0123456789abcdef', substring(md5($e), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      .mkString(" + ")
+
+  private val sketchCmsTopkOracle = {
+    val cellOf = hex16expr("CAST(row AS VARCHAR) || ':' || token")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+       |  FROM documents),
+       |cells AS (
+       |  SELECT row, ($cellOf) % 64 AS cell
+       |  FROM toks, (VALUES (0),(1),(2),(3)) r(row)),
+       |sketch AS (
+       |  SELECT row, cell, COUNT(*) AS n FROM cells GROUP BY row, cell),
+       |top AS (
+       |  SELECT token, COUNT(*) AS true_count FROM toks GROUP BY token
+       |  ORDER BY true_count DESC, token LIMIT 10),
+       |probes AS (
+       |  SELECT token, true_count, row, ($cellOf) % 64 AS cell
+       |  FROM top, (VALUES (0),(1),(2),(3)) r(row))
+       |SELECT p.token, p.true_count, CAST(MIN(s.n) AS BIGINT) AS cms_estimate
+       |FROM probes p JOIN sketch s ON s.row = p.row AND s.cell = p.cell
+       |GROUP BY p.token, p.true_count
+       |ORDER BY p.true_count DESC, p.token""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
     "curate_decontaminate" -> (curateDecontaminate _),
     "pack_sequences" -> (packSequences _),
     "sample_stratified" -> (sampleStratified _),
     "embed_quantize" -> (embedQuantize _),
-    "text_chunk" -> (textChunk _))
+    "text_chunk" -> (textChunk _),
+    "sketch_cms_topk" -> (sketchCmsTopk _))
 
   val oracles: Map[String, String] = Map(
     "curate_decontaminate" -> curateDecontaminateOracle,
     "pack_sequences" -> packSequencesOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "embed_quantize" -> embedQuantizeOracle,
-    "text_chunk" -> textChunkOracle)
+    "text_chunk" -> textChunkOracle,
+    "sketch_cms_topk" -> sketchCmsTopkOracle)
 }

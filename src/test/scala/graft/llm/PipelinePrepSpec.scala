@@ -102,6 +102,15 @@ class PipelinePrepSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("sketch_cms_topk: the count-min guarantee holds (estimate >= truth)") {
+    val t = PipelinePrep.sketchCmsTopk(spark, sfDir).cache()
+    assert(t.count() == 10)
+    // CMS never underestimates — collisions only ADD; a single estimate
+    // below the true count means the sketch rows/cells are misaligned
+    assert(t.filter(col("cms_estimate") < col("true_count")).isEmpty)
+    t.unpersist()
+  }
+
   test("cluster_kmeans: Lloyd step conserves vectors and moves centroids") {
     val k = Similarity.clusterKmeans(spark, sfDir).cache()
     val n = graft.model.Tables.load(spark, sfDir, "embeddings").count()
