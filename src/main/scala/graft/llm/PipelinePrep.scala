@@ -308,13 +308,101 @@ object PipelinePrep {
        |ORDER BY p.true_count DESC, p.token""".stripMargin
   }
 
+  // ---- sketch_hll_distinct --------------------------------------------------
+  // HyperLogLog cardinality of the corpus token stream, 64 registers from
+  // md5: bucket = first 8 md5 bits mod 64, rho = leading-zero rank of the
+  // next 32 bits (computed as 33 - length(bin(w)) — both engines' `bin`
+  // drops leading zeros identically). The harmonic mean is EXACT integer
+  // arithmetic: sum(2^-M_j) is kept as S = sum(2^(33-M_j)) over the common
+  // denominator 2^33 (BIGINT, order-independent), and only the final
+  // alpha·m²·2^33/S division runs in (identical) doubles — so the oracle
+  // reproduces the estimate bit-for-bit, not approximately. Duplicates
+  // can't move a register (max), which is the whole point: 64 fixed
+  // registers estimate distinct tokens at any corpus size, and two
+  // sketches merge by register-wise max (the MinHash-union algebra again).
+  def sketchHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(explode(expr(toksE)).as("token"))
+    val regs = toks
+      .select(
+        (conv(substring(md5(col("token")), 1, 2), 16, 10).cast("long") % 64)
+          .as("bucket"),
+        conv(substring(md5(col("token")), 3, 8), 16, 10).cast("long").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(33)).otherwise(lit(33) - length(bin(col("w")))))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+    val spine = s.range(0, 64).select(col("id").as("bucket"))
+    val sketch = spine.join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("m"), lit(0)).as("m"))
+    val agg = sketch.agg(
+      sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_buckets_hit"),
+      sum(col("m")).as("reg_sum"),
+      expr("sum(shiftleft(1L, 33 - m))").as("s_scaled"))
+      .select(col("n_buckets_hit"), col("reg_sum"), col("s_scaled"),
+        expr("""cast(round(cast(0.709 * 64 * 64 * 8589934592.0 /
+               |cast(s_scaled as double) as decimal(28,6)), 2) as double)"""
+          .stripMargin).as("hll_raw_estimate"))
+      // the standard small-range correction: below 2.5m with empty
+      // registers, LinearCounting (m·ln(m/V)) replaces the raw estimator
+      .withColumn("hll_estimate", expr(
+        """cast(round(cast(
+          |  case when 64 - n_buckets_hit > 0
+          |        and 0.709 * 64 * 64 * 8589934592.0 / cast(s_scaled as double) < 160.0
+          |       then 64.0 * ln(64.0 / cast(64 - n_buckets_hit as double))
+          |       else 0.709 * 64 * 64 * 8589934592.0 / cast(s_scaled as double) end
+          |as decimal(28,6)), 2) as double)""".stripMargin))
+    val truth = toks.agg(countDistinct(col("token")).as("true_distinct"))
+    agg.crossJoin(broadcast(truth))
+  }
+
+  private val sketchHllDistinctOracle =
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+       |  FROM documents),
+       |regs AS (
+       |  SELECT ((instr('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 16
+       |          + (instr('0123456789abcdef', substring(md5(token), 2, 1)) - 1)) % 64 AS bucket,
+       |         CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rho
+       |  FROM (
+       |    SELECT token,
+       |           CAST((instr('0123456789abcdef', substring(md5(token), 3, 1)) - 1) AS BIGINT) * 268435456
+       |           + (instr('0123456789abcdef', substring(md5(token), 4, 1)) - 1) * 16777216
+       |           + (instr('0123456789abcdef', substring(md5(token), 5, 1)) - 1) * 1048576
+       |           + (instr('0123456789abcdef', substring(md5(token), 6, 1)) - 1) * 65536
+       |           + (instr('0123456789abcdef', substring(md5(token), 7, 1)) - 1) * 4096
+       |           + (instr('0123456789abcdef', substring(md5(token), 8, 1)) - 1) * 256
+       |           + (instr('0123456789abcdef', substring(md5(token), 9, 1)) - 1) * 16
+       |           + (instr('0123456789abcdef', substring(md5(token), 10, 1)) - 1) AS w
+       |    FROM toks) t),
+       |mreg AS (SELECT bucket, MAX(rho) AS m FROM regs GROUP BY bucket),
+       |sketch AS (
+       |  SELECT sp.bucket, COALESCE(mreg.m, 0) AS m
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS bucket) sp
+       |  LEFT JOIN mreg ON mreg.bucket = sp.bucket),
+       |agg AS (
+       |  SELECT CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_hit,
+       |         CAST(SUM(m) AS BIGINT) AS reg_sum,
+       |         CAST(SUM(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT) AS s_scaled
+       |  FROM sketch)
+       |SELECT n_buckets_hit, reg_sum, s_scaled,
+       |       CAST(ROUND(CAST(0.709 * 64 * 64 * 8589934592.0 / CAST(s_scaled AS DOUBLE) AS DECIMAL(28,6)), 2) AS DOUBLE) AS hll_raw_estimate,
+       |       CAST(ROUND(CAST(
+       |         CASE WHEN 64 - n_buckets_hit > 0
+       |               AND 0.709 * 64 * 64 * 8589934592.0 / CAST(s_scaled AS DOUBLE) < 160.0
+       |              THEN 64.0 * ln(64.0 / CAST(64 - n_buckets_hit AS DOUBLE))
+       |              ELSE 0.709 * 64 * 64 * 8589934592.0 / CAST(s_scaled AS DOUBLE) END
+       |       AS DECIMAL(28,6)), 2) AS DOUBLE) AS hll_estimate,
+       |       (SELECT COUNT(DISTINCT token) FROM toks) AS true_distinct
+       |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "curate_decontaminate" -> (curateDecontaminate _),
     "pack_sequences" -> (packSequences _),
     "sample_stratified" -> (sampleStratified _),
     "embed_quantize" -> (embedQuantize _),
     "text_chunk" -> (textChunk _),
-    "sketch_cms_topk" -> (sketchCmsTopk _))
+    "sketch_cms_topk" -> (sketchCmsTopk _),
+    "sketch_hll_distinct" -> (sketchHllDistinct _))
 
   val oracles: Map[String, String] = Map(
     "curate_decontaminate" -> curateDecontaminateOracle,
@@ -322,5 +410,6 @@ object PipelinePrep {
     "sample_stratified" -> sampleStratifiedOracle,
     "embed_quantize" -> embedQuantizeOracle,
     "text_chunk" -> textChunkOracle,
-    "sketch_cms_topk" -> sketchCmsTopkOracle)
+    "sketch_cms_topk" -> sketchCmsTopkOracle,
+    "sketch_hll_distinct" -> sketchHllDistinctOracle)
 }

@@ -111,6 +111,20 @@ class PipelinePrepSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("sketch_hll_distinct: the estimate lands inside the m=64 error band") {
+    val r = PipelinePrep.sketchHllDistinct(spark, sfDir).head()
+    val truth = r.getAs[Long]("true_distinct").toDouble
+    val est = r.getAs[Double]("hll_estimate")
+    // HLL with 64 registers has ~13% standard error; 3 sigma ≈ 40%.
+    // A sketch bug (wrong rho, misaligned buckets, bad harmonic sum)
+    // lands far outside this band.
+    assert(math.abs(est - truth) / truth < 0.4,
+      s"HLL estimate $est vs true $truth — outside the error band")
+    // register sum and occupancy are consistent
+    assert(r.getAs[Long]("n_buckets_hit") <= 64)
+    assert(r.getAs[Long]("reg_sum") >= r.getAs[Long]("n_buckets_hit"))
+  }
+
   test("cluster_kmeans: Lloyd step conserves vectors and moves centroids") {
     val k = Similarity.clusterKmeans(spark, sfDir).cache()
     val n = graft.model.Tables.load(spark, sfDir, "embeddings").count()
