@@ -37,11 +37,18 @@ object GraphOps {
     val pairs = load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()
+    // materialize the edge list ONCE (localCheckpoint, the dedup_clusters
+    // lifecycle): without it Catalyst re-executes the pairs self-join +
+    // distinct inside deg AND inside every superstep — 4 recomputes of the
+    // most expensive stage. Unreplicated blocks, same re-runnable-batch
+    // trade as documented in Dedup.scala.
     val edges = pairs.as("a").join(pairs.as("b"),
         col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
       .select(col("a.sk").as("src"), col("b.sk").as("dst"))
       .distinct()
+      .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // joined in every superstep — k rows, pin it too
     val nodes = deg.select(col("src").as("node")) // symmetric graph: src set = vertex set
 
     // r0 = 1.0 (scaled 1e6) for every vertex
