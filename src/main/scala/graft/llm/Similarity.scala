@@ -370,7 +370,11 @@ object Similarity {
         expr("aggregate(zip_with(cvec, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
     val wA = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell"))
-    val assign = base.drop("label").crossJoin(broadcast(cent))
+    // nrm > 0 guard: a zero-norm embedding would make ccos NaN, and Spark
+    // NaN-ordering vs DuckDB NULL-ordering diverge — exclude it from
+    // assignment in both engines (same guard embed_quantize applies).
+    val assign = base.drop("label").filter(col("nrm") > 0)
+      .crossJoin(broadcast(cent))
       .withColumn("cdot",
         expr("aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
       .withColumn("ccos", col("cdot").cast("double") /
@@ -414,7 +418,7 @@ object Similarity {
        |  SELECT qn.vec_id, c.cell,
        |         CAST(CAST(list_sum(list_transform(generate_series(1, len(qn.qv)), i -> qn.qv[i] * c.cvec[i])) AS BIGINT) AS DOUBLE)
        |           / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
-       |  FROM qn CROSS JOIN centn c),
+       |  FROM qn CROSS JOIN centn c WHERE qn.nrm > 0),
        |assign AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell,

@@ -49,7 +49,11 @@ object GraphOps {
       .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint() // joined in every superstep — k rows, pin it too
-    val nodes = deg.select(col("src").as("node")) // symmetric graph: src set = vertex set
+    // TRUE vertex set = every distinct supplier, not just edge sources: a
+    // supplier that never co-supplies an order (isolated vertex) has no
+    // edges but still holds the (1-d) damping-floor rank of 150000 micros.
+    val nodes = pairs.select(col("sk").as("node")).distinct()
+      .localCheckpoint() // k rows, joined in every superstep
 
     // r0 = 1.0 (scaled 1e6) for every vertex
     def step(rank: DataFrame): DataFrame = {
@@ -76,7 +80,7 @@ object GraphOps {
       |  SELECT DISTINCT a.sk AS src, b.sk AS dst
       |  FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.sk <> b.sk),
       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-      |nodes AS (SELECT src AS node FROM deg),
+      |nodes AS (SELECT DISTINCT sk AS node FROM pairs),
       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
       |c1 AS (
       |  SELECT e.dst, CAST(SUM(r0.r // d.deg) AS BIGINT) AS contrib

@@ -223,8 +223,10 @@ object PipelineOps {
 
   // ---- merge_upsert ---------------------------------------------------------
   // MERGE (CDC apply): a deterministic changeset — deletes for key%13=0,
-  // status/price updates for key%10=0 (not deleted), inserts at key+10^8 for
-  // key%97=0 — is applied onto the orders snapshot with
+  // status/price updates for key%10=0 (not deleted), inserts at -key for
+  // key%97=0 (o_orderkey >= 1 at every scale factor, so negated keys are
+  // provably outside the base domain — no collision at any SF) — is
+  // applied onto the orders snapshot with
   // delete-wins > update > insert > keep semantics. Spark-first MERGE is a
   // single full-outer hash join on the key plus a row-level CASE: one
   // shuffle of each side at any scale (or zero with co-bucketed layouts),
@@ -244,7 +246,7 @@ object PipelineOps {
         round((col("total") * lit(1.1)).cast("decimal(18,4)"), 2)
           .cast("double").as("new_total"))
     val inserts = base.filter(col("key") % 97 === 0)
-      .select((col("key") + 100000000L).as("key"), lit("I").as("op"),
+      .select((-col("key")).as("key"), lit("I").as("op"),
         lit("N").as("new_status"), col("total").as("new_total"))
     val changes = deletes.unionAll(updates).unionAll(inserts)
     base.join(changes, Seq("key"), "full_outer")
@@ -271,7 +273,7 @@ object PipelineOps {
       |         CAST(ROUND(CAST(total * 1.1 AS DECIMAL(18,4)), 2) AS DOUBLE)
       |  FROM base WHERE key % 10 = 0 AND key % 13 <> 0
       |  UNION ALL
-      |  SELECT key + 100000000, 'I', 'N', total
+      |  SELECT -key, 'I', 'N', total
       |  FROM base WHERE key % 97 = 0)
       |SELECT COALESCE(b.key, c.key) AS key,
       |       CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END AS status,

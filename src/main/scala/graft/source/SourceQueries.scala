@@ -18,6 +18,8 @@ object SourceQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private val evoRunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def root = Flatten.fixtureRoot
   private def readFile(p: String): String =
     new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
@@ -129,7 +131,11 @@ object SourceQueries {
   // metadata, not data); the oracle states the union + null-fill
   // relationally.
   def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_src_evo"
+    // per-invocation unique staging path (pid + counter, same isolation as
+    // StreamQueries.initRoot/runId) — concurrent sessions on one host must
+    // never delete each other's staged batches
+    val path = s"${sys.props("java.io.tmpdir")}/graft_src_evo" +
+      s"-${ProcessHandle.current().pid()}-${evoRunId.incrementAndGet()}"
     graft.sink.Sinks.deleteDir(path)
     val docs = graft.model.Tables.load(s, dir, "documents")
     docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))

@@ -320,12 +320,13 @@ object StreamQueries {
         round((col("total") * lit(1.1)).cast("decimal(18,4)"), 2)
           .cast("double").as("new_total"))
     val inserts = orders.filter(col("key") % 97 === 0)
-      .select((col("key") + 100000000L).as("key"), lit("I").as("op"),
+      .select((-col("key")).as("key"), lit("I").as("op"),
         lit("N").as("new_status"), col("total").as("new_total"))
     val changes = deletes.unionAll(updates).unionAll(inserts)
     // two arrival waves, one file each → two micro-batches, each key once
+    // (=!= 0, not === 1: insert keys are negative and Scala % keeps sign)
     changes.filter(col("key") % 2 === 0).coalesce(1).write.parquet(s"$base/src")
-    changes.filter(col("key") % 2 === 1).coalesce(1)
+    changes.filter(col("key") % 2 =!= 0).coalesce(1)
       .write.mode("append").parquet(s"$base/src")
 
     var version = 0
@@ -369,7 +370,7 @@ object StreamQueries {
       |         CAST(ROUND(CAST(total * 1.1 AS DECIMAL(18,4)), 2) AS DOUBLE)
       |  FROM base WHERE key % 10 = 0 AND key % 13 <> 0
       |  UNION ALL
-      |  SELECT key + 100000000, 'I', 'N', total
+      |  SELECT -key, 'I', 'N', total
       |  FROM base WHERE key % 97 = 0)
       |SELECT COALESCE(b.key, c.key) AS key,
       |       CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END AS status,

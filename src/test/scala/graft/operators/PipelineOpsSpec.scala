@@ -186,8 +186,9 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m.filter(col("last_op") === "U").count() == nUpd)
     assert(m.filter(col("last_op") === "I").count() == nIns)
     assert(m.filter(col("last_op") === "D").isEmpty)
-    // every deleted key is gone; every updated row carries the new status
-    assert(m.filter(col("key") % 13 === 0 && col("key") < 100000000L).isEmpty)
+    // every deleted key is gone (base keys are positive; inserts negated);
+    // every updated row carries the new status
+    assert(m.filter(col("key") % 13 === 0 && col("key") > 0).isEmpty)
     assert(m.filter(col("last_op") === "U" && col("status") =!= "X").isEmpty)
     // keys stay unique after the merge (MERGE must never duplicate)
     assert(m.select("key").distinct().count() == m.count())
