@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
-import graft.llm.{Curation, Dedup, DedupStress, MinHashAgg, Multimodal, PipelinePrep, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, DedupStress, MinHashAgg, Multimodal, PipelinePrep, Similarity, TextAnalysis, Tokenize}
 import graft.operators.{Analytics, GraphOps, PipelineOps}
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
@@ -31,7 +31,7 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       StreamQueries.queries ++ MinHashAgg.queries ++ Curation.queries ++
       PipelineOps.queries ++ PipelinePrep.queries ++ GraphOps.queries ++
-      SessionStream.queries
+      SessionStream.queries ++ Tokenize.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -42,5 +42,5 @@ object SparkEntry {
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       StreamQueries.oracles ++ MinHashAgg.oracles ++ Curation.oracles ++
       PipelineOps.oracles ++ PipelinePrep.oracles ++ GraphOps.oracles ++
-      SessionStream.oracles
+      SessionStream.oracles ++ Tokenize.oracles
 }

@@ -1,0 +1,253 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.expressions.BpeTokenize
+import graft.model.Tables.load
+
+/** Deterministic subword (BPE) tokenization — the operator that turns the
+  * whitespace "token" counts of pack_sequences / text_chunk into real
+  * subword counts (whitespace under-counts CJK and code by 2-5x on real
+  * corpora; the TokenizeSpec divergence assert pins that the two counts
+  * genuinely differ on this fixture too).
+  *
+  * Training (trainMerges): two batched rounds of BPE merge derivation,
+  * each round = count adjacent symbol pairs over the CURRENT segmentation
+  * of the vocabulary weighted by word frequency, keep the top-K by
+  * (count DESC, left ASC, right ASC — binary string order, identical in
+  * Spark and DuckDB on this ASCII corpus). Round 1 sees the character
+  * segmentation (pairs = 2-char substrings); round 2 re-segments the vocab
+  * under round-1 merges, so its pairs COMPOSE (up to 4-char symbols) —
+  * the hierarchical structure real BPE training (one merge per round)
+  * produces, batched K-at-a-time so the oracle can replay training as two
+  * aggregations instead of K1+K2 recursions. Production note: more rounds
+  * = same machinery; the APPLY path (BpeTokenize) takes any pair-merge
+  * table, including a real 50k-merge GPT-class one.
+  *
+  * Topology at 100 TB: training is ONE corpus scan (word-count hash agg
+  * with map-side combine) — every later step runs on the VOCABULARY
+  * (distinct words), which is MBs, not TBs; the ranked table (a few dozen
+  * rows here, 50k in production) collects to the driver as model
+  * parameters and rides into the scan expression like a broadcast.
+  * Encoding is then a single codegen projection over the corpus — no
+  * shuffle, no state.
+  *
+  * Oracle: DuckDB replays training with the same two aggregations and
+  * replays the greedy apply as a bounded recursive CTE (one leftmost
+  * best-ranked merge per step — see bpeCte), then reassembles per-document
+  * token streams from the vocabulary, so n_bpe and the md5 of the full
+  * token stream match bit-for-bit.
+  */
+object Tokenize {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K1 = 16
+  private val K2 = 16
+
+  private def bpeCol(c: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeTokenize(ColumnBridge.expression(c), merges))
+
+  /** Derive the ranked merge table from the corpus: top-K1 character
+    * bigrams, then top-K2 adjacent symbol pairs under the round-1
+    * segmentation (ranks K1+1..). Ties break on (left, right) binary
+    * order — the exact ordering the oracle's ROW_NUMBER states. */
+  def trainMerges(s: SparkSession, docs: DataFrame): Seq[(String, String)] = {
+    // the one corpus-wide pass: word counts (map-side combining hash agg);
+    // everything after runs on the small distinct-word vocabulary
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint() // read by both training rounds; vocab is small
+
+    def topPairs(pairs: DataFrame, k: Int): Seq[(String, String)] =
+      pairs.groupBy(col("l"), col("r")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(k)
+        .collect() // k-row model table, the merge "vocabulary" — not data
+        .map(row => (row.getString(0), row.getString(1)))
+        .toSeq
+
+    val m1 = topPairs(
+      vocab.filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(w) - 1)," +
+            " i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))"))
+          .as("p"))
+        .select(col("wc"), col("p.l").as("l"), col("p.r").as("r")),
+      K1)
+
+    val m2 = topPairs(
+      vocab
+        .withColumn("toks", split(bpeCol(col("w"), m1), "\\|"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r))"))
+          .as("p"))
+        .select(col("wc"), col("p.l").as("l"), col("p.r").as("r")),
+      K2)
+
+    m1 ++ m2
+  }
+
+  /** BPE token count from the joined token string: tokens are separated by
+    * '|' within a word and ' ' across words (neither occurs inside a
+    * token on this corpus — text is [a-z ]), so count = separators + 1. */
+  private def nTokens(tok: Column): Column =
+    when(tok === "", lit(0L))
+      .otherwise(size(split(tok, "[ |]")).cast("long"))
+
+  // ---- text_tokenize_bpe ----------------------------------------------------
+  def textTokenizeBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val merges = trainMerges(s, docs)
+    docs
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long")
+          .as("n_ws"),
+        bpeCol(col("text"), merges).as("tok"))
+      .select(col("doc_id"), col("n_ws"), nTokens(col("tok")).as("n_bpe"),
+        md5(col("tok").cast("binary")).as("tok_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- pack_sequences_bpe ---------------------------------------------------
+  // pack_sequences re-keyed on REAL subword counts: same one-exchange
+  // shard + spillable sort + O(1) running-sum window topology
+  // (PipelinePrep.packSequences), but the 512-token budget now measures
+  // BPE tokens, so packing density is what the trainer actually sees.
+  def packSequencesBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val merges = trainMerges(s, docs)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        bpeCol(col("text"), merges).as("tok"))
+      .withColumn("n_tokens", nTokens(col("tok")))
+      .drop("tok")
+      .withColumn("start_off",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr("start_off div 512"))
+      .withColumn("tok_offset", col("start_off") - col("seq_id") * 512)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("seq_id"), col("tok_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle prefix: training (two aggregations) + greedy apply
+    * (bounded recursive CTE — one leftmost best-ranked merge per step,
+    * terminating with done = TRUE when no adjacent pair is in the table)
+    * + per-word token strings. Ends with the `wtok` relation
+    * (w, wtok '|'-joined, ntok). */
+  private val bpeCte =
+    s"""WITH RECURSIVE
+       |words AS (
+       |  SELECT doc_id, w, pos FROM (
+       |    SELECT doc_id,
+       |           unnest(string_split(text, ' ')) AS w,
+       |           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+       |    FROM documents) t
+       |  WHERE w <> ''),
+       |vocab AS (SELECT w, COUNT(*) AS wc FROM words GROUP BY w),
+       |p1c AS (
+       |  SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i FROM vocab),
+       |p1 AS (
+       |  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, SUM(wc) AS cnt
+       |  FROM p1c GROUP BY 1, 2),
+       |m1 AS (
+       |  SELECT l, r, ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rank
+       |  FROM p1
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) <= $K1),
+       |apply1 AS (
+       |  SELECT w, string_split(w, '') AS syms, FALSE AS done FROM vocab
+       |  UNION ALL
+       |  SELECT a.w,
+       |         CASE WHEN b.i IS NULL THEN a.syms
+       |              ELSE a.syms[1:b.i-1] || [a.syms[b.i] || a.syms[b.i+1]] ||
+       |                   a.syms[b.i+2:] END,
+       |         b.i IS NULL
+       |  FROM apply1 a LEFT JOIN LATERAL (
+       |    SELECT pos.i
+       |    FROM (SELECT unnest(generate_series(1, len(a.syms) - 1)) AS i) pos
+       |    JOIN m1 ON m1.l = a.syms[pos.i] AND m1.r = a.syms[pos.i + 1]
+       |    ORDER BY m1.rank, pos.i LIMIT 1) b ON TRUE
+       |  WHERE NOT a.done),
+       |p2c AS (
+       |  SELECT v.wc, t.syms, unnest(generate_series(1, len(t.syms) - 1)) AS i
+       |  FROM (SELECT w, syms FROM apply1 WHERE done) t
+       |  JOIN vocab v ON v.w = t.w),
+       |p2 AS (
+       |  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(wc) AS cnt
+       |  FROM p2c GROUP BY 1, 2),
+       |m2 AS (
+       |  SELECT l, r, $K1 + ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rank
+       |  FROM p2
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) <= $K2),
+       |merges AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+       |apply2 AS (
+       |  SELECT w, string_split(w, '') AS syms, FALSE AS done FROM vocab
+       |  UNION ALL
+       |  SELECT a.w,
+       |         CASE WHEN b.i IS NULL THEN a.syms
+       |              ELSE a.syms[1:b.i-1] || [a.syms[b.i] || a.syms[b.i+1]] ||
+       |                   a.syms[b.i+2:] END,
+       |         b.i IS NULL
+       |  FROM apply2 a LEFT JOIN LATERAL (
+       |    SELECT pos.i
+       |    FROM (SELECT unnest(generate_series(1, len(a.syms) - 1)) AS i) pos
+       |    JOIN merges m ON m.l = a.syms[pos.i] AND m.r = a.syms[pos.i + 1]
+       |    ORDER BY m.rank, pos.i LIMIT 1) b ON TRUE
+       |  WHERE NOT a.done),
+       |wtok AS (
+       |  SELECT w, array_to_string(syms, '|') AS wtok, len(syms) AS ntok
+       |  FROM apply2 WHERE done)""".stripMargin
+
+  private val textTokenizeBpeOracle =
+    s"""$bpeCte,
+       |perdoc AS (
+       |  SELECT d.doc_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_ws,
+       |         CAST(SUM(t.ntok) AS BIGINT) AS n_bpe,
+       |         string_agg(t.wtok, ' ' ORDER BY d.pos) AS joined
+       |  FROM words d JOIN wtok t ON t.w = d.w
+       |  GROUP BY d.doc_id)
+       |SELECT doc.doc_id,
+       |       COALESCE(p.n_ws, 0) AS n_ws,
+       |       COALESCE(p.n_bpe, 0) AS n_bpe,
+       |       md5(COALESCE(p.joined, '')) AS tok_md5
+       |FROM documents doc LEFT JOIN perdoc p ON p.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
+  private val packSequencesBpeOracle =
+    s"""$bpeCte,
+       |perdoc AS (
+       |  SELECT d.doc_id, CAST(SUM(t.ntok) AS BIGINT) AS n_bpe
+       |  FROM words d JOIN wtok t ON t.w = d.w
+       |  GROUP BY d.doc_id),
+       |t AS (
+       |  SELECT doc.doc_id, doc.doc_id % 8 AS shard,
+       |         COALESCE(p.n_bpe, 0) AS n_tokens
+       |  FROM documents doc LEFT JOIN perdoc p ON p.doc_id = doc.doc_id),
+       |r AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+       |              - n_tokens AS BIGINT) AS start_off
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens,
+       |       start_off // 512 AS seq_id,
+       |       start_off - (start_off // 512) * 512 AS tok_offset
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "text_tokenize_bpe" -> (textTokenizeBpe _),
+    "pack_sequences_bpe" -> (packSequencesBpe _))
+
+  val oracles: Map[String, String] = Map(
+    "text_tokenize_bpe" -> textTokenizeBpeOracle,
+    "pack_sequences_bpe" -> packSequencesBpeOracle)
+}

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expressions.{BpeModel, BpeSupport}
+
+/** BPE tokenizer semantics the oracle hash can't state directly: the greedy
+  * apply loop's priority/tie/overlap rules, merge composition, and the
+  * claim that motivates the operator — whitespace and BPE token counts
+  * genuinely diverge on this fixture. */
+class TokenizeSpec extends SparkSpec {
+
+  private def enc(word: String, merges: (String, String)*): List[String] = {
+    val syms = new java.util.ArrayList[String]()
+    BpeSupport.encodeWord(word, syms, new BpeModel(merges.toArray))
+    val b = List.newBuilder[String]
+    syms.forEach(t => b += t)
+    b.result()
+  }
+
+  test("greedy apply merges the best-ranked pair first, not left-to-right") {
+    // (s,t) outranks (a,s): "ast" must merge st first, leaving a|st
+    assert(enc("ast", ("s", "t"), ("a", "s")) == List("a", "st"))
+    // flipping priorities flips the result
+    assert(enc("ast", ("a", "s"), ("s", "t")) == List("as", "t"))
+  }
+
+  test("equal-rank occurrences merge leftmost-first (overlap rule)") {
+    // "aaa" under (a,a): leftmost pair merges, survivor can't re-pair
+    assert(enc("aaa", ("a", "a")) == List("aa", "a"))
+    // "aaaa": two disjoint leftmost merges, then (aa,aa) is NOT a merge
+    assert(enc("aaaa", ("a", "a")) == List("aa", "aa"))
+  }
+
+  test("merges compose hierarchically across rounds") {
+    // (t,h) then (th,e) builds the 3-char token
+    assert(enc("the", ("t", "h"), ("th", "e")) == List("the"))
+    // without the second-level merge the word stays 2 tokens
+    assert(enc("the", ("t", "h")) == List("th", "e"))
+  }
+
+  test("words without applicable merges stay character-split; 1-char words intact") {
+    assert(enc("xyz", ("a", "b")) == List("x", "y", "z"))
+    assert(enc("a", ("a", "a")) == List("a"))
+  }
+
+  test("trained table has ranked composing merges; both rounds contribute") {
+    val merges = Tokenize.trainMerges(spark,
+      graft.model.Tables.load(spark, sfDir, "documents"))
+    assert(merges.length == 32, s"expected 16+16 merges, got ${merges.length}")
+    // round-1 merges are single chars on both sides
+    assert(merges.take(16).forall { case (l, r) => l.length == 1 && r.length == 1 })
+    // round 2 must contain at least one COMPOSING merge (a multi-char side)
+    assert(merges.drop(16).exists { case (l, r) => l.length > 1 || r.length > 1 },
+      "round-2 merges never composed — the hierarchy is degenerate")
+    // ranks are distinct pairs (no duplicate merge rule)
+    assert(merges.distinct.length == merges.length)
+  }
+
+  test("whitespace and BPE token counts diverge on the fixture (the operator matters)") {
+    val out = Tokenize.textTokenizeBpe(spark, sfDir)
+      .agg(sum(col("n_ws")).as("ws"), sum(col("n_bpe")).as("bpe"))
+      .collect()(0)
+    val ws = out.getAs[Long]("ws")
+    val bpe = out.getAs[Long]("bpe")
+    assert(ws > 0 && bpe > 0)
+    // subword segmentation yields materially more tokens than whitespace —
+    // a packing budget sized in whitespace "tokens" would be off by >2x
+    assert(bpe > 2 * ws, s"expected >2x divergence, got ws=$ws bpe=$bpe")
+  }
+
+  test("pack_sequences_bpe budgets by BPE counts and respects the 512 budget") {
+    val packed = Tokenize.packSequencesBpe(spark, sfDir).cache()
+    // offsets stay inside the budget and are consistent with counts
+    assert(packed.filter(col("tok_offset") < 0 || col("tok_offset") >= 512).isEmpty)
+    val viaWs = PipelinePrep.packSequences(spark, sfDir)
+      .select(col("doc_id"), col("seq_id").as("ws_seq"))
+    val joined = Tokenize.packSequencesBpe(spark, sfDir)
+      .select(col("doc_id"), col("seq_id")).join(viaWs, Seq("doc_id"))
+    // the BPE packing must place documents into LATER sequences (more
+    // tokens per doc), proving the budget is measured in subword units
+    assert(joined.filter(col("seq_id") > col("ws_seq")).count() > 0)
+    packed.unpersist()
+  }
+
+  test("tokenize plan is a single scan projection — no exchange before the sort") {
+    val plan = Tokenize.textTokenizeBpe(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // one presentation sort; the tokenizing projection itself never shuffles
+    assert(plan.contains("graft_bpe"), s"custom expression missing from plan:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"tokenization must not shuffle the corpus:\n$plan")
+  }
+}
