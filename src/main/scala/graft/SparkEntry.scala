@@ -9,6 +9,7 @@ import graft.operators.{Analytics, GraphOps, PipelineOps}
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
 import graft.streaming.{SessionStream, StreamQueries}
+import graft.table.TableQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +32,7 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       StreamQueries.queries ++ MinHashAgg.queries ++ Curation.queries ++
       PipelineOps.queries ++ PipelinePrep.queries ++ GraphOps.queries ++
-      SessionStream.queries ++ Tokenize.queries
+      SessionStream.queries ++ Tokenize.queries ++ TableQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -42,5 +43,5 @@ object SparkEntry {
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       StreamQueries.oracles ++ MinHashAgg.oracles ++ Curation.oracles ++
       PipelineOps.oracles ++ PipelinePrep.oracles ++ GraphOps.oracles ++
-      SessionStream.oracles ++ Tokenize.oracles
+      SessionStream.oracles ++ Tokenize.oracles ++ TableQueries.oracles
 }
