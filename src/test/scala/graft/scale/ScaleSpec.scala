@@ -65,4 +65,48 @@ class ScaleSpec extends SparkSpec {
     val joined = Scale.saltedJoin(big, small, "k", 7, "row_id")
     assert(joined.count() == 10000)
   }
+
+  test("AQE skew-join splits the UNSALTED hot key (the automatic path)") {
+    import spark.implicits._
+    // one pathological key: half of 50k rows land on k=42, padded so the
+    // hot shuffle partition is megabytes while the median is tiny
+    // pad must be per-row (lpad of the id), not a foldable literal —
+    // otherwise Catalyst re-projects it after the join and the shuffle
+    // stays tiny
+    val big = spark.range(0, 50000).select(
+      when(col("id") % 2 === 0, lit(42L)).otherwise(col("id")).as("k"),
+      col("id").as("row_id"),
+      lpad(col("id").cast("string"), 200, "x").as("pad"))
+    val small = spark.range(0, 50000)
+      .select(col("id").as("k"), (col("id") % 97).as("tag"))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // scale the 256MB-class production thresholds down to the fixture
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val prev = confs.map { case (key, _) =>
+      key -> spark.conf.getOption(key) }
+    try {
+      confs.foreach { case (key, v) => spark.conf.set(key, v) }
+      val joined = big.join(small, Seq("k"))
+      // materialize THIS query execution (count() would plan a separate
+      // one and leave joined's AQE plan unfinalized)
+      assert(joined.collect().length == 50000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skew-split:\n$plan")
+      // semantics unchanged by the split: same aggregate as the plain join
+      val viaAqe = joined.agg(sum(col("tag"))).collect()(0).getLong(0)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plain = big.join(small, Seq("k")).agg(sum(col("tag")))
+        .collect()(0).getLong(0)
+      assert(viaAqe == plain)
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
 }
