@@ -25,7 +25,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional arg: comma-separated key filter for local iteration — the
+    // driver's full run passes no args
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -93,8 +99,9 @@ object Bench {
     // Persist the full line as a file, then print a compact summary LAST —
     // headline metric + slowest keys — small enough that the tail always
     // holds it intact for the driver's parser.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    if (only.isEmpty) // a filtered run must not clobber the full artifact
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     val slow = times.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir","queries":$slow,"note":"slowest 12 of ${times.size} keys; full per-query timings in BENCH_LOCAL.json"}""")

@@ -335,11 +335,31 @@ object Dedup {
     dedupClustersOver(s, load(s, dir, "documents"))
 
   private[llm] def dedupClustersOver(s: SparkSession, docsIn: DataFrame): DataFrame = {
-    val docs = docsIn.select(col("doc_id"))
+    // EXACT-DUP PRE-COLLAPSE (r6): identical texts have identical shingle
+    // sets, hence identical minhash bands — every same-text pair is a
+    // certain LSH candidate with J = 1. Collapsing each exact group to its
+    // min-doc_id representative BEFORE banding shrinks the LSH + CC input
+    // from |docs| to |distinct texts| while leaving the OUTPUT invariant:
+    // cluster ids are component minima, each representative IS its group's
+    // minimum, any LSH edge via a collapsed member exists identically via
+    // its representative (same text ⇒ same bands ⇒ same verified pairs),
+    // and members reattach through the rep mapping below. On the skew
+    // fixture the 500-doc family (7 text variants) enters CC as 7 reps —
+    // the verified pair list drops from ~115k to the cross-variant pairs.
+    // One md5-keyed window (32-byte shuffle key) buys a quadratic
+    // reduction in candidate mass wherever exact dups are dense.
+    import org.apache.spark.sql.expressions.Window
+    val repMap = docsIn
+      .select(col("doc_id"),
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("rep"))
+      .localCheckpoint()
+    val reps = docsIn.join(
+      repMap.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"))
     // checkpoint BEFORE the symmetric union: both branches (and every
     // superstep join) read the materialized pair list, so the LSH
     // band-join + verify chain runs exactly once per invocation
-    val pairs = dedupMinhashLshOver(s, docsIn).select(col("id_a"), col("id_b"))
+    val pairs = dedupMinhashLshOver(s, reps).select(col("id_a"), col("id_b"))
       .localCheckpoint()
     val sym = pairs.toDF("src", "dst")
       .union(pairs.select(col("id_b"), col("id_a")).toDF("src", "dst"))
@@ -373,9 +393,14 @@ object Dedup {
       converged = delta == 0
     }
     require(converged, s"label propagation did not converge in $iter supersteps")
-    docs.join(labels, Seq("doc_id"), "left")
+    // reattach collapsed members: every doc takes its representative's
+    // component label; a rep not in `labels` is a singleton component
+    // (its exact group, possibly of size 1) labeled by the rep itself
+    repMap
+      .join(labels.withColumnRenamed("doc_id", "rep_id"),
+        col("rep") === col("rep_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("keep"))
       .orderBy(col("doc_id"))

@@ -56,4 +56,36 @@ class DedupStressSpec extends SparkSpec {
     assert(chain.forall(byId(_) == 3L),
       s"chain fragmented: ${chain.map(c => s"$c->${byId(c)}").mkString(",")}")
   }
+
+  test("cluster labels are invariant under the exact-dup pre-collapse (r6)") {
+    // dedupClustersOver collapses identical texts to their min-doc_id
+    // representative BEFORE LSH banding (same text ⇒ same bands ⇒ same
+    // verified pairs, and cluster ids are component minima — so the
+    // output is provably unchanged). Check that proof against an
+    // INDEPENDENT reference: union-find on the driver over the
+    // UN-collapsed pair list, exactly the r5 algorithm's input.
+    val corpus = DedupStress.skewGiant(spark, sfDir)
+    val fast = DedupStress.dedupSkewClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ids = corpus.select(col("doc_id")).collect().map(_.getLong(0))
+    val edges = Dedup.dedupMinhashLshOver(spark, corpus)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ids.map(i => i -> find(i)).toMap
+    assert(fast == want,
+      s"pre-collapsed labels diverge from the un-collapsed reference: " +
+        s"${want.collect { case (k, v) if fast(k) != v => s"$k:${fast(k)}!=$v" }.take(5)}")
+  }
 }
