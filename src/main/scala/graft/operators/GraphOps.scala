@@ -12,75 +12,155 @@ import graft.model.Tables.load
   * both supplied the same order (the co-supply graph — symmetric by
   * construction, cycles everywhere, the shape PageRank is interesting on).
   *
+  * Hot-order guard (r6): the per-order self-join emits O(k²) edges for an
+  * order with k suppliers — bounded at 7 in TPC-H shape, but a hub key in
+  * a general corpus would emit a clique quadratic in its size (the same
+  * failure mode the dedup family's frequency cap kills). Orders with more
+  * than [[GraphOps.maxSuppliersPerOrder]] suppliers are dropped from the
+  * edge build in BOTH engines (never triggered by this fixture — TPC-H
+  * orders carry ≤ 7 lineitems at every SF — but the guard is load-bearing
+  * at 100 TB, where a single hub order must not emit a million-edge
+  * clique; production would size it corpus-relative like the dedup cap).
+  *
   * Portability contract: ranks are BIGINT micros (1.0 = 1,000,000), every
   * per-edge contribution is truncated integer division (`rank div deg` —
   * Spark `div` and DuckDB `//` agree), and the damping update is integer
   * multiply-then-div — so two engines running entirely different execution
-  * strategies produce bit-identical ranks.
+  * strategies produce bit-identical ranks at EVERY superstep, which is
+  * what lets the convergence loop stop at the same round in both.
   */
 object GraphOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  // ---- graph_pagerank -------------------------------------------------------
-  // Two exact power-method supersteps of PageRank (damping 0.85, uniform
-  // init, unnormalized — the relative ordering is the product). Each
-  // superstep is the canonical Pregel round as plain relational ops: join
-  // ranks onto edges by src (messages), hash-agg by dst (combine), map the
-  // damping update — at 100 TB edges hash-partition by src once and both
-  // supersteps reuse that layout; per-superstep cost is one shuffle of
-  // (dst, contribution) pairs, exactly the dedup_clusters CC topology.
-  // Iterating further repeats the same two joins (convergence would be a
-  // driver-side scalar, as in CC); two fixed rounds keep the oracle a
-  // finite CTE chain.
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    // materialize the edge list ONCE (localCheckpoint, the dedup_clusters
-    // lifecycle): without it Catalyst re-executes the pairs self-join +
-    // distinct inside deg AND inside every superstep — 4 recomputes of the
-    // most expensive stage. Unreplicated blocks, same re-runnable-batch
-    // trade as documented in Dedup.scala.
-    val edges = pairs.as("a").join(pairs.as("b"),
+  /** Clique guard for the edge build — see the class doc. */
+  val maxSuppliersPerOrder = 16
+
+  /** Materialized graph: capped distinct edge list, out-degrees, and the
+    * TRUE vertex set (every distinct supplier — an isolated vertex has no
+    * edges but still holds the (1-d) damping-floor rank). All three are
+    * localCheckpointed: every superstep re-reads them, and without the
+    * pin Catalyst re-executes the pairs self-join + distinct inside deg
+    * AND inside every superstep. Unreplicated blocks, same
+    * re-runnable-batch trade as documented in Dedup.scala. */
+  /** Capped co-occurrence edges from a (ok, sk) pair table — split out so
+    * the spec can drive the clique guard with a planted hub order. */
+  private[operators] def edgesFromPairs(pairs: DataFrame): DataFrame = {
+    val okOk = pairs.groupBy(col("ok"))
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") <= maxSuppliersPerOrder)
+      .select(col("ok"))
+    pairs.join(okOk, Seq("ok")).as("a")
+      .join(pairs.as("b"),
         col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
       .select(col("a.sk").as("src"), col("b.sk").as("dst"))
       .distinct()
-      .localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // joined in every superstep — k rows, pin it too
-    // TRUE vertex set = every distinct supplier, not just edge sources: a
-    // supplier that never co-supplies an order (isolated vertex) has no
-    // edges but still holds the (1-d) damping-floor rank of 150000 micros.
-    val nodes = pairs.select(col("sk").as("node")).distinct()
-      .localCheckpoint() // k rows, joined in every superstep
+  }
 
-    // r0 = 1.0 (scaled 1e6) for every vertex
-    def step(rank: DataFrame): DataFrame = {
-      val contrib = edges
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) +
-            expr("850000 * coalesce(contrib, 0L) div 1000000")).as("r"))
+  private def buildGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val pairs = load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = edgesFromPairs(pairs).localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nodes = pairs.select(col("sk").as("node")).distinct()
+      .localCheckpoint()
+    (edges, deg, nodes)
+  }
+
+  /** One power-method superstep: join ranks onto edges by src (messages),
+    * hash-agg by dst (combine), damping update over the full vertex set.
+    * Input/output carry (node, r); output adds rp = the input rank, so
+    * the convergence delta reads the superstep output directly (one join
+    * per superstep — the dedup_clusters pattern). */
+  private def step(edges: DataFrame, deg: DataFrame, rank: DataFrame)
+      : DataFrame = {
+    val contrib = edges
+      .join(rank.select(col("node").as("src"), col("r").as("rs")), Seq("src"))
+      .join(deg, Seq("src"))
+      .select(col("dst"), expr("rs div deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+    rank.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node"), col("r").as("rp"),
+        (lit(150000L) +
+          expr("850000 * coalesce(contrib, 0L) div 1000000")).as("r"))
+  }
+
+  /** Iterate supersteps until max |Δrank| ≤ tol (driver-side scalar per
+    * round, like dedup_clusters' convergence count) or maxRounds. Each
+    * round's state is localCheckpointed so lineage stays O(1). Returns
+    * the converged ranks and the round count. A negative tol never
+    * converges early — it runs exactly maxRounds (the spec uses this to
+    * prove the fixed-round key is a prefix of this same iteration). */
+  private[operators] def pagerankLoop(edges: DataFrame, deg: DataFrame,
+      nodes: DataFrame, tol: Long, maxRounds: Int,
+      init: Option[DataFrame] = None): (DataFrame, Int) = {
+    var rank = init
+      .getOrElse(nodes.select(col("node"), lit(1000000L).as("r")))
+      .localCheckpoint()
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (delta > tol && rounds < maxRounds) {
+      rounds += 1
+      val next = step(edges, deg, rank).localCheckpoint()
+      delta = next.agg(max(abs(col("r") - col("rp")))).collect()(0).getLong(0)
+      rank = next.select(col("node"), col("r"))
     }
-    val r0 = nodes.select(col("node"), lit(1000000L).as("r"))
-    val r2 = step(step(r0))
+    (rank, rounds)
+  }
+
+  // ---- graph_pagerank -------------------------------------------------------
+  // Two exact power-method supersteps of PageRank (damping 0.85, uniform
+  // init, unnormalized — the relative ordering is the product). Two fixed
+  // rounds keep the oracle a finite CTE chain; graph_pagerank_conv below
+  // runs the same iteration to convergence.
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val (edges, deg, nodes) = buildGraph(s, dir)
+    val (r2, _) = pagerankLoop(edges, deg, nodes, tol = -1L, maxRounds = 2)
     r2.select(col("node").as("suppkey"), col("r").as("rank_micros"))
       .orderBy(col("suppkey"))
   }
 
+  // ---- graph_pagerank_conv --------------------------------------------------
+  // The operator a user actually runs: iterate until max |Δrank| ≤ 1000
+  // micros (0.001). The per-round delta is a driver scalar; every round's
+  // ranks are bit-identical across engines (integer arithmetic), so BOTH
+  // engines stop after the SAME round — the `rounds` column pins that in
+  // the oracle compare. The oracle replays the loop as a recursive CTE
+  // whose recursive term computes one full superstep (contributions
+  // aggregated from the previous level) and carries the level's max
+  // delta, terminating exactly when the engine's loop does. On this
+  // near-regular co-supply fixture convergence lands in one round
+  // (uniform ranks ARE the fixpoint — see the PipelineOpsSpec regularity
+  // assert); GraphOpsSpec drives the same loop over a synthetic star
+  // graph for a multi-round, non-uniform convergence trace.
+  def graphPagerankConv(s: SparkSession, dir: String): DataFrame = {
+    val (edges, deg, nodes) = buildGraph(s, dir)
+    val (r, rounds) = pagerankLoop(edges, deg, nodes,
+      tol = 1000L, maxRounds = 64)
+    r.select(col("node").as("suppkey"), col("r").as("rank_micros"),
+        lit(rounds).cast("long").as("rounds"))
+      .orderBy(col("suppkey"))
+  }
+
+  /** Shared oracle prefix: capped edge build + degrees + true vertex set. */
+  private val graphCtes =
+    s"""pairs AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |okok AS (
+       |  SELECT ok FROM pairs GROUP BY ok
+       |  HAVING COUNT(*) <= $maxSuppliersPerOrder),
+       |edges AS (
+       |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+       |  FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.sk <> b.sk
+       |  JOIN okok k ON k.ok = a.ok),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT sk AS node FROM pairs)""".stripMargin
+
   private val graphPagerankOracle =
-    """WITH pairs AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-      |edges AS (
-      |  SELECT DISTINCT a.sk AS src, b.sk AS dst
-      |  FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.sk <> b.sk),
-      |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-      |nodes AS (SELECT DISTINCT sk AS node FROM pairs),
+    s"""WITH $graphCtes,
       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
       |c1 AS (
       |  SELECT e.dst, CAST(SUM(r0.r // d.deg) AS BIGINT) AS contrib
@@ -101,9 +181,34 @@ object GraphOps {
       |SELECT node AS suppkey, r AS rank_micros
       |FROM r2 ORDER BY suppkey""".stripMargin
 
+  private val graphPagerankConvOracle =
+    s"""WITH RECURSIVE $graphCtes,
+       |pr AS (
+       |  SELECT 0 AS it, node, CAST(1000000 AS BIGINT) AS r,
+       |         CAST(1000000000 AS BIGINT) AS delta
+       |  FROM nodes
+       |  UNION ALL
+       |  SELECT nxt.it, nxt.node, nxt.r,
+       |         CAST(MAX(ABS(nxt.r - nxt.rold)) OVER () AS BIGINT) AS delta
+       |  FROM (
+       |    SELECT p.it + 1 AS it, p.node, p.r AS rold,
+       |           CAST(150000 + (850000 * COALESCE(c.contrib, 0)) // 1000000 AS BIGINT) AS r
+       |    FROM pr p LEFT JOIN (
+       |      SELECT e.dst, CAST(SUM(p2.r // d.deg) AS BIGINT) AS contrib
+       |      FROM pr p2 JOIN edges e ON e.src = p2.node JOIN deg d ON d.src = e.src
+       |      GROUP BY e.dst) c ON c.dst = p.node
+       |    WHERE p.delta > 1000
+       |  ) nxt)
+       |SELECT node AS suppkey, r AS rank_micros,
+       |       CAST((SELECT MAX(it) FROM pr) AS BIGINT) AS rounds
+       |FROM pr WHERE it = (SELECT MAX(it) FROM pr)
+       |ORDER BY suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
-    "graph_pagerank" -> (graphPagerank _))
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_pagerank_conv" -> (graphPagerankConv _))
 
   val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> graphPagerankOracle)
+    "graph_pagerank" -> graphPagerankOracle,
+    "graph_pagerank_conv" -> graphPagerankConvOracle)
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Convergence-loop semantics the oracle hash can't state directly: a
+  * multi-round non-uniform convergence trace (the fixture's near-regular
+  * co-supply graph converges in one round, so a synthetic star drives the
+  * loop), the prefix property between the fixed-round and converged keys,
+  * the converged-state contract, and the hub-order clique guard. */
+class GraphOpsSpec extends SparkSpec {
+
+  /** Symmetric star: hub 0 ↔ leaves 1..8. Non-regular, so the fixpoint is
+    * non-uniform and convergence takes many damped-oscillation rounds. */
+  private def starGraph() = {
+    import spark.implicits._
+    val edges = (1L to 8L).flatMap(l => Seq((0L, l), (l, 0L)))
+      .toDF("src", "dst")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    (edges, deg, nodes)
+  }
+
+  test("star graph: multi-round convergence to a non-uniform fixpoint") {
+    val (edges, deg, nodes) = starGraph()
+    val (ranks, rounds) = GraphOps.pagerankLoop(edges, deg, nodes,
+      tol = 1000L, maxRounds = 64)
+    assert(rounds > 3 && rounds < 64,
+      s"star must take several rounds and converge, took $rounds")
+    val byNode = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hub aggregates 8 leaf contributions, each leaf gets hub/8
+    assert(byNode(0L) > byNode(1L), s"hub must outrank leaves: $byNode")
+    assert((1L to 8L).map(byNode).distinct.size == 1, "leaves are symmetric")
+    assert(byNode.values.forall(_ >= 150000L), "damping floor")
+  }
+
+  test("the fixed-2-round key is a prefix of the converged iteration") {
+    val (edges, deg, nodes) = starGraph()
+    // tol = -1 never converges early: exactly N rounds of the SAME step
+    val (r2, n2) = GraphOps.pagerankLoop(edges, deg, nodes, -1L, 2)
+    val (r5, _) = GraphOps.pagerankLoop(edges, deg, nodes, -1L, 5)
+    assert(n2 == 2)
+    // continuing 3 more rounds FROM the 2-round state lands exactly on
+    // the 5-round state: the fixed-round result is a true prefix of the
+    // longer (and hence the converged) iteration
+    val (r5b, _) = GraphOps.pagerankLoop(edges, deg, nodes, -1L, 3,
+      init = Some(r2))
+    assert(r5b.collect().toSet == r5.collect().toSet,
+      "2-round state + 3 rounds != 5-round state (not a prefix)")
+    // and the production keys share the loop: graph_pagerank == 2 rounds
+    val fixed = GraphOps.graphPagerank(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val conv = GraphOps.graphPagerankConv(spark, sfDir)
+    val rounds = conv.select(col("rounds")).first().getLong(0)
+    if (rounds >= 2) {
+      // converged run went at least 2 rounds — its prefix IS the fixed key
+      // (same deterministic step); nothing more to check here
+    } else {
+      // converged earlier: the fixed key's extra rounds must have moved
+      // ranks by no more than the tolerance (it ran PAST convergence)
+      val convMap = conv.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(fixed.forall { case (k, v) => math.abs(convMap(k) - v) <= 1000L })
+    }
+  }
+
+  test("converged state is a fixpoint under the tolerance") {
+    val (edges, deg, nodes) = starGraph()
+    val (ranks, rounds) = GraphOps.pagerankLoop(edges, deg, nodes, 1000L, 64)
+    // one MORE round from the converged state moves nothing beyond tol
+    val (next, _) = GraphOps.pagerankLoop(edges, deg, nodes, 1000L, rounds + 1)
+    val drift = ranks.withColumnRenamed("r", "ra")
+      .join(next.withColumnRenamed("r", "rb"), Seq("node"))
+      .agg(max(abs(col("ra") - col("rb")))).first().getLong(0)
+    assert(drift <= 1000L, s"post-convergence drift $drift exceeds tolerance")
+  }
+
+  test("hub-order clique guard: an oversized order emits no edges") {
+    import spark.implicits._
+    // one hub order with 20 suppliers (> cap 16), one normal with 3
+    val pairs = ((1L to 20L).map(sk => (100L, sk)) ++
+      Seq((200L, 1L), (200L, 2L), (200L, 3L))).toDF("ok", "sk")
+    val edges = GraphOps.edgesFromPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the 3-supplier order contributes: 3*2 directed edges
+    assert(edges == Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L)),
+      s"hub order leaked into the edge list: ${edges.size} edges")
+  }
+}
