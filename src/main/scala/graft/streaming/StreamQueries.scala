@@ -109,6 +109,12 @@ object StreamQueries {
     * (ids restart per JVM, so max-numbered-dir guessing reads stale runs). */
   @volatile private[streaming] var lastDedupBase: String = _
 
+  /** The most recent dedup-family StreamingQuery (set just before
+    * awaitTermination) — lets the provider-class specs assert state-store
+    * metrics of THE RUN THEY MADE through the production code path. */
+  @volatile private[streaming] var lastDedupQuery
+      : org.apache.spark.sql.streaming.StreamingQuery = _
+
   def streamDedupIngest(s: SparkSession, dir: String): DataFrame = {
     val id = runId.incrementAndGet()
     val base = s"$dedupRoot/$id"
@@ -134,6 +140,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
+    lastDedupQuery = q
     q.awaitTermination()
     s.table(table).orderBy(col("keep_id"))
   }
@@ -285,6 +292,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
+    lastDedupQuery = q
     q.awaitTermination()
     s.table(table).orderBy(col("event_id"))
   }
