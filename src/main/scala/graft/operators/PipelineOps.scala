@@ -245,7 +245,7 @@ object PipelineOps {
       .select(col("key"), lit("U").as("op"), lit("X").as("new_status"),
         round((col("total") * lit(1.1)).cast("decimal(18,4)"), 2)
           .cast("double").as("new_total"))
-    val inserts = base.filter(col("key") % 97 === 0)
+    val inserts = base.filter(col("key") % 97 === 0 && col("key") > 0)
       .select((-col("key")).as("key"), lit("I").as("op"),
         lit("N").as("new_status"), col("total").as("new_total"))
     val changes = deletes.unionAll(updates).unionAll(inserts)
@@ -274,7 +274,7 @@ object PipelineOps {
       |  FROM base WHERE key % 10 = 0 AND key % 13 <> 0
       |  UNION ALL
       |  SELECT -key, 'I', 'N', total
-      |  FROM base WHERE key % 97 = 0)
+      |  FROM base WHERE key % 97 = 0 AND key > 0)
       |SELECT COALESCE(b.key, c.key) AS key,
       |       CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END AS status,
       |       CASE WHEN c.op IS NOT NULL THEN c.new_total ELSE b.total END AS total,

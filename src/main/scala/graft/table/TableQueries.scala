@@ -63,7 +63,7 @@ object TableQueries {
       |  FROM base WHERE key % 10 = 0 AND key % 13 <> 0
       |  UNION ALL
       |  SELECT -key, 'I', 'N', total
-      |  FROM base WHERE key % 97 = 0),
+      |  FROM base WHERE key % 97 = 0 AND key > 0),
       |merged AS (
       |  SELECT COALESCE(b.key, c.key) AS key,
       |         CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END AS status,
@@ -93,11 +93,90 @@ object TableQueries {
     """SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
       |FROM orders ORDER BY key""".stripMargin
 
+  // ---- table_incremental_read -----------------------------------------------
+  // Change-data-feed between two commits: the generic version diff — a
+  // single full-outer join of the v1 and v2 snapshots on the key, emitting
+  // delete rows (in v1 only, preimage values), insert rows (in v2 only),
+  // and update pre/post image pairs (both sides, any column differing) —
+  // the relation `table_changes(v1, v2)` returns on a CDF-enabled Delta
+  // table. With a changeset-carrying commit log the same feed is
+  // metadata-only; the snapshot diff is the fallback that works on ANY
+  // pair of versions and costs one key-shuffle join of each side (or zero
+  // co-bucketed). The oracle re-derives the identical feed from the raw
+  // table and the deterministic changeset.
+  def tableIncrementalRead(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("cdf")
+    VersionedTable.commit(ordersBase(s, dir), root)
+    VersionedTable.commit(
+      PipelineOps.mergeUpsert(s, dir).drop("last_op"), root)
+    // presence markers, not value-null checks — robust to nullable columns
+    val v1 = VersionedTable.readVersion(s, root, 1)
+      .select(col("key"), col("status").as("s1"), col("total").as("t1"),
+        lit(true).as("m1"))
+    val v2 = VersionedTable.readVersion(s, root, 2)
+      .select(col("key"), col("status").as("s2"), col("total").as("t2"),
+        lit(true).as("m2"))
+    val diff = v1.join(v2, Seq("key"), "full_outer")
+      .withColumn("in1", col("m1").isNotNull)
+      .withColumn("in2", col("m2").isNotNull)
+    val deletes = diff.filter(col("in1") && !col("in2"))
+      .select(col("key"), col("s1").as("status"), col("t1").as("total"),
+        lit("delete").as("change"))
+    val inserts = diff.filter(!col("in1") && col("in2"))
+      .select(col("key"), col("s2").as("status"), col("t2").as("total"),
+        lit("insert").as("change"))
+    val updated = diff.filter(col("in1") && col("in2") &&
+      (col("s1") =!= col("s2") || col("t1") =!= col("t2")))
+    val pre = updated.select(col("key"), col("s1").as("status"),
+      col("t1").as("total"), lit("update_pre").as("change"))
+    val post = updated.select(col("key"), col("s2").as("status"),
+      col("t2").as("total"), lit("update_post").as("change"))
+    deletes.unionAll(inserts).unionAll(pre).unionAll(post)
+      .orderBy(col("key"), col("change"))
+  }
+
+  private val tableIncrementalReadOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders)
+      |SELECT key, status, total, 'delete' AS change
+      |FROM base WHERE key % 13 = 0
+      |UNION ALL
+      |SELECT -key, 'N', total, 'insert'
+      |FROM base WHERE key % 97 = 0 AND key > 0
+      |UNION ALL
+      |SELECT key, status, total, 'update_pre'
+      |FROM base WHERE key % 10 = 0 AND key % 13 <> 0
+      |UNION ALL
+      |SELECT key, 'X',
+      |       CAST(ROUND(CAST(total * 1.1 AS DECIMAL(18,4)), 2) AS DOUBLE),
+      |       'update_post'
+      |FROM base WHERE key % 10 = 0 AND key % 13 <> 0
+      |ORDER BY key, change""".stripMargin
+
+  // ---- table_vacuum ---------------------------------------------------------
+  // Retention: fragment v1, compact to v2, VACUUM retaining only the
+  // newest version — v1's manifest and its (now-unreferenced) data files
+  // are deleted, and the LATEST read must be byte-for-byte unaffected
+  // (the identity oracle). The spec additionally proves the pruned
+  // version is gone from disk and fails fast on time travel.
+  def tableVacuum(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("vac")
+    VersionedTable.commit(ordersBase(s, dir).repartition(64), root)
+    val v2 = VersionedTable.compact(s, root, targetBytes = 8L << 20)
+    VersionedTable.vacuum(root, keepVersions = 1)
+    VersionedTable.readVersion(s, root, v2).orderBy(col("key"))
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
     "table_time_travel" -> (tableTimeTravel _),
-    "sink_compact" -> (sinkCompact _))
+    "sink_compact" -> (sinkCompact _),
+    "table_incremental_read" -> (tableIncrementalRead _),
+    "table_vacuum" -> (tableVacuum _))
 
   val oracles: Map[String, String] = Map(
     "table_time_travel" -> tableTimeTravelOracle,
-    "sink_compact" -> sinkCompactOracle)
+    "sink_compact" -> sinkCompactOracle,
+    "table_incremental_read" -> tableIncrementalReadOracle,
+    "table_vacuum" -> sinkCompactOracle)
 }

@@ -1,7 +1,7 @@
 package graft.table
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -24,38 +24,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `VERSION AS OF` time travel is just `readVersion(root, v)` for any
   *    retained version.
   *
-  * Single-writer by design (the scheduler's posture in the reference
-  * pipeline): multi-writer needs the same manifest-rename as a
-  * compare-and-swap — ATOMIC_MOVE fails if v<N> exists, the loser reloads
-  * `latestVersion` and retries on N+1. At 100 TB the manifest lists
-  * thousands of files but stays KBs-to-MBs of metadata — reading it is
-  * driver-side and O(files), never a data scan; data files are immutable
-  * so commits and reads never contend on content.
+  * Multi-writer safety (r6): the manifest is published with an
+  * atomic-exclusive hard link (`Files.createLink` — EEXIST if the version
+  * was taken), so publishing IS a compare-and-swap on the version number:
+  * a concurrent writer that loses the race gets FileAlreadyExistsException,
+  * reloads `latestVersion`, and retries on N+1 — its data files are
+  * version-independent (uuid-named directories), so nothing is rewritten
+  * on retry (VersionedTableSpec stages a taken version and proves the
+  * retry lands after it without touching the winner's manifest). At
+  * 100 TB the manifest lists thousands of files but stays KBs-to-MBs of
+  * metadata — reading it is driver-side and O(files), never a data scan;
+  * data files are immutable so commits and reads never contend on
+  * content.
   */
 object VersionedTable {
 
   /** Commit `df` as the next version of the table at `root`; returns the
-    * committed version number. Copy-on-write: only writes new files. */
+    * committed version number. Copy-on-write: only writes new files, once
+    * — on a lost publish race only the (cheap, metadata-only) publish
+    * retries, never the data write. */
   def commit(df: DataFrame, root: String): Int = {
-    val v = latestVersion(root) + 1
-    val dataDir = s"$root/data/v$v"
+    val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
     df.write.parquet(dataDir)
     val files = Files.list(Paths.get(dataDir)).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map(_.toAbsolutePath.toString)
       .toSeq.sorted
-    publish(root, v, files)
+    var v = latestVersion(root) + 1
+    while (!publish(root, v, files)) v = latestVersion(root) + 1
     v
   }
 
-  /** Publish manifest vN via temp-write + atomic rename (the commit point). */
-  private def publish(root: String, v: Int, files: Seq[String]): Unit = {
+  /** CAS publish of manifest vN: temp-write, then atomic-exclusive hard
+    * link as the commit point. Returns false if version N was taken by a
+    * concurrent writer (caller retries with a fresh version). */
+  private def publish(root: String, v: Int, files: Seq[String]): Boolean = {
     val commits = Paths.get(s"$root/_commits")
     Files.createDirectories(commits)
-    val tmp = commits.resolve(s".tmp-v$v-${Thread.currentThread().getId}")
+    val tmp = commits.resolve(
+      s".tmp-v$v-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
     Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, commits.resolve(s"v$v.manifest"),
-      StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.createLink(commits.resolve(s"v$v.manifest"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Highest published version, 0 if the table has no commits yet. */
@@ -101,5 +115,29 @@ object VersionedTable {
     val totalBytes = files.map(f => Files.size(Paths.get(f))).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     commit(readVersion(s, root, v).coalesce(n), root)
+  }
+
+  /** VACUUM: retain the newest `keepVersions` versions, delete older
+    * manifests and every data file referenced ONLY by them (files shared
+    * with a retained version — possible in formats that re-manifest
+    * unchanged files — survive). Returns the deleted file paths. After a
+    * vacuum, time travel to a pruned version fails fast at manifest
+    * resolution; the latest read is untouched. Production note: age-based
+    * retention (`older than N days`) is the same walk keyed on manifest
+    * mtime; the spec exercises the count-based form. */
+  def vacuum(root: String, keepVersions: Int): Seq[String] = {
+    require(keepVersions >= 1, "must retain at least the latest version")
+    val latest = latestVersion(root)
+    val cutoff = latest - keepVersions // prune versions <= cutoff
+    if (cutoff < 1) return Seq.empty
+    val keepFiles = ((cutoff + 1) to latest)
+      .flatMap(v => manifest(root, v)).toSet
+    val pruned = (1 to cutoff).flatMap { v =>
+      val doomed = manifest(root, v).filterNot(keepFiles.contains)
+      doomed.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      Files.delete(Paths.get(s"$root/_commits/v$v.manifest"))
+      doomed
+    }
+    pruned
   }
 }

@@ -179,7 +179,8 @@ class PipelineOpsSpec extends SparkSpec {
     val nDel = base.filter(col("o_orderkey") % 13 === 0).count()
     val nUpd = base.filter(col("o_orderkey") % 10 === 0 &&
       col("o_orderkey") % 13 =!= 0).count()
-    val nIns = base.filter(col("o_orderkey") % 97 === 0).count()
+    val nIns = base.filter(col("o_orderkey") % 97 === 0 &&
+      col("o_orderkey") > 0).count()
     val m = PipelineOps.mergeUpsert(spark, sfDir).cache()
     // deletes remove, inserts add, updates/keeps preserve cardinality
     assert(m.count() == n - nDel + nIns)

@@ -72,4 +72,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.manifest(root, 1).size == 32)
     assert(VersionedTable.readVersion(spark, root, 1).count() == 1000)
   }
+
+  test("a lost publish race retries past the winner without touching it") {
+    val root = freshRoot()
+    VersionedTable.commit(base(), root)
+    // simulate a concurrent writer winning version 2: plant its manifest
+    // before our commit computes the next version
+    val commits = Paths.get(s"$root/_commits")
+    val winner = commits.resolve("v2.manifest")
+    Files.write(winner, "winner-placeholder".getBytes("UTF-8"))
+    val winnerBytes = Files.readAllBytes(winner).toSeq
+    // our commit must CAS-fail on v2 and land on v3
+    val v = VersionedTable.commit(base().filter(col("key") <= 10), root)
+    assert(v == 3, s"loser must retry past the taken version, landed on $v")
+    assert(Files.readAllBytes(winner).toSeq == winnerBytes,
+      "the winner's manifest was overwritten — publish is not a CAS")
+    assert(VersionedTable.readVersion(spark, root, 3).count() == 10)
+  }
+
+  test("vacuum prunes old versions' files; latest read unaffected") {
+    val root = freshRoot()
+    VersionedTable.commit(base().repartition(16), root)
+    val v1Files = VersionedTable.manifest(root, 1)
+    VersionedTable.compact(spark, root, targetBytes = 64L << 20)
+    val deleted = VersionedTable.vacuum(root, keepVersions = 1)
+    // v1's files are really gone from disk, and its manifest with them
+    assert(deleted.toSet == v1Files.toSet)
+    assert(v1Files.forall(f => !Files.exists(Paths.get(f))))
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, root, 1)
+    }
+    // the retained latest is intact
+    assert(VersionedTable.latestVersion(root) == 2)
+    assert(VersionedTable.readLatest(spark, root).count() == 1000)
+  }
 }
