@@ -46,12 +46,18 @@ object GraphOps {
   /** Capped co-occurrence edges from a (ok, sk) pair table — split out so
     * the spec can drive the clique guard with a planted hub order. */
   private[operators] def edgesFromPairs(pairs: DataFrame): DataFrame = {
-    val okOk = pairs.groupBy(col("ok"))
-      .agg(count(lit(1)).as("k"))
+    // the cap rides the SAME hash(ok) layout the self-join needs: a window
+    // count over partitionBy(ok) instead of a groupBy+join keeps both join
+    // inputs byte-identical subplans, so Catalyst plans ONE exchange and a
+    // ReusedExchange for the other side (a groupBy+join cap cost an extra
+    // shuffle + broadcast — measured +0.9s on the r6 bench)
+    val flagged = pairs
+      .withColumn("k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))))
       .filter(col("k") <= maxSuppliersPerOrder)
-      .select(col("ok"))
-    pairs.join(okOk, Seq("ok")).as("a")
-      .join(pairs.as("b"),
+      .select(col("ok"), col("sk"))
+    flagged.as("a")
+      .join(flagged.as("b"),
         col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
       .select(col("a.sk").as("src"), col("b.sk").as("dst"))
       .distinct()
