@@ -303,21 +303,25 @@ object StreamQueries {
   /** Streaming CDC apply — `foreachBatch` + MERGE, the standard streaming
     * upsert sink: the merge_upsert changeset arrives in two waves (split by
     * key parity, `maxFilesPerTrigger=1`), and every micro-batch full-outer
-    * merges its changes into a VERSIONED base table (read vN → merge →
-    * write vN+1 — the copy-on-write commit a Delta/Iceberg MERGE performs
-    * per batch, with the version swap standing in for the transaction log).
+    * merges its changes into a VERSIONED base table through the REAL
+    * commit log (graft.table.VersionedTable: read latest → merge → CAS
+    * commit vN+1 — the copy-on-write commit a Delta/Iceberg MERGE performs
+    * per batch; r5's ad-hoc version-swap paths are gone, so each batch's
+    * commit is atomic and every intermediate version stays time-travelable).
     * Each key changes in exactly one wave, so the converged table equals
     * the one-shot batch MERGE — which is what the oracle states. At 100 TB
     * the per-batch cost is the same single key-shuffle join as
     * merge_upsert, and the rewrite narrows to touched partitions under a
     * partitioned/MoR layout. */
   def streamMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.VersionedTable
     val id = runId.incrementAndGet()
     val base = s"$qRoot/$id"
+    val tableRoot = s"$base/table"
     val orders = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
         col("o_totalprice").as("total"))
-    orders.write.parquet(s"$base/table_v0")
+    VersionedTable.commit(orders, tableRoot) // v1: the base snapshot
 
     val deletes = orders.filter(col("key") % 13 === 0)
       .select(col("key"), lit("D").as("op"),
@@ -337,30 +341,29 @@ object StreamQueries {
     changes.filter(col("key") % 2 =!= 0).coalesce(1)
       .write.mode("append").parquet(s"$base/src")
 
-    var version = 0
     val q = withFewStatePartitions(s) {
       s.readStream.schema(s.read.parquet(s"$base/src").schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
         .writeStream
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val cur = s.read.parquet(s"$base/table_v$version")
-          cur.join(batch, Seq("key"), "full_outer")
-            .filter(col("op").isNull || col("op") =!= "D")
-            .select(col("key"),
-              when(col("op").isNotNull, col("new_status")).otherwise(col("status"))
-                .as("status"),
-              when(col("op").isNotNull, col("new_total")).otherwise(col("total"))
-                .as("total"))
-            .write.parquet(s"$base/table_v${version + 1}")
-          version += 1
+          val cur = graft.table.VersionedTable.readLatest(s, tableRoot)
+          graft.table.VersionedTable.commit(
+            cur.join(batch, Seq("key"), "full_outer")
+              .filter(col("op").isNull || col("op") =!= "D")
+              .select(col("key"),
+                when(col("op").isNotNull, col("new_status"))
+                  .otherwise(col("status")).as("status"),
+                when(col("op").isNotNull, col("new_total"))
+                  .otherwise(col("total")).as("total")),
+            tableRoot)
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
     }
     q.awaitTermination()
-    s.read.parquet(s"$base/table_v$version").orderBy(col("key"))
+    graft.table.VersionedTable.readLatest(s, tableRoot).orderBy(col("key"))
   }
 
   /** The one-shot batch MERGE the two-wave streamed apply must converge to
