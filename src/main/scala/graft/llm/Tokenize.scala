@@ -139,6 +139,28 @@ object Tokenize {
       .orderBy(col("doc_id"))
   }
 
+  // ---- text_chunk_bpe -------------------------------------------------------
+  // text_chunk re-keyed on real subword units: the per-doc BPE token
+  // sequence (order preserved) is cut into 64-token windows on a 48-token
+  // stride, each chunk fingerprinted — so a RAG index built from these
+  // chunks aligns with what an embedding model actually consumes. Same
+  // shuffle-free per-row explode topology as text_chunk.
+  def textChunkBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val merges = trainMerges(s, docs)
+    docs
+      .select(col("doc_id"), bpeCol(col("text"), merges).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), split(col("tok"), "[ |]").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, (size(toks) - 1) div 48)")).as("chunk_seq"))
+      .select(col("doc_id"), col("chunk_seq"),
+        size(expr("slice(toks, chunk_seq * 48 + 1, 64)")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", expr("slice(toks, chunk_seq * 48 + 1, 64)"))
+          .cast("binary")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_seq"))
+  }
+
   /** Shared oracle prefix: training (two aggregations) + greedy apply
     * (bounded recursive CTE — one leftmost best-ranked merge per step,
     * terminating with done = TRUE when no adjacent pair is in the table)
@@ -243,11 +265,31 @@ object Tokenize {
        |       start_off - (start_off // 512) * 512 AS tok_offset
        |FROM r ORDER BY doc_id""".stripMargin
 
+  private val textChunkBpeOracle =
+    s"""$bpeCte,
+       |perdoc AS (
+       |  SELECT d.doc_id, string_agg(t.wtok, ' ' ORDER BY d.pos) AS joined
+       |  FROM words d JOIN wtok t ON t.w = d.w
+       |  GROUP BY d.doc_id),
+       |tl AS (
+       |  SELECT doc_id, string_split_regex(joined, '[ |]') AS toks
+       |  FROM perdoc WHERE joined <> ''),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(0, (len(toks) - 1) // 48)) AS chunk_seq
+       |  FROM tl WHERE len(toks) > 0)
+       |SELECT doc_id, chunk_seq,
+       |       len(list_slice(toks, chunk_seq * 48 + 1, chunk_seq * 48 + 64)) AS n_chunk_tokens,
+       |       md5(array_to_string(list_slice(toks, chunk_seq * 48 + 1, chunk_seq * 48 + 64), ' ')) AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_seq""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "text_tokenize_bpe" -> (textTokenizeBpe _),
-    "pack_sequences_bpe" -> (packSequencesBpe _))
+    "pack_sequences_bpe" -> (packSequencesBpe _),
+    "text_chunk_bpe" -> (textChunkBpe _))
 
   val oracles: Map[String, String] = Map(
     "text_tokenize_bpe" -> textTokenizeBpeOracle,
-    "pack_sequences_bpe" -> packSequencesBpeOracle)
+    "pack_sequences_bpe" -> packSequencesBpeOracle,
+    "text_chunk_bpe" -> textChunkBpeOracle)
 }

@@ -84,6 +84,19 @@ class TokenizeSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("text_chunk_bpe tiles the subword stream: more chunks than whitespace chunking") {
+    val bpeChunks = Tokenize.textChunkBpe(spark, sfDir)
+    // window arithmetic holds on the subword stream
+    assert(bpeChunks.filter(col("n_chunk_tokens") < 1 ||
+      col("n_chunk_tokens") > 64).isEmpty)
+    // >2x the tokens (divergence test above) must yield materially more
+    // 64-token windows than whitespace chunking of the same corpus
+    val nBpe = bpeChunks.count()
+    val nWs = PipelinePrep.textChunk(spark, sfDir).count()
+    assert(nBpe > nWs,
+      s"BPE chunking must emit more windows than whitespace ($nBpe vs $nWs)")
+  }
+
   test("tokenize plan is a single scan projection — no exchange before the sort") {
     val plan = Tokenize.textTokenizeBpe(spark, sfDir)
       .queryExecution.executedPlan.toString
