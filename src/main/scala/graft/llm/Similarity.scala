@@ -442,17 +442,110 @@ object Similarity {
        |FROM roll r JOIN na ON na.cell = r.cell
        |ORDER BY r.cell""".stripMargin
 
+  // ---- sim_pq_adc -----------------------------------------------------------
+  // Product quantization + asymmetric distance computation — the other
+  // half of the IVF-PQ serving stack (sim_ivf_ann is the coarse level;
+  // this is the in-list compression): each 64-dim vector splits into
+  // M = 8 subvectors of 8 dims, each subspace gets a 10-entry codebook
+  // (label-seeded truncated means — the same deterministic quantizer
+  // convention as IVF/kmeans), and every vector is stored as its 8
+  // nearest-sub-centroid code. Queries never touch raw vectors: a
+  // per-query distance TABLE (10 cells × 8 subspaces of exact integer L2)
+  // is built once, and the approximate distance to every stored vector is
+  // 8 table lookups summed — at 100 TB the codes are ~64x smaller than
+  // the raw vectors, the codebooks and query tables are KBs broadcast,
+  // and the scan is one code-column pass with a map-side partial top-k.
+  // Every distance is exact BIGINT arithmetic; ties break on (cell) resp.
+  // (neighbor_id), so both engines rank identically.
+  def simPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("qv",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+    val sub = base.select(col("vec_id"), col("label"),
+      posexplode(expr("transform(sequence(0, 7), m -> slice(qv, m * 8 + 1, 8))"))
+        .as(Seq("m", "sv")))
+    // codebook: per (cell=label, subspace) element-wise truncated mean
+    val cb = sub
+      .select(col("label").as("cell"), col("m"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("m"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("cd"))
+      .groupBy(col("cell"), col("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), x -> x.cd)")
+        .as("cvec"))
+    // exact integer L2 from every subvector to every sub-centroid: feeds
+    // BOTH the encoder (argmin per (vec, m)) and the query tables
+    val dists = sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d",
+        expr("aggregate(zip_with(sv, cvec, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d"), col("cell"))
+    val codes = dists.withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1).select(col("vec_id"), col("m"), col("cell"))
+    val dtab = dists.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("m"), col("cell"), col("d"))
+    val adc = codes.join(broadcast(dtab), Seq("m", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simPqAdcOracle =
+    """WITH q2 AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, label, ms.m, list_slice(qv, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+      |  FROM q2, (SELECT unnest(generate_series(0, 7)) AS m) ms),
+      |cbp AS (
+      |  SELECT label AS cell, m, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd
+      |  FROM (SELECT label, m, unnest(sv) AS v,
+      |               unnest(generate_series(1, len(sv))) AS pos FROM sub) t
+      |  GROUP BY 1, 2, 3),
+      |cb AS (SELECT cell, m, list(cd ORDER BY pos) AS cvec FROM cbp GROUP BY 1, 2),
+      |dists AS (
+      |  SELECT s.vec_id, s.m, c.cell,
+      |         CAST(list_sum(list_transform(generate_series(1, len(s.sv)),
+      |           i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS BIGINT) AS d
+      |  FROM sub s JOIN cb c ON c.m = s.m),
+      |codes AS (
+      |  SELECT vec_id, m, cell FROM (
+      |    SELECT vec_id, m, cell,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rk
+      |    FROM dists) t WHERE rk = 1),
+      |dtab AS (SELECT vec_id AS query_id, m, cell, d FROM dists WHERE vec_id < 10),
+      |adc AS (
+      |  SELECT t.query_id, c.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
+      |  FROM codes c JOIN dtab t ON t.m = c.m AND t.cell = c.cell
+      |  WHERE c.vec_id <> t.query_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, vec_id AS neighbor_id, adc_dist FROM (
+      |  SELECT query_id, vec_id, adc_dist,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+      |  FROM adc) r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_lsh_multitable" -> (simLshMultitable _),
     "sim_ivf_ann" -> ((s: SparkSession, dir: String) => simIvfAnn(s, dir)),
-    "cluster_kmeans" -> (clusterKmeans _))
+    "cluster_kmeans" -> (clusterKmeans _),
+    "sim_pq_adc" -> (simPqAdc _))
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_lsh_ann" -> simLshAnnOracle,
     "sim_lsh_multitable" -> simLshMultitableOracle,
     "sim_ivf_ann" -> simIvfAnnOracle,
-    "cluster_kmeans" -> clusterKmeansOracle)
+    "cluster_kmeans" -> clusterKmeansOracle,
+    "sim_pq_adc" -> simPqAdcOracle)
 }

@@ -186,6 +186,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(ivf2 >= 0.20, f"IVF nprobe=2 recall $ivf2%.3f below the random-cell baseline")
     // recall must be monotone in nprobe (the knob does what it claims)
     assert(ivf5 >= ivf2, f"recall fell as nprobe grew: $ivf2%.3f -> $ivf5%.3f")
+    // PQ-ADC with the 10-entry label-seeded codebooks (the shared
+    // deterministic quantizer family; cluster_kmeans is its trainer) —
+    // isotropic worst case again, but lookups must beat losing everything
+    val pq = recall(top3(Similarity.simPqAdc(spark, sfDir).collect()))
+    info(f"recall@3 vs exact — pq-adc(8x10 codebooks): $pq%.3f")
+    assert(pq > 0.0, f"PQ-ADC recall $pq%.3f — codes lost every true neighbor")
+  }
+
+  test("PQ codes are the compressed representation the ADC scan claims") {
+    val base = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val n = base.count()
+    val out = Similarity.simPqAdc(spark, sfDir).collect()
+    // every query gets a full top-3 with strictly ordered, non-negative
+    // integer distances and deterministic tie-breaks
+    assert(out.length == 30)
+    assert(out.forall(_.getAs[Long]("adc_dist") >= 0L))
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val ds = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("adc_dist"))
+      assert(ds.sorted.sameElements(ds), s"query $q: ADC ranks out of order")
+      assert(rows.map(_.getAs[Long]("neighbor_id")).distinct.length == 3)
+      assert(n > 0)
+    }
   }
 
   test("multimodal decode: typed batch pipeline with deterministic stub codec") {
