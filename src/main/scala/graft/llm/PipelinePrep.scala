@@ -392,6 +392,84 @@ object PipelinePrep {
        |       (SELECT COUNT(DISTINCT token) FROM toks) AS true_distinct
        |FROM agg""".stripMargin
 
+  // ---- sketch_quantile ------------------------------------------------------
+  // Fixed-bin histogram quantiles — the third mergeable sketch (CMS =
+  // frequency, HLL = cardinality, this = distribution): order prices are
+  // taken to EXACT integer cents (decimal cast, never double*100
+  // truncation), binned into 256 equal-width integer bins over the
+  // observed [min, max], and q ∈ {50, 90, 99} is answered by the first
+  // bin whose running count reaches ceil(q·n/100) — every step integer,
+  // so the oracle reproduces bins, ranks, and bounds bit-for-bit. The
+  // sketch is a fixed ≤256-row table from one map-side-combining agg;
+  // two sketches over disjoint slices merge by bin-wise sum (spec-pinned)
+  // and the true percentile provably lies inside the reported bin's
+  // [lo, hi] (spec-pinned against a sort-based exact percentile). At
+  // 100 TB: the only full pass is the min/max/count scalar agg + the
+  // histogram agg (same scan), both map-side combining; the quantile
+  // extraction runs on 256 rows.
+  def sketchQuantile(s: SparkSession, dir: String): DataFrame = {
+    val vals = load(s, dir, "orders")
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("c"))
+    val bounds = vals.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"),
+      count(lit(1)).as("n"))
+    val hist = vals.crossJoin(broadcast(bounds))
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division
+      .select(expr("least(255L, (c - minc) * 256 div (maxc - minc + 1))")
+        .as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("bn"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("bn")).over(wCum))
+    val qs = Seq(50L, 90L, 99L)
+    val qdf = qs.foldLeft(Option.empty[DataFrame]) { (acc, q) =>
+      val one = cum.crossJoin(broadcast(bounds))
+        .withColumn("q_pct", lit(q))
+        .withColumn("target_rank", expr(s"($q * n + 99) div 100"))
+        .filter(col("cum") >= col("target_rank"))
+        .orderBy(col("bin")).limit(1)
+        .select(col("q_pct"), col("target_rank"), col("bin"),
+          (col("minc") + expr("(bin * (maxc - minc + 1) + 255) div 256"))
+            .as("lo_cents"),
+          (col("minc") + expr("((bin + 1) * (maxc - minc + 1) - 1) div 256"))
+            .as("hi_cents"),
+          col("cum").as("cum_count"))
+      Some(acc.fold(one)(_.unionAll(one)))
+    }.get
+    qdf.orderBy(col("q_pct"))
+  }
+
+  private val sketchQuantileOracle =
+    """WITH vals AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |bounds AS (
+      |  SELECT MIN(c) AS minc, MAX(c) AS maxc, COUNT(*) AS n FROM vals),
+      |hist AS (
+      |  SELECT LEAST(255, (c - minc) * 256 // (maxc - minc + 1)) AS bin,
+      |         COUNT(*) AS bn
+      |  FROM vals, bounds GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, bn,
+      |         CAST(SUM(bn) OVER (ORDER BY bin
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM hist),
+      |qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+      |hit AS (
+      |  SELECT q.q_pct,
+      |         CAST((q.q_pct * b.n + 99) // 100 AS BIGINT) AS target_rank,
+      |         c.bin, c.cum,
+      |         ROW_NUMBER() OVER (PARTITION BY q.q_pct ORDER BY c.bin) AS rk
+      |  FROM qs q CROSS JOIN bounds b JOIN cum c
+      |    ON c.cum >= (q.q_pct * b.n + 99) // 100)
+      |SELECT CAST(h.q_pct AS BIGINT) AS q_pct, h.target_rank,
+      |       CAST(h.bin AS BIGINT) AS bin,
+      |       b.minc + (h.bin * (b.maxc - b.minc + 1) + 255) // 256 AS lo_cents,
+      |       b.minc + ((h.bin + 1) * (b.maxc - b.minc + 1) - 1) // 256 AS hi_cents,
+      |       h.cum AS cum_count
+      |FROM hit h CROSS JOIN bounds b
+      |WHERE h.rk = 1 ORDER BY q_pct""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "curate_decontaminate" -> (curateDecontaminate _),
     "pack_sequences" -> (packSequences _),
@@ -399,7 +477,8 @@ object PipelinePrep {
     "embed_quantize" -> (embedQuantize _),
     "text_chunk" -> (textChunk _),
     "sketch_cms_topk" -> (sketchCmsTopk _),
-    "sketch_hll_distinct" -> (sketchHllDistinct _))
+    "sketch_hll_distinct" -> (sketchHllDistinct _),
+    "sketch_quantile" -> (sketchQuantile _))
 
   val oracles: Map[String, String] = Map(
     "curate_decontaminate" -> curateDecontaminateOracle,
@@ -408,5 +487,6 @@ object PipelinePrep {
     "embed_quantize" -> embedQuantizeOracle,
     "text_chunk" -> textChunkOracle,
     "sketch_cms_topk" -> sketchCmsTopkOracle,
-    "sketch_hll_distinct" -> sketchHllDistinctOracle)
+    "sketch_hll_distinct" -> sketchHllDistinctOracle,
+    "sketch_quantile" -> sketchQuantileOracle)
 }

@@ -125,6 +125,43 @@ class PipelinePrepSpec extends SparkSpec {
     assert(r.getAs[Long]("reg_sum") >= r.getAs[Long]("n_buckets_hit"))
   }
 
+  test("sketch_quantile: bins bracket the exact percentiles; sketches merge") {
+    val rows = PipelinePrep.sketchQuantile(spark, sfDir).collect()
+    assert(rows.length == 3)
+    // exact percentiles by full sort (the thing the sketch approximates)
+    val cents = graft.model.Tables.load(spark, sfDir, "orders")
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("c"))
+      .orderBy(col("c")).collect().map(_.getLong(0))
+    rows.foreach { r =>
+      val target = r.getAs[Long]("target_rank")
+      val exact = cents(target.toInt - 1) // rank is 1-based
+      val lo = r.getAs[Long]("lo_cents")
+      val hi = r.getAs[Long]("hi_cents")
+      assert(exact >= lo && exact <= hi,
+        s"q=${r.getAs[Long]("q_pct")}: exact $exact outside bin [$lo, $hi]")
+      assert(r.getAs[Long]("cum_count") >= target)
+    }
+    // merge algebra: the histogram of two disjoint halves, summed bin-wise,
+    // equals the whole-corpus histogram (the partial-agg path at scale)
+    val vals = graft.model.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+    val bounds = vals.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+    def hist(part: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      part.crossJoin(broadcast(bounds))
+        .select(expr("least(255L, (c - minc) * 256 div (maxc - minc + 1))")
+          .as("bin"))
+        .groupBy("bin").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = hist(vals)
+    val h1 = hist(vals.filter(col("o_orderkey") % 2 === 0))
+    val h2 = hist(vals.filter(col("o_orderkey") % 2 === 1))
+    val merged = (h1.keySet ++ h2.keySet)
+      .map(b => b -> (h1.getOrElse(b, 0L) + h2.getOrElse(b, 0L))).toMap
+    assert(merged == whole, "bin-wise sum of half-sketches != whole sketch")
+  }
+
   test("cluster_kmeans: Lloyd step conserves vectors and moves centroids") {
     val k = Similarity.clusterKmeans(spark, sfDir).cache()
     val n = graft.model.Tables.load(spark, sfDir, "embeddings").count()
