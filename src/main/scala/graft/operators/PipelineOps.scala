@@ -112,6 +112,52 @@ object PipelineOps {
       |FROM changed
       |ORDER BY user_id, valid_from, state""".stripMargin
 
+  // ---- join_scd2_asof: temporal join against the SCD2 dimension -------------
+  // The consumer of scd2_intervals: every event joins the dimension state
+  // that was valid AT its timestamp (equi on user_id, half-open interval
+  // [valid_from, valid_to) on time — open-ended for the current state).
+  // This is how a fact stream reads a type-2 dimension "AS OF" event time.
+  // Topology: equi-key SortMergeJoin on user_id with the range predicate
+  // evaluated post-match — per-user interval counts are tiny (state
+  // changes, not events), so the range check never blows up a key group;
+  // at 100 TB both sides shuffle once on user_id and the interval side is
+  // orders of magnitude smaller than the fact side. Every event matches
+  // EXACTLY one interval (intervals tile each user's timeline from their
+  // first event), which the spec pins by row conservation.
+  def joinScd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Intervals(s, dir)
+      .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"))
+    val ev = load(s, dir, "events").select(col("user_id"), col("ts"))
+    ev.join(dim, Seq("user_id"))
+      .filter(col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("state"))
+  }
+
+  private val joinScd2AsofOracle =
+    """WITH ev AS (
+      |  SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |changed AS (
+      |  SELECT user_id, state, ts, event_id
+      |  FROM (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      |        FROM ev) t
+      |  WHERE prev_state IS NULL OR prev_state <> state),
+      |iv AS (
+      |  SELECT user_id, state, ts AS valid_from,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM changed)
+      |SELECT i.state, COUNT(*) AS n_events,
+      |       COUNT(DISTINCT e.user_id) AS n_users
+      |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+      |JOIN iv i ON i.user_id = e.user_id
+      |         AND e.ts >= i.valid_from
+      |         AND (i.valid_to IS NULL OR e.ts < i.valid_to)
+      |GROUP BY 1 ORDER BY state""".stripMargin
+
   // ---- join_bloom_prefilter: runtime-filter join pruning --------------------
   // The scan-reduction pattern for selective dim joins at scale: build an
   // exact-key bloom filter from the (filtered, small) dimension side — ONE
@@ -286,6 +332,7 @@ object PipelineOps {
   val queries: Map[String, Q] = Map[String, Q](
     "window_session" -> (windowSession _),
     "scd2_intervals" -> (scd2Intervals _),
+    "join_scd2_asof" -> (joinScd2Asof _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "sample_split_hash" -> (sampleSplitHash _),
     "agg_pivot" -> (aggPivot _),
@@ -295,6 +342,7 @@ object PipelineOps {
   val oracles: Map[String, String] = Map(
     "window_session" -> windowSessionOracle,
     "scd2_intervals" -> scd2IntervalsOracle,
+    "join_scd2_asof" -> joinScd2AsofOracle,
     "join_bloom_prefilter" -> joinBloomPrefilterOracle,
     "sample_split_hash" -> sampleSplitHashOracle,
     "agg_pivot" -> aggPivotOracle,

@@ -173,6 +173,18 @@ class PipelineOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("join_scd2_asof: every event matches exactly one dimension interval") {
+    val ev = graft.model.Tables.load(spark, sfDir, "events")
+    val total = ev.count()
+    val out = PipelineOps.joinScd2Asof(spark, sfDir).cache()
+    // intervals tile each user's timeline: the AS-OF join conserves rows
+    assert(out.agg(sum(col("n_events"))).head.getLong(0) == total,
+      "AS-OF join dropped or duplicated events — intervals don't tile")
+    // states come from the event_type domain and counts are positive
+    assert(out.filter(col("n_events") <= 0 || col("n_users") <= 0).isEmpty)
+    out.unpersist()
+  }
+
   test("merge_upsert: row accounting and op semantics hold exactly") {
     val base = graft.model.Tables.load(spark, sfDir, "orders")
     val n = base.count()
