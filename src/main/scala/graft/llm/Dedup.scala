@@ -348,10 +348,27 @@ object Dedup {
     // the verified pair list drops from ~115k to the cross-variant pairs.
     // One md5-keyed window (32-byte shuffle key) buys a quadratic
     // reduction in candidate mass wherever exact dups are dense.
+    //
+    // SHINGLE-BEARING DOCS ONLY (r7): the invariance argument above holds
+    // only for docs that actually reach LSH. A doc with < 3 tokens (or
+    // NULL text) produces no shingles, never enters banding, and is its
+    // own singleton component in the oracle — collapsing such a group
+    // would relabel its members cluster_id=rep / keep=false where the
+    // oracle says keep=true, and md5(NULL) would weld every null-text doc
+    // into one phantom group. So the collapse window runs over
+    // shingle-bearing docs only (the same ≥3-token predicate as
+    // shingledFrom); shingle-free docs map to themselves. This also keeps
+    // the window partition key skew-safe: the all-NULL fingerprint
+    // partition never forms.
     import org.apache.spark.sql.expressions.Window
-    val repMap = docsIn
+    graft.expressions.GraftFunctions.register(s)
+    val flagged = docsIn.select(col("doc_id"), md5(col("text")).as("fp"),
+      coalesce(size(expr("graft_shingle3(text)")) > 0, lit(false)).as("has_sh"))
+    val repMap = flagged.filter(col("has_sh"))
       .select(col("doc_id"),
-        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("rep"))
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))).as("rep"))
+      .union(flagged.filter(!col("has_sh"))
+        .select(col("doc_id"), col("doc_id").as("rep")))
       .localCheckpoint()
     val reps = docsIn.join(
       repMap.filter(col("doc_id") === col("rep")).select(col("doc_id")),

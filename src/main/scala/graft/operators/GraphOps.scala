@@ -114,6 +114,13 @@ object GraphOps {
       delta = next.agg(max(abs(col("r") - col("rp")))).collect()(0).getLong(0)
       rank = next.select(col("node"), col("r"))
     }
+    // Loud non-convergence (r7): the conv oracle's recursive CTE iterates
+    // until delta <= tol with NO round cap, so exiting here at maxRounds
+    // un-converged would be a silent engine/oracle divergence. Fail fast
+    // instead — the same contract dedup_clusters' CC loop enforces. A
+    // negative tol opts out (the fixed-round keys run exactly maxRounds).
+    require(tol < 0 || delta <= tol,
+      s"pagerank did not converge in $maxRounds rounds (delta=$delta > tol=$tol)")
     (rank, rounds)
   }
 

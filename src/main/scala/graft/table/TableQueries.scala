@@ -20,9 +20,23 @@ object TableQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val runId = new AtomicInteger(0)
+
+  /** All staged roots for THIS JVM live under one pid-scoped namespace, and
+    * a shutdown hook removes the whole namespace when the JVM exits (r7):
+    * the returned DataFrames are lazy, so a per-key eager delete would pull
+    * the files out from under the driver's later materialization — the
+    * hook runs after every action has completed. Other pids' namespaces
+    * are untouched, so concurrent sessions never delete each other's
+    * staged tables. */
+  private lazy val tmpNamespace: String = {
+    val ns = s"${sys.props("java.io.tmpdir")}/graft_table/" +
+      s"p${ProcessHandle.current().pid()}"
+    sys.addShutdownHook(graft.sink.Sinks.deleteDir(ns))
+    ns
+  }
+
   private def freshRoot(kind: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_table/" +
-      s"$kind-${ProcessHandle.current().pid()}-${runId.incrementAndGet()}"
+    s"$tmpNamespace/$kind-${runId.incrementAndGet()}"
 
   private def ordersBase(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")

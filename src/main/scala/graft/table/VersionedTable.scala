@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -46,10 +47,7 @@ object VersionedTable {
   def commit(df: DataFrame, root: String): Int = {
     val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
     df.write.parquet(dataDir)
-    val files = Files.list(Paths.get(dataDir)).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toAbsolutePath.toString)
-      .toSeq.sorted
+    val files = listParquet(dataDir)
     var v = latestVersion(root) + 1
     while (!publish(root, v, files)) v = latestVersion(root) + 1
     v
@@ -72,15 +70,31 @@ object VersionedTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Directory listing of the parquet files just written. The stream is
+    * closed eagerly (Using) — commit() runs per micro-batch in
+    * streamMergeUpsert, and an unclosed Files.list leaks a directory fd
+    * until GC on every call. */
+  private def listParquet(dir: String): Seq[String] =
+    Using.resource(Files.list(Paths.get(dir))) { st =>
+      st.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString)
+        .toSeq.sorted
+    }
+
   /** Highest published version, 0 if the table has no commits yet. */
   def latestVersion(root: String): Int = {
     val commits = Paths.get(s"$root/_commits")
     if (!Files.isDirectory(commits)) return 0
-    val vs = Files.list(commits).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-        s.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .toSeq
+    // eager-closed for the same reason as listParquet: commit's CAS retry
+    // loop calls this repeatedly under contention
+    val vs = Using.resource(Files.list(commits)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+          s.stripPrefix("v").stripSuffix(".manifest").toInt }
+        .toSeq
+    }
     if (vs.isEmpty) 0 else vs.max
   }
 
@@ -137,6 +151,14 @@ object VersionedTable {
       doomed.foreach(f => Files.deleteIfExists(Paths.get(f)))
       Files.delete(Paths.get(s"$root/_commits/v$v.manifest"))
       doomed
+    }
+    // emptied data/<uuid> directories hold no files after the prune —
+    // drop them too so vacuum leaves no empty-shell dirs behind (r7)
+    pruned.map(f => Paths.get(f).getParent).distinct.foreach { d =>
+      if (d != null && Files.isDirectory(d) &&
+          Using.resource(Files.list(d))(st => !st.iterator().hasNext)) {
+        Files.deleteIfExists(d)
+      }
     }
     pruned
   }

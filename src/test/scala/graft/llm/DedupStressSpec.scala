@@ -88,4 +88,30 @@ class DedupStressSpec extends SparkSpec {
       s"pre-collapsed labels diverge from the un-collapsed reference: " +
         s"${want.collect { case (k, v) if fast(k) != v => s"$k:${fast(k)}!=$v" }.take(5)}")
   }
+
+  test("short/null-text duplicates stay singletons under pre-collapse (r7)") {
+    // a doc below 3 tokens (or with NULL text) never enters LSH, so the
+    // oracle labels each as its own singleton cluster with keep=true —
+    // the collapse must therefore skip shingle-free docs entirely
+    // (collapsing "hi there" x2 would mislabel doc 2 keep=false, and
+    // md5(NULL) would weld docs 3 and 4 into one phantom group)
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "hi there"), (2L, "hi there"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]),
+      (5L, "the quick brown fox jumps over the lazy dog"),
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "a completely different sentence about spark engines"))
+      .toDF("doc_id", "text")
+    val byId = Dedup.dedupClustersOver(spark, corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(byId(id) == ((id, true)),
+        s"shingle-free doc $id must be its own singleton, got ${byId(id)}")
+    }
+    // shingle-bearing exact dups DO collapse: 6 joins 5's cluster
+    assert(byId(5L) == ((5L, true)) && byId(6L) == ((5L, false)),
+      s"exact-dup pair mislabeled: 5=${byId(5L)} 6=${byId(6L)}")
+    assert(byId(7L) == ((7L, true)))
+  }
 }

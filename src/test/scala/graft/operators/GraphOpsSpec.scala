@@ -75,6 +75,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(drift <= 1000L, s"post-convergence drift $drift exceeds tolerance")
   }
 
+  test("loop fails loudly when maxRounds is hit before convergence (r7)") {
+    // the conv oracle's recursive CTE has no round cap, so a silent
+    // maxRounds exit would diverge from it — the loop must throw instead
+    val (edges, deg, nodes) = starGraph()
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.pagerankLoop(edges, deg, nodes, tol = 1000L, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("hub-order clique guard: an oversized order emits no edges") {
     import spark.implicits._
     // one hub order with 20 suppliers (> cap 16), one normal with 3
