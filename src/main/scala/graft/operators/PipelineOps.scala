@@ -306,6 +306,33 @@ object PipelineOps {
       .orderBy(col("key"))
   }
 
+  /** The row-level change feed the MERGE above emits — what a CDF-enabled
+    * table records at commit time: delete preimages, insert postimages,
+    * and update pre/post image pairs. The writer KNOWS its changes, so
+    * recording them is one small extra write at commit; `table_changes`
+    * then answers from the commit log alone instead of diffing two full
+    * snapshots (TableQueries.tableIncrementalRead reads this feed back
+    * through VersionedTable's `C` manifest records). */
+  def mergeChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("total"))
+    val deletes = base.filter(col("key") % 13 === 0)
+      .select(col("key"), col("status"), col("total"),
+        lit("delete").as("change"))
+    val updBase = base.filter(col("key") % 10 === 0 && col("key") % 13 =!= 0)
+    val pre = updBase.select(col("key"), col("status"), col("total"),
+      lit("update_pre").as("change"))
+    val post = updBase.select(col("key"), lit("X").as("status"),
+      round((col("total") * lit(1.1)).cast("decimal(18,4)"), 2)
+        .cast("double").as("total"),
+      lit("update_post").as("change"))
+    val inserts = base.filter(col("key") % 97 === 0 && col("key") > 0)
+      .select((-col("key")).as("key"), lit("N").as("status"),
+        col("total").as("total"), lit("insert").as("change"))
+    deletes.unionAll(inserts).unionAll(pre).unionAll(post)
+  }
+
   private val mergeUpsertOracle =
     """WITH base AS (
       |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total

@@ -108,26 +108,41 @@ object TableQueries {
       |FROM orders ORDER BY key""".stripMargin
 
   // ---- table_incremental_read -----------------------------------------------
-  // Change-data-feed between two commits: the generic version diff — a
-  // single full-outer join of the v1 and v2 snapshots on the key, emitting
-  // delete rows (in v1 only, preimage values), insert rows (in v2 only),
-  // and update pre/post image pairs (both sides, any column differing) —
-  // the relation `table_changes(v1, v2)` returns on a CDF-enabled Delta
-  // table. With a changeset-carrying commit log the same feed is
-  // metadata-only; the snapshot diff is the fallback that works on ANY
-  // pair of versions and costs one key-shuffle join of each side (or zero
-  // co-bucketed). The oracle re-derives the identical feed from the raw
-  // table and the deterministic changeset.
+  // Change-data-feed between two commits, answered from the COMMIT LOG
+  // (r7): the MERGE commit records its row-level change feed as changeset
+  // files in the manifest (`C` records), so `table_changes(v1, v2)` is
+  // metadata resolution plus a scan of only those small files — neither
+  // version's data is touched (the spec pins that: every input file of
+  // the log-path read lives under changes/). When a commit in the range
+  // didn't record its changes, the reader falls back to the generic
+  // snapshot diff below — a single full-outer join of the two versions
+  // that works on ANY pair and costs one key-shuffle per side (or zero
+  // co-bucketed). Same relation either way (the spec proves it); the
+  // oracle re-derives the feed from the raw table and the deterministic
+  // changeset.
   def tableIncrementalRead(s: SparkSession, dir: String): DataFrame = {
     val root = freshRoot("cdf")
     VersionedTable.commit(ordersBase(s, dir), root)
     VersionedTable.commit(
-      PipelineOps.mergeUpsert(s, dir).drop("last_op"), root)
+      PipelineOps.mergeUpsert(s, dir).drop("last_op"), root,
+      changes = Some(PipelineOps.mergeChangeFeed(s, dir)),
+      statsColumn = None)
+    VersionedTable.readChanges(s, root, 1, 2)
+      .getOrElse(snapshotDiff(s, root, 1, 2))
+      .orderBy(col("key"), col("change"))
+  }
+
+  /** The log-free fallback: diff two version snapshots into the identical
+    * change-feed relation — delete rows (in vFrom only, preimage values),
+    * insert rows (in vTo only), update pre/post image pairs (both sides,
+    * any column differing). */
+  private[table] def snapshotDiff(s: SparkSession, root: String,
+      vFrom: Int, vTo: Int): DataFrame = {
     // presence markers, not value-null checks — robust to nullable columns
-    val v1 = VersionedTable.readVersion(s, root, 1)
+    val v1 = VersionedTable.readVersion(s, root, vFrom)
       .select(col("key"), col("status").as("s1"), col("total").as("t1"),
         lit(true).as("m1"))
-    val v2 = VersionedTable.readVersion(s, root, 2)
+    val v2 = VersionedTable.readVersion(s, root, vTo)
       .select(col("key"), col("status").as("s2"), col("total").as("t2"),
         lit(true).as("m2"))
     val diff = v1.join(v2, Seq("key"), "full_outer")
@@ -146,7 +161,6 @@ object TableQueries {
     val post = updated.select(col("key"), col("s2").as("status"),
       col("t2").as("total"), lit("update_post").as("change"))
     deletes.unionAll(inserts).unionAll(pre).unionAll(post)
-      .orderBy(col("key"), col("change"))
   }
 
   private val tableIncrementalReadOracle =
@@ -168,6 +182,51 @@ object TableQueries {
       |FROM base WHERE key % 10 = 0 AND key % 13 <> 0
       |ORDER BY key, change""".stripMargin
 
+  // ---- table_skipping_read --------------------------------------------------
+  // File-level data skipping (r7): commit the snapshot range-partitioned
+  // on the key with footer min/max stats recorded per file in the
+  // manifest, then run a narrow key-range read — manifest resolution
+  // prunes every file whose [min,max] misses the range BEFORE the scan
+  // opens anything (the spec proves ~1-2 of 16 files survive pruning and
+  // that pruned+filter ≡ full+filter). This is the read-path complement
+  // of sink_compact: OPTIMIZE fixes the file count, stats skipping fixes
+  // what a filtered read must open. At 100 TB a date- or key-clustered
+  // layout turns every narrow predicate into an O(files-touched) scan.
+  // The oracle is the plain filter — skipping must change I/O, not rows.
+  def tableSkippingRead(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("skip")
+    VersionedTable.commit(
+      ordersBase(s, dir).repartitionByRange(16, col("key")), root,
+      changes = None, statsColumn = Some("key"))
+    VersionedTable.readVersionWhere(s, root, 1, "key", 1000L, 2000L)
+      .orderBy(col("key"))
+  }
+
+  private val tableSkippingReadOracle =
+    """SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+      |ORDER BY key""".stripMargin
+
+  // ---- table_vacuum_age -----------------------------------------------------
+  // Retention-window VACUUM (r7): same staged table as table_vacuum, but
+  // pruning by AGE (`RETAIN n HOURS`) instead of version count — v1's
+  // manifest mtime is pushed outside the window, v2's stays inside, so
+  // the age sweep deletes exactly v1 and the latest read is unaffected
+  // (identity oracle). The spec additionally proves a pinned reader of a
+  // version INSIDE the window survives a sweep.
+  def tableVacuumAge(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("vaca")
+    VersionedTable.commit(ordersBase(s, dir).repartition(64), root)
+    val v2 = VersionedTable.compact(s, root, targetBytes = 8L << 20)
+    // age v1 out of the retention window (the test clock: a day old)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/_commits/v1.manifest"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 86_400_000L))
+    VersionedTable.vacuumOlderThan(root, maxAgeMillis = 3_600_000L)
+    VersionedTable.readVersion(s, root, v2).orderBy(col("key"))
+  }
+
   // ---- table_vacuum ---------------------------------------------------------
   // Retention: fragment v1, compact to v2, VACUUM retaining only the
   // newest version — v1's manifest and its (now-unreferenced) data files
@@ -186,11 +245,15 @@ object TableQueries {
     "table_time_travel" -> (tableTimeTravel _),
     "sink_compact" -> (sinkCompact _),
     "table_incremental_read" -> (tableIncrementalRead _),
-    "table_vacuum" -> (tableVacuum _))
+    "table_skipping_read" -> (tableSkippingRead _),
+    "table_vacuum" -> (tableVacuum _),
+    "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
     "table_time_travel" -> tableTimeTravelOracle,
     "sink_compact" -> sinkCompactOracle,
     "table_incremental_read" -> tableIncrementalReadOracle,
-    "table_vacuum" -> sinkCompactOracle)
+    "table_skipping_read" -> tableSkippingReadOracle,
+    "table_vacuum" -> sinkCompactOracle,
+    "table_vacuum_age" -> sinkCompactOracle)
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  - every commit writes NEW immutable data files under `data/v<N>/` and
   *    then publishes a manifest `_commits/v<N>.manifest` listing exactly
-  *    the files that make up version N (one absolute path per line);
+  *    the files that make up version N;
   *  - the manifest is published with write-temp-then-ATOMIC_MOVE, so the
   *    rename IS the commit point: a reader either sees the complete
   *    version or not at all — never a half-written file list;
@@ -25,49 +25,76 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `VERSION AS OF` time travel is just `readVersion(root, v)` for any
   *    retained version.
   *
+  * Manifest records (r7) — line-oriented, tab-separated, one record per
+  * line, parsed by [[entries]]:
+  *
+  *  - `D <path>` — a data file of this version;
+  *  - `D <path> <col> <min> <max>` — a data file plus the min/max of
+  *    integer column `col` over that file, read from the parquet FOOTER at
+  *    commit time (no data scan). A filtered read prunes files whose
+  *    [min,max] misses the predicate range BEFORE the scan
+  *    ([[readVersionWhere]]) — Delta/Iceberg-style file skipping, the
+  *    read-path complement of [[compact]];
+  *  - `C <path>` — a CHANGESET file: the row-level change feed the commit
+  *    applied (CDF). `table_changes(vFrom, vTo)` answers from these
+  *    metadata-listed files alone ([[readChanges]]) — no version scan, no
+  *    join — and a reader falls back to the two-snapshot diff only when
+  *    some commit in the range didn't record its changes;
+  *  - a line with no tabs is a bare data path (pre-r7 manifests stay
+  *    readable).
+  *
   * Multi-writer safety (r6): the manifest is published with an
   * atomic-exclusive hard link (`Files.createLink` — EEXIST if the version
   * was taken), so publishing IS a compare-and-swap on the version number:
   * a concurrent writer that loses the race gets FileAlreadyExistsException,
   * reloads `latestVersion`, and retries on N+1 — its data files are
   * version-independent (uuid-named directories), so nothing is rewritten
-  * on retry (VersionedTableSpec stages a taken version and proves the
-  * retry lands after it without touching the winner's manifest). At
-  * 100 TB the manifest lists thousands of files but stays KBs-to-MBs of
-  * metadata — reading it is driver-side and O(files), never a data scan;
-  * data files are immutable so commits and reads never contend on
-  * content.
+  * on retry (VersionedTableSpec races two real writer threads). At 100 TB
+  * the manifest lists thousands of files but stays KBs-to-MBs of metadata
+  * — reading it is driver-side and O(files), never a data scan; data
+  * files are immutable so commits and reads never contend on content.
   */
 object VersionedTable {
+
+  /** Footer min/max of one integer column over one data file. */
+  final case class FileStats(column: String, min: Long, max: Long)
+
+  /** One manifest record: a data or changeset file, with optional stats. */
+  final case class ManifestEntry(path: String, change: Boolean,
+      stats: Option[FileStats])
 
   /** Commit `df` as the next version of the table at `root`; returns the
     * committed version number. Copy-on-write: only writes new files, once
     * — on a lost publish race only the (cheap, metadata-only) publish
     * retries, never the data write. */
-  def commit(df: DataFrame, root: String): Int = {
+  def commit(df: DataFrame, root: String): Int =
+    commit(df, root, changes = None, statsColumn = None)
+
+  /** Full-surface commit: optionally records the commit's row-level
+    * change feed (written once under `changes/`, listed as `C` records —
+    * the log a CDF read answers from) and per-file min/max footer stats
+    * for `statsColumn` (the skipping index). Both are metadata-side: the
+    * change feed is written exactly once, and stats come from parquet
+    * footers — the data files are never re-scanned. */
+  def commit(df: DataFrame, root: String, changes: Option[DataFrame],
+      statsColumn: Option[String]): Int = {
     val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
     df.write.parquet(dataDir)
-    val files = listParquet(dataDir)
+    val dataLines = listParquet(dataDir).map { f =>
+      statsColumn.flatMap(c => footerMinMax(f, c)) match {
+        case Some((lo, hi)) => s"D\t$f\t${statsColumn.get}\t$lo\t$hi"
+        case None           => s"D\t$f"
+      }
+    }
+    val changeLines = changes.toSeq.flatMap { cdf =>
+      val cDir = s"$root/changes/${java.util.UUID.randomUUID()}"
+      cdf.write.parquet(cDir)
+      listParquet(cDir).map(f => s"C\t$f")
+    }
+    val lines = dataLines ++ changeLines
     var v = latestVersion(root) + 1
-    while (!publish(root, v, files)) v = latestVersion(root) + 1
+    while (!publish(root, v, lines)) v = latestVersion(root) + 1
     v
-  }
-
-  /** CAS publish of manifest vN: temp-write, then atomic-exclusive hard
-    * link as the commit point. Returns false if version N was taken by a
-    * concurrent writer (caller retries with a fresh version). */
-  private def publish(root: String, v: Int, files: Seq[String]): Boolean = {
-    val commits = Paths.get(s"$root/_commits")
-    Files.createDirectories(commits)
-    val tmp = commits.resolve(
-      s".tmp-v$v-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
-    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.createLink(commits.resolve(s"v$v.manifest"), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally Files.deleteIfExists(tmp)
   }
 
   /** Directory listing of the parquet files just written. The stream is
@@ -81,6 +108,51 @@ object VersionedTable {
         .map(_.toAbsolutePath.toString)
         .toSeq.sorted
     }
+
+  /** Min/max of an INT32/INT64 column read from the parquet footer's
+    * row-group statistics — O(footer), never a data scan. None when the
+    * column is absent, non-integer, or all-null in every row group (an
+    * unstatted file is simply never pruned — safe). */
+  private def footerMinMax(file: String, column: String): Option[(Long, Long)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+    Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { r =>
+      val ranges = for {
+        b <- r.getFooter.getBlocks.asScala.toSeq
+        c <- b.getColumns.asScala if c.getPath.toDotString == column
+        st = c.getStatistics
+        if st != null && st.hasNonNullValue
+        lo <- asLong(st.genericGetMin: Any)
+        hi <- asLong(st.genericGetMax: Any)
+      } yield (lo, hi)
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    }
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: java.lang.Long    => Some(l.longValue())
+    case i: java.lang.Integer => Some(i.longValue())
+    case _                    => None
+  }
+
+  /** CAS publish of manifest vN: temp-write, then atomic-exclusive hard
+    * link as the commit point. Returns false if version N was taken by a
+    * concurrent writer (caller retries with a fresh version). */
+  private def publish(root: String, v: Int, lines: Seq[String]): Boolean = {
+    val commits = Paths.get(s"$root/_commits")
+    Files.createDirectories(commits)
+    val tmp = commits.resolve(
+      s".tmp-v$v-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(commits.resolve(s"v$v.manifest"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
 
   /** Highest published version, 0 if the table has no commits yet. */
   def latestVersion(root: String): Int = {
@@ -98,13 +170,36 @@ object VersionedTable {
     if (vs.isEmpty) 0 else vs.max
   }
 
-  /** The frozen file list of version v. */
-  def manifest(root: String, v: Int): Seq[String] = {
-    val p: Path = Paths.get(s"$root/_commits/v$v.manifest")
+  private def manifestPath(root: String, v: Int): Path =
+    Paths.get(s"$root/_commits/v$v.manifest")
+
+  /** All manifest records of version v (data + changeset files). */
+  def entries(root: String, v: Int): Seq[ManifestEntry] = {
+    val p = manifestPath(root, v)
     require(Files.exists(p), s"version $v not committed at $root")
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        line.split('\t') match {
+          case Array(path) => ManifestEntry(path, change = false, None) // legacy
+          case Array("D", path) => ManifestEntry(path, change = false, None)
+          case Array("D", path, c, lo, hi) =>
+            ManifestEntry(path, change = false,
+              Some(FileStats(c, lo.toLong, hi.toLong)))
+          case Array("C", path) => ManifestEntry(path, change = true, None)
+          case other => throw new IllegalStateException(
+            s"corrupt manifest line at $root v$v: '$line'")
+        }
+      }
   }
+
+  /** The frozen DATA file list of version v. */
+  def manifest(root: String, v: Int): Seq[String] =
+    entries(root, v).filterNot(_.change).map(_.path)
+
+  /** The changeset files commit v recorded ([] when it recorded none). */
+  def changeFiles(root: String, v: Int): Seq[String] =
+    entries(root, v).filter(_.change).map(_.path)
 
   /** Snapshot-isolated `VERSION AS OF v` read: the scan is pinned to the
     * manifest's immutable files — later commits are invisible. */
@@ -114,6 +209,46 @@ object VersionedTable {
   /** Latest-version read (what an unpinned reader sees). */
   def readLatest(s: SparkSession, root: String): DataFrame =
     readVersion(s, root, latestVersion(root))
+
+  /** The data files of version v whose footer-stats range intersects
+    * [lo, hi] on `column` — the file-skipping resolution step. A file
+    * with no stats for the column is conservatively kept. */
+  def prunedFiles(root: String, v: Int, column: String,
+      lo: Long, hi: Long): Seq[String] =
+    entries(root, v).filterNot(_.change).filter { e =>
+      e.stats match {
+        case Some(FileStats(c, mn, mx)) if c == column => mx >= lo && mn <= hi
+        case _ => true
+      }
+    }.map(_.path)
+
+  /** Stats-pruned `VERSION AS OF v WHERE column BETWEEN lo AND hi` read:
+    * files whose [min,max] misses the range are dropped at manifest
+    * resolution — the scan never opens them (the row-level filter still
+    * applies within surviving files; stats are file-granular). When
+    * every file is pruned the scan falls back to the full list purely to
+    * carry the schema — the filter returns zero rows either way. */
+  def readVersionWhere(s: SparkSession, root: String, v: Int,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = prunedFiles(root, v, column, lo, hi)
+    val src = if (files.nonEmpty) files else manifest(root, v)
+    s.read.parquet(src: _*).filter(col(column).between(lo, hi))
+  }
+
+  /** The change feed between two versions, answered from the commit LOG:
+    * the union of every intermediate commit's recorded changeset files —
+    * metadata resolution plus a scan of only those (small) files, never
+    * of either version's data. None when some commit in the range didn't
+    * record its changes (the caller falls back to a snapshot diff, which
+    * works on ANY pair of versions at one key-shuffle per side). */
+  def readChanges(s: SparkSession, root: String,
+      vFrom: Int, vTo: Int): Option[DataFrame] = {
+    require(vFrom < vTo, s"need vFrom < vTo, got $vFrom..$vTo")
+    val perVersion = ((vFrom + 1) to vTo).map(v => changeFiles(root, v))
+    if (perVersion.exists(_.isEmpty)) None
+    else Some(s.read.parquet(perVersion.flatten: _*))
+  }
 
   /** OPTIMIZE: bin-pack the current version's files into ~targetBytes
     * outputs and commit the rewrite as a NEW version. Row-set identity is
@@ -132,28 +267,51 @@ object VersionedTable {
   }
 
   /** VACUUM: retain the newest `keepVersions` versions, delete older
-    * manifests and every data file referenced ONLY by them (files shared
-    * with a retained version — possible in formats that re-manifest
-    * unchanged files — survive). Returns the deleted file paths. After a
-    * vacuum, time travel to a pruned version fails fast at manifest
-    * resolution; the latest read is untouched. Production note: age-based
-    * retention (`older than N days`) is the same walk keyed on manifest
-    * mtime; the spec exercises the count-based form. */
+    * manifests and every data/changeset file referenced ONLY by them
+    * (files shared with a retained version — possible in formats that
+    * re-manifest unchanged files — survive). Returns the deleted file
+    * paths. After a vacuum, time travel to a pruned version fails fast at
+    * manifest resolution; the latest read is untouched. */
   def vacuum(root: String, keepVersions: Int): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the latest version")
     val latest = latestVersion(root)
     val cutoff = latest - keepVersions // prune versions <= cutoff
     if (cutoff < 1) return Seq.empty
-    val keepFiles = ((cutoff + 1) to latest)
-      .flatMap(v => manifest(root, v)).toSet
-    val pruned = (1 to cutoff).flatMap { v =>
-      val doomed = manifest(root, v).filterNot(keepFiles.contains)
-      doomed.foreach(f => Files.deleteIfExists(Paths.get(f)))
-      Files.delete(Paths.get(s"$root/_commits/v$v.manifest"))
-      doomed
+    prune(root, doomed = 1 to cutoff, retained = (cutoff + 1) to latest)
+  }
+
+  /** Age-based VACUUM (the `RETAIN n HOURS` form): prune every version
+    * whose manifest is older than `maxAgeMillis`, ALWAYS retaining the
+    * latest regardless of age. A pinned reader of any version inside the
+    * window is untouched — retention is the reader-lease contract: hold
+    * the window longer than your longest reader. */
+  def vacuumOlderThan(root: String, maxAgeMillis: Long): Seq[String] = {
+    require(maxAgeMillis >= 0, "retention window must be non-negative")
+    val latest = latestVersion(root)
+    if (latest == 0) return Seq.empty
+    val cut = System.currentTimeMillis() - maxAgeMillis
+    val present = (1 to latest)
+      .filter(v => Files.exists(manifestPath(root, v)))
+    val doomed = present.filter(v => v != latest &&
+      Files.getLastModifiedTime(manifestPath(root, v)).toMillis < cut)
+    prune(root, doomed, present.filterNot(doomed.contains))
+  }
+
+  /** Shared pruning core: delete each doomed version's files not shared
+    * with a retained version, drop its manifest, sweep emptied
+    * data/changes uuid-dirs. */
+  private def prune(root: String, doomed: Seq[Int],
+      retained: Seq[Int]): Seq[String] = {
+    val keepFiles = retained
+      .flatMap(v => entries(root, v).map(_.path)).toSet
+    val pruned = doomed.sorted.flatMap { v =>
+      val files = entries(root, v).map(_.path).filterNot(keepFiles.contains)
+      files.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      Files.delete(manifestPath(root, v))
+      files
     }
-    // emptied data/<uuid> directories hold no files after the prune —
-    // drop them too so vacuum leaves no empty-shell dirs behind (r7)
+    // emptied data/<uuid> and changes/<uuid> directories hold no files
+    // after the prune — drop them too so vacuum leaves no shell dirs
     pruned.map(f => Paths.get(f).getParent).distinct.foreach { d =>
       if (d != null && Files.isDirectory(d) &&
           Using.resource(Files.list(d))(st => !st.iterator().hasNext)) {

@@ -106,4 +106,136 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(root) == 2)
     assert(VersionedTable.readLatest(spark, root).count() == 1000)
   }
+
+  test("log-path CDF reads ONLY changeset files; equals the snapshot diff (r7)") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.commit(base(), root)
+    // v2: drop odd keys, double even totals, insert 10 new keys — and
+    // record the matching row-level change feed at commit time
+    val merged = base().filter(col("key") % 2 === 0)
+      .withColumn("total", col("total") * 2)
+      .unionAll((2000L to 2009L).map(k => (k, "new", 1.0))
+        .toDF("key", "status", "total"))
+    val feed = base().filter(col("key") % 2 === 1)
+      .select(col("key"), col("status"), col("total"), lit("delete").as("change"))
+      .unionAll((2000L to 2009L).map(k => (k, "new", 1.0))
+        .toDF("key", "status", "total").withColumn("change", lit("insert")))
+      .unionAll(base().filter(col("key") % 2 === 0)
+        .select(col("key"), col("status"), col("total"),
+          lit("update_pre").as("change")))
+      .unionAll(base().filter(col("key") % 2 === 0)
+        .select(col("key"), col("status"), (col("total") * 2).as("total"),
+          lit("update_post").as("change")))
+    VersionedTable.commit(merged, root, changes = Some(feed),
+      statsColumn = None)
+    // the log path resolves: every input file is a changes/ file — the
+    // feed costs a metadata lookup + small-file scan, NOT a version diff
+    val logRead = VersionedTable.readChanges(spark, root, 1, 2)
+    assert(logRead.isDefined, "commit recorded changes but log path is empty")
+    val inputs = logRead.get.inputFiles
+    assert(inputs.nonEmpty && inputs.forall(_.contains("/changes/")),
+      s"log-path read touched non-changeset files: " +
+        s"${inputs.filterNot(_.contains("/changes/")).take(3).mkString(",")}")
+    // and it is the SAME relation the generic snapshot diff computes
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), col("status"), col("total"), col("change"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(rows(logRead.get) == rows(TableQueries.snapshotDiff(spark, root, 1, 2)),
+      "log-carried feed diverges from the snapshot diff")
+    // a log-less commit range falls back: v1 recorded no changes
+    assert(VersionedTable.readChanges(spark, root, 0, 1).isEmpty
+      || VersionedTable.changeFiles(root, 1).nonEmpty)
+  }
+
+  test("footer-stats skipping prunes files before the scan (r7)") {
+    val root = freshRoot()
+    VersionedTable.commit(base().repartitionByRange(8, col("key")), root,
+      changes = None, statsColumn = Some("key"))
+    val all = VersionedTable.manifest(root, 1)
+    assert(all.size == 8)
+    // every file carries stats (key is non-null everywhere)
+    assert(VersionedTable.entries(root, 1).forall(_.stats.isDefined))
+    // a narrow range survives in a strict subset of the files
+    val pruned = VersionedTable.prunedFiles(root, 1, "key", 100L, 150L)
+    assert(pruned.size < all.size,
+      s"no files pruned: ${pruned.size} of ${all.size}")
+    // pruned + row filter ≡ full + row filter
+    val got = VersionedTable.readVersionWhere(spark, root, 1, "key", 100L, 150L)
+    assert(got.count() == 51)
+    val opened = got.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+    assert(opened.subsetOf(pruned.toSet),
+      s"the scan opened a file the stats said to skip: ${(opened -- pruned).take(2)}")
+    // an unstatted column never prunes (conservative keep)
+    assert(VersionedTable.prunedFiles(root, 1, "absent", 0L, 1L).size == 8)
+  }
+
+  test("age-based vacuum prunes outside the window; pinned readers inside survive (r7)") {
+    import java.nio.file.attribute.FileTime
+    val root = freshRoot()
+    VersionedTable.commit(base(), root) // v1
+    VersionedTable.commit(base().filter(col("key") <= 500), root) // v2
+    VersionedTable.commit(base().filter(col("key") <= 100), root) // v3
+    // age only v1 beyond the 1h window
+    Files.setLastModifiedTime(Paths.get(s"$root/_commits/v1.manifest"),
+      FileTime.fromMillis(System.currentTimeMillis() - 86_400_000L))
+    val deleted = VersionedTable.vacuumOlderThan(root, maxAgeMillis = 3_600_000L)
+    assert(deleted.nonEmpty)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, root, 1)
+    }
+    // v2 sits INSIDE the window: a pinned reader of it still works
+    assert(VersionedTable.readVersion(spark, root, 2).count() == 500)
+    assert(VersionedTable.readLatest(spark, root).count() == 100)
+    // the LATEST is never pruned, however old its manifest is
+    Files.setLastModifiedTime(Paths.get(s"$root/_commits/v3.manifest"),
+      FileTime.fromMillis(System.currentTimeMillis() - 86_400_000L))
+    Files.setLastModifiedTime(Paths.get(s"$root/_commits/v2.manifest"),
+      FileTime.fromMillis(System.currentTimeMillis() - 86_400_000L))
+    VersionedTable.vacuumOlderThan(root, maxAgeMillis = 3_600_000L)
+    assert(VersionedTable.latestVersion(root) == 3)
+    assert(VersionedTable.readLatest(spark, root).count() == 100)
+  }
+
+  test("two real writer threads racing commit(): no lost or duplicated versions (r7)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val perThread = 8
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { tid =>
+      new Thread(() => {
+        try {
+          (1 to perThread).foreach { i =>
+            VersionedTable.commit(
+              Seq(tid * 100L + i).toDF("payload"), root)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(failures.isEmpty, s"writer thread failed: ${failures.peek()}")
+    // every commit landed on its own version — none lost, none merged
+    assert(VersionedTable.latestVersion(root) == 2 * perThread)
+    val payloads = (1 to 2 * perThread).map { v =>
+      val rows = VersionedTable.readVersion(spark, root, v).collect()
+      assert(rows.length == 1, s"version $v has ${rows.length} rows")
+      rows(0).getLong(0)
+    }
+    val expected = (for (t <- 1 to 2; i <- 1 to perThread)
+      yield t * 100L + i).toSet
+    assert(payloads.toSet == expected,
+      s"missing commits: ${(expected -- payloads.toSet).take(5)}")
+    assert(payloads.distinct.size == payloads.size, "a commit published twice")
+    // no orphaned CAS temp files survive the race
+    val leftovers = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(Paths.get(s"$root/_commits"))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".tmp-")).toList
+      finally st.close()
+    }
+    assert(leftovers.isEmpty, s"orphaned publish temps: $leftovers")
+  }
 }
