@@ -457,28 +457,88 @@ object Similarity {
   // and the scan is one code-column pass with a map-side partial top-k.
   // Every distance is exact BIGINT arithmetic; ties break on (cell) resp.
   // (neighbor_id), so both engines rank identically.
-  def simPqAdc(s: SparkSession, dir: String): DataFrame = {
-    val base = load(s, dir, "embeddings")
+  /** Subvector decomposition: every 64-dim quantized vector split into
+    * `mCount` subvectors of `subDim` dims — the input to seeding,
+    * training, encode, and query-table build. The untrained key uses the
+    * classic 8 x 8; the trained key narrows to 16 x 4 (finer subspaces =
+    * lower per-subspace quantization error, the M knob of PQ). */
+  private def pqSub(s: SparkSession, dir: String, mCount: Int,
+      subDim: Int): DataFrame =
+    load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("qv",
         expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
-    val sub = base.select(col("vec_id"), col("label"),
-      posexplode(expr("transform(sequence(0, 7), m -> slice(qv, m * 8 + 1, 8))"))
-        .as(Seq("m", "sv")))
-    // codebook: per (cell=label, subspace) element-wise truncated mean
-    val cb = sub
-      .select(col("label").as("cell"), col("m"),
+      .select(col("vec_id"), col("label"),
+        posexplode(expr(s"transform(sequence(0, ${mCount - 1}), " +
+          s"m -> slice(qv, m * $subDim + 1, $subDim))"))
+          .as(Seq("m", "sv")))
+
+  /** Seed codebooks: per (cell, subspace) element-wise truncated mean —
+    * the deterministic quantizer convention shared with IVF and
+    * cluster_kmeans. `cellExpr` picks the seeding partition: the
+    * label-seeded key uses the 10 labels; the trained key seeds k = 64
+    * cells from `vec_id % 64` (codebook size is a capacity hyperparameter
+    * — 16 subspaces x 64 entries is a 6-bit code per subspace, 12 bytes
+    * per vector vs 256 for the raw float32). */
+  private def pqSeedCodebooks(sub: DataFrame, cellExpr: String): DataFrame =
+    sub.select(expr(cellExpr).as("cell"), col("m"),
         posexplode(col("sv")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("m"), col("pos"))
       .agg(expr("sum(v) div count(1)").as("cd"))
       .groupBy(col("cell"), col("m"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), x -> x.cd)")
         .as("cvec"))
-    // exact integer L2 from every subvector to every sub-centroid: feeds
-    // BOTH the encoder (argmin per (vec, m)) and the query tables
-    val dists = sub.join(broadcast(cb), Seq("m"))
+
+  /** Exact integer L2 from every subvector to every sub-centroid of `cb`:
+    * feeds the trainer's assignment, the encoder (argmin per (vec, m)),
+    * and the query distance tables. */
+  private def pqDists(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m"))
       .withColumn("d",
         expr("aggregate(zip_with(sv, cvec, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"))
+
+  /** Lloyd-train the codebooks (r7): `iters` exact k-means rounds PER
+    * SUBSPACE — assign every subvector to its nearest sub-centroid
+    * (integer L2, ties to the lower cell id), recompute each centroid as
+    * the truncated mean of its assigned subvectors. This is
+    * cluster_kmeans' exact update iterated over the 8 subspaces at once:
+    * one broadcast join + one (cell, m, pos)-keyed hash agg per round,
+    * all map-side-combining — the codebook (≤ 80 rows) is the only
+    * state carried between rounds (localCheckpointed so lineage stays
+    * O(1), the dedup_clusters convention). A cell that captures no
+    * subvectors in a round drops — the classic Lloyd empty-cluster case,
+    * identically in both engines. Label-seeded centroids on a fixture
+    * whose labels are independent of the geometry all collapse near the
+    * global mean, which is why untrained PQ recall sits at the noise
+    * floor; training spreads them and is measured (LlmOpsSpec) to
+    * multiply recall. */
+  private def pqTrainCodebooks(sub: DataFrame, cb0: DataFrame,
+      iters: Int): DataFrame = {
+    var cb = cb0
+    for (_ <- 1 to iters) {
+      val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d"), col("cell"))
+      val assign = pqDists(sub, cb)
+        .withColumn("rk", row_number().over(wEnc))
+        .filter(col("rk") === 1).select(col("vec_id"), col("m"), col("cell"))
+      cb = assign
+        .join(sub.select(col("vec_id"), col("m"), col("sv")), Seq("vec_id", "m"))
+        .select(col("cell"), col("m"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("m"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("cd"))
+        .groupBy(col("cell"), col("m"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), x -> x.cd)")
+          .as("cvec"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** The serving half: encode every vector against `cb` (8 nearest-sub-
+    * centroid codes), build the per-query distance tables, and scan the
+    * code column with ADC — two broadcast joins + a windowed top-k. */
+  private def pqServe(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val dists = pqDists(sub, cb)
     val wEnc = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d"), col("cell"))
     val codes = dists.withColumn("rk", row_number().over(wEnc))
@@ -497,41 +557,98 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val simPqAdcOracle =
-    """WITH q2 AS (
-      |  SELECT vec_id, label,
-      |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
-      |  FROM embeddings),
-      |sub AS (
-      |  SELECT vec_id, label, ms.m, list_slice(qv, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
-      |  FROM q2, (SELECT unnest(generate_series(0, 7)) AS m) ms),
-      |cbp AS (
-      |  SELECT label AS cell, m, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd
-      |  FROM (SELECT label, m, unnest(sv) AS v,
-      |               unnest(generate_series(1, len(sv))) AS pos FROM sub) t
-      |  GROUP BY 1, 2, 3),
-      |cb AS (SELECT cell, m, list(cd ORDER BY pos) AS cvec FROM cbp GROUP BY 1, 2),
-      |dists AS (
-      |  SELECT s.vec_id, s.m, c.cell,
-      |         CAST(list_sum(list_transform(generate_series(1, len(s.sv)),
-      |           i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS BIGINT) AS d
-      |  FROM sub s JOIN cb c ON c.m = s.m),
-      |codes AS (
-      |  SELECT vec_id, m, cell FROM (
-      |    SELECT vec_id, m, cell,
-      |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rk
-      |    FROM dists) t WHERE rk = 1),
-      |dtab AS (SELECT vec_id AS query_id, m, cell, d FROM dists WHERE vec_id < 10),
-      |adc AS (
-      |  SELECT t.query_id, c.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
-      |  FROM codes c JOIN dtab t ON t.m = c.m AND t.cell = c.cell
-      |  WHERE c.vec_id <> t.query_id
-      |  GROUP BY 1, 2)
-      |SELECT query_id, rank, vec_id AS neighbor_id, adc_dist FROM (
-      |  SELECT query_id, vec_id, adc_dist,
-      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
-      |  FROM adc) r WHERE rank <= 3
-      |ORDER BY query_id, rank""".stripMargin
+  def simPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val sub = pqSub(s, dir, mCount = 8, subDim = 8)
+    pqServe(sub, pqSeedCodebooks(sub, "label"))
+  }
+
+  // ---- sim_pq_adc_trained ---------------------------------------------------
+  // The trained PQ index a user would actually serve from: 16 subspaces
+  // of 4 dims (the finer M of PQ — lower per-subspace quantization
+  // error), k = 64 cells per subspace seeded from vec_id % 64, then 3
+  // Lloyd rounds per subspace before encoding. The subvector set is
+  // localCheckpointed once (consumed by the seed, every training round,
+  // the encoder, and the query tables); the oracle replays the SAME 3
+  // deterministic rounds as a chained CTE sequence, so both engines
+  // converge to bit-identical codebooks, codes, and rankings. LlmOpsSpec
+  // measures recall@3 = 0.433 on the isotropic fixture vs 0.067 for the
+  // label-seeded 8x10 key — the uplift IS the trainer's value, bought
+  // with zero serving-plan change (same two broadcast joins + windowed
+  // top-k over 12-byte codes).
+  def simPqAdcTrained(s: SparkSession, dir: String): DataFrame = {
+    val sub = pqSub(s, dir, mCount = 16, subDim = 4).localCheckpoint()
+    pqServe(sub,
+      pqTrainCodebooks(sub, pqSeedCodebooks(sub, "vec_id % 64"), iters = 3))
+  }
+
+  /** The PQ oracle as a function of the training depth and seeding
+    * partition: seed codebooks `cb0` from `seedExpr`, then `iters`
+    * chained Lloyd-round CTE blocks (assign → update, exactly the
+    * engine's loop unrolled), then encode/serve against the final
+    * `cb<iters>`. iters = 0 with label seeding is the untrained key.
+    * `mCount`/`subDim` mirror the engine's subvector decomposition. */
+  private def pqOracle(iters: Int, seedExpr: String, mCount: Int,
+      subDim: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""dists$t AS (
+         |  SELECT s.vec_id, s.m, c.cell,
+         |         CAST(list_sum(list_transform(generate_series(1, len(s.sv)),
+         |           i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS BIGINT) AS d
+         |  FROM sub s JOIN cb${t - 1} c ON c.m = s.m),
+         |assign$t AS (
+         |  SELECT vec_id, m, cell FROM (
+         |    SELECT vec_id, m, cell,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rk
+         |    FROM dists$t) r$t WHERE rk = 1),
+         |cbp$t AS (
+         |  SELECT cell, m, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd
+         |  FROM (SELECT a.cell, s.m, unnest(s.sv) AS v,
+         |               unnest(generate_series(1, len(s.sv))) AS pos
+         |        FROM assign$t a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m) u$t
+         |  GROUP BY 1, 2, 3),
+         |cb$t AS (SELECT cell, m, list(cd ORDER BY pos) AS cvec FROM cbp$t GROUP BY 1, 2),
+         |""".stripMargin
+    }.mkString
+    s"""WITH q2 AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, label, ms.m,
+       |         list_slice(qv, ms.m * $subDim + 1, ms.m * $subDim + $subDim) AS sv
+       |  FROM q2, (SELECT unnest(generate_series(0, ${mCount - 1})) AS m) ms),
+       |cbp0 AS (
+       |  SELECT cell, m, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd
+       |  FROM (SELECT $seedExpr AS cell, m, unnest(sv) AS v,
+       |               unnest(generate_series(1, len(sv))) AS pos FROM sub) t
+       |  GROUP BY 1, 2, 3),
+       |cb0 AS (SELECT cell, m, list(cd ORDER BY pos) AS cvec FROM cbp0 GROUP BY 1, 2),
+       |${rounds}dists AS (
+       |  SELECT s.vec_id, s.m, c.cell,
+       |         CAST(list_sum(list_transform(generate_series(1, len(s.sv)),
+       |           i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS BIGINT) AS d
+       |  FROM sub s JOIN cb$iters c ON c.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, m, cell FROM (
+       |    SELECT vec_id, m, cell,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rk
+       |    FROM dists) t WHERE rk = 1),
+       |dtab AS (SELECT vec_id AS query_id, m, cell, d FROM dists WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT t.query_id, c.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
+       |  FROM codes c JOIN dtab t ON t.m = c.m AND t.cell = c.cell
+       |  WHERE c.vec_id <> t.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, vec_id AS neighbor_id, adc_dist FROM (
+       |  SELECT query_id, vec_id, adc_dist,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc) r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val simPqAdcOracle = pqOracle(0, "label", mCount = 8, subDim = 8)
+  private val simPqAdcTrainedOracle =
+    pqOracle(3, "vec_id % 64", mCount = 16, subDim = 4)
 
   val queries: Map[String, Q] = Map[String, Q](
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
@@ -539,7 +656,8 @@ object Similarity {
     "sim_lsh_multitable" -> (simLshMultitable _),
     "sim_ivf_ann" -> ((s: SparkSession, dir: String) => simIvfAnn(s, dir)),
     "cluster_kmeans" -> (clusterKmeans _),
-    "sim_pq_adc" -> (simPqAdc _))
+    "sim_pq_adc" -> (simPqAdc _),
+    "sim_pq_adc_trained" -> (simPqAdcTrained _))
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
@@ -547,5 +665,6 @@ object Similarity {
     "sim_lsh_multitable" -> simLshMultitableOracle,
     "sim_ivf_ann" -> simIvfAnnOracle,
     "cluster_kmeans" -> clusterKmeansOracle,
-    "sim_pq_adc" -> simPqAdcOracle)
+    "sim_pq_adc" -> simPqAdcOracle,
+    "sim_pq_adc_trained" -> simPqAdcTrainedOracle)
 }

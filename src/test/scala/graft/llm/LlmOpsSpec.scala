@@ -192,6 +192,18 @@ class LlmOpsSpec extends SparkSpec {
     val pq = recall(top3(Similarity.simPqAdc(spark, sfDir).collect()))
     info(f"recall@3 vs exact — pq-adc(8x10 codebooks): $pq%.3f")
     assert(pq > 0.0, f"PQ-ADC recall $pq%.3f — codes lost every true neighbor")
+    // TRAINED codebooks (r7): 3 Lloyd rounds per subspace. Label-seeded
+    // centroids are means of geometry-independent subsets — they all
+    // collapse near the global mean and ADC degenerates to noise (the
+    // 0.067 above). Training spreads the centroids through each
+    // subspace, so the same serving plan must recover a real fraction
+    // of the exact top-3 — the uplift is the whole point of the trainer.
+    val pqT = recall(top3(Similarity.simPqAdcTrained(spark, sfDir).collect()))
+    info(f"recall@3 vs exact — pq-adc TRAINED (3 Lloyd rounds): $pqT%.3f")
+    assert(pqT > pq,
+      f"training did not lift PQ recall: $pq%.3f -> $pqT%.3f")
+    assert(pqT >= 0.30,
+      f"trained PQ recall $pqT%.3f below the 0.30 floor on the fixture")
   }
 
   test("PQ codes are the compressed representation the ADC scan claims") {
