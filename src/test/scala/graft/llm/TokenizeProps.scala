@@ -82,6 +82,76 @@ class TokenizeProps extends AnyFunSuite {
     })
   }
 
+  /** Independent reference implementation of greedy BPE: repeatedly merge
+    * the adjacent pair with the BEST (lowest) rank, leftmost on ties —
+    * the textbook algorithm, written with none of the production code's
+    * machinery so the two can only agree by computing the same thing. */
+  private def referenceEncode(word: String,
+      rank: Map[(String, String), Int]): List[String] = {
+    var syms = word.map(_.toString).toList
+    var done = syms.length < 2
+    while (!done) {
+      val ranked = syms.zip(syms.tail).zipWithIndex
+        .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+      if (ranked.isEmpty) done = true
+      else {
+        val (_, i) = ranked.min
+        syms = syms.take(i) ::: (syms(i) + syms(i + 1)) :: syms.drop(i + 2)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** A GPT-class-SHAPED ranked table: ~1k distinct merges built
+    * hierarchically — each new merge may pair symbols produced by earlier
+    * merges, so high-rank entries are multi-character compositions,
+    * exactly the structure a real trained 50k table has. Deterministic
+    * per seed. */
+  private def buildLargeTable(seed: Long, n: Int): List[(String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val syms = scala.collection.mutable.ArrayBuffer("a", "b", "c", "d")
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    val out = List.newBuilder[(String, String)]
+    var guard = 0
+    while (seen.size < n && guard < n * 40) {
+      guard += 1
+      val l = syms(rnd.nextInt(syms.length))
+      val r = syms(rnd.nextInt(syms.length))
+      if (l.length + r.length <= 12 && seen.add((l, r))) {
+        out += ((l, r))
+        syms += (l + r) // composed symbol available to later (lower) ranks
+      }
+    }
+    out.result()
+  }
+
+  test("a ~1k-entry ranked table: apply loop matches the reference greedy algorithm") {
+    // the claim at Tokenize.scala: the APPLY path takes any ranked
+    // pair-merge table including a GPT-class one — proven here against an
+    // independent implementation at 1000 entries, with long words so deep
+    // hierarchical merges actually fire
+    val genLongWord: Gen[String] = for {
+      n <- Gen.chooseNum(0, 48)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    (0L until 8L).foreach { seed =>
+      val table = buildLargeTable(seed, 1000)
+      assert(table.size == 1000, s"seed $seed built only ${table.size} merges")
+      val rank = table.zipWithIndex.toMap
+      val deep = table.count { case (l, r) => (l + r).length >= 6 }
+      assert(deep > 100, s"table not hierarchical enough: $deep deep merges")
+      check(s"large-table seed $seed", Prop.forAll(genLongWord) { w =>
+        val got = encode(w, table)
+        val want = referenceEncode(w, rank)
+        if (got != want) {
+          info(s"mismatch on '$w': got $got want $want")
+        }
+        got == want
+      })
+    }
+  }
+
   test("whole-document tokenization = per-word tokenization joined") {
     val genDoc = Gen.listOfN(6, genWord).map(_.mkString(" "))
     check("doc-composition", Prop.forAll(Gen.zip(genDoc, genMerges)) {
