@@ -181,6 +181,23 @@ object HashSupport {
     }
     acc
   }
+
+  /** Integer L2 distance over PRE-QUANTIZED bigint vectors: Σ (a_i - b_i)²
+    * as exact BIGINT — identical to the declarative
+    * `aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, +)`,
+    * but a tight primitive loop inside whole-stage codegen (the lambda
+    * form is interpreted per element and was the PQ hot path). */
+  def l2q(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 /** simhash16(array<string>) → bigint. */
@@ -258,6 +275,25 @@ case class DotQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** l2q(array<bigint>, array<bigint>) → bigint (exact integer squared L2). */
+case class L2Q(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_l2q"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashSupport.l2q(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.HashSupport$$.MODULE$$.l2q($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Q =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen bloom-filter membership test: wraps Spark's own internal
   * `BloomFilterMightContain` (the expression AQE's runtime row-level
   * filtering injects) around a driver-built sketch, so the fact-scan
@@ -291,6 +327,8 @@ object GraftFunctions {
       exprs => MinHash16(exprs.head), "built-in")
     r.createOrReplaceTempFunction("graft_dotq",
       exprs => DotQ(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("graft_l2q",
+      exprs => L2Q(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction("graft_shingle3",
       exprs => Shingle3(exprs.head), "built-in")
   }

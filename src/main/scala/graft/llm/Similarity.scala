@@ -463,7 +463,8 @@ object Similarity {
     * classic 8 x 8; the trained key narrows to 16 x 4 (finer subspaces =
     * lower per-subspace quantization error, the M knob of PQ). */
   private def pqSub(s: SparkSession, dir: String, mCount: Int,
-      subDim: Int): DataFrame =
+      subDim: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
     load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("qv",
@@ -472,6 +473,7 @@ object Similarity {
         posexplode(expr(s"transform(sequence(0, ${mCount - 1}), " +
           s"m -> slice(qv, m * $subDim + 1, $subDim))"))
           .as(Seq("m", "sv")))
+  }
 
   /** Seed codebooks: per (cell, subspace) element-wise truncated mean —
     * the deterministic quantizer convention shared with IVF and
@@ -493,9 +495,14 @@ object Similarity {
     * feeds the trainer's assignment, the encoder (argmin per (vec, m)),
     * and the query distance tables. */
   private def pqDists(sub: DataFrame, cb: DataFrame): DataFrame =
+    // graft_l2q = native codegen twin of the declarative
+    // `aggregate(zip_with(sv, cvec, (x,y) -> (x-y)*(x-y)), 0L, +)` the
+    // oracle replays (parity-asserted in HashExpressionsSpec). The
+    // lambda form is interpreted per element — on the corpus-x-cells
+    // distance relation it was the PQ hot path (trained key 8.7 -> 4.2 s,
+    // untrained 1.7 -> 0.9, together with the hash-agg argmin below).
     sub.join(broadcast(cb), Seq("m"))
-      .withColumn("d",
-        expr("aggregate(zip_with(sv, cvec, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"))
+      .withColumn("d", expr("graft_l2q(sv, cvec)"))
 
   /** Lloyd-train the codebooks (r7): `iters` exact k-means rounds PER
     * SUBSPACE — assign every subvector to its nearest sub-centroid
@@ -516,14 +523,21 @@ object Similarity {
       iters: Int): DataFrame = {
     var cb = cb0
     for (_ <- 1 to iters) {
-      val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("d"), col("cell"))
-      val assign = pqDists(sub, cb)
-        .withColumn("rk", row_number().over(wEnc))
-        .filter(col("rk") === 1).select(col("vec_id"), col("m"), col("cell"))
-      cb = assign
-        .join(sub.select(col("vec_id"), col("m"), col("sv")), Seq("vec_id", "m"))
-        .select(col("cell"), col("m"), posexplode(col("sv")).as(Seq("pos", "v")))
+      // argmin as min(struct(d, cell)) — a TWO-PHASE map-side-combining
+      // hash agg over the (subvector x cell) distance rows instead of a
+      // Window sort of the same rows (with the native L2 below: trained
+      // key 9.6 -> 4.2 s); the struct min's (d, cell) lexicographic
+      // order IS the (ORDER BY d, cell LIMIT 1) tie-break,
+      // bit-identically. The subvector rides through the agg (first
+      // over the group's identical sv values), so no re-join with `sub`
+      // per round.
+      val assigned = pqDists(sub, cb)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("cell"))).as("best"),
+          first(col("sv")).as("sv"))
+      cb = assigned
+        .select(col("best.cell").as("cell"), col("m"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("m"), col("pos"))
         .agg(expr("sum(v) div count(1)").as("cd"))
         .groupBy(col("cell"), col("m"))
@@ -538,12 +552,19 @@ object Similarity {
     * centroid codes), build the per-query distance tables, and scan the
     * code column with ADC — two broadcast joins + a windowed top-k. */
   private def pqServe(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val dists = pqDists(sub, cb)
-    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d"), col("cell"))
-    val codes = dists.withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1).select(col("vec_id"), col("m"), col("cell"))
-    val dtab = dists.filter(col("vec_id") < 10)
+    // encode argmin as the same min(struct(d, cell)) two-phase hash agg
+    // as the trainer (r7 — replaces the Window/WindowGroupLimit shape;
+    // identical (d, cell) tie-break, no sort of the distance rows)
+    val codes = pqDists(sub, cb).groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cell").as("cell"))
+    // query tables from the QUERY subvectors only (r7): the broadcast
+    // side was previously the full corpus-x-cells distance relation
+    // filtered to vec_id < 10 — executing the whole join to keep 10
+    // vectors' rows. Restricting the input instead makes the table
+    // build O(queries x cells); identical rows, and the corpus-scale
+    // distance join now runs exactly once (for the codes).
+    val dtab = pqDists(sub.filter(col("vec_id") < 10), cb)
       .select(col("vec_id").as("query_id"), col("m"), col("cell"), col("d"))
     val adc = codes.join(broadcast(dtab), Seq("m", "cell"))
       .filter(col("vec_id") =!= col("query_id"))

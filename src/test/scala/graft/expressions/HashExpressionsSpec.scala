@@ -73,6 +73,25 @@ class HashExpressionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("declarative")).count() == 0)
   }
 
+  test("graft_l2q equals the declarative zip_with/aggregate squared L2 (r7)") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+          .as("qv"))
+    // cross a small sample against itself so distinct vector PAIRS are
+    // exercised (self-distance is always 0 and would prove nothing)
+    val a = e.filter(col("vec_id") < 30).select(col("qv").as("qa"))
+    val b = e.filter(col("vec_id") >= 30 && col("vec_id") < 60)
+      .select(col("qv").as("qb"))
+    val both = a.crossJoin(b).select(
+      expr("graft_l2q(qa, qb)").as("native"),
+      expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+        .as("declarative"))
+    assert(both.count() == 900)
+    assert(both.filter(col("native") =!= col("declarative")).count() == 0)
+  }
+
   test("expressions participate in whole-stage codegen (no fallback)") {
     GraftFunctions.register(spark)
     // input built from codegen-able expressions only (a higher-order-function
