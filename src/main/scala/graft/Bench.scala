@@ -22,6 +22,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries — a 147-query
+      // suite evicts everything between passes, so every measured pass
+      // re-compiles (Janino) and re-JITs each key's WholeStageCodegen
+      // classes. That charged complex-plan keys a ~1.3-1.4x "suite
+      // context" tax vs isolated runs (graph_pagerank 3.1s alone /
+      // 4.3s mid-suite, r7 — confirmed by pairing experiments: the key
+      // is fast exactly when it follows itself). Sized for the suite,
+      // as any real many-query deployment would.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -50,9 +59,16 @@ object Bench {
     // succeeded — so n_ok + n_err always equals the key count and a
     // currently-flaky query can't appear in both maps at once
     def measure(name: String): Unit = {
-      // drain garbage from the previous query before timing this one:
-      // without it, heavy keys inherit GC debt from whatever ran before
-      // them and the suite-context timing runs 2-3x the isolated timing
+      // drain the previous keys' leftover state before timing this one.
+      // Two sources of inherited debt: (a) localCheckpoint BLOCKS from
+      // completed invocations sit in the BlockManager until the async
+      // ContextCleaner gets around to them — every prior invocation is
+      // fully materialized (noop write), so those blocks are dead weight;
+      // unpersist them synchronously (r7 — checkpoint-heavy keys were
+      // inflated ~1.5x in-suite vs isolated: graph_pagerank 2.8s alone,
+      // 4.1-4.3s mid-suite); (b) plain heap garbage — System.gc() (r4).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       val t0 = System.nanoTime()
       try {
