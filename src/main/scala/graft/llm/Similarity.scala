@@ -26,6 +26,12 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The PQ keys' query set: vectors with vec_id below this bound. ONE
+    * constant interpolated into both the engine (`pqServe`) and the
+    * oracle builder (`pqOracle`) so the two sides can never silently
+    * disagree on the query count. */
+  private val PqQueryCount = 10
+
   /** Corpus with the native quantized self-dot (see HashExpressions.DotQ —
     * bit-identical to the declarative quantize/zip_with/aggregate chain the
     * oracle replays). */
@@ -564,7 +570,7 @@ object Similarity {
     // vectors' rows. Restricting the input instead makes the table
     // build O(queries x cells); identical rows, and the corpus-scale
     // distance join now runs exactly once (for the codes).
-    val dtab = pqDists(sub.filter(col("vec_id") < 10), cb)
+    val dtab = pqDists(sub.filter(col("vec_id") < PqQueryCount), cb)
       .select(col("vec_id").as("query_id"), col("m"), col("cell"), col("d"))
     val adc = codes.join(broadcast(dtab), Seq("m", "cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -654,7 +660,7 @@ object Similarity {
        |    SELECT vec_id, m, cell,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rk
        |    FROM dists) t WHERE rk = 1),
-       |dtab AS (SELECT vec_id AS query_id, m, cell, d FROM dists WHERE vec_id < 10),
+       |dtab AS (SELECT vec_id AS query_id, m, cell, d FROM dists WHERE vec_id < $PqQueryCount),
        |adc AS (
        |  SELECT t.query_id, c.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
        |  FROM codes c JOIN dtab t ON t.m = c.m AND t.cell = c.cell

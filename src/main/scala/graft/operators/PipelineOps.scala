@@ -279,22 +279,42 @@ object PipelineOps {
   // hot keys handled by AQE skew split — the copy-on-write path every
   // Delta/Iceberg MERGE lowers to. The changeset is a pure function of the
   // base table, so the oracle replays the identical join relationally.
-  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic changeset BOTH the MERGE and its recorded change
+    * feed derive from — single source of truth for the %13/%10/%97
+    * predicates and the update expression, so the applied merge and the
+    * CDF it records cannot drift apart (they previously re-stated the
+    * rules verbatim in two places). Six columns: (key, op, old_status,
+    * old_total, new_status, new_total) — preimages for the feed, op +
+    * postimages for the merge. */
+  private def mergeChangeset(s: SparkSession, dir: String): DataFrame = {
     val base = load(s, dir, "orders")
       .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
         col("o_totalprice").as("total"))
     val deletes = base.filter(col("key") % 13 === 0)
       .select(col("key"), lit("D").as("op"),
+        col("status").as("old_status"), col("total").as("old_total"),
         lit(null).cast("string").as("new_status"),
         lit(null).cast("double").as("new_total"))
     val updates = base.filter(col("key") % 10 === 0 && col("key") % 13 =!= 0)
-      .select(col("key"), lit("U").as("op"), lit("X").as("new_status"),
+      .select(col("key"), lit("U").as("op"),
+        col("status").as("old_status"), col("total").as("old_total"),
+        lit("X").as("new_status"),
         round((col("total") * lit(1.1)).cast("decimal(18,4)"), 2)
           .cast("double").as("new_total"))
     val inserts = base.filter(col("key") % 97 === 0 && col("key") > 0)
       .select((-col("key")).as("key"), lit("I").as("op"),
+        lit(null).cast("string").as("old_status"),
+        lit(null).cast("double").as("old_total"),
         lit("N").as("new_status"), col("total").as("new_total"))
-    val changes = deletes.unionAll(updates).unionAll(inserts)
+    deletes.unionAll(updates).unionAll(inserts)
+  }
+
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("total"))
+    val changes = mergeChangeset(s, dir)
+      .select(col("key"), col("op"), col("new_status"), col("new_total"))
     base.join(changes, Seq("key"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
       .select(col("key"),
@@ -314,22 +334,19 @@ object PipelineOps {
     * snapshots (TableQueries.tableIncrementalRead reads this feed back
     * through VersionedTable's `C` manifest records). */
   def mergeChangeFeed(s: SparkSession, dir: String): DataFrame = {
-    val base = load(s, dir, "orders")
-      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
-        col("o_totalprice").as("total"))
-    val deletes = base.filter(col("key") % 13 === 0)
-      .select(col("key"), col("status"), col("total"),
-        lit("delete").as("change"))
-    val updBase = base.filter(col("key") % 10 === 0 && col("key") % 13 =!= 0)
-    val pre = updBase.select(col("key"), col("status"), col("total"),
-      lit("update_pre").as("change"))
-    val post = updBase.select(col("key"), lit("X").as("status"),
-      round((col("total") * lit(1.1)).cast("decimal(18,4)"), 2)
-        .cast("double").as("total"),
-      lit("update_post").as("change"))
-    val inserts = base.filter(col("key") % 97 === 0 && col("key") > 0)
-      .select((-col("key")).as("key"), lit("N").as("status"),
-        col("total").as("total"), lit("insert").as("change"))
+    val cs = mergeChangeset(s, dir)
+    val deletes = cs.filter(col("op") === "D")
+      .select(col("key"), col("old_status").as("status"),
+        col("old_total").as("total"), lit("delete").as("change"))
+    val pre = cs.filter(col("op") === "U")
+      .select(col("key"), col("old_status").as("status"),
+        col("old_total").as("total"), lit("update_pre").as("change"))
+    val post = cs.filter(col("op") === "U")
+      .select(col("key"), col("new_status").as("status"),
+        col("new_total").as("total"), lit("update_post").as("change"))
+    val inserts = cs.filter(col("op") === "I")
+      .select(col("key"), col("new_status").as("status"),
+        col("new_total").as("total"), lit("insert").as("change"))
     deletes.unionAll(inserts).unionAll(pre).unionAll(post)
   }
 

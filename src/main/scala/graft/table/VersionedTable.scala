@@ -111,23 +111,34 @@ object VersionedTable {
 
   /** Min/max of an INT32/INT64 column read from the parquet footer's
     * row-group statistics — O(footer), never a data scan. None when the
-    * column is absent, non-integer, or all-null in every row group (an
-    * unstatted file is simply never pruned — safe). */
+    * column is absent or non-integer, and — critically — when ANY row
+    * group holding rows lacks usable statistics for it:
+    * hasNonNullValue=false can mean stats-not-written, not only all-null,
+    * so aggregating over only the statted subset could yield an
+    * UNDER-covering [min,max] and wrongly prune the file. All-or-nothing
+    * keeps the invariant that recorded stats cover every row (an
+    * unstatted file is simply never pruned — safe, just conservative). */
   private def footerMinMax(file: String, column: String): Option[(Long, Long)] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(file), conf)
     Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { r =>
-      val ranges = for {
-        b <- r.getFooter.getBlocks.asScala.toSeq
-        c <- b.getColumns.asScala if c.getPath.toDotString == column
-        st = c.getStatistics
-        if st != null && st.hasNonNullValue
-        lo <- asLong(st.genericGetMin: Any)
-        hi <- asLong(st.genericGetMax: Any)
-      } yield (lo, hi)
-      if (ranges.isEmpty) None
-      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      val perBlock = r.getFooter.getBlocks.asScala.toSeq
+        .filter(_.getRowCount > 0)
+        .map { b =>
+          for {
+            c <- b.getColumns.asScala.find(_.getPath.toDotString == column)
+            st = c.getStatistics
+            if st != null && st.hasNonNullValue
+            lo <- asLong(st.genericGetMin: Any)
+            hi <- asLong(st.genericGetMax: Any)
+          } yield (lo, hi)
+        }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+      else {
+        val ranges = perBlock.flatten
+        Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      }
     }
   }
 
@@ -277,7 +288,11 @@ object VersionedTable {
     val latest = latestVersion(root)
     val cutoff = latest - keepVersions // prune versions <= cutoff
     if (cutoff < 1) return Seq.empty
-    prune(root, doomed = 1 to cutoff, retained = (cutoff + 1) to latest)
+    // only versions whose manifest still exists — a rerun after an earlier
+    // vacuum already pruned part of the range must be a no-op for those,
+    // not an entries() failure (same `present` discipline as the age sweep)
+    val doomed = (1 to cutoff).filter(v => Files.exists(manifestPath(root, v)))
+    prune(root, doomed, retained = (cutoff + 1) to latest)
   }
 
   /** Age-based VACUUM (the `RETAIN n HOURS` form): prune every version
@@ -310,12 +325,20 @@ object VersionedTable {
       Files.delete(manifestPath(root, v))
       files
     }
-    // emptied data/<uuid> and changes/<uuid> directories hold no files
-    // after the prune — drop them too so vacuum leaves no shell dirs
+    // sweep the data/<uuid> and changes/<uuid> dirs whose parquet content
+    // is now fully pruned: Spark leaves _SUCCESS and .crc sidecars behind,
+    // so "no parquet left" — not raw emptiness — is the doomed test. A dir
+    // still holding a parquet file (shared with a retained version) keeps
+    // its sidecars too; a doomed dir drops sidecars first, then itself,
+    // so vacuum leaves no shell dirs.
     pruned.map(f => Paths.get(f).getParent).distinct.foreach { d =>
-      if (d != null && Files.isDirectory(d) &&
-          Using.resource(Files.list(d))(st => !st.iterator().hasNext)) {
-        Files.deleteIfExists(d)
+      if (d != null && Files.isDirectory(d)) {
+        val remaining = Using.resource(Files.list(d))(
+          _.iterator().asScala.toList)
+        if (!remaining.exists(_.getFileName.toString.endsWith(".parquet"))) {
+          remaining.foreach(Files.deleteIfExists)
+          Files.deleteIfExists(d)
+        }
       }
     }
     pruned

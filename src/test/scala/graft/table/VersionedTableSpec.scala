@@ -105,6 +105,19 @@ class VersionedTableSpec extends SparkSpec {
     // the retained latest is intact
     assert(VersionedTable.latestVersion(root) == 2)
     assert(VersionedTable.readLatest(spark, root).count() == 1000)
+    // no shell dirs: the pruned commit's data/<uuid> dirs are gone
+    // entirely, _SUCCESS/.crc sidecars included (r8 — the sweep previously
+    // stopped at "dir not empty" because of exactly those markers)
+    val v1Dirs = v1Files.map(f => Paths.get(f).getParent).distinct
+    assert(v1Dirs.forall(d => !Files.exists(d)),
+      s"vacuum left shell dirs: ${v1Dirs.filter(Files.exists(_)).take(2)}")
+    // rerunning the same vacuum after MORE commits must be idempotent,
+    // not an entries() failure on the already-pruned v1 (r8)
+    VersionedTable.commit(base().filter(col("key") <= 10), root) // v3
+    val again = VersionedTable.vacuum(root, keepVersions = 1)
+    assert(VersionedTable.latestVersion(root) == 3)
+    assert(VersionedTable.readLatest(spark, root).count() == 10)
+    assert(again.nonEmpty, "second vacuum should prune v2's files")
   }
 
   test("log-path CDF reads ONLY changeset files; equals the snapshot diff (r7)") {
