@@ -207,6 +207,45 @@ object TableQueries {
       |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
       |ORDER BY key""".stripMargin
 
+  // ---- table_schema_evolution -----------------------------------------------
+  // Schema evolution THROUGH the commit log (r8): v1 is the 3-column
+  // snapshot; v2 commits the same rows WIDENED by a derived column — in
+  // this format evolution is nothing but committing with a wider schema,
+  // which the manifest's `S` record captures. The key then time-travels
+  // BACK ACROSS the boundary with readVersionEvolved: v1's frozen files
+  // served under v2's schema, so the added column null-fills for v1 rows
+  // and carries values for v2 rows — which is exactly the NULL-literal
+  // union the oracle states. At 100 TB both reads are the same manifest
+  // resolution + scan; the schema projection is free (parquet
+  // missing-column semantics, no rewrite of history).
+  def tableSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("evo")
+    VersionedTable.commit(ordersBase(s, dir), root) // v1: (key,status,total)
+    VersionedTable.commit( // v2: + priority_band
+      ordersBase(s, dir).withColumn("priority_band",
+        when(col("total") >= 150000.0, "high").otherwise("low")), root)
+    val v1 = VersionedTable.readVersionEvolved(s, root, 1)
+      .select(lit("v1").as("version"), col("key"), col("status"),
+        col("total"), col("priority_band"))
+    val v2 = VersionedTable.readVersion(s, root, 2)
+      .select(lit("v2").as("version"), col("key"), col("status"),
+        col("total"), col("priority_band"))
+    v1.unionAll(v2).orderBy(col("version"), col("key"))
+  }
+
+  private val tableSchemaEvolutionOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders)
+      |SELECT 'v1' AS version, key, status, total,
+      |       CAST(NULL AS VARCHAR) AS priority_band
+      |FROM base
+      |UNION ALL
+      |SELECT 'v2', key, status, total,
+      |       CASE WHEN total >= 150000.0 THEN 'high' ELSE 'low' END
+      |FROM base
+      |ORDER BY version, key""".stripMargin
+
   // ---- table_vacuum_age -----------------------------------------------------
   // Retention-window VACUUM (r7): same staged table as table_vacuum, but
   // pruning by AGE (`RETAIN n HOURS`) instead of version count — v1's
@@ -246,6 +285,7 @@ object TableQueries {
     "sink_compact" -> (sinkCompact _),
     "table_incremental_read" -> (tableIncrementalRead _),
     "table_skipping_read" -> (tableSkippingRead _),
+    "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_vacuum" -> (tableVacuum _),
     "table_vacuum_age" -> (tableVacuumAge _))
 
@@ -254,6 +294,7 @@ object TableQueries {
     "sink_compact" -> sinkCompactOracle,
     "table_incremental_read" -> tableIncrementalReadOracle,
     "table_skipping_read" -> tableSkippingReadOracle,
+    "table_schema_evolution" -> tableSchemaEvolutionOracle,
     "table_vacuum" -> sinkCompactOracle,
     "table_vacuum_age" -> sinkCompactOracle)
 }

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{types, DataFrame, SparkSession}
 
 /** Minimal copy-on-write table format with a commit log — the transactional
   * read surface the merge_upsert family's "version swap" stands in for
@@ -40,6 +40,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    metadata-listed files alone ([[readChanges]]) — no version scan, no
   *    join — and a reader falls back to the two-snapshot diff only when
   *    some commit in the range didn't record its changes;
+  *  - `S <schema-json>` (r8) — the committed DataFrame's schema, the
+  *    metadata-action analog of Delta's schema log: schema EVOLUTION is
+  *    just committing with a wider schema, and [[readVersionEvolved]]
+  *    serves any old version under the current schema (added columns
+  *    null-fill) from this record alone — no footer inference, O(1);
   *  - a line with no tabs is a bare data path (pre-r7 manifests stay
   *    readable).
   *
@@ -91,7 +96,9 @@ object VersionedTable {
       cdf.write.parquet(cDir)
       listParquet(cDir).map(f => s"C\t$f")
     }
-    val lines = dataLines ++ changeLines
+    // schema.json is single-line compact JSON (escapes control chars), so
+    // it can never break the line-oriented, tab-separated manifest format
+    val lines = dataLines ++ changeLines :+ s"S\t${df.schema.json}"
     var v = latestVersion(root) + 1
     while (!publish(root, v, lines)) v = latestVersion(root) + 1
     v
@@ -184,12 +191,17 @@ object VersionedTable {
   private def manifestPath(root: String, v: Int): Path =
     Paths.get(s"$root/_commits/v$v.manifest")
 
-  /** All manifest records of version v (data + changeset files). */
-  def entries(root: String, v: Int): Seq[ManifestEntry] = {
+  private def rawLines(root: String, v: Int): Seq[String] = {
     val p = manifestPath(root, v)
     require(Files.exists(p), s"version $v not committed at $root")
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** All FILE records of version v (data + changeset files; the `S`
+    * schema record is metadata, read via [[tableSchema]]). */
+  def entries(root: String, v: Int): Seq[ManifestEntry] =
+    rawLines(root, v).filterNot(_.startsWith("S\t"))
       .map { line =>
         line.split('\t') match {
           case Array(path) => ManifestEntry(path, change = false, None) // legacy
@@ -202,7 +214,13 @@ object VersionedTable {
             s"corrupt manifest line at $root v$v: '$line'")
         }
       }
-  }
+
+  /** The schema commit v recorded (None for pre-r8 manifests — callers
+    * fall back to footer inference, which opens one file's metadata). */
+  def tableSchema(root: String, v: Int): Option[types.StructType] =
+    rawLines(root, v).find(_.startsWith("S\t")).map { l =>
+      types.DataType.fromJson(l.substring(2)).asInstanceOf[types.StructType]
+    }
 
   /** The frozen DATA file list of version v. */
   def manifest(root: String, v: Int): Seq[String] =
@@ -220,6 +238,19 @@ object VersionedTable {
   /** Latest-version read (what an unpinned reader sees). */
   def readLatest(s: SparkSession, root: String): DataFrame =
     readVersion(s, root, latestVersion(root))
+
+  /** Time travel ACROSS a schema-evolution boundary: read version v's
+    * frozen files under the table's CURRENT schema — columns committed
+    * after v null-fill (Spark's missing-column parquet semantics), columns
+    * v had keep their values. The target schema comes from the latest
+    * manifest's `S` record — pure metadata, no footer opened. This is the
+    * read an evolved table serves when a query written against today's
+    * schema time-travels into pre-evolution history. */
+  def readVersionEvolved(s: SparkSession, root: String, v: Int): DataFrame = {
+    val target = tableSchema(root, latestVersion(root))
+      .getOrElse(readLatest(s, root).schema) // pre-r8 table: infer once
+    s.read.schema(target).parquet(manifest(root, v): _*)
+  }
 
   /** The data files of version v whose footer-stats range intersects
     * [lo, hi] on `column` — the file-skipping resolution step. A file

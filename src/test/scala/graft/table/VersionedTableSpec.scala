@@ -211,6 +211,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readLatest(spark, root).count() == 100)
   }
 
+  test("schema evolution: time travel across the boundary null-fills added columns (r8)") {
+    val root = freshRoot()
+    VersionedTable.commit(base(), root) // v1: (key, status, total)
+    VersionedTable.commit( // v2: widened schema
+      base().withColumn("tier", when(col("key") <= 500, "a").otherwise("b")),
+      root)
+    // the manifest records both schemas — evolution lives in the log
+    assert(VersionedTable.tableSchema(root, 1).get.fieldNames.toSeq ==
+      Seq("key", "status", "total"))
+    assert(VersionedTable.tableSchema(root, 2).get.fieldNames.toSeq ==
+      Seq("key", "status", "total", "tier"))
+    // plain time travel serves v1 under ITS OWN frozen schema
+    assert(VersionedTable.readVersion(spark, root, 1).columns.toSeq ==
+      Seq("key", "status", "total"))
+    // the evolved read serves v1 under the CURRENT schema: the added
+    // column exists and null-fills on every pre-evolution row
+    val evolved = VersionedTable.readVersionEvolved(spark, root, 1)
+    assert(evolved.columns.toSeq == Seq("key", "status", "total", "tier"))
+    assert(evolved.count() == 1000)
+    assert(evolved.filter(col("tier").isNotNull).count() == 0,
+      "pre-evolution rows must null-fill the added column")
+    // v1's original columns keep their values under the evolved read
+    assert(evolved.agg(sum(col("key"))).collect()(0).getLong(0) ==
+      (1L to 1000L).sum)
+    // and the evolved read of the CURRENT version is just the plain read
+    val cur = VersionedTable.readVersionEvolved(spark, root, 2)
+    assert(cur.filter(col("tier").isNull).count() == 0)
+  }
+
   test("two real writer threads racing commit(): no lost or duplicated versions (r7)") {
     import spark.implicits._
     val root = freshRoot()
