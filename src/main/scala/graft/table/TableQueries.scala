@@ -126,7 +126,7 @@ object TableQueries {
     VersionedTable.commit(
       PipelineOps.mergeUpsert(s, dir).drop("last_op"), root,
       changes = Some(PipelineOps.mergeChangeFeed(s, dir)),
-      statsColumn = None)
+      statsColumns = Nil)
     VersionedTable.readChanges(s, root, 1, 2)
       .getOrElse(snapshotDiff(s, root, 1, 2))
       .orderBy(col("key"), col("change"))
@@ -197,7 +197,7 @@ object TableQueries {
     val root = freshRoot("skip")
     VersionedTable.commit(
       ordersBase(s, dir).repartitionByRange(16, col("key")), root,
-      changes = None, statsColumn = Some("key"))
+      changes = None, statsColumns = Seq("key"))
     VersionedTable.readVersionWhere(s, root, 1, "key", 1000L, 2000L)
       .orderBy(col("key"))
   }
@@ -205,6 +205,40 @@ object TableQueries {
   private val tableSkippingReadOracle =
     """SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
       |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+      |ORDER BY key""".stripMargin
+
+  // ---- table_skipping_multi -------------------------------------------------
+  // Multi-column skipping + clustered OPTIMIZE (r8): v1 commits the
+  // snapshot in ARRIVAL order (round-robin partitions — every file spans
+  // the whole key domain, so stats are wide and skipping is weak: the
+  // degraded state plain compaction preserves). compactClustered then
+  // rewrites v2 range-clustered on the key with min/max recorded for BOTH
+  // predicate columns, so each file owns a narrow key slice and the
+  // compound `key AND cust` predicate prunes on every statted column at
+  // manifest resolution. The oracle is the plain two-predicate filter —
+  // skipping must change I/O, never rows; the spec pins that the pruned
+  // file count strictly DROPS after the clustered rewrite (the property
+  // item-3 of the r7 verdict asked for). At 100 TB this is the
+  // OPTIMIZE-then-read lifecycle: cluster once per partition, then every
+  // narrow scan is O(files-touched).
+  def tableSkippingMulti(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("skipm")
+    val base = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("total"))
+    VersionedTable.commit(base.repartition(16), root,
+      changes = None, statsColumns = Seq("key", "cust"))
+    val v2 = VersionedTable.compactClustered(s, root, targetBytes = 64L << 10,
+      clusterColumn = "key", statsColumns = Seq("key", "cust"))
+    VersionedTable.readVersionWhere(s, root, v2,
+      Seq(("key", 1000L, 5000L), ("cust", 1L, 300L)))
+      .orderBy(col("key"))
+  }
+
+  private val tableSkippingMultiOracle =
+    """SELECT o_orderkey AS key, o_custkey AS cust, o_totalprice AS total
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 5000 AND o_custkey BETWEEN 1 AND 300
       |ORDER BY key""".stripMargin
 
   // ---- table_schema_evolution -----------------------------------------------
@@ -285,6 +319,7 @@ object TableQueries {
     "sink_compact" -> (sinkCompact _),
     "table_incremental_read" -> (tableIncrementalRead _),
     "table_skipping_read" -> (tableSkippingRead _),
+    "table_skipping_multi" -> (tableSkippingMulti _),
     "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_vacuum" -> (tableVacuum _),
     "table_vacuum_age" -> (tableVacuumAge _))
@@ -294,6 +329,7 @@ object TableQueries {
     "sink_compact" -> sinkCompactOracle,
     "table_incremental_read" -> tableIncrementalReadOracle,
     "table_skipping_read" -> tableSkippingReadOracle,
+    "table_skipping_multi" -> tableSkippingMultiOracle,
     "table_schema_evolution" -> tableSchemaEvolutionOracle,
     "table_vacuum" -> sinkCompactOracle,
     "table_vacuum_age" -> sinkCompactOracle)

@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{types, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Minimal copy-on-write table format with a commit log — the transactional
   * read surface the merge_upsert family's "version swap" stands in for
@@ -29,12 +30,15 @@ import org.apache.spark.sql.{types, DataFrame, SparkSession}
   * line, parsed by [[entries]]:
   *
   *  - `D <path>` — a data file of this version;
-  *  - `D <path> <col> <min> <max>` — a data file plus the min/max of
-  *    integer column `col` over that file, read from the parquet FOOTER at
-  *    commit time (no data scan). A filtered read prunes files whose
-  *    [min,max] misses the predicate range BEFORE the scan
-  *    ([[readVersionWhere]]) — Delta/Iceberg-style file skipping, the
-  *    read-path complement of [[compact]];
+  *  - `D <path> (<col> <min> <max>)+` — a data file plus the min/max of
+  *    one or more integer columns over that file (r8: a column LIST, so a
+  *    compound `date AND key` predicate prunes on both), read from the
+  *    parquet FOOTER at commit time (no data scan). A filtered read
+  *    prunes files whose [min,max] misses ANY predicate's range BEFORE
+  *    the scan ([[readVersionWhere]]) — Delta/Iceberg-style file
+  *    skipping, the read-path complement of [[compact]] (and of
+  *    [[compactClustered]], which re-clusters so skipping IMPROVES after
+  *    OPTIMIZE instead of degrading);
   *  - `C <path>` — a CHANGESET file: the row-level change feed the commit
   *    applied (CDF). `table_changes(vFrom, vTo)` answers from these
   *    metadata-listed files alone ([[readChanges]]) — no version scan, no
@@ -64,32 +68,34 @@ object VersionedTable {
   /** Footer min/max of one integer column over one data file. */
   final case class FileStats(column: String, min: Long, max: Long)
 
-  /** One manifest record: a data or changeset file, with optional stats. */
+  /** One manifest record: a data or changeset file, with stats for zero
+    * or more columns (r8 — multi-column skipping index). */
   final case class ManifestEntry(path: String, change: Boolean,
-      stats: Option[FileStats])
+      stats: Seq[FileStats])
 
   /** Commit `df` as the next version of the table at `root`; returns the
     * committed version number. Copy-on-write: only writes new files, once
     * — on a lost publish race only the (cheap, metadata-only) publish
     * retries, never the data write. */
   def commit(df: DataFrame, root: String): Int =
-    commit(df, root, changes = None, statsColumn = None)
+    commit(df, root, changes = None, statsColumns = Nil)
 
   /** Full-surface commit: optionally records the commit's row-level
     * change feed (written once under `changes/`, listed as `C` records —
     * the log a CDF read answers from) and per-file min/max footer stats
-    * for `statsColumn` (the skipping index). Both are metadata-side: the
-    * change feed is written exactly once, and stats come from parquet
-    * footers — the data files are never re-scanned. */
+    * for each of `statsColumns` (the skipping index — a LIST, so
+    * compound predicates can prune on every statted column). Both are
+    * metadata-side: the change feed is written exactly once, and stats
+    * come from parquet footers — the data files are never re-scanned. */
   def commit(df: DataFrame, root: String, changes: Option[DataFrame],
-      statsColumn: Option[String]): Int = {
+      statsColumns: Seq[String]): Int = {
     val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
     df.write.parquet(dataDir)
     val dataLines = listParquet(dataDir).map { f =>
-      statsColumn.flatMap(c => footerMinMax(f, c)) match {
-        case Some((lo, hi)) => s"D\t$f\t${statsColumn.get}\t$lo\t$hi"
-        case None           => s"D\t$f"
-      }
+      val suffix = statsColumns.flatMap { c =>
+        footerMinMax(f, c).map { case (lo, hi) => s"\t$c\t$lo\t$hi" }
+      }.mkString
+      s"D\t$f$suffix"
     }
     val changeLines = changes.toSeq.flatMap { cdf =>
       val cDir = s"$root/changes/${java.util.UUID.randomUUID()}"
@@ -204,12 +210,14 @@ object VersionedTable {
     rawLines(root, v).filterNot(_.startsWith("S\t"))
       .map { line =>
         line.split('\t') match {
-          case Array(path) => ManifestEntry(path, change = false, None) // legacy
-          case Array("D", path) => ManifestEntry(path, change = false, None)
-          case Array("D", path, c, lo, hi) =>
-            ManifestEntry(path, change = false,
-              Some(FileStats(c, lo.toLong, hi.toLong)))
-          case Array("C", path) => ManifestEntry(path, change = true, None)
+          case Array(path) => ManifestEntry(path, change = false, Nil) // legacy
+          case Array("C", path) => ManifestEntry(path, change = true, Nil)
+          case parts if parts.length >= 2 && parts(0) == "D" &&
+              (parts.length - 2) % 3 == 0 =>
+            val stats = parts.drop(2).grouped(3).map {
+              case Array(c, lo, hi) => FileStats(c, lo.toLong, hi.toLong)
+            }.toSeq
+            ManifestEntry(parts(1), change = false, stats)
           case other => throw new IllegalStateException(
             s"corrupt manifest line at $root v$v: '$line'")
         }
@@ -252,31 +260,46 @@ object VersionedTable {
     s.read.schema(target).parquet(manifest(root, v): _*)
   }
 
-  /** The data files of version v whose footer-stats range intersects
-    * [lo, hi] on `column` — the file-skipping resolution step. A file
-    * with no stats for the column is conservatively kept. */
-  def prunedFiles(root: String, v: Int, column: String,
-      lo: Long, hi: Long): Seq[String] =
+  /** The data files of version v that survive EVERY predicate's stats
+    * check — a file is pruned when any predicate's [lo, hi] misses its
+    * recorded [min, max] for that column (compound predicates compound
+    * the pruning). A file with no stats for a predicate's column is
+    * conservatively kept by that predicate. */
+  def prunedFiles(root: String, v: Int,
+      preds: Seq[(String, Long, Long)]): Seq[String] =
     entries(root, v).filterNot(_.change).filter { e =>
-      e.stats match {
-        case Some(FileStats(c, mn, mx)) if c == column => mx >= lo && mn <= hi
-        case _ => true
+      preds.forall { case (column, lo, hi) =>
+        e.stats.find(_.column == column) match {
+          case Some(FileStats(_, mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
       }
     }.map(_.path)
 
-  /** Stats-pruned `VERSION AS OF v WHERE column BETWEEN lo AND hi` read:
-    * files whose [min,max] misses the range are dropped at manifest
-    * resolution — the scan never opens them (the row-level filter still
-    * applies within surviving files; stats are file-granular). When
-    * every file is pruned the scan falls back to the full list purely to
-    * carry the schema — the filter returns zero rows either way. */
+  /** Single-predicate form of [[prunedFiles]]. */
+  def prunedFiles(root: String, v: Int, column: String,
+      lo: Long, hi: Long): Seq[String] =
+    prunedFiles(root, v, Seq((column, lo, hi)))
+
+  /** Stats-pruned `VERSION AS OF v WHERE <every pred> BETWEEN lo AND hi`
+    * read: files whose stats miss ANY predicate are dropped at manifest
+    * resolution — the scan never opens them (the row-level filters still
+    * apply within surviving files; stats are file-granular). When every
+    * file is pruned the scan falls back to the full list purely to carry
+    * the schema — the filters return zero rows either way. */
   def readVersionWhere(s: SparkSession, root: String, v: Int,
-      column: String, lo: Long, hi: Long): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val files = prunedFiles(root, v, column, lo, hi)
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    val files = prunedFiles(root, v, preds)
     val src = if (files.nonEmpty) files else manifest(root, v)
-    s.read.parquet(src: _*).filter(col(column).between(lo, hi))
+    preds.foldLeft(s.read.parquet(src: _*)) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).between(lo, hi))
+    }
   }
+
+  /** Single-predicate form of [[readVersionWhere]]. */
+  def readVersionWhere(s: SparkSession, root: String, v: Int,
+      column: String, lo: Long, hi: Long): DataFrame =
+    readVersionWhere(s, root, v, Seq((column, lo, hi)))
 
   /** The change feed between two versions, answered from the commit LOG:
     * the union of every intermediate commit's recorded changeset files —
@@ -302,10 +325,33 @@ object VersionedTable {
     * 100 TB this runs per-partition-directory with the same plan. */
   def compact(s: SparkSession, root: String, targetBytes: Long): Int = {
     val v = latestVersion(root)
-    val files = manifest(root, v)
-    val totalBytes = files.map(f => Files.size(Paths.get(f))).sum
-    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    commit(readVersion(s, root, v).coalesce(n), root)
+    commit(readVersion(s, root, v).coalesce(targetFileCount(root, v,
+      targetBytes)), root)
+  }
+
+  /** OPTIMIZE ... ZORDER's one-dimensional core (r8): bin-pack AND
+    * re-cluster — `repartitionByRange` on `clusterColumn` before the
+    * rewrite, so each output file owns a disjoint slice of the column's
+    * domain and the recorded `statsColumns` ranges come out TIGHT.
+    * Plain [[compact]] concatenates partitions as they come, which
+    * PRESERVES whatever interleaving the writes left and degrades
+    * skipping as versions accrue; the clustered rewrite is how OPTIMIZE
+    * makes a narrow predicate read strictly FEWER files afterwards
+    * (spec-pinned). Costs one range shuffle where compact costs none —
+    * the standard price of clustering; at 100 TB it runs per partition
+    * directory with bounded task inputs, and the range boundaries come
+    * from Spark's reservoir sampling, not a driver sort. */
+  def compactClustered(s: SparkSession, root: String, targetBytes: Long,
+      clusterColumn: String, statsColumns: Seq[String]): Int = {
+    val v = latestVersion(root)
+    val n = targetFileCount(root, v, targetBytes)
+    commit(readVersion(s, root, v).repartitionByRange(n, col(clusterColumn)),
+      root, changes = None, statsColumns = statsColumns)
+  }
+
+  private def targetFileCount(root: String, v: Int, targetBytes: Long): Int = {
+    val totalBytes = manifest(root, v).map(f => Files.size(Paths.get(f))).sum
+    math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
   }
 
   /** VACUUM: retain the newest `keepVersions` versions, delete older

@@ -141,7 +141,7 @@ class VersionedTableSpec extends SparkSpec {
         .select(col("key"), col("status"), (col("total") * 2).as("total"),
           lit("update_post").as("change")))
     VersionedTable.commit(merged, root, changes = Some(feed),
-      statsColumn = None)
+      statsColumns = Nil)
     // the log path resolves: every input file is a changes/ file — the
     // feed costs a metadata lookup + small-file scan, NOT a version diff
     val logRead = VersionedTable.readChanges(spark, root, 1, 2)
@@ -165,11 +165,11 @@ class VersionedTableSpec extends SparkSpec {
   test("footer-stats skipping prunes files before the scan (r7)") {
     val root = freshRoot()
     VersionedTable.commit(base().repartitionByRange(8, col("key")), root,
-      changes = None, statsColumn = Some("key"))
+      changes = None, statsColumns = Seq("key"))
     val all = VersionedTable.manifest(root, 1)
     assert(all.size == 8)
     // every file carries stats (key is non-null everywhere)
-    assert(VersionedTable.entries(root, 1).forall(_.stats.isDefined))
+    assert(VersionedTable.entries(root, 1).forall(_.stats.nonEmpty))
     // a narrow range survives in a strict subset of the files
     val pruned = VersionedTable.prunedFiles(root, 1, "key", 100L, 150L)
     assert(pruned.size < all.size,
@@ -209,6 +209,43 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.vacuumOlderThan(root, maxAgeMillis = 3_600_000L)
     assert(VersionedTable.latestVersion(root) == 3)
     assert(VersionedTable.readLatest(spark, root).count() == 100)
+  }
+
+  test("clustered compaction tightens stats: pruning strictly improves; compound predicates compound (r8)") {
+    val root = freshRoot()
+    // grp correlates with key (grp = key/100), so clustering on key also
+    // clusters grp — the compound-predicate case multi-column stats serve
+    val wide = base().withColumn("grp", (col("key") / 100).cast("long"))
+    // v1: round-robin arrival order — every file spans the whole domain
+    VersionedTable.commit(wide.repartition(8), root,
+      changes = None, statsColumns = Seq("key", "grp"))
+    val preds = Seq(("key", 100L, 200L))
+    val before = VersionedTable.prunedFiles(root, 1, preds)
+    assert(before.size == 8,
+      s"round-robin layout should defeat skipping, pruned to ${before.size}")
+    // OPTIMIZE with clustering: same rows, tight per-file ranges
+    val total = VersionedTable.manifest(root, 1)
+      .map(f => Files.size(Paths.get(f))).sum
+    val v2 = VersionedTable.compactClustered(spark, root,
+      targetBytes = total / 4, clusterColumn = "key",
+      statsColumns = Seq("key", "grp"))
+    val allAfter = VersionedTable.manifest(root, v2)
+    assert(allAfter.size >= 3, s"want a multi-file clustered layout, got ${allAfter.size}")
+    val after = VersionedTable.prunedFiles(root, v2, preds)
+    assert(after.size < allAfter.size && after.size < before.size,
+      s"clustered rewrite must strictly improve pruning: " +
+        s"${before.size} -> ${after.size} of ${allAfter.size}")
+    // pruned + filters ≡ full + filters (and the scan opens only survivors)
+    val got = VersionedTable.readVersionWhere(spark, root, v2, preds)
+    assert(got.count() == 101)
+    val opened = got.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+    assert(opened.subsetOf(after.toSet))
+    // a second (correlated) predicate can only prune FURTHER
+    val compound = VersionedTable.prunedFiles(root, v2,
+      preds :+ (("grp", 1L, 1L)))
+    assert(compound.toSet.subsetOf(after.toSet))
+    assert(VersionedTable.readVersionWhere(spark, root, v2,
+      preds :+ (("grp", 1L, 1L))).count() == 100) // keys 100..199
   }
 
   test("schema evolution: time travel across the boundary null-fills added columns (r8)") {
