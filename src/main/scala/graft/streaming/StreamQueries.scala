@@ -390,7 +390,55 @@ object StreamQueries {
       |WHERE c.op IS NULL OR c.op <> 'D'
       |ORDER BY key""".stripMargin
 
+  /** Streaming CDF READ (r8) — the consumer side of the CDC loop
+    * stream_merge_upsert writes: the versioned table's commit log is
+    * tailed as a Structured Streaming source (`graft-cdf`, offsets =
+    * version numbers, micro-batch = a new commit's recorded changeset
+    * files — graft.table.v2.TableChangesSource). The staged table applies
+    * the deterministic merge feed in TWO CDF-recording commits (even keys,
+    * then odd — a real "apply changes" consumer: delete/update_pre drop
+    * old images, insert/update_post add new ones), so the stream sees two
+    * versions and the converged memory table must equal the batch
+    * `table_changes(v1, v3)` — which is the same relation
+    * table_incremental_read's oracle states. The spec additionally proves
+    * a commit arriving MID-STREAM lands as its own micro-batch. */
+  def streamCdfRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.VersionedTable
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val tableRoot = s"$base/table"
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("total"))
+    VersionedTable.commit(orders, tableRoot) // v1: snapshot, no CDF
+    val feed = graft.operators.PipelineOps.mergeChangeFeed(s, dir)
+    Seq(0, 1).foreach { parity =>
+      // pmod: insert keys are negative and Scala % keeps sign
+      val wave = feed.filter(pmod(col("key"), lit(2)) === parity)
+      val cur = VersionedTable.readLatest(s, tableRoot)
+      val gone = wave.filter(col("change").isin("delete", "update_pre"))
+        .select(col("key"))
+      val added = wave.filter(col("change").isin("insert", "update_post"))
+        .select(col("key"), col("status"), col("total"))
+      VersionedTable.commit(
+        cur.join(gone, Seq("key"), "left_anti").unionAll(added),
+        tableRoot, changes = Some(wave), statsColumns = Nil)
+    }
+    val table = s"stream_cdf_$id"
+    val q = withFewStatePartitions(s) {
+      s.readStream.format("graft-cdf").option("root", tableRoot).load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(table).orderBy(col("key"), col("change"))
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
+    "stream_cdf_read" -> (streamCdfRead _),
     "stream_micro_batch" -> (streamMicroBatch _),
     "stream_dedup_ingest" -> (streamDedupIngest _),
     "stream_join_enrich" -> (streamJoinEnrich _),
@@ -399,6 +447,9 @@ object StreamQueries {
     "stream_merge_upsert" -> (streamMergeUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // the streamed feed converges to the SAME relation as the batch CDF
+    // read — one oracle, two read paths
+    "stream_cdf_read" -> graft.table.TableQueries.oracles("table_incremental_read"),
     "stream_micro_batch" -> streamMicroBatchOracle,
     "stream_dedup_ingest" -> streamDedupIngestOracle,
     "stream_join_enrich" -> streamJoinEnrichOracle,
