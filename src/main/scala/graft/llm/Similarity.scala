@@ -608,15 +608,223 @@ object Similarity {
       pqTrainCodebooks(sub, pqSeedCodebooks(sub, "vec_id % 64"), iters = 3))
   }
 
+  // ---- sim_ivfpq ------------------------------------------------------------
+  // The COMPOSED index a 100 TB ANN deployment actually serves — FAISS's
+  // IVFPQ shape, built from the two halves this library already proves
+  // separately (sim_ivf_ann's coarse quantizer; sim_pq_adc_trained's
+  // Lloyd-trained codebooks), now composed the way they were designed to
+  // be: every vector is assigned to its nearest IVF cell, and PQ encodes
+  // the RESIDUAL (vector − cell centroid) — residuals are centered and
+  // small, so the same 16x4x64 code budget quantizes far finer than
+  // whole-vector PQ. Serving probes the query's nprobe nearest cells and
+  // ADC-scans ONLY those cells' codes: the distance-table join keys on
+  // (ivf_cell, m, code), so a vector outside every probed cell never
+  // joins — the code scan touches ~nprobe/k of the corpus by
+  // construction, falling out of join selectivity rather than a filter.
+  // Per-query tables are per-PROBED-CELL (the query's residual differs
+  // per cell): queries x nprobe x 16 x 64 exact-integer L2 entries, KBs
+  // broadcast. At 100 TB: codes partitioned by ivf_cell at ingest, a
+  // query reads nprobe cells' 12-byte codes; centroids and codebooks are
+  // broadcast model state; training touches the corpus only through the
+  // same map-side-combining aggs as the flat trainer.
+  //
+  // Every distance is exact BIGINT arithmetic (residual subtraction
+  // included); the only doubles are the coarse-assignment cosines —
+  // identical arithmetic in both engines, ties to the lower cell id. The
+  // corpus assignment runs as a hash-agg argmin (min(struct(-ccos,
+  // cell)) — the r7 PQ-argmin pattern, no window sort of corpus x cells);
+  // only the 10-query probe ranking uses a window.
+  def simIvfPq(s: SparkSession, dir: String, nprobe: Int = 5,
+      iters: Int = 4): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val mCount = 16; val subDim = 4
+    val base = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("qv",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+      .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
+    // coarse quantizer: sim_ivf_ann's label-seeded truncated-mean
+    // centroids verbatim — k = 10 rows, broadcast everywhere below
+    val cent = base
+      .select(col("label").as("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("cd"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), x -> x.cd)")
+        .as("cvec"))
+      .withColumn("cnrm",
+        expr("aggregate(zip_with(cvec, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+    val scoredCent = base.drop("label").crossJoin(broadcast(cent))
+      .withColumn("cdot",
+        expr("aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+    // nearest cell per vector: max ccos ≡ lexicographic min of
+    // (-ccos, cell) — one map-side-combining hash agg, qv rides through
+    val assigned = scoredCent
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell")))
+        .as("best"), first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("best.cell").as("ivf_cell"), col("qv"))
+    // residual = vector − assigned centroid, exact BIGINT; then the
+    // 16 x 4 subvector decomposition the trained flat key uses
+    val resid = assigned
+      .join(broadcast(cent.select(col("cell").as("ivf_cell"), col("cvec"))),
+        Seq("ivf_cell"))
+      .withColumn("rv", expr("zip_with(qv, cvec, (x, y) -> x - y)"))
+      .select(col("vec_id"), col("ivf_cell"), col("rv"))
+    val sub = resid.select(col("vec_id"), col("ivf_cell"),
+        posexplode(expr(s"transform(sequence(0, ${mCount - 1}), " +
+          s"m -> slice(rv, m * $subDim + 1, $subDim))"))
+          .as(Seq("m", "sv")))
+      .localCheckpoint()
+    // train on residual subvectors: the r7 Lloyd trainer verbatim
+    val cb = pqTrainCodebooks(sub, pqSeedCodebooks(sub, "vec_id % 64"), iters)
+    // encode: nearest sub-centroid per (vec, m), ivf_cell rides along
+    val codes = pqDists(sub, cb).groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cell"))).as("best"),
+        first(col("ivf_cell")).as("ivf_cell"))
+      .select(col("vec_id"), col("ivf_cell"), col("m"),
+        col("best.cell").as("code"))
+    // probes: the nprobe nearest cells PER QUERY (10 x 10 rows — the one
+    // window here runs over the query set, not the corpus)
+    val wP = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probes = scoredCent.filter(col("vec_id") < PqQueryCount)
+      .withColumn("rk", row_number().over(wP))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell").as("ivf_cell"))
+    // per-(query, probed cell) residual distance tables
+    val qresid = probes
+      .join(broadcast(base.filter(col("vec_id") < PqQueryCount)
+        .select(col("vec_id").as("query_id"), col("qv"))), Seq("query_id"))
+      .join(broadcast(cent.select(col("cell").as("ivf_cell"), col("cvec"))),
+        Seq("ivf_cell"))
+      .withColumn("rv", expr("zip_with(qv, cvec, (x, y) -> x - y)"))
+      .select(col("query_id"), col("ivf_cell"), col("rv"))
+    val qsub = qresid.select(col("query_id"), col("ivf_cell"),
+      posexplode(expr(s"transform(sequence(0, ${mCount - 1}), " +
+        s"m -> slice(rv, m * $subDim + 1, $subDim))"))
+        .as(Seq("m", "sv")))
+    val dtab = qsub.join(broadcast(cb), Seq("m"))
+      .withColumn("d", expr("graft_l2q(sv, cvec)"))
+      .select(col("query_id"), col("ivf_cell"), col("m"),
+        col("cell").as("code"), col("d"))
+    // ADC over probed cells ONLY: keying on (ivf_cell, m, code) means a
+    // vector outside every probed cell joins nothing — no filter needed
+    val adc = codes.join(broadcast(dtab), Seq("ivf_cell", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The IVFPQ oracle: the sim_ivf_ann coarse CTE blocks (centroids,
+    * cosine assignment, lists, probes) chained into the shared Lloyd
+    * rounds ([[pqLloydRoundsSql]]) over RESIDUAL subvectors, then the
+    * ADC serve keyed by (ivf_cell, m, code). nprobe = 5 of k = 10;
+    * 4 Lloyd rounds (one more than the flat key — on the isotropic
+    * fixture the residuals ≈ the vectors, and the extra round is what
+    * brings the composed index's measured recall up to the flat
+    * trained key's at HALF the scanned corpus, LlmOpsSpec). */
+  private val simIvfPqOracle = {
+    val nprobe = 5
+    s"""WITH $quantizedSql,
+       |qnl AS (SELECT qn.vec_id, e.label, qn.qv, qn.nrm
+       |        FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id),
+       |cpos AS (
+       |  SELECT cell, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd
+       |  FROM (SELECT label AS cell, unnest(qv) AS v,
+       |               unnest(generate_series(1, len(qv))) AS pos FROM qnl) t
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell, list(cd ORDER BY pos) AS cvec FROM cpos GROUP BY cell),
+       |centn AS (
+       |  SELECT cell, cvec,
+       |         CAST(list_sum(list_transform(generate_series(1, len(cvec)), i -> cvec[i] * cvec[i])) AS BIGINT) AS cnrm
+       |  FROM cent),
+       |scoredc AS (
+       |  SELECT qn.vec_id, c.cell,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(qn.qv)), i -> qn.qv[i] * c.cvec[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM qn CROSS JOIN centn c),
+       |assign AS (
+       |  SELECT vec_id, cell,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rk
+       |  FROM scoredc),
+       |lists AS (SELECT vec_id, cell FROM assign WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM assign
+       |           WHERE vec_id < $PqQueryCount AND rk <= $nprobe),
+       |resid AS (
+       |  SELECT l.vec_id, l.cell AS ivf_cell,
+       |         list_transform(generate_series(1, len(qn.qv)), i -> qn.qv[i] - c.cvec[i]) AS rv
+       |  FROM lists l JOIN qn ON qn.vec_id = l.vec_id
+       |               JOIN centn c ON c.cell = l.cell),
+       |sub AS (
+       |  SELECT vec_id, ivf_cell, ms.m,
+       |         list_slice(rv, ms.m * 4 + 1, ms.m * 4 + 4) AS sv
+       |  FROM resid, (SELECT unnest(generate_series(0, 15)) AS m) ms),
+       |cbp0 AS (
+       |  SELECT cell, m, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd
+       |  FROM (SELECT vec_id % 64 AS cell, m, unnest(sv) AS v,
+       |               unnest(generate_series(1, len(sv))) AS pos FROM sub) t
+       |  GROUP BY 1, 2, 3),
+       |cb0 AS (SELECT cell, m, list(cd ORDER BY pos) AS cvec FROM cbp0 GROUP BY 1, 2),
+       |${pqLloydRoundsSql(4)}dists AS (
+       |  SELECT s.vec_id, s.m, c.cell,
+       |         CAST(list_sum(list_transform(generate_series(1, len(s.sv)),
+       |           i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS BIGINT) AS d
+       |  FROM sub s JOIN cb4 c ON c.m = s.m),
+       |codes AS (
+       |  SELECT t.vec_id, l.cell AS ivf_cell, t.m, t.cell AS code
+       |  FROM (SELECT vec_id, m, cell,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rk
+       |        FROM dists) t JOIN lists l ON l.vec_id = t.vec_id
+       |  WHERE t.rk = 1),
+       |qresid AS (
+       |  SELECT p.query_id, p.cell AS ivf_cell,
+       |         list_transform(generate_series(1, len(qn.qv)), i -> qn.qv[i] - c.cvec[i]) AS rv
+       |  FROM probes p JOIN qn ON qn.vec_id = p.query_id
+       |                JOIN centn c ON c.cell = p.cell),
+       |qsub AS (
+       |  SELECT query_id, ivf_cell, ms.m,
+       |         list_slice(rv, ms.m * 4 + 1, ms.m * 4 + 4) AS sv
+       |  FROM qresid, (SELECT unnest(generate_series(0, 15)) AS m) ms),
+       |dtab AS (
+       |  SELECT q.query_id, q.ivf_cell, q.m, c.cell AS code,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q.sv)),
+       |           i -> (q.sv[i] - c.cvec[i]) * (q.sv[i] - c.cvec[i]))) AS BIGINT) AS d
+       |  FROM qsub q JOIN cb4 c ON c.m = q.m),
+       |adc AS (
+       |  SELECT t.query_id, c.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
+       |  FROM codes c JOIN dtab t
+       |    ON t.ivf_cell = c.ivf_cell AND t.m = c.m AND t.code = c.code
+       |  WHERE c.vec_id <> t.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, vec_id AS neighbor_id, adc_dist FROM (
+       |  SELECT query_id, vec_id, adc_dist,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc) r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The PQ oracle as a function of the training depth and seeding
     * partition: seed codebooks `cb0` from `seedExpr`, then `iters`
     * chained Lloyd-round CTE blocks (assign → update, exactly the
     * engine's loop unrolled), then encode/serve against the final
     * `cb<iters>`. iters = 0 with label seeding is the untrained key.
     * `mCount`/`subDim` mirror the engine's subvector decomposition. */
-  private def pqOracle(iters: Int, seedExpr: String, mCount: Int,
-      subDim: Int): String = {
-    val rounds = (1 to iters).map { t =>
+  /** The Lloyd-round CTE blocks (assign → update, the engine's training
+    * loop unrolled) over a `sub(vec_id, m, sv)` CTE and a seed codebook
+    * `cb0` — shared VERBATIM by the flat-PQ oracle and the IVFPQ oracle
+    * (which feeds RESIDUAL subvectors through the same rounds). */
+  private def pqLloydRoundsSql(iters: Int): String =
+    (1 to iters).map { t =>
       s"""dists$t AS (
          |  SELECT s.vec_id, s.m, c.cell,
          |         CAST(list_sum(list_transform(generate_series(1, len(s.sv)),
@@ -636,6 +844,10 @@ object Similarity {
          |cb$t AS (SELECT cell, m, list(cd ORDER BY pos) AS cvec FROM cbp$t GROUP BY 1, 2),
          |""".stripMargin
     }.mkString
+
+  private def pqOracle(iters: Int, seedExpr: String, mCount: Int,
+      subDim: Int): String = {
+    val rounds = pqLloydRoundsSql(iters)
     s"""WITH q2 AS (
        |  SELECT vec_id, label,
        |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
@@ -684,7 +896,8 @@ object Similarity {
     "sim_ivf_ann" -> ((s: SparkSession, dir: String) => simIvfAnn(s, dir)),
     "cluster_kmeans" -> (clusterKmeans _),
     "sim_pq_adc" -> (simPqAdc _),
-    "sim_pq_adc_trained" -> (simPqAdcTrained _))
+    "sim_pq_adc_trained" -> (simPqAdcTrained _),
+    "sim_ivfpq" -> ((s: SparkSession, dir: String) => simIvfPq(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
@@ -693,5 +906,6 @@ object Similarity {
     "sim_ivf_ann" -> simIvfAnnOracle,
     "cluster_kmeans" -> clusterKmeansOracle,
     "sim_pq_adc" -> simPqAdcOracle,
-    "sim_pq_adc_trained" -> simPqAdcTrainedOracle)
+    "sim_pq_adc_trained" -> simPqAdcTrainedOracle,
+    "sim_ivfpq" -> simIvfPqOracle)
 }

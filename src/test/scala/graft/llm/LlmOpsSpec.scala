@@ -204,6 +204,18 @@ class LlmOpsSpec extends SparkSpec {
       f"training did not lift PQ recall: $pq%.3f -> $pqT%.3f")
     assert(pqT >= 0.30,
       f"trained PQ recall $pqT%.3f below the 0.30 floor on the fixture")
+    // IVFPQ (r8): PQ codes over IVF cell RESIDUALS, serving only the
+    // nprobe=5 probed cells' codes. Same 16x4x64 code budget as the
+    // trained flat key, but residuals are centered and small, so the
+    // codes quantize finer — composing the two halves must BEAT flat
+    // trained PQ even while scanning half the corpus (its recall ceiling
+    // is IVF-exact at the same nprobe, measured 0.600 above).
+    val ivfpq = recall(top3(Similarity.simIvfPq(spark, sfDir).collect()))
+    info(f"recall@3 vs exact — IVFPQ (nprobe=5 of 10, residual-trained): $ivfpq%.3f")
+    assert(ivfpq >= pqT,
+      f"IVFPQ recall $ivfpq%.3f below trained flat PQ $pqT%.3f at equal code budget")
+    assert(ivfpq <= ivf5 + 1e-9,
+      f"IVFPQ recall $ivfpq%.3f exceeds its IVF-exact ceiling $ivf5%.3f — scan leaked outside probed cells?")
   }
 
   test("PQ codes are the compressed representation the ADC scan claims") {
