@@ -15,12 +15,20 @@ import graft.model.Tables.load
   *    `mm_decode_real` key drives genuine PNG bytes through the full
   *    encode → decode → resize → re-encode → re-decode chain and the
   *    DuckDB oracle independently predicts every decoded dimension.
-  *  - `FakeCodec` — the disclosed deterministic stand-in for the audio /
-  *    video modalities ImageIO cannot parse (this container has no media
-  *    libraries beyond the JDK): geometry derives from payload length so
-  *    both engines agree byte-for-byte.
-  * `ImageIoCodec.decode` sniffs first and falls back to `FakeCodec` for
-  * non-image payloads, so one seam serves both.
+  *  - `WavCodec` (r8) — a REAL audio decoder/encoder on JDK
+  *    `javax.sound.sampled` (PCM WAV containers, zero new dependencies):
+  *    RIFF sniff, true header parse (rate / channels / frame count), and
+  *    full PCM data decode. The `mm_decode_audio` key round-trips genuine
+  *    WAV bytes and the oracle predicts every decoded number, including a
+  *    sum over the decoded samples.
+  *  - `FakeCodec` — the disclosed deterministic stand-in for the VIDEO
+  *    modality only (permanent scope: the JDK ships no video container
+  *    parser and this build resolves no third-party dependencies, so a
+  *    real video codec is a deployment-time swap behind this same seam):
+  *    geometry derives from payload length so both engines agree
+  *    byte-for-byte.
+  * `ImageIoCodec.decode` sniffs image, then WAV, then falls back to
+  * `FakeCodec`, so one seam is total over arbitrary payloads.
   *
   * Scale design: payloads live in their own column so parquet column pruning
   * skips the bytes when a query touches only metadata; decode runs in
@@ -36,9 +44,11 @@ object Multimodal {
       doc_id: Long, modality: String, n_bytes: Long, header_hex: String,
       width: Int, height: Int, channels: Int, sample_rate: Int, n_frames: Int)
 
-  /** The codec stub: a real implementation would parse the container format
-    * here (`???` seam). Deterministic fake: geometry derives from payload
-    * length, so both engines (and reruns) agree byte-for-byte. */
+  /** The deterministic stand-in behind the codec seam — after r8 the
+    * PERMANENT fallback only for video (images decode via ImageIO, WAV
+    * audio via WavCodec; the JDK has no video parser and this build takes
+    * no third-party dependencies). Geometry derives from payload length,
+    * so both engines (and reruns) agree byte-for-byte. */
   object FakeCodec {
     def decode(docId: Long, payload: Array[Byte], headerHex: String): MediaMeta = {
       val n = payload.length.toLong
@@ -91,15 +101,16 @@ object Multimodal {
       }
 
     /** The total decode seam: real ImageIO metadata for image payloads,
-      * FakeCodec (disclosed) for the audio/video modalities the JDK can't
-      * parse. */
+      * real javax.sound parse for WAV audio, FakeCodec (disclosed,
+      * permanent) for the video modality the JDK can't parse. */
     def decode(docId: Long, payload: Array[Byte], headerHex: String): MediaMeta =
       decodeImage(payload) match {
         case Some(img) => MediaMeta(
           doc_id = docId, modality = "image", n_bytes = payload.length.toLong,
           header_hex = headerHex, width = img.getWidth, height = img.getHeight,
           channels = img.getRaster.getNumBands, sample_rate = 0, n_frames = 1)
-        case None => FakeCodec.decode(docId, payload, headerHex)
+        case None => WavCodec.decode(docId, payload, headerHex)
+          .getOrElse(FakeCodec.decode(docId, payload, headerHex))
       }
 
     /** Deterministic PNG encode: a w×h RGB image with a fixed per-pixel
@@ -143,6 +154,87 @@ object Multimodal {
           bos.toByteArray
         case _ => payload
       }
+  }
+
+  /** Real audio codec on JDK `javax.sound.sampled` — no dependencies
+    * beyond the JDK (the java.desktop module ships WAV/AIFF/AU container
+    * parsers). Encode produces a genuine canonical PCM WAV (44-byte RIFF
+    * header + interleaved little-endian int16 data) through
+    * `AudioSystem.write`; decode parses the container through
+    * `AudioSystem.getAudioFileFormat` (header: rate / channels / frames)
+    * and streams the PCM data back out through an `AudioInputStream` —
+    * both directions exercise the real platform codec, not our own byte
+    * slinging. */
+  object WavCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Container sniff: RIFF....WAVE magic. */
+    def sniff(payload: Array[Byte]): Boolean =
+      payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E'
+
+    /** Deterministic PCM WAV encode: `frames` interleaved int16 samples
+      * per channel, sample(frame f, channel c) = (f*37 + c*11) % 4096 −
+      * 2048 — real nonzero audio data whose aggregate the oracle can
+      * predict arithmetically. */
+    def encodeWav(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+      val pcm = new Array[Byte](frames * channels * 2)
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < channels) {
+          val v = (f * 37 + c * 11) % 4096 - 2048
+          val off = (f * channels + c) * 2
+          pcm(off) = (v & 0xff).toByte // little-endian int16
+          pcm(off + 1) = ((v >> 8) & 0xff).toByte
+          c += 1
+        }
+        f += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
+        true /* signed */, false /* little-endian */)
+      val stream = new AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Real header parse; None when the payload is not a parseable WAV
+      * (the seam falls through to FakeCodec). */
+    def decode(docId: Long, payload: Array[Byte],
+        headerHex: String): Option[MediaMeta] =
+      if (!sniff(payload)) None
+      else try {
+        val ff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
+        Some(MediaMeta(
+          doc_id = docId, modality = "audio",
+          n_bytes = payload.length.toLong, header_hex = headerHex,
+          width = 0, height = 0,
+          channels = ff.getFormat.getChannels,
+          sample_rate = ff.getFormat.getSampleRate.toInt,
+          n_frames = ff.getFrameLength))
+      } catch { case _: Exception => None }
+
+    /** Decode the PCM DATA through the platform codec and fold the int16
+      * samples to one exact integer — the proof the decoder reads real
+      * audio bytes, not just the header. */
+    def pcmSum(payload: Array[Byte]): Long = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val data = in.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i + 1 < data.length) {
+          sum += ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
+          i += 2
+        }
+        sum
+      } finally in.close()
+    }
   }
 
   /** documents.text reinterpreted as a binary payload column — the testdata
@@ -315,6 +407,57 @@ object Multimodal {
       |            ELSE GREATEST(1, CAST(FLOOR(height * (32.0 / GREATEST(width, height))) AS INT)) END AS resized_h
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---- mm_decode_audio: REAL audio codec round-trip, oracle-predicted -------
+  // The audio twin of mm_decode_real (retiring the audio half of the
+  // FakeCodec scope): per doc_id, synthesize a genuine PCM WAV at a
+  // deterministic (rate, channels, frames) through the platform encoder,
+  // parse the container back with javax.sound (header numbers), then
+  // decode the PCM DATA through an AudioInputStream and sum the int16
+  // samples. Every emitted number passes through the real JDK audio
+  // stack twice — yet the oracle predicts all of them arithmetically
+  // (the canonical WAV written by the JDK is 44 header bytes + 2 bytes
+  // per sample, and the sample generator is a pure function of the
+  // frame/channel index). A decoder that didn't actually parse RIFF or
+  // didn't read the data section could not hash-match pcm_sum.
+  def mmDecodeAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    load(s, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        // platform mixer/provider registry warmed once per partition
+        ids.map { id =>
+          val rate = (id % 3) match {
+            case 0 => 8000; case 1 => 16000; case _ => 44100
+          }
+          val channels = (1 + id % 2).toInt
+          val frames = (500 + id % 997).toInt
+          val wav = WavCodec.encodeWav(rate, channels, frames)
+          val meta = WavCodec.decode(id, wav, "52494646")
+            .getOrElse(sys.error(s"real WAV did not parse for doc $id"))
+          (id, meta.modality, meta.sample_rate, meta.channels, meta.n_frames,
+            meta.n_bytes, WavCodec.pcmSum(wav))
+        }
+      }
+      .toDF("doc_id", "modality", "sample_rate", "channels", "n_frames",
+        "n_bytes", "pcm_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodeAudioOracle =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |              ELSE 44100 END AS INT) AS sample_rate,
+      |         CAST(1 + doc_id % 2 AS INT) AS channels,
+      |         CAST(500 + doc_id % 997 AS INT) AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, 'audio' AS modality, sample_rate, channels, n_frames,
+      |       CAST(44 + n_frames * channels * 2 AS BIGINT) AS n_bytes,
+      |       CAST(list_sum(list_transform(generate_series(0, n_frames * channels - 1),
+      |         i -> ((i // channels) * 37 + (i % channels) * 11) % 4096 - 2048)) AS BIGINT) AS pcm_sum
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // ---- mm_feature_extract: per-media feature vectors ------------------------
   // The feature-extraction stage of a multimodal pipeline (the step between
   // decode and embedding): a per-partition featurizer walks the payload
@@ -381,12 +524,14 @@ object Multimodal {
   val queries: Map[String, Q] = Map[String, Q](
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_decode_real" -> (mmDecodeReal _),
+    "mm_decode_audio" -> (mmDecodeAudio _),
     "mm_resize_sample" -> (mmResizeSample _),
     "mm_feature_extract" -> (mmFeatureExtract _))
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" -> mmDecodeMetaOracle,
     "mm_decode_real" -> mmDecodeRealOracle,
+    "mm_decode_audio" -> mmDecodeAudioOracle,
     "mm_resize_sample" -> mmResizeSampleOracle,
     "mm_feature_extract" -> mmFeatureExtractOracle)
 }

@@ -257,6 +257,38 @@ class LlmOpsSpec extends SparkSpec {
     decoded.unpersist()
   }
 
+  test("codec seam contract: image → ImageIO, WAV → javax.sound, video-only FakeCodec fallback (r8)") {
+    import Multimodal.{FakeCodec, ImageIoCodec, WavCodec}
+    // hand-crafted WAV fixture: 8 kHz mono, 4 frames, known samples
+    val wav = WavCodec.encodeWav(sampleRate = 8000, channels = 1, frames = 4)
+    assert(WavCodec.sniff(wav), "encoder must emit a RIFF/WAVE container")
+    assert(wav.length == 44 + 4 * 2, "canonical PCM WAV: 44-byte header + data")
+    val meta = WavCodec.decode(7L, wav, "52494646").get
+    assert(meta.modality == "audio" && meta.sample_rate == 8000 &&
+      meta.channels == 1 && meta.n_frames == 4 && meta.width == 0)
+    // samples are (f*37) % 4096 − 2048 for f = 0..3
+    val expected = (0 until 4).map(f => (f * 37) % 4096 - 2048).sum.toLong
+    assert(WavCodec.pcmSum(wav) == expected,
+      s"decoded PCM data must match the generator: ${WavCodec.pcmSum(wav)} vs $expected")
+    // the TOTAL seam routes each container to its real decoder...
+    val png = ImageIoCodec.encodePng(20, 12)
+    val viaSeamImg = ImageIoCodec.decode(1L, png, "89504E47")
+    assert(viaSeamImg.modality == "image" && viaSeamImg.width == 20 &&
+      viaSeamImg.height == 12)
+    val viaSeamWav = ImageIoCodec.decode(1L, wav, "52494646")
+    assert(viaSeamWav.modality == "audio" && viaSeamWav.n_frames == 4)
+    // ...and only a non-image, non-WAV payload reaches the disclosed fake
+    // (doc_id % 3 == 2 → the video modality FakeCodec permanently covers)
+    val blob = Array.tabulate[Byte](100)(i => (i * 31).toByte)
+    val viaSeamBlob = ImageIoCodec.decode(2L, blob, "00000000")
+    assert(viaSeamBlob == FakeCodec.decode(2L, blob, "00000000"))
+    assert(viaSeamBlob.modality == "video")
+    // a RIFF prefix that is NOT a parseable WAV falls through, not crashes
+    val riffJunk = "RIFFxxxxWAVEgarbage-not-a-wav".getBytes("UTF-8")
+    assert(ImageIoCodec.decode(2L, riffJunk, "52494646") ==
+      FakeCodec.decode(2L, riffJunk, "52494646"))
+  }
+
   test("text quality and langid stay inside one projection (no shuffle)") {
     val plan = TextAnalysis.textQuality(spark, sfDir)
       .queryExecution.executedPlan.toString
