@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
-import graft.llm.{Curation, Dedup, DedupStress, MinHashAgg, Multimodal, PipelinePrep, Similarity, TextAnalysis, Tokenize}
+import graft.llm.{Curation, Dedup, DedupStress, MinHashAgg, Multimodal, PipelinePrep, Retrieval, Similarity, TextAnalysis, Tokenize}
 import graft.operators.{Analytics, GraphOps, PipelineOps}
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
@@ -32,7 +32,8 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       StreamQueries.queries ++ MinHashAgg.queries ++ Curation.queries ++
       PipelineOps.queries ++ PipelinePrep.queries ++ GraphOps.queries ++
-      SessionStream.queries ++ Tokenize.queries ++ TableQueries.queries
+      SessionStream.queries ++ Tokenize.queries ++ TableQueries.queries ++
+      Retrieval.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -43,5 +44,6 @@ object SparkEntry {
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       StreamQueries.oracles ++ MinHashAgg.oracles ++ Curation.oracles ++
       PipelineOps.oracles ++ PipelinePrep.oracles ++ GraphOps.oracles ++
-      SessionStream.oracles ++ Tokenize.oracles ++ TableQueries.oracles
+      SessionStream.oracles ++ Tokenize.oracles ++ TableQueries.oracles ++
+      Retrieval.oracles
 }

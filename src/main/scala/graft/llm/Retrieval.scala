@@ -1,0 +1,220 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables.load
+
+/** Retrieval operators over `documents` + `embeddings` — the serving-side
+  * complement of the ANN index family: sparse lexical ranking (BM25) and
+  * sparse+dense hybrid fusion (reciprocal-rank fusion), the standard RAG
+  * retrieval stack (ref analog: the reference has no retrieval surface —
+  * this is north-star §2.10 scope).
+  *
+  * Determinism contract (the text_tfidf convention extended): every count
+  * (tf, df, dl, N, T) is an exact integer; idf uses the exact RATIONAL
+  * Robertson surrogate (N − df + ½)/(df + ½) + 1 instead of its ln — IEEE
+  * division of identical integers is bit-deterministic across engines
+  * while libm ln() is not, and the surrogate keeps idf's rare-term
+  * monotonicity (the operator's contract is ITS formula, pinned exactly in
+  * both engines); per-term contributions are computed in identically-shaped
+  * double arithmetic, then cast to DECIMAL(28,12) BEFORE the per-doc sum so
+  * summation is exact and order-independent (doubles would sum in shuffle
+  * order); ranking compares the exact decimal sums with id tie-breaks.
+  *
+  * Scale topology: tf/df are word-count hash aggs (the one shuffle); the
+  * query set (10 queries × ≤5 terms) joined with df is KBs BROADCAST into
+  * the posting scan, so the corpus never reshuffles for the match; the
+  * per-query top-k is a window over only the matched postings. At 100 TB
+  * df/tf would come from a pre-built posting table (the inverted index a
+  * search deployment maintains incrementally) — the query-time plan
+  * (broadcast terms → posting scan → partial top-k) is unchanged.
+  */
+object Retrieval {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toksE = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** BM25(k1=1.2, b=0.75) over the word-token corpus: queries are docs
+    * 0..9, each represented by its first 5 lexicographically-sorted
+    * distinct tokens (sorted so the query term set is deterministic in
+    * both engines — array_distinct order is engine-defined). Self-matches
+    * excluded (the ANN neighbor convention). Returns the top `topN` docs
+    * per query ranked on the exact decimal score sum. */
+  private def bm25Ranked(s: SparkSession, dir: String, topN: Int): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // two corpus scalars to the driver (the tfidf anchor pattern): doc
+    // count and total token count pin avgdl = T/N as an exact rational
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(col("toks"))).as("t")).head()
+    val nDocs = stats.getLong(0)
+    val nToks = stats.getLong(1)
+    val tf = docs
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    // tf rows are unique per (doc, term), so df is a plain count
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(expr("slice(array_sort(array_distinct(toks)), 1, 5)")).as("term"))
+    // query terms ⋈ df first (≤50 rows), then broadcast into the posting
+    // scan — the corpus-side tf never reshuffles for the match
+    val qdf = dfc.join(broadcast(qterms), Seq("term"))
+    val contrib = tf.join(broadcast(qdf), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("c", expr(
+        s"""cast(
+           |  (1.0 + ((cast($nDocs - df as double)) + 0.5) / (cast(df as double) + 0.5))
+           |  * ((cast(tf as double) * 2.2) /
+           |     (cast(tf as double) +
+           |      (0.3 + 0.9 * (cast(dl * $nDocs as double) / cast($nToks as double)))))
+           |as decimal(28,12))""".stripMargin))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sc").desc, col("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("sc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+  }
+
+  /** The shared oracle CTE block: everything through `branked(query_id,
+    * doc_id, sc, rank)`. N/T come from a scalar CTE instead of driver
+    * literals — same values, identically-shaped arithmetic. */
+  private val bm25Sql =
+    """docs AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |base AS (SELECT doc_id, toks, len(toks) AS dl FROM docs WHERE len(toks) > 0),
+      |nn AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_toks FROM base),
+      |tfc AS (
+      |  SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base) t GROUP BY 1, 2),
+      |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+      |qt AS (
+      |  SELECT doc_id AS query_id, unnest(list_sort(list_distinct(toks))[1:5]) AS term
+      |  FROM base WHERE doc_id < 10),
+      |contrib AS (
+      |  SELECT q.query_id, t.doc_id,
+      |         CAST(
+      |           (1.0 + ((CAST((SELECT n_docs FROM nn) - d.df AS DOUBLE)) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+      |           * ((CAST(t.tf AS DOUBLE) * 2.2) /
+      |              (CAST(t.tf AS DOUBLE) +
+      |               (0.3 + 0.9 * (CAST(t.dl * (SELECT n_docs FROM nn) AS DOUBLE) / CAST((SELECT n_toks FROM nn) AS DOUBLE)))))
+      |         AS DECIMAL(28,12)) AS c
+      |  FROM tfc t JOIN qt q ON q.term = t.term JOIN dfc d ON d.term = t.term
+      |  WHERE t.doc_id <> q.query_id),
+      |bscore AS (SELECT query_id, doc_id, SUM(c) AS sc FROM contrib GROUP BY 1, 2),
+      |branked AS (
+      |  SELECT query_id, doc_id, sc,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rank
+      |  FROM bscore)""".stripMargin
+
+  // ---- text_bm25 ------------------------------------------------------------
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir, topN = 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("sc"), 4).cast("double").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+
+  private val textBm25Oracle =
+    s"""WITH $bm25Sql
+       |SELECT query_id, rank, doc_id,
+       |       CAST(ROUND(sc, 4) AS DOUBLE) AS score
+       |FROM branked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---- hybrid_rrf -----------------------------------------------------------
+  // Reciprocal-rank fusion (Cormack et al. 2009): fuse the BM25 top-20 with
+  // the dense-cosine top-20 (vec_id ≡ doc_id in the fixtures — the usual
+  // shared document key) by score = Σ 1/(60 + rank). The two addends are a
+  // FIXED-ORDER two-operand double sum (not an agg), so fusion is
+  // IEEE-deterministic; ties break on doc_id. RRF needs only ranks — no
+  // score calibration between the sparse and dense systems, which is why
+  // production hybrid search defaults to it. Scale: fuses two top-k LISTS
+  // (k rows per query), so cost is the two retrievers, not the fusion —
+  // and the dense side swaps to sim_ivfpq unchanged.
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val b = bm25Ranked(s, dir, topN = 20)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank").as("bm25_rank"))
+    val emb = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
+    val vq = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wV = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    val v = emb.join(broadcast(vq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        expr("graft_dotq(q_emb, embedding)").as("dot"), col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+      .withColumn("vec_rank", row_number().over(wV))
+      .filter(col("vec_rank") <= 20)
+      .select(col("query_id"), col("id"), col("vec_rank"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("id"))
+    b.join(v, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf", expr(
+        """coalesce(cast(1.0 as double) / cast(60 + bm25_rank as double), 0.0) +
+          |coalesce(cast(1.0 as double) / cast(60 + vec_rank as double), 0.0)""".stripMargin))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+        round(col("rrf").cast("decimal(28,10)"), 6).cast("double").as("rrf_score"),
+        col("bm25_rank"), col("vec_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val hybridRrfOracle =
+    s"""WITH $bm25Sql,
+       |b AS (SELECT query_id, doc_id AS id, rank AS bm25_rank FROM branked WHERE rank <= 20),
+       |qe AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |qen AS (
+       |  SELECT vec_id, qv,
+       |         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS nrm
+       |  FROM qe),
+       |vqueries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qen WHERE vec_id < 10),
+       |vscored AS (
+       |  SELECT query_id, c.vec_id AS id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q_qv)), i -> q_qv[i] * c.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+       |  FROM qen c JOIN vqueries ON c.vec_id <> query_id),
+       |v AS (
+       |  SELECT query_id, id, vec_rank FROM (
+       |    SELECT query_id, id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS vec_rank
+       |    FROM vscored) r WHERE vec_rank <= 20),
+       |fused AS (
+       |  SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+       |         COALESCE(b.id, v.id) AS id, b.bm25_rank, v.vec_rank,
+       |         coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + b.bm25_rank AS DOUBLE), 0.0)
+       |           + coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + v.vec_rank AS DOUBLE), 0.0) AS rrf
+       |  FROM b FULL OUTER JOIN v ON v.query_id = b.query_id AND v.id = b.id),
+       |franked AS (
+       |  SELECT query_id, id, rrf, bm25_rank, vec_rank,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS rank
+       |  FROM fused)
+       |SELECT query_id, rank, id AS doc_id,
+       |       CAST(ROUND(CAST(rrf AS DECIMAL(28,10)), 6) AS DOUBLE) AS rrf_score,
+       |       bm25_rank, vec_rank
+       |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "text_bm25" -> (textBm25 _),
+    "hybrid_rrf" -> (hybridRrf _))
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25" -> textBm25Oracle,
+    "hybrid_rrf" -> hybridRrfOracle)
+}

@@ -889,6 +889,120 @@ object Similarity {
   private val simPqAdcTrainedOracle =
     pqOracle(3, "vec_id % 64", mCount = 16, subDim = 4)
 
+  // ---- dedup_semantic -------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+  // via the CLUSTER structure of the embedding space — assign every vector
+  // to its nearest learned cell (the IVF coarse quantizer — at 100 TB the
+  // serving index's assignment is reused, so clustering costs nothing
+  // extra), generate near-dup candidate pairs ONLY within a cell (the
+  // blocking that keeps the quadratic off the corpus: k cells cut
+  // candidate pairs by ~k; a skewed cell salts into sub-blocks exactly
+  // like dedup_embedding_cosine's label blocks), and for each pair above
+  // the cosine threshold DROP the member closer to the cell centroid —
+  // the paper's diversity rule: duplicates near the centroid are
+  // redundant with the cluster's bulk, outliers carry signal. The verdict
+  // is a pure function of the corpus (deterministic centroids, exact
+  // integer dots, fixed tie-breaks), so the oracle replays it exactly.
+  // vs dedup_embedding_cosine: blocks are LEARNED cells, not metadata
+  // labels, and the output is a per-vector keep/drop verdict, not a pair
+  // list — this is the operator a curation pipeline actually runs.
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val base = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("qv",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+      .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
+    val cent = base
+      .select(col("label").as("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("cd"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), x -> x.cd)")
+        .as("cvec"))
+      .withColumn("cnrm",
+        expr("aggregate(zip_with(cvec, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+    // nearest-cell argmin as a map-side-combining hash agg (the r7 PQ
+    // re-plan shape — no corpus-wide window): min(struct(-ccos, cell))
+    // maximizes ccos with ties to the smaller cell; double negation is
+    // exact, so ordering matches the oracle's ROW_NUMBER.
+    val assign = base.drop("label").filter(col("nrm") > 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("cdot",
+        expr("aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell")))
+        .as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        negate(col("best.nc")).as("ccos"))
+    val members = assign
+      .join(base.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+    val pairs = members.as("a").join(members.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.ccos").as("ca"), col("b.ccos").as("cb"),
+        expr("graft_dotq(a.embedding, b.embedding)").as("dot"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .filter(col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >= 0.35)
+    val losers = pairs.select(
+      when(col("ca") > col("cb"), col("id_a"))
+        .when(col("ca") < col("cb"), col("id_b"))
+        .otherwise(greatest(col("id_a"), col("id_b"))).as("vec_id")).distinct()
+    members.join(losers.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("ccos").cast("decimal(28,8)"), 4).cast("double").as("centroid_cos"),
+        col("dropped").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val dedupSemanticOracle =
+    s"""WITH $quantizedSql,
+       |qnl AS (SELECT qn.vec_id, e.label, qn.qv, qn.nrm
+       |        FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id),
+       |cpos AS (
+       |  SELECT cell, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd
+       |  FROM (SELECT label AS cell, unnest(qv) AS v,
+       |               unnest(generate_series(1, len(qv))) AS pos FROM qnl) t
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell, list(cd ORDER BY pos) AS cvec FROM cpos GROUP BY cell),
+       |centn AS (
+       |  SELECT cell, cvec,
+       |         CAST(list_sum(list_transform(generate_series(1, len(cvec)), i -> cvec[i] * cvec[i])) AS BIGINT) AS cnrm
+       |  FROM cent),
+       |scoredc AS (
+       |  SELECT qn.vec_id, c.cell,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(qn.qv)), i -> qn.qv[i] * c.cvec[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM qn CROSS JOIN centn c WHERE qn.nrm > 0),
+       |assign AS (
+       |  SELECT vec_id, cell, ccos FROM (
+       |    SELECT vec_id, cell, ccos,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rk
+       |    FROM scoredc) r WHERE rk = 1),
+       |members AS (
+       |  SELECT a.vec_id, a.cell, a.ccos, qn.qv, qn.nrm
+       |  FROM assign a JOIN qn ON qn.vec_id = a.vec_id),
+       |sim AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.ccos AS ca, b.ccos AS cb
+       |  FROM members a JOIN members b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+       |          / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.35),
+       |losers AS (
+       |  SELECT DISTINCT CASE WHEN ca > cb THEN id_a
+       |                       WHEN ca < cb THEN id_b
+       |                       ELSE greatest(id_a, id_b) END AS vec_id
+       |  FROM sim)
+       |SELECT m.vec_id, m.cell,
+       |       CAST(ROUND(CAST(m.ccos AS DECIMAL(28,8)), 4) AS DOUBLE) AS centroid_cos,
+       |       l.vec_id IS NULL AS keep
+       |FROM members m LEFT JOIN losers l ON l.vec_id = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
@@ -897,7 +1011,8 @@ object Similarity {
     "cluster_kmeans" -> (clusterKmeans _),
     "sim_pq_adc" -> (simPqAdc _),
     "sim_pq_adc_trained" -> (simPqAdcTrained _),
-    "sim_ivfpq" -> ((s: SparkSession, dir: String) => simIvfPq(s, dir)))
+    "sim_ivfpq" -> ((s: SparkSession, dir: String) => simIvfPq(s, dir)),
+    "dedup_semantic" -> (dedupSemantic _))
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
@@ -907,5 +1022,6 @@ object Similarity {
     "cluster_kmeans" -> clusterKmeansOracle,
     "sim_pq_adc" -> simPqAdcOracle,
     "sim_pq_adc_trained" -> simPqAdcTrainedOracle,
-    "sim_ivfpq" -> simIvfPqOracle)
+    "sim_ivfpq" -> simIvfPqOracle,
+    "dedup_semantic" -> dedupSemanticOracle)
 }

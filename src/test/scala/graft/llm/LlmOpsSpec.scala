@@ -289,6 +289,47 @@ class LlmOpsSpec extends SparkSpec {
       FakeCodec.decode(2L, riffJunk, "52494646"))
   }
 
+  test("semantic dedup: drops exactly the centroid-closer member of within-cell near-dup pairs") {
+    val out = Similarity.dedupSemantic(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == out.length,
+      "one verdict per vector")
+    val cell = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val ccos = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("centroid_cos")).toMap
+    val keep = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(keep.values.exists(_ == false) && keep.values.exists(_ == true),
+      "the verdict must be non-vacuous: some dropped, some kept")
+    // replay the pair predicate from the raw vectors (exact quantized dot)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1e6).toLong).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(va.map(x => x * x).sum.toDouble) *
+        math.sqrt(vb.map(x => x * x).sum.toDouble))
+    }
+    val ids = out.map(_.getAs[Long]("vec_id"))
+    val pairs = for {
+      a <- ids; b <- ids
+      if a < b && cell(a) == cell(b) && cos(a, b) >= 0.35
+    } yield (a, b)
+    assert(pairs.nonEmpty, "fixture must contain within-cell near-dup pairs")
+    // sufficiency on CLEARLY-ordered pairs (centroid_cos is rounded to 4
+    // decimals in the output, so only a >1e-3 gap pins which side loses)
+    pairs.foreach { case (a, b) =>
+      if (ccos(a) > ccos(b) + 1e-3)
+        assert(!keep(a), s"$a is centroid-closer than near-dup $b and must drop")
+      else if (ccos(b) > ccos(a) + 1e-3)
+        assert(!keep(b), s"$b is centroid-closer than near-dup $a and must drop")
+    }
+    // necessity: a dropped vector always has a near-dup partner in its cell
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    keep.collect { case (v, false) => v }.foreach { v =>
+      assert(paired.contains(v), s"$v dropped without any within-cell near-dup pair")
+    }
+  }
+
   test("text quality and langid stay inside one projection (no shuffle)") {
     val plan = TextAnalysis.textQuality(spark, sfDir)
       .queryExecution.executedPlan.toString

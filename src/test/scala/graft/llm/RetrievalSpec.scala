@@ -1,0 +1,94 @@
+package graft.llm
+
+import scala.math.BigDecimal.RoundingMode
+
+import graft.SparkSpec
+
+/** Behavior checks for the retrieval stack: an independent plain-Scala
+  * replay of the BM25 scoring pipeline, and the RRF fusion algebra checked
+  * row-by-row from the operator's own output columns. */
+class RetrievalSpec extends SparkSpec {
+
+  private def tokens(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  test("bm25: ranks contiguous, scores descending per query") {
+    val out = Retrieval.textBm25(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length),
+        s"query $q ranks must be contiguous from 1")
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores must be non-increasing in rank")
+    }
+  }
+
+  test("bm25: the engine's top-10 replays from a plain-Scala reimplementation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> tokens(r.getAs[String]("text")))
+      .filter(_._2.nonEmpty)
+    val nDocs = docs.length.toLong
+    val nToks = docs.map(_._2.length.toLong).sum
+    val tf = docs.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (d, t, g.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, g) => t -> g.length.toLong }
+    val dl = docs.toMap.map { case (d, ts) => d -> ts.length.toLong }
+    val queryId = docs.map(_._1).filter(_ < 10).min
+    val qterms = docs.toMap.apply(queryId).distinct.sorted.take(5).toSet
+    // identically-shaped double arithmetic, decimal(28,12) per-term cast,
+    // exact decimal sum, HALF_UP round-4 — the operator's determinism
+    // contract replayed outside Spark entirely
+    val scores = tf.filter { case (d, t, _) => d != queryId && qterms(t) }
+      .map { case (d, t, f) =>
+        val idf = 1.0 + ((nDocs - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5)
+        val norm = 0.3 + 0.9 * ((dl(d) * nDocs).toDouble / nToks.toDouble)
+        val c = idf * ((f.toDouble * 2.2) / (f.toDouble + norm))
+        d -> BigDecimal(c).setScale(12, RoundingMode.HALF_UP)
+      }
+      .groupBy(_._1).map { case (d, g) => d -> g.map(_._2).sum }
+    val expected = scores.toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
+    val got = Retrieval.textBm25(spark, sfDir).collect()
+      .filter(_.getAs[Long]("query_id") == queryId)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(got.map(_._1).toSeq == expected.map(_._1),
+      s"doc ranking must match the replay for query $queryId")
+    got.zip(expected).foreach { case ((d, s), (_, e)) =>
+      assert(s == e.setScale(4, RoundingMode.HALF_UP).toDouble,
+        s"score mismatch for doc $d")
+    }
+  }
+
+  test("hybrid_rrf: fused score is exactly the two-addend formula; ordering follows it") {
+    val out = Retrieval.hybridRrf(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    var both = 0; var single = 0
+    out.foreach { r =>
+      val b = if (r.isNullAt(r.fieldIndex("bm25_rank"))) None
+        else Some(r.getAs[Int]("bm25_rank"))
+      val v = if (r.isNullAt(r.fieldIndex("vec_rank"))) None
+        else Some(r.getAs[Int]("vec_rank"))
+      assert(b.isDefined || v.isDefined)
+      if (b.isDefined && v.isDefined) both += 1 else single += 1
+      val e = b.map(x => 1.0 / (60 + x).toDouble).getOrElse(0.0) +
+        v.map(x => 1.0 / (60 + x).toDouble).getOrElse(0.0)
+      val expected = BigDecimal(e).setScale(10, RoundingMode.HALF_UP)
+        .setScale(6, RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf_score") == expected,
+        s"rrf must equal its formula for ${r.getAs[Long]("doc_id")}")
+    }
+    assert(both > 0, "fusion must actually fuse: some doc ranked by both systems")
+    assert(single > 0, "some doc must come from a single system (coalesce path)")
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+      val s = sorted.map(_.getAs[Double]("rrf_score"))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b },
+        s"query $q fusion order must follow rrf desc")
+    }
+  }
+}
