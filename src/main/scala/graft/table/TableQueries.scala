@@ -241,6 +241,30 @@ object TableQueries {
       |WHERE o_orderkey BETWEEN 1000 AND 5000 AND o_custkey BETWEEN 1 AND 300
       |ORDER BY key""".stripMargin
 
+  // ---- table_zorder ---------------------------------------------------------
+  // OPTIMIZE ZORDER (r8): same degraded v1 as table_skipping_multi
+  // (round-robin partitions — wide stats, weak skipping), but the rewrite
+  // clusters on the MORTON interleave of (key, cust) instead of key
+  // alone. The compound read then prunes on BOTH columns' tightened
+  // stats at manifest resolution. Oracle = the plain two-predicate
+  // filter (clustering changes I/O, never rows); the spec pins the
+  // Z-order contract against one-dimensional clustering — a cust-only
+  // predicate prunes files after ZORDER that key-clustering cannot
+  // prune, while key pruning stays effective.
+  def tableZorder(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("zord")
+    val base = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("total"))
+    VersionedTable.commit(base.repartition(16), root,
+      changes = None, statsColumns = Seq("key", "cust"))
+    val v2 = VersionedTable.compactZorder(s, root, targetBytes = 64L << 10,
+      colA = "key", colB = "cust", statsColumns = Seq("key", "cust"))
+    VersionedTable.readVersionWhere(s, root, v2,
+      Seq(("key", 1000L, 5000L), ("cust", 1L, 300L)))
+      .orderBy(col("key"))
+  }
+
   // ---- table_schema_evolution -----------------------------------------------
   // Schema evolution THROUGH the commit log (r8): v1 is the 3-column
   // snapshot; v2 commits the same rows WIDENED by a derived column — in
@@ -320,6 +344,7 @@ object TableQueries {
     "table_incremental_read" -> (tableIncrementalRead _),
     "table_skipping_read" -> (tableSkippingRead _),
     "table_skipping_multi" -> (tableSkippingMulti _),
+    "table_zorder" -> (tableZorder _),
     "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_vacuum" -> (tableVacuum _),
     "table_vacuum_age" -> (tableVacuumAge _))
@@ -330,6 +355,7 @@ object TableQueries {
     "table_incremental_read" -> tableIncrementalReadOracle,
     "table_skipping_read" -> tableSkippingReadOracle,
     "table_skipping_multi" -> tableSkippingMultiOracle,
+    "table_zorder" -> tableSkippingMultiOracle, // same rows; clustering changes I/O only
     "table_schema_evolution" -> tableSchemaEvolutionOracle,
     "table_vacuum" -> sinkCompactOracle,
     "table_vacuum_age" -> sinkCompactOracle)

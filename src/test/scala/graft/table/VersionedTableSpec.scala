@@ -248,6 +248,50 @@ class VersionedTableSpec extends SparkSpec {
       preds :+ (("grp", 1L, 1L))).count() == 100) // keys 100..199
   }
 
+  test("z-order compaction prunes on BOTH dimensions where 1-D clustering prunes one (r8)") {
+    // k2 decorrelates from key (multiplier coprime to the modulus), so a
+    // key-clustered layout leaves every file spanning the whole k2 domain
+    // — the case 1-D clustering cannot serve and Z-ordering exists for
+    val wide = base().withColumn("k2", (col("key") * 7919L) % 1000L)
+    val rootA = freshRoot(); val rootB = freshRoot()
+    Seq(rootA, rootB).foreach { r =>
+      VersionedTable.commit(wide.repartition(8), r,
+        changes = None, statsColumns = Seq("key", "k2"))
+    }
+    val total = VersionedTable.manifest(rootA, 1)
+      .map(f => Files.size(Paths.get(f))).sum
+    val vA = VersionedTable.compactClustered(spark, rootA, total / 8,
+      clusterColumn = "key", statsColumns = Seq("key", "k2"))
+    val vB = VersionedTable.compactZorder(spark, rootB, total / 8,
+      colA = "key", colB = "k2", statsColumns = Seq("key", "k2"))
+    val nA = VersionedTable.manifest(rootA, vA).size
+    val nB = VersionedTable.manifest(rootB, vB).size
+    assert(nA >= 4 && nB >= 4, s"want multi-file layouts, got $nA / $nB")
+    val k2Pred = Seq(("k2", 0L, 100L))
+    val keyPred = Seq(("key", 100L, 200L))
+    val k2AfterCluster = VersionedTable.prunedFiles(rootA, vA, k2Pred)
+    val k2AfterZorder = VersionedTable.prunedFiles(rootB, vB, k2Pred)
+    assert(k2AfterCluster.size == nA,
+      s"independent second column should defeat 1-D clustering, pruned to ${k2AfterCluster.size}/$nA")
+    assert(k2AfterZorder.size < nB && k2AfterZorder.size < k2AfterCluster.size,
+      s"z-order must prune the second dimension: $nB files, ${k2AfterZorder.size} survive " +
+        s"(vs ${k2AfterCluster.size} under key-clustering)")
+    val keyAfterZorder = VersionedTable.prunedFiles(rootB, vB, keyPred)
+    assert(keyAfterZorder.size < nB,
+      s"z-order must still prune the first dimension: ${keyAfterZorder.size}/$nB")
+    // compound predicates intersect the survivor sets
+    val comp = VersionedTable.prunedFiles(rootB, vB, keyPred ++ k2Pred)
+    assert(comp.toSet.subsetOf(
+      keyAfterZorder.toSet.intersect(k2AfterZorder.toSet)))
+    // identity: the rewrite changes layout, never content
+    val got = VersionedTable.readVersion(spark, rootB, vB)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val want = wide.orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(got.sameElements(want))
+  }
+
   test("schema evolution: time travel across the boundary null-fills added columns (r8)") {
     val root = freshRoot()
     VersionedTable.commit(base(), root) // v1: (key, status, total)
