@@ -402,11 +402,14 @@ object StreamQueries {
     * `table_changes(v1, v3)` — which is the same relation
     * table_incremental_read's oracle states. The spec additionally proves
     * a commit arriving MID-STREAM lands as its own micro-batch. */
-  def streamCdfRead(s: SparkSession, dir: String): DataFrame = {
+  /** Stage the CDF-recording table both stream_cdf_read and
+    * stream_incremental_agg tail: v1 = the orders snapshot (no CDF),
+    * then the deterministic merge feed applied in two parity waves,
+    * each committing WITH its changeset. One helper so the staged log
+    * and its consumers can never drift. */
+  private def stageCdfTable(s: SparkSession, dir: String,
+      tableRoot: String): Unit = {
     import graft.table.VersionedTable
-    val id = runId.incrementAndGet()
-    val base = s"$qRoot/$id"
-    val tableRoot = s"$base/table"
     val orders = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
         col("o_totalprice").as("total"))
@@ -424,6 +427,13 @@ object StreamQueries {
         cur.join(gone, Seq("key"), "left_anti").unionAll(added),
         tableRoot, changes = Some(wave), statsColumns = Nil)
     }
+  }
+
+  def streamCdfRead(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val tableRoot = s"$base/table"
+    stageCdfTable(s, dir, tableRoot)
     val table = s"stream_cdf_$id"
     val q = withFewStatePartitions(s) {
       s.readStream.format("graft-cdf").option("root", tableRoot).load()
@@ -437,8 +447,108 @@ object StreamQueries {
     s.table(table).orderBy(col("key"), col("change"))
   }
 
+  /** Incremental VIEW MAINTENANCE from the change feed (r8) — the step
+    * after reading the CDF: a downstream AGGREGATE table (orders per
+    * status + revenue) maintained by DELTAS, never recomputed. Backfill
+    * once from the stream's start version, then every micro-batch folds
+    * its changeset in: old images (delete/update_pre) count −1/−total,
+    * new images (insert/update_post) +1/+total — signed counting handles
+    * group-CHANGING updates for free (−1 in the old group, +1 in the
+    * new). The maintained table is itself a versioned table committed
+    * per batch, so the derived aggregate has the same time-travel /
+    * exactly-once story as its source. The oracle is the full group-by
+    * over the CONVERGED snapshot — IVM must be indistinguishable from
+    * recompute. Totals aggregate in DECIMAL (exact, order-independent —
+    * double deltas would drift), which is what makes increment ≡
+    * recompute provable. At 100 TB: per batch one groupBy over a small
+    * changeset + one |groups|-row merge — the recompute it replaces
+    * scans the whole fact table. */
+  def streamIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.VersionedTable
+    val (_, aggRoot) = streamIncrementalAggStaged(s, dir)
+    VersionedTable.readLatest(s, aggRoot)
+      .select(col("status"), col("n_orders"),
+        round(col("sum_total"), 2).cast("double").as("sum_total"))
+      .orderBy(col("status"))
+  }
+
+  /** The staged run behind [[streamIncrementalAgg]], returning the source
+    * and aggregate table roots so the spec can compare every maintained
+    * aggregate version against a from-scratch recompute. */
+  private[streaming] def streamIncrementalAggStaged(
+      s: SparkSession, dir: String): (String, String) = {
+    import graft.table.VersionedTable
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val tableRoot = s"$base/table"
+    stageCdfTable(s, dir, tableRoot)
+    val aggRoot = s"$base/agg"
+    VersionedTable.commit( // backfill: the aggregate AS OF the start version
+      VersionedTable.readVersion(s, tableRoot, 1)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("total").cast("decimal(28,2)")).as("sum_total")),
+      aggRoot)
+    val q = withFewStatePartitions(s) {
+      s.readStream.format("graft-cdf").option("root", tableRoot).load()
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val deltas = batch
+            .withColumn("sgn",
+              when(col("change").isin("insert", "update_post"), 1).otherwise(-1))
+            .groupBy(col("status"))
+            .agg(sum(col("sgn")).as("dn"),
+              sum(col("total").cast("decimal(28,2)") * col("sgn")).as("dt"))
+          val cur = VersionedTable.readLatest(batch.sparkSession, aggRoot)
+          VersionedTable.commit(
+            cur.join(deltas, Seq("status"), "full_outer")
+              .select(col("status"),
+                (coalesce(col("n_orders"), lit(0L)) +
+                  coalesce(col("dn"), lit(0L))).as("n_orders"),
+                (coalesce(col("sum_total"), lit(0).cast("decimal(28,2)")) +
+                  coalesce(col("dt"), lit(0).cast("decimal(28,2)"))).as("sum_total"))
+              .filter(col("n_orders") > 0), // a group deleted away vanishes
+            aggRoot)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    (tableRoot, aggRoot)
+  }
+
+  /** Group-by over the converged final state (the streamMergeUpsert final
+    * relation) — what the incrementally-maintained aggregate must equal. */
+  private val streamIncrementalAggOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders),
+      |changes AS (
+      |  SELECT key, 'D' AS op, CAST(NULL AS VARCHAR) AS new_status,
+      |         CAST(NULL AS DOUBLE) AS new_total
+      |  FROM base WHERE key % 13 = 0
+      |  UNION ALL
+      |  SELECT key, 'U', 'X',
+      |         CAST(ROUND(CAST(total * 1.1 AS DECIMAL(18,4)), 2) AS DOUBLE)
+      |  FROM base WHERE key % 10 = 0 AND key % 13 <> 0
+      |  UNION ALL
+      |  SELECT -key, 'I', 'N', total
+      |  FROM base WHERE key % 97 = 0 AND key > 0),
+      |final AS (
+      |  SELECT COALESCE(b.key, c.key) AS key,
+      |         CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END AS status,
+      |         CASE WHEN c.op IS NOT NULL THEN c.new_total ELSE b.total END AS total
+      |  FROM base b FULL OUTER JOIN changes c ON c.key = b.key
+      |  WHERE c.op IS NULL OR c.op <> 'D')
+      |SELECT status, COUNT(*) AS n_orders,
+      |       CAST(ROUND(SUM(CAST(total AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_total
+      |FROM final GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "stream_cdf_read" -> (streamCdfRead _),
+    "stream_incremental_agg" -> (streamIncrementalAgg _),
     "stream_micro_batch" -> (streamMicroBatch _),
     "stream_dedup_ingest" -> (streamDedupIngest _),
     "stream_join_enrich" -> (streamJoinEnrich _),
@@ -450,6 +560,7 @@ object StreamQueries {
     // the streamed feed converges to the SAME relation as the batch CDF
     // read — one oracle, two read paths
     "stream_cdf_read" -> graft.table.TableQueries.oracles("table_incremental_read"),
+    "stream_incremental_agg" -> streamIncrementalAggOracle,
     "stream_micro_batch" -> streamMicroBatchOracle,
     "stream_dedup_ingest" -> streamDedupIngestOracle,
     "stream_join_enrich" -> streamJoinEnrichOracle,

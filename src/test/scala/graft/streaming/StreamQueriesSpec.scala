@@ -66,6 +66,41 @@ class StreamQueriesSpec extends SparkSpec {
       "RocksDB-backed ingest dedup diverged from the batch dedup")
   }
 
+  test("incremental agg maintenance: every maintained version equals a recompute (r8)") {
+    import org.apache.spark.sql.functions._
+    import graft.table.VersionedTable
+    val (tableRoot, aggRoot) = StreamQueries.streamIncrementalAggStaged(spark, sfDir)
+    val nAgg = VersionedTable.latestVersion(aggRoot)
+    assert(nAgg >= 2, s"want backfill + at least one delta commit, got $nAgg")
+    def recompute(sourceV: Int) =
+      VersionedTable.readVersion(spark, tableRoot, sourceV)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("total").cast("decimal(28,2)")).as("sum_total"))
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("status"), col("n_orders"),
+        col("sum_total").cast("decimal(38,2)"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    // backfill v1 ≡ recompute of source v1; final agg ≡ recompute of the
+    // converged source — increment must be indistinguishable from recompute
+    assert(snap(VersionedTable.readVersion(spark, aggRoot, 1)) ==
+      snap(recompute(1)), "backfill must equal the v1 recompute")
+    val sourceLatest = VersionedTable.latestVersion(tableRoot)
+    assert(snap(VersionedTable.readVersion(spark, aggRoot, nAgg)) ==
+      snap(recompute(sourceLatest)),
+      "maintained aggregate diverged from the recompute of the converged source")
+    // the feed's group-CHANGING updates actually moved mass: the update
+    // target group exists now and some original group shrank
+    val before = snap(VersionedTable.readVersion(spark, aggRoot, 1))
+      .map(t => t._1 -> t._2).toMap
+    val after = snap(VersionedTable.readVersion(spark, aggRoot, nAgg))
+      .map(t => t._1 -> t._2).toMap
+    assert(after.getOrElse("X", 0L) > 0L, "updates must create the 'X' group")
+    assert(before.exists { case (g, n) => after.getOrElse(g, 0L) < n },
+      "deletes/updates must shrink some original group")
+  }
+
   test("watermark drop-dup converges identically on RocksDB, metrics prove it") {
     val streamed = onRocksDb {
       StreamQueries.streamDropDupWatermark(spark, sfDir)
