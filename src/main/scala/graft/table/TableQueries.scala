@@ -241,6 +241,36 @@ object TableQueries {
       |WHERE o_orderkey BETWEEN 1000 AND 5000 AND o_custkey BETWEEN 1 AND 300
       |ORDER BY key""".stripMargin
 
+  // ---- table_bloom_point ----------------------------------------------------
+  // File-level BLOOM index (r8): the point-lookup complement of min/max
+  // skipping. The snapshot commits in ARRIVAL order (round-robin — every
+  // file's [min,max] spans the whole key domain, so stats prune NOTHING
+  // for a point predicate), but each file records a bloom over its keys
+  // in the manifest. The point read then opens only the ~one file that
+  // can hold the key — pruning by bloom at manifest resolution, zero
+  // data touched to decide. Oracle = the plain equality filter (the
+  // bloom's no-false-negatives contract means pruning changes I/O,
+  // never rows); the spec pins the strict-subset + no-false-negative
+  // properties across many keys. At 100 TB this is the needle-in-
+  // haystack path: ingest-ordered layouts are the COMMON state between
+  // OPTIMIZE runs, and blooms are what make key lookups O(1 file) there.
+  def tableBloomPoint(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("bloom")
+    val base = ordersBase(s, dir)
+    VersionedTable.commit(base.repartition(16), root,
+      changes = None, statsColumns = Nil, bloomColumns = Seq("key"))
+    val k = base.filter(col("key") >= 1000)
+      .agg(min(col("key"))).head().getLong(0)
+    VersionedTable.readVersionPoint(s, root, 1, "key", k)
+      .orderBy(col("key"))
+  }
+
+  private val tableBloomPointOracle =
+    """SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |FROM orders
+      |WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders WHERE o_orderkey >= 1000)
+      |ORDER BY key""".stripMargin
+
   // ---- table_zorder ---------------------------------------------------------
   // OPTIMIZE ZORDER (r8): same degraded v1 as table_skipping_multi
   // (round-robin partitions — wide stats, weak skipping), but the rewrite
@@ -345,6 +375,7 @@ object TableQueries {
     "table_skipping_read" -> (tableSkippingRead _),
     "table_skipping_multi" -> (tableSkippingMulti _),
     "table_zorder" -> (tableZorder _),
+    "table_bloom_point" -> (tableBloomPoint _),
     "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_vacuum" -> (tableVacuum _),
     "table_vacuum_age" -> (tableVacuumAge _))
@@ -356,6 +387,7 @@ object TableQueries {
     "table_skipping_read" -> tableSkippingReadOracle,
     "table_skipping_multi" -> tableSkippingMultiOracle,
     "table_zorder" -> tableSkippingMultiOracle, // same rows; clustering changes I/O only
+    "table_bloom_point" -> tableBloomPointOracle,
     "table_schema_evolution" -> tableSchemaEvolutionOracle,
     "table_vacuum" -> sinkCompactOracle,
     "table_vacuum_age" -> sinkCompactOracle)

@@ -88,10 +88,11 @@ object VersionedTable {
     * metadata-side: the change feed is written exactly once, and stats
     * come from parquet footers — the data files are never re-scanned. */
   def commit(df: DataFrame, root: String, changes: Option[DataFrame],
-      statsColumns: Seq[String]): Int = {
+      statsColumns: Seq[String], bloomColumns: Seq[String] = Nil): Int = {
     val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
     df.write.parquet(dataDir)
-    val dataLines = listParquet(dataDir).map { f =>
+    val dataFiles = listParquet(dataDir)
+    val dataLines = dataFiles.map { f =>
       val suffix = statsColumns.flatMap { c =>
         footerMinMax(f, c).map { case (lo, hi) => s"\t$c\t$lo\t$hi" }
       }.mkString
@@ -102,9 +103,30 @@ object VersionedTable {
       cdf.write.parquet(cDir)
       listParquet(cDir).map(f => s"C\t$f")
     }
+    // `B` records: a per-file BLOOM FILTER over an integer column — the
+    // point-lookup index min/max stats can't provide on an unclustered
+    // high-cardinality key (every file's [min,max] spans the domain, but
+    // each key lives in ~one file). Sized from the footer's exact row
+    // count at 1% fpp (~1.2 KB/1k rows), serialized into the manifest
+    // line. Built here by one column-pruned pass per new file; a
+    // production writer folds the same accumulation into the write task
+    // itself — the record format and read path are unchanged by that.
+    val bloomLines = for {
+      c <- bloomColumns
+      f <- dataFiles
+    } yield {
+      val n = math.max(footerRowCount(f), 1L)
+      val bf = df.sparkSession.read.parquet(f)
+        .select(col(c).cast("long").as(c))
+        .stat.bloomFilter(c, n, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      s"B\t$f\t$c\t$b64"
+    }
     // schema.json is single-line compact JSON (escapes control chars), so
     // it can never break the line-oriented, tab-separated manifest format
-    val lines = dataLines ++ changeLines :+ s"S\t${df.schema.json}"
+    val lines = dataLines ++ changeLines ++ bloomLines :+ s"S\t${df.schema.json}"
     var v = latestVersion(root) + 1
     while (!publish(root, v, lines)) v = latestVersion(root) + 1
     v
@@ -152,6 +174,17 @@ object VersionedTable {
         val ranges = perBlock.flatten
         Some((ranges.map(_._1).min, ranges.map(_._2).max))
       }
+    }
+  }
+
+  /** Exact row count from the parquet footer — O(footer), no data scan.
+    * Sizes the per-file bloom so its bit array fits the file exactly. */
+  private def footerRowCount(file: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+    Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { r =>
+      r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
     }
   }
 
@@ -205,9 +238,11 @@ object VersionedTable {
   }
 
   /** All FILE records of version v (data + changeset files; the `S`
-    * schema record is metadata, read via [[tableSchema]]). */
+    * schema and `B` bloom records are metadata, read via [[tableSchema]]
+    * resp. [[blooms]]). */
   def entries(root: String, v: Int): Seq[ManifestEntry] =
-    rawLines(root, v).filterNot(_.startsWith("S\t"))
+    rawLines(root, v)
+      .filterNot(l => l.startsWith("S\t") || l.startsWith("B\t"))
       .map { line =>
         line.split('\t') match {
           case Array(path) => ManifestEntry(path, change = false, Nil) // legacy
@@ -300,6 +335,50 @@ object VersionedTable {
   def readVersionWhere(s: SparkSession, root: String, v: Int,
       column: String, lo: Long, hi: Long): DataFrame =
     readVersionWhere(s, root, v, Seq((column, lo, hi)))
+
+  /** Version v's per-file bloom filters for `column` (empty map when the
+    * commit recorded none). Deserialized from the manifest's `B` records —
+    * driver-side metadata, KBs per file, no data touched. */
+  def blooms(root: String, v: Int,
+      column: String): Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    rawLines(root, v).filter(_.startsWith("B\t")).flatMap { line =>
+      line.split('\t') match {
+        case Array("B", path, c, b64) if c == column =>
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          Some(path -> org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes)))
+        case _ => None
+      }
+    }.toMap
+
+  /** The data files of version v that might contain `column = value`:
+    * a file whose bloom DEFINITIVELY excludes the value is pruned; a
+    * file without a bloom is conservatively kept; min/max stats (when
+    * also recorded) prune first. No false negatives by the bloom
+    * contract — a pruned file provably does not hold the key. */
+  def prunedFilesPoint(root: String, v: Int, column: String,
+      value: Long): Seq[String] = {
+    val bf = blooms(root, v, column)
+    prunedFiles(root, v, Seq((column, value, value))).filter { f =>
+      bf.get(f).forall(_.mightContainLong(value))
+    }
+  }
+
+  /** Bloom-pruned point lookup `VERSION AS OF v WHERE column = value`:
+    * manifest resolution drops every file whose bloom (or stats) rules
+    * the key out — the scan opens only possible holders. The empty-
+    * survivor case falls back to the full list purely to carry the
+    * schema (the row filter returns zero rows either way — the
+    * readVersionWhere convention). On an UNCLUSTERED high-cardinality
+    * key this is the difference between opening every file and opening
+    * ~one: min/max stats are useless when every file spans the key
+    * domain, which is exactly the layout ingest order produces. */
+  def readVersionPoint(s: SparkSession, root: String, v: Int,
+      column: String, value: Long): DataFrame = {
+    val files = prunedFilesPoint(root, v, column, value)
+    val src = if (files.nonEmpty) files else manifest(root, v)
+    s.read.parquet(src: _*).filter(col(column) === value)
+  }
 
   /** The change feed between two versions, answered from the commit LOG:
     * the union of every intermediate commit's recorded changeset files —

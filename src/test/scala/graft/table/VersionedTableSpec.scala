@@ -292,6 +292,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("bloom point lookups open a strict file subset with no false negatives (r8)") {
+    val root = freshRoot()
+    VersionedTable.commit(base().repartition(8), root,
+      changes = None, statsColumns = Nil, bloomColumns = Seq("key"))
+    val all = VersionedTable.manifest(root, 1)
+    assert(all.size == 8)
+    assert(VersionedTable.blooms(root, 1, "key").keySet == all.toSet,
+      "every data file must carry a bloom for the indexed column")
+    // which file actually holds each key (ground truth via one full scan)
+    val holder = VersionedTable.readVersion(spark, root, 1)
+      .select(col("key"), input_file_name().as("f"))
+      .collect().map(r => r.getLong(0) -> new java.net.URI(r.getString(1)).getPath)
+      .toMap
+    var prunedTotal = 0
+    (1L to 1000L by 53L).foreach { k =>
+      val survivors = VersionedTable.prunedFilesPoint(root, 1, "key", k)
+      assert(survivors.contains(holder(k)),
+        s"bloom pruning dropped the file that holds key $k — false negative")
+      prunedTotal += all.size - survivors.size
+      val got = VersionedTable.readVersionPoint(spark, root, 1, "key", k)
+      assert(got.count() == 1 && got.head().getAs[Long]("key") == k)
+      val opened = got.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+      assert(opened.subsetOf(survivors.toSet),
+        "the scan must open only bloom-surviving files")
+    }
+    assert(prunedTotal > 0,
+      "blooms must prune SOME files across the probed keys (1% fpp, 8 files)")
+    // a key that exists nowhere: blooms may prune everything; zero rows
+    assert(VersionedTable.readVersionPoint(spark, root, 1, "key", 5000L)
+      .count() == 0)
+  }
+
   test("schema evolution: time travel across the boundary null-fills added columns (r8)") {
     val root = freshRoot()
     VersionedTable.commit(base(), root) // v1: (key, status, total)
