@@ -370,6 +370,41 @@ object Analytics {
       | AND a.o_orderkey <> b.o_orderkey
       |ORDER BY orderkey_a, orderkey_b""".stripMargin
 
+  /** Blocked FUZZY join — entity resolution (r8): near-identical names
+    * matched by edit distance without ever going all-pairs. Blocking is
+    * the dedup_ngram_jaccard discipline applied to record linkage: an
+    * EQUI-join on a cheap block key (first character) bounds candidates,
+    * a length-band prefilter (|len(a)−len(b)| ≤ 2 lower-bounds edit
+    * distance, so it rejects before the O(len²) kernel runs), and only
+    * survivors pay `levenshtein` — Spark's codegen'd expression, the
+    * identical textbook unit-cost edit distance DuckDB implements, so
+    * the distances (not just the match set) hash-match. At 100 TB the
+    * block key graduates to phonetic/prefix+length composites with the
+    * corpus-relative hot-block cap, but the plan shape — equi-join,
+    * cheap rejector, expensive verifier last — is this one. */
+  def joinFuzzyBlock(s: SparkSession, dir: String): DataFrame = {
+    val names = load(s, dir, "part").select(col("p_name").as("name")).distinct()
+      .withColumn("blk", expr("substring(name, 1, 1)"))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .filter(abs(length(col("a.name")) - length(col("b.name"))) <= 2)
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 3)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  private val joinFuzzyBlockOracle =
+    """WITH p AS (SELECT DISTINCT p_name AS name FROM part)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |       levenshtein(a.name, b.name) AS dist
+      |FROM p a JOIN p b
+      |  ON substring(a.name, 1, 1) = substring(b.name, 1, 1)
+      | AND a.name < b.name
+      |WHERE abs(length(a.name) - length(b.name)) <= 2
+      |  AND levenshtein(a.name, b.name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   /** Salted skew join, oracle-checked end to end: events (big, potentially
     * hot user_ids) join a per-customer dimension through
     * `Scale.saltedJoin` — the big side salts on a row-unique hash, the
@@ -1015,6 +1050,7 @@ object Analytics {
     "join_asof" -> (joinAsof _),
     "join_asof_prev" -> (joinAsofPrev _),
     "join_range_bucketed" -> (joinRangeBucketed _),
+    "join_fuzzy_block" -> (joinFuzzyBlock _),
     "join_skew_salted" -> (joinSkewSalted _),
     "agg_median" -> (aggMedian _),
     "filter_nonempty" -> (filterNonempty _),
@@ -1051,6 +1087,7 @@ object Analytics {
     "join_asof" -> joinAsofOracle,
     "join_asof_prev" -> joinAsofPrevOracle,
     "join_range_bucketed" -> joinRangeBucketedOracle,
+    "join_fuzzy_block" -> joinFuzzyBlockOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,
     "agg_median" -> aggMedianSql,
     "filter_nonempty" -> filterNonemptyOracle,

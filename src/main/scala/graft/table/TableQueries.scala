@@ -241,6 +241,28 @@ object TableQueries {
       |WHERE o_orderkey BETWEEN 1000 AND 5000 AND o_custkey BETWEEN 1 AND 300
       |ORDER BY key""".stripMargin
 
+  // ---- table_agg_pushdown ---------------------------------------------------
+  // Metadata aggregate pushdown (r8): COUNT/MIN/MAX answered from the
+  // manifest + parquet footers alone — the Iceberg "metadata table"
+  // answer to the classic dashboard query. The key commits the snapshot
+  // with key stats and asks metaAgg for (n_rows, min_key, max_key): row
+  // counts sum footer block counts (null-inclusive, = COUNT(*)), ranges
+  // fold the manifest's per-file [min,max] (null-exclusive, = MIN/MAX).
+  // The oracle runs the real aggregation — pushdown must be
+  // indistinguishable from the scan it avoids. At 100 TB this turns a
+  // full-table scan into an O(files) driver-side metadata walk.
+  def tableAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("magg")
+    VersionedTable.commit(ordersBase(s, dir).repartition(8), root,
+      changes = None, statsColumns = Seq("key"))
+    VersionedTable.metaAgg(s, root, 1, "key")
+  }
+
+  private val tableAggPushdownOracle =
+    """SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
+      |       MAX(o_orderkey) AS max_key
+      |FROM orders""".stripMargin
+
   // ---- table_bloom_point ----------------------------------------------------
   // File-level BLOOM index (r8): the point-lookup complement of min/max
   // skipping. The snapshot commits in ARRIVAL order (round-robin — every
@@ -376,6 +398,7 @@ object TableQueries {
     "table_skipping_multi" -> (tableSkippingMulti _),
     "table_zorder" -> (tableZorder _),
     "table_bloom_point" -> (tableBloomPoint _),
+    "table_agg_pushdown" -> (tableAggPushdown _),
     "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_vacuum" -> (tableVacuum _),
     "table_vacuum_age" -> (tableVacuumAge _))
@@ -388,6 +411,7 @@ object TableQueries {
     "table_skipping_multi" -> tableSkippingMultiOracle,
     "table_zorder" -> tableSkippingMultiOracle, // same rows; clustering changes I/O only
     "table_bloom_point" -> tableBloomPointOracle,
+    "table_agg_pushdown" -> tableAggPushdownOracle,
     "table_schema_evolution" -> tableSchemaEvolutionOracle,
     "table_vacuum" -> sinkCompactOracle,
     "table_vacuum_age" -> sinkCompactOracle)

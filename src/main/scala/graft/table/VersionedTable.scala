@@ -380,6 +380,29 @@ object VersionedTable {
     s.read.parquet(src: _*).filter(col(column) === value)
   }
 
+  /** Metadata-only aggregates (the Iceberg metadata-aggregate pushdown):
+    * `COUNT(*)` from footer row counts, `MIN/MAX(column)` from manifest
+    * stats — falling back to one footer read for files committed without
+    * stats — so the classic dashboard query answers in O(files) footer
+    * metadata without reading a single data page. Semantics match SQL
+    * exactly: footer row counts include null rows (COUNT(*)), footer
+    * min/max exclude nulls (MIN/MAX). Version-pinned like any other read
+    * — aggregating v1 after later commits sees v1's files only. */
+  def metaAgg(s: SparkSession, root: String, v: Int,
+      column: String): DataFrame = {
+    val files = entries(root, v).filterNot(_.change)
+    val nRows = files.map(e => footerRowCount(e.path)).sum
+    val ranges = files.map { e =>
+      e.stats.find(_.column == column).map(fs => (fs.min, fs.max))
+        .orElse(footerMinMax(e.path, column))
+        .getOrElse(throw new IllegalStateException(
+          s"no usable stats for '$column' in ${e.path} — cannot push down"))
+    }
+    import s.implicits._
+    Seq((nRows, ranges.map(_._1).min, ranges.map(_._2).max))
+      .toDF("n_rows", s"min_$column", s"max_$column")
+  }
+
   /** The change feed between two versions, answered from the commit LOG:
     * the union of every intermediate commit's recorded changeset files —
     * metadata resolution plus a scan of only those (small) files, never

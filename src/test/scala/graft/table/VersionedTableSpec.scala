@@ -292,6 +292,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("metadata aggregates equal the scan and stay version-pinned (r8)") {
+    val root = freshRoot()
+    VersionedTable.commit(base().repartition(8), root,
+      changes = None, statsColumns = Seq("key"))
+    def real(v: Int) = {
+      val r = VersionedTable.readVersion(spark, root, v)
+        .agg(count(lit(1)), min(col("key")), max(col("key"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def meta(v: Int) = {
+      val r = VersionedTable.metaAgg(spark, root, v, "key").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(meta(1) == real(1) && meta(1) == ((1000L, 1L, 1000L)))
+    // v2 deletes a key range WITHOUT stats — the fallback path reads the
+    // new files' footers; v1's metadata answer must not move
+    VersionedTable.commit(
+      VersionedTable.readVersion(spark, root, 1)
+        .filter(col("key") > 100), root)
+    assert(meta(2) == real(2) && meta(2)._2 == 101L)
+    assert(meta(1) == ((1000L, 1L, 1000L)), "v1 metadata aggregate moved")
+  }
+
   test("bloom point lookups open a strict file subset with no false negatives (r8)") {
     val root = freshRoot()
     VersionedTable.commit(base().repartition(8), root,
