@@ -241,6 +241,31 @@ object TableQueries {
       |WHERE o_orderkey BETWEEN 1000 AND 5000 AND o_custkey BETWEEN 1 AND 300
       |ORDER BY key""".stripMargin
 
+  // ---- table_restore --------------------------------------------------------
+  // RESTORE TO VERSION AS OF (r8): v1 = snapshot, v2 = a destructive
+  // rewrite (the merge's deletes/updates applied), v3 = RESTORE to v1 —
+  // a pure manifest copy, no data moved. The latest read must equal the
+  // ORIGINAL snapshot (identity oracle), which is only possible if the
+  // restore re-listed v1's immutable files rather than rewriting
+  // anything. The spec additionally pins that restore writes no new data
+  // directories, that v2 stays time-travelable after the restore, and
+  // that a vacuum keeping only the restored version preserves the files
+  // it shares with v1. This is the operational "undo a bad MERGE" path —
+  // at 100 TB it is a KB manifest write.
+  def tableRestore(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("rest")
+    VersionedTable.commit(ordersBase(s, dir), root) // v1
+    val snap = VersionedTable.readLatest(s, root)   // the bad rewrite: v2
+    VersionedTable.commit(snap.filter(col("key") % 13 =!= 0)
+      .withColumn("total", col("total") * 2), root)
+    VersionedTable.restore(root, 1)                 // v3 = v1, by metadata
+    VersionedTable.readLatest(s, root).orderBy(col("key"))
+  }
+
+  private val tableRestoreOracle =
+    """SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |FROM orders ORDER BY key""".stripMargin
+
   // ---- table_agg_pushdown ---------------------------------------------------
   // Metadata aggregate pushdown (r8): COUNT/MIN/MAX answered from the
   // manifest + parquet footers alone — the Iceberg "metadata table"
@@ -399,6 +424,7 @@ object TableQueries {
     "table_zorder" -> (tableZorder _),
     "table_bloom_point" -> (tableBloomPoint _),
     "table_agg_pushdown" -> (tableAggPushdown _),
+    "table_restore" -> (tableRestore _),
     "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_vacuum" -> (tableVacuum _),
     "table_vacuum_age" -> (tableVacuumAge _))
@@ -412,6 +438,7 @@ object TableQueries {
     "table_zorder" -> tableSkippingMultiOracle, // same rows; clustering changes I/O only
     "table_bloom_point" -> tableBloomPointOracle,
     "table_agg_pushdown" -> tableAggPushdownOracle,
+    "table_restore" -> tableRestoreOracle,
     "table_schema_evolution" -> tableSchemaEvolutionOracle,
     "table_vacuum" -> sinkCompactOracle,
     "table_vacuum_age" -> sinkCompactOracle)

@@ -380,6 +380,26 @@ object VersionedTable {
     s.read.parquet(src: _*).filter(col(column) === value)
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF v (the Delta RESTORE contract):
+    * publish a NEW version whose file list is version v's — a pure
+    * manifest copy, no data read or written, so restoring a 100 TB table
+    * is a KB-sized metadata operation. History stays intact (the undone
+    * versions remain time-travelable until VACUUM ages them out), and
+    * because the restore is itself a commit, it CAS-races like any
+    * other writer. Returns the new version number. */
+  def restore(root: String, toVersion: Int): Int = {
+    // D/B/S records carry over (the restored version's files, blooms and
+    // schema ARE the new version's); `C` records do not — the restore
+    // commit made no row-level changes of its own, and re-listing v's
+    // changeset would make a CDF range read re-emit history (readers
+    // diffing across a restore fall back to the snapshot diff, which is
+    // the correct feed).
+    val lines = rawLines(root, toVersion).filterNot(_.startsWith("C\t"))
+    var v = latestVersion(root) + 1
+    while (!publish(root, v, lines)) v = latestVersion(root) + 1
+    v
+  }
+
   /** Metadata-only aggregates (the Iceberg metadata-aggregate pushdown):
     * `COUNT(*)` from footer row counts, `MIN/MAX(column)` from manifest
     * stats — falling back to one footer read for files committed without

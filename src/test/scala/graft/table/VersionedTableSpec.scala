@@ -292,6 +292,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("restore republishes an old version by metadata alone; history and vacuum compose (r8)") {
+    val root = freshRoot()
+    VersionedTable.commit(base(), root) // v1: 1000 rows
+    VersionedTable.commit( // v2: the bad rewrite
+      VersionedTable.readVersion(spark, root, 1).filter(col("key") > 500), root)
+    def dataDirs() =
+      scala.util.Using.resource(Files.list(Paths.get(s"$root/data"))) { st =>
+        st.toArray.map(_.toString).toSet
+      }
+    val before = dataDirs()
+    val v3 = VersionedTable.restore(root, 1)
+    assert(v3 == 3 && dataDirs() == before,
+      "restore must write no data directories — manifest copy only")
+    assert(VersionedTable.manifest(root, 3) == VersionedTable.manifest(root, 1),
+      "the restored version must list exactly v1's files")
+    assert(VersionedTable.readLatest(spark, root).count() == 1000)
+    assert(VersionedTable.readVersion(spark, root, 2).count() == 500,
+      "the undone version stays time-travelable until vacuumed")
+    // vacuum to only the restored version: files it shares with v1 must
+    // survive the sweep (v2's exclusive files go)
+    VersionedTable.vacuum(root, keepVersions = 1)
+    assert(VersionedTable.readLatest(spark, root).count() == 1000)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, root, 2).count()
+    }
+  }
+
   test("metadata aggregates equal the scan and stay version-pinned (r8)") {
     val root = freshRoot()
     VersionedTable.commit(base().repartition(8), root,
