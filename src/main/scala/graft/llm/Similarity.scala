@@ -889,6 +889,27 @@ object Similarity {
   private val simPqAdcTrainedOracle =
     pqOracle(3, "vec_id % 64", mCount = 16, subDim = 4)
 
+  /** The label-seeded coarse quantizer as a standalone artifact: k rows of
+    * (cell, cvec, cnrm) — the broadcast dimension every IVF-family
+    * operator assigns against, exposed so streaming INGEST can assign
+    * newly-arriving vectors to the same deterministic cells
+    * (StreamQueries.streamIndexIngest). */
+  def coarseCentroids(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    load(s, dir, "embeddings")
+      .select(col("label").as("cell"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+          .as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("cd"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), x -> x.cd)")
+        .as("cvec"))
+      .withColumn("cnrm",
+        expr("aggregate(zip_with(cvec, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+  }
+
   // ---- dedup_semantic -------------------------------------------------------
   // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
   // via the CLUSTER structure of the embedding space — assign every vector

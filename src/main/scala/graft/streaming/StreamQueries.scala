@@ -519,6 +519,109 @@ object StreamQueries {
     (tableRoot, aggRoot)
   }
 
+  /** Streaming ANN-index INGEST (r8) — the index-maintenance loop a
+    * serving deployment runs: vectors arrive in waves, each micro-batch
+    * assigns its NEW vectors against the offline-trained coarse
+    * quantizer (a static broadcast k-row dimension — the
+    * stream_join_enrich shape) and appends the postings to a VERSIONED
+    * index table, so the ANN index inherits time travel + exactly-once
+    * from the table tier. Assignment is the same hash-agg argmin as
+    * dedup_semantic (min(struct(−ccos, cell)) — deterministic ties), and
+    * the converged index must equal the one-shot batch assignment the
+    * oracle states: ingest order cannot leak into the index. At 100 TB
+    * the per-batch cost is |new vectors| × k against broadcast
+    * centroids — the corpus is never rescanned, and cell-partitioned
+    * postings serve sim_ivfpq unchanged. */
+  def streamIndexIngest(s: SparkSession, dir: String): DataFrame = {
+    val indexRoot = streamIndexIngestStaged(s, dir)
+    graft.table.VersionedTable.readLatest(s, indexRoot)
+      .orderBy(col("vec_id"))
+  }
+
+  private[streaming] def streamIndexIngestStaged(
+      s: SparkSession, dir: String): String = {
+    import graft.table.VersionedTable
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val indexRoot = s"$base/index"
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // two arrival waves by vec_id parity, one file each → two micro-batches
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$base/src")
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$base/src")
+    // the quantizer trains OFFLINE; ingest only assigns against it
+    val cent = graft.llm.Similarity.coarseCentroids(s, dir).localCheckpoint()
+    val q = withFewStatePartitions(s) {
+      s.readStream.schema(s.read.parquet(s"$base/src").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.expressions.GraftFunctions.register(batch.sparkSession)
+          val assigned = batch
+            .withColumn("qv", expr(
+              "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+            .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
+            .filter(col("nrm") > 0)
+            .crossJoin(broadcast(cent))
+            .withColumn("cdot", expr(
+              "aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+            .withColumn("ccos", col("cdot").cast("double") /
+              (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(negate(col("ccos")).as("nc"), col("cell").as("cell")))
+              .as("best"))
+            .select(col("vec_id"), col("best.cell").as("cell"))
+          val next =
+            if (VersionedTable.latestVersion(indexRoot) == 0) assigned
+            else VersionedTable.readLatest(batch.sparkSession, indexRoot)
+              .unionAll(assigned)
+          VersionedTable.commit(next, indexRoot)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    indexRoot
+  }
+
+  /** The one-shot batch assignment the streamed ingest must converge to —
+    * the sim_ivf_ann inverted-list CTE with the zero-norm guard. */
+  private val streamIndexIngestOracle =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |qn AS (
+      |  SELECT vec_id, qv,
+      |         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS nrm
+      |  FROM q),
+      |qnl AS (SELECT qn.vec_id, e.label, qn.qv, qn.nrm
+      |        FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id),
+      |cpos AS (
+      |  SELECT cell, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd
+      |  FROM (SELECT label AS cell, unnest(qv) AS v,
+      |               unnest(generate_series(1, len(qv))) AS pos FROM qnl) t
+      |  GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT cell, list(cd ORDER BY pos) AS cvec FROM cpos GROUP BY cell),
+      |centn AS (
+      |  SELECT cell, cvec,
+      |         CAST(list_sum(list_transform(generate_series(1, len(cvec)), i -> cvec[i] * cvec[i])) AS BIGINT) AS cnrm
+      |  FROM cent),
+      |scoredc AS (
+      |  SELECT qn.vec_id, c.cell,
+      |         CAST(CAST(list_sum(list_transform(generate_series(1, len(qn.qv)), i -> qn.qv[i] * c.cvec[i])) AS BIGINT) AS DOUBLE)
+      |           / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+      |  FROM qn CROSS JOIN centn c WHERE qn.nrm > 0)
+      |SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cell,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rk
+      |  FROM scoredc) r WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
+
   /** Group-by over the converged final state (the streamMergeUpsert final
     * relation) — what the incrementally-maintained aggregate must equal. */
   private val streamIncrementalAggOracle =
@@ -549,6 +652,7 @@ object StreamQueries {
   val queries: Map[String, Q] = Map[String, Q](
     "stream_cdf_read" -> (streamCdfRead _),
     "stream_incremental_agg" -> (streamIncrementalAgg _),
+    "stream_index_ingest" -> (streamIndexIngest _),
     "stream_micro_batch" -> (streamMicroBatch _),
     "stream_dedup_ingest" -> (streamDedupIngest _),
     "stream_join_enrich" -> (streamJoinEnrich _),
@@ -561,6 +665,7 @@ object StreamQueries {
     // read — one oracle, two read paths
     "stream_cdf_read" -> graft.table.TableQueries.oracles("table_incremental_read"),
     "stream_incremental_agg" -> streamIncrementalAggOracle,
+    "stream_index_ingest" -> streamIndexIngestOracle,
     "stream_micro_batch" -> streamMicroBatchOracle,
     "stream_dedup_ingest" -> streamDedupIngestOracle,
     "stream_join_enrich" -> streamJoinEnrichOracle,

@@ -101,6 +101,26 @@ class StreamQueriesSpec extends SparkSpec {
       "deletes/updates must shrink some original group")
   }
 
+  test("streaming index ingest: one version per wave, converges to the batch assignment (r8)") {
+    import org.apache.spark.sql.functions._
+    import graft.table.VersionedTable
+    val root = StreamQueries.streamIndexIngestStaged(spark, sfDir)
+    val n = VersionedTable.latestVersion(root)
+    assert(n == 2, s"two arrival waves must commit two index versions, got $n")
+    val v1 = VersionedTable.readVersion(spark, root, 1).count()
+    val v2 = VersionedTable.readVersion(spark, root, 2).count()
+    assert(v1 > 0 && v1 < v2, s"index must GROW across waves: $v1 -> $v2")
+    // ingest order cannot leak into the index: the converged postings
+    // equal the batch assignment (dedup_semantic's cell column is the
+    // same guarded argmin over the same quantizer)
+    val streamed = VersionedTable.readVersion(spark, root, 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet
+    val batch = graft.llm.Similarity.dedupSemantic(spark, sfDir)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet
+    assert(streamed == batch, "streamed index diverged from the batch assignment")
+  }
+
   test("watermark drop-dup converges identically on RocksDB, metrics prove it") {
     val streamed = onRocksDb {
       StreamQueries.streamDropDupWatermark(spark, sfDir)
