@@ -241,6 +241,34 @@ object TableQueries {
       |WHERE o_orderkey BETWEEN 1000 AND 5000 AND o_custkey BETWEEN 1 AND 300
       |ORDER BY key""".stripMargin
 
+  // ---- table_orphan_cleanup -------------------------------------------------
+  // Orphan-file cleanup (r8): a writer that crashes between its data
+  // write and its CAS publish leaves a full uuid directory no manifest
+  // references — invisible to every read, but real storage. The key
+  // stages exactly that (a parquet dir written under data/ with no
+  // commit), ages it past the grace window, sweeps, and reads the
+  // latest version — which must be byte-for-byte the original snapshot
+  // (identity oracle): cleanup may only ever delete what no manifest
+  // lists. The spec pins the live-writer protection (inside-grace files
+  // survive), the sweep itself, and idempotence. With VACUUM (version
+  // retention), RESTORE (undo), OPTIMIZE/ZORDER (layout) this completes
+  // the table-maintenance suite a long-lived 100 TB deployment runs.
+  def tableOrphanCleanup(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("orph")
+    VersionedTable.commit(ordersBase(s, dir), root) // v1
+    val orphan = s"$root/data/crashed-${java.util.UUID.randomUUID()}"
+    ordersBase(s, dir).limit(10).coalesce(1).write.parquet(orphan)
+    // the test clock: push the crashed writer's files out of the window
+    val old = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 86_400_000L)
+    scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(orphan))) { st =>
+      st.forEach(p => java.nio.file.Files.setLastModifiedTime(p, old))
+    }
+    VersionedTable.cleanOrphans(root, graceMillis = 3_600_000L)
+    VersionedTable.readLatest(s, root).orderBy(col("key"))
+  }
+
   // ---- table_restore --------------------------------------------------------
   // RESTORE TO VERSION AS OF (r8): v1 = snapshot, v2 = a destructive
   // rewrite (the merge's deletes/updates applied), v3 = RESTORE to v1 —
@@ -425,6 +453,7 @@ object TableQueries {
     "table_bloom_point" -> (tableBloomPoint _),
     "table_agg_pushdown" -> (tableAggPushdown _),
     "table_restore" -> (tableRestore _),
+    "table_orphan_cleanup" -> (tableOrphanCleanup _),
     "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_vacuum" -> (tableVacuum _),
     "table_vacuum_age" -> (tableVacuumAge _))
@@ -439,6 +468,7 @@ object TableQueries {
     "table_bloom_point" -> tableBloomPointOracle,
     "table_agg_pushdown" -> tableAggPushdownOracle,
     "table_restore" -> tableRestoreOracle,
+    "table_orphan_cleanup" -> tableRestoreOracle, // identity: cleanup never touches committed data
     "table_schema_evolution" -> tableSchemaEvolutionOracle,
     "table_vacuum" -> sinkCompactOracle,
     "table_vacuum_age" -> sinkCompactOracle)

@@ -563,6 +563,44 @@ object VersionedTable {
   /** Shared pruning core: delete each doomed version's files not shared
     * with a retained version, drop its manifest, sweep emptied
     * data/changes uuid-dirs. */
+  /** ORPHAN cleanup: delete data/changeset files no manifest references —
+    * the debris a writer that crashed between its data write and its CAS
+    * publish leaves behind (commit() writes data FIRST, so a lost process
+    * orphans exactly one uuid directory). Only files older than
+    * `graceMillis` go: a LIVE writer mid-commit looks identical to a
+    * crashed one, and the grace window (hold it longer than your longest
+    * commit) is what tells them apart — the same reader-lease contract as
+    * age-based VACUUM. Committed files are never touched: the keep set is
+    * the union of EVERY live manifest's records, so cleanup is safe to run
+    * concurrently with readers at any version. Returns deleted paths. */
+  def cleanOrphans(root: String, graceMillis: Long): Seq[String] = {
+    val latest = latestVersion(root)
+    val referenced = (1 to latest)
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap(v => entries(root, v).map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val orphans = Seq("data", "changes").map(d => Paths.get(s"$root/$d"))
+      .filter(Files.isDirectory(_))
+      .flatMap { top =>
+        Using.resource(Files.list(top))(_.iterator().asScala.toList)
+      }
+      .filter(Files.isDirectory(_))
+      .flatMap { dir =>
+        val files = Using.resource(Files.list(dir))(
+          _.iterator().asScala.toList)
+        val parquet = files.filter(_.getFileName.toString.endsWith(".parquet"))
+        val allOrphaned = parquet.nonEmpty &&
+          parquet.forall(p => !referenced.contains(p.toAbsolutePath.toString) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+        if (allOrphaned) {
+          files.foreach(Files.deleteIfExists)
+          Files.deleteIfExists(dir)
+          parquet.map(_.toAbsolutePath.toString)
+        } else Nil
+      }
+    orphans
+  }
+
   private def prune(root: String, doomed: Seq[Int],
       retained: Seq[Int]): Seq[String] = {
     val keepFiles = retained

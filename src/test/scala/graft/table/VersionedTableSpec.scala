@@ -292,6 +292,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("orphan cleanup deletes only unreferenced, out-of-grace files; idempotent (r8)") {
+    val root = freshRoot()
+    VersionedTable.commit(base(), root) // v1
+    val orphan = s"$root/data/crashed-test"
+    base().limit(5).coalesce(1).write.parquet(orphan)
+    // inside the grace window = maybe a LIVE writer mid-commit: untouched
+    assert(VersionedTable.cleanOrphans(root, graceMillis = 3_600_000L).isEmpty)
+    assert(Files.isDirectory(Paths.get(orphan)), "in-grace orphan must survive")
+    // age it out; the sweep takes the dir, committed files stay
+    val old = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 86_400_000L)
+    scala.util.Using.resource(Files.list(Paths.get(orphan))) { st =>
+      st.forEach(p => Files.setLastModifiedTime(p, old))
+    }
+    val deleted = VersionedTable.cleanOrphans(root, graceMillis = 3_600_000L)
+    assert(deleted.nonEmpty && !Files.exists(Paths.get(orphan)),
+      s"aged orphan dir must be swept, deleted=$deleted")
+    assert(deleted.forall(_.contains("crashed-test")),
+      "only the orphaned directory's files may be deleted")
+    assert(VersionedTable.readLatest(spark, root).count() == 1000,
+      "committed data untouched")
+    assert(VersionedTable.cleanOrphans(root, graceMillis = 3_600_000L).isEmpty,
+      "rerun must be a no-op")
+  }
+
   test("restore republishes an old version by metadata alone; history and vacuum compose (r8)") {
     val root = freshRoot()
     VersionedTable.commit(base(), root) // v1: 1000 rows
