@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables.load
@@ -439,13 +440,82 @@ object Dedup {
 
   private val dedupClustersOracle = clustersOracleFrom(lshCtes, "documents")
 
+  // ---- dedup_substring ------------------------------------------------------
+  // Substring-level dedup (the "dedup the span, not the document" step of
+  // training-data pipelines): every 8-token sliding window is hashed, a
+  // window whose hash occurs more than once ANYWHERE in the corpus (other
+  // docs or a repeat within the same doc) is a duplicated span, and each
+  // document reports how much of it is duplicated. Doc-level dedup keeps one
+  // copy of a boilerplate paragraph per distinct page; this finds the
+  // paragraph itself.
+  //
+  // Topology: one projection explodes ~n_tokens windows per doc (same fan-out
+  // class as the shingle index), then ONE exchange on the 32-byte window hash
+  // feeds a count-over-window (sort within hash partitions, spillable), then
+  // one hash-agg back on doc_id. No joins against the corpus, no all-pairs
+  // anything: cost is linear in total tokens at any scale, and the window
+  // width is the only knob.
+  private val SubstringW = 8
+
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringOver(s, load(s, dir, "documents"))
+
+  private[llm] def dedupSubstringOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val w = SubstringW
+    // sequence(1, n) is DESCENDING for n < 1, so short docs guard to array()
+    val wins = docs
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(
+           |  CASE WHEN size(toks) >= $w THEN sequence(1, size(toks) - $w + 1)
+           |       ELSE array() END,
+           |  p -> md5(concat_ws(' ', slice(toks, p, $w))))""".stripMargin))
+        .as("wh"))
+    val cnt = Window.partitionBy(col("wh"))
+    val perDoc = wins
+      .withColumn("n_occ", count(lit(1)).over(cnt))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("has_dup_span", col("n_dup_windows") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstringOracle = {
+    val w = SubstringW
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, md5(array_to_string(toks[p : p + $w - 1], ' ')) AS wh
+       |  FROM t, UNNEST(range(1, len(toks) - $w + 2)) AS u(p)),
+       |c AS (SELECT wh, COUNT(*) AS n_occ FROM w GROUP BY wh),
+       |perdoc AS (
+       |  SELECT w.doc_id, COUNT(*) AS n_windows,
+       |         CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+       |  FROM w JOIN c USING (wh) GROUP BY w.doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(p.n_windows, 0) AS n_windows,
+       |       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       |       COALESCE(p.n_dup_windows, 0) > 0 AS has_dup_span
+       |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_substring" -> (dedupSubstring _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactOracle,
@@ -453,5 +523,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle,
-    "dedup_clusters" -> dedupClustersOracle)
+    "dedup_clusters" -> dedupClustersOracle,
+    "dedup_substring" -> dedupSubstringOracle)
 }

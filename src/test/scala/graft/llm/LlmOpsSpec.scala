@@ -337,4 +337,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 <= 1,
       s"per-row text ops must not shuffle:\n$plan")
   }
+
+  test("substring dedup flags the shared span, not the whole document") {
+    import spark.implicits._
+    // docs 1 and 2 share an 8-token span inside otherwise-different text;
+    // doc 3 is disjoint; doc 4 is too short to have any window
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"intro a b $shared outro c d"),
+      (2L, s"different words entirely $shared and a tail"),
+      (3L, "nothing here repeats nine ten eleven twelve thirteen"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstringOver(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows")))
+      .toMap
+    // the shared 8-gram occurs in both docs → exactly 1 dup window each
+    assert(out(1L)._2 == 1 && out(2L)._2 == 1,
+      s"both span carriers flag exactly the shared window: $out")
+    assert(out(1L)._2 < out(1L)._1, "only the span is flagged, not the doc")
+    assert(out(3L) == (1L, 0L), "disjoint doc has windows but no dups")
+    assert(out(4L) == (0L, 0L), "sub-window doc reports zero windows")
+  }
+
+  test("substring dedup plan: one exchange on the window hash + the doc re-agg (no joins into the corpus)") {
+    val plan = Dedup.dedupSubstring(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must stay linear:\n$plan")
+  }
 }
