@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // the generated-class cache defaults to 100 entries — a 147-query
       // suite evicts everything between passes, so every measured pass
@@ -122,5 +123,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir","queries":$slow,"note":"slowest 12 of ${times.size} keys; full per-query timings in BENCH_LOCAL.json"}""")
     spark.stop()
+    // a red key must fail the run, not just ride along in the artifact
+    // (r8: six erroring keys shipped under exit code 0). The errors map is
+    // printed above and persisted in BENCH_LOCAL.json before we bail.
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"BENCH FAILED: ${errors.size} erroring key(s): ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata (TESTDATA.md / FIXTURES.md §A).
   *
@@ -19,13 +19,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-    // for; with spark.sql.legacy.parquet.nanosAsLong=true (set by every
-    // session builder in this repo) it surfaces as epoch-nanos INT64.
-    // Truncate to micros — the same thing DuckDB's ns→µs cast does.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts has shipped in three parquet vintages, and an engine must
+    // read any writer's files (the reference learned the same lesson at the
+    // value layer — etl_final_fix.py:23-31 exists because ISO-format drift
+    // broke its load). Normalize all three to a proper TIMESTAMP:
+    //  - TIMESTAMP(NANOS): no native Spark type; with
+    //    spark.sql.legacy.parquet.nanosAsLong=true (set by every session
+    //    builder here) it surfaces as epoch-nanos INT64 — truncate to
+    //    micros, the same thing DuckDB's ns→µs cast does.
+    //  - untagged timestamp[us] (isAdjustedToUTC=false): Spark 3.4+ reads it
+    //    as TIMESTAMP_NTZ when inferTimestampNTZ is on — cast to TIMESTAMP,
+    //    exact under this repo's pinned UTC session timezone. Builders also
+    //    set inferTimestampNTZ.enabled=false so new sessions never see NTZ,
+    //    but the cast keeps load correct under default configs too.
+    //  - tagged timestamp[us]: already TimestampType, pass through.
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    } else df
   }
 
   /** Register every testdata table as a temp view so `spark.sql` query text
