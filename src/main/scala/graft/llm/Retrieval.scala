@@ -37,6 +37,11 @@ object Retrieval {
 
   private val toksE = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** The BM25 keys' query set: docs with doc_id below this bound. One
+    * constant interpolated into both the engine and the oracle SQL
+    * (the [[Similarity.AnnQueryCount]] discipline, text side). */
+  private val QueryDocCount = 10
+
   /** BM25(k1=1.2, b=0.75) over the word-token corpus: queries are docs
     * 0..9, each represented by its first 5 lexicographically-sorted
     * distinct tokens (sorted so the query term set is deterministic in
@@ -60,7 +65,7 @@ object Retrieval {
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
     // tf rows are unique per (doc, term), so df is a plain count
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qterms = docs.filter(col("doc_id") < 10)
+    val qterms = docs.filter(col("doc_id") < QueryDocCount)
       .select(col("doc_id").as("query_id"),
         explode(expr("slice(array_sort(array_distinct(toks)), 1, 5)")).as("term"))
     // query terms ⋈ df first (≤50 rows), then broadcast into the posting
@@ -87,7 +92,7 @@ object Retrieval {
     * doc_id, sc, rank)`. N/T come from a scalar CTE instead of driver
     * literals — same values, identically-shaped arithmetic. */
   private val bm25Sql =
-    """docs AS (
+    s"""docs AS (
       |  SELECT doc_id,
       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
       |  FROM documents),
@@ -99,7 +104,7 @@ object Retrieval {
       |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
       |qt AS (
       |  SELECT doc_id AS query_id, unnest(list_sort(list_distinct(toks))[1:5]) AS term
-      |  FROM base WHERE doc_id < 10),
+      |  FROM base WHERE doc_id < $QueryDocCount),
       |contrib AS (
       |  SELECT q.query_id, t.doc_id,
       |         CAST(
@@ -146,7 +151,7 @@ object Retrieval {
     val emb = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
-    val vq = emb.filter(col("vec_id") < 10)
+    val vq = emb.filter(col("vec_id") < Similarity.AnnQueryCount)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val wV = Window.partitionBy(col("query_id"))
@@ -184,7 +189,7 @@ object Retrieval {
        |  SELECT vec_id, qv,
        |         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS nrm
        |  FROM qe),
-       |vqueries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qen WHERE vec_id < 10),
+       |vqueries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qen WHERE vec_id < ${Similarity.AnnQueryCount}),
        |vscored AS (
        |  SELECT query_id, c.vec_id AS id,
        |         CAST(list_sum(list_transform(generate_series(1, len(q_qv)), i -> q_qv[i] * c.qv[i])) AS DOUBLE)

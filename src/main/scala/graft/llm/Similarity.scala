@@ -26,11 +26,16 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** The PQ keys' query set: vectors with vec_id below this bound. ONE
-    * constant interpolated into both the engine (`pqServe`) and the
-    * oracle builder (`pqOracle`) so the two sides can never silently
-    * disagree on the query count. */
-  private val PqQueryCount = 10
+  /** The ANN keys' query set: vectors with vec_id below this bound. ONE
+    * constant interpolated into both the engine and the oracle builders
+    * (here and in Retrieval's hybrid key) so the two sides can never
+    * silently disagree on the query count. */
+  private[llm] val AnnQueryCount = 10
+
+  /** The LSH keys' wider query set — more queries so bucket-collision
+    * recall is measurable at sf0.001 corpus sizes. Same one-constant
+    * discipline as [[AnnQueryCount]]. */
+  private[llm] val LshQueryCount = 50
 
   /** Corpus with the native quantized self-dot (see HashExpressions.DotQ —
     * bit-identical to the declarative quantize/zip_with/aggregate chain the
@@ -55,7 +60,7 @@ object Similarity {
   // ---- sim_topk_bruteforce --------------------------------------------------
   def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
-    val queries = corpus.filter(col("vec_id") < 10)
+    val queries = corpus.filter(col("vec_id") < AnnQueryCount)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -75,7 +80,7 @@ object Similarity {
 
   private val simTopkBruteforceOracle =
     s"""WITH $quantizedSql,
-       |queries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qn WHERE vec_id < 10),
+       |queries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qn WHERE vec_id < $AnnQueryCount),
        |scored AS (
        |  SELECT query_id, c.vec_id AS neighbor_id,
        |         CAST(list_sum(list_transform(generate_series(1, len(q_qv)), i -> q_qv[i] * c.qv[i])) AS DOUBLE)
@@ -108,7 +113,7 @@ object Similarity {
 
   def simLshAnn(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir).withColumn("bucket", expr(bucketE))
-    val queries = corpus.filter(col("vec_id") < 50)
+    val queries = corpus.filter(col("vec_id") < LshQueryCount)
       .select(col("vec_id").as("query_id"), col("bucket").as("q_bucket"),
         col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = corpus.join(broadcast(queries),
@@ -138,7 +143,7 @@ object Similarity {
        |  FROM qn),
        |queries AS (
        |  SELECT vec_id AS query_id, bucket AS q_bucket, qv AS q_qv, nrm AS q_nrm
-       |  FROM bucketed WHERE vec_id < 50),
+       |  FROM bucketed WHERE vec_id < $LshQueryCount),
        |scored AS (
        |  SELECT query_id, c.vec_id AS neighbor_id,
        |         CAST(list_sum(list_transform(generate_series(1, len(q_qv)), i -> q_qv[i] * c.qv[i])) AS DOUBLE)
@@ -174,7 +179,7 @@ object Similarity {
           |  (case when element_at(embedding, 9 + tb) > 0 then 2 else 0 end) +
           |  (case when element_at(embedding, 17 + tb) > 0 then 4 else 0 end) +
           |  (case when element_at(embedding, 25 + tb) > 0 then 8 else 0 end) as int)""".stripMargin))
-    val queries = bucketed.filter(col("vec_id") < 50)
+    val queries = bucketed.filter(col("vec_id") < LshQueryCount)
       .select(col("vec_id").as("query_id"), col("tb").as("q_tb"),
         col("bucket").as("q_bucket"))
     // candidate = same (table, bucket) in ANY table — distinct'd before
@@ -189,7 +194,7 @@ object Similarity {
     val scored = cand
       .join(emb.select(col("vec_id").as("neighbor_id"),
         col("embedding"), col("nrm")), "neighbor_id")
-      .join(broadcast(emb.filter(col("vec_id") < 50)
+      .join(broadcast(emb.filter(col("vec_id") < LshQueryCount)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"))), "query_id")
       .select(col("query_id"), col("neighbor_id"),
@@ -219,7 +224,7 @@ object Similarity {
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM bucketed q JOIN bucketed c
        |    ON c.tb = q.tb AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 50),
+       |  WHERE q.vec_id < $LshQueryCount),
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |         CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
@@ -280,9 +285,9 @@ object Similarity {
       .orderBy(col("ccos").desc, col("cell"))
     val ranked = scoredCent.withColumn("rk", row_number().over(wA))
     val lists = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cell"))
-    val probes = ranked.filter(col("vec_id") < 10 && col("rk") <= nprobe)
+    val probes = ranked.filter(col("vec_id") < AnnQueryCount && col("rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
-    val qvecs = base.filter(col("vec_id") < 10)
+    val qvecs = base.filter(col("vec_id") < AnnQueryCount)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val scored = lists.join(broadcast(probes), "cell")
@@ -327,7 +332,7 @@ object Similarity {
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rk
        |  FROM scoredc),
        |lists AS (SELECT vec_id, cell FROM assign WHERE rk = 1),
-       |probes AS (SELECT vec_id AS query_id, cell FROM assign WHERE vec_id < 10 AND rk <= 2),
+       |probes AS (SELECT vec_id AS query_id, cell FROM assign WHERE vec_id < $AnnQueryCount AND rk <= 2),
        |cand AS (
        |  SELECT p.query_id, l.vec_id AS neighbor_id
        |  FROM probes p JOIN lists l ON l.cell = p.cell AND l.vec_id <> p.query_id),
@@ -566,11 +571,11 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("best.cell").as("cell"))
     // query tables from the QUERY subvectors only (r7): the broadcast
     // side was previously the full corpus-x-cells distance relation
-    // filtered to vec_id < 10 — executing the whole join to keep 10
+    // filtered to vec_id < AnnQueryCount — executing the whole join to keep
     // vectors' rows. Restricting the input instead makes the table
     // build O(queries x cells); identical rows, and the corpus-scale
     // distance join now runs exactly once (for the codes).
-    val dtab = pqDists(sub.filter(col("vec_id") < PqQueryCount), cb)
+    val dtab = pqDists(sub.filter(col("vec_id") < AnnQueryCount), cb)
       .select(col("vec_id").as("query_id"), col("m"), col("cell"), col("d"))
     val adc = codes.join(broadcast(dtab), Seq("m", "cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -690,13 +695,13 @@ object Similarity {
     // window here runs over the query set, not the corpus)
     val wP = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell"))
-    val probes = scoredCent.filter(col("vec_id") < PqQueryCount)
+    val probes = scoredCent.filter(col("vec_id") < AnnQueryCount)
       .withColumn("rk", row_number().over(wP))
       .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell").as("ivf_cell"))
     // per-(query, probed cell) residual distance tables
     val qresid = probes
-      .join(broadcast(base.filter(col("vec_id") < PqQueryCount)
+      .join(broadcast(base.filter(col("vec_id") < AnnQueryCount)
         .select(col("vec_id").as("query_id"), col("qv"))), Seq("query_id"))
       .join(broadcast(cent.select(col("cell").as("ivf_cell"), col("cvec"))),
         Seq("ivf_cell"))
@@ -759,7 +764,7 @@ object Similarity {
        |  FROM scoredc),
        |lists AS (SELECT vec_id, cell FROM assign WHERE rk = 1),
        |probes AS (SELECT vec_id AS query_id, cell FROM assign
-       |           WHERE vec_id < $PqQueryCount AND rk <= $nprobe),
+       |           WHERE vec_id < $AnnQueryCount AND rk <= $nprobe),
        |resid AS (
        |  SELECT l.vec_id, l.cell AS ivf_cell,
        |         list_transform(generate_series(1, len(qn.qv)), i -> qn.qv[i] - c.cvec[i]) AS rv
@@ -872,7 +877,7 @@ object Similarity {
        |    SELECT vec_id, m, cell,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rk
        |    FROM dists) t WHERE rk = 1),
-       |dtab AS (SELECT vec_id AS query_id, m, cell, d FROM dists WHERE vec_id < $PqQueryCount),
+       |dtab AS (SELECT vec_id AS query_id, m, cell, d FROM dists WHERE vec_id < $AnnQueryCount),
        |adc AS (
        |  SELECT t.query_id, c.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
        |  FROM codes c JOIN dtab t ON t.m = c.m AND t.cell = c.cell

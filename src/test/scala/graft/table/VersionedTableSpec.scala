@@ -184,6 +184,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.prunedFiles(root, 1, "absent", 0L, 1L).size == 8)
   }
 
+  test("a stats-less file is never pruned: absent footer stats mean keep, not skip (r9)") {
+    // hasNonNullValue=false can mean "stats not written", not only
+    // "all null" — a writer that omits column statistics is legal parquet.
+    // footerMinMax must record NO stats for such a file (all-or-nothing),
+    // so readVersionWhere conservatively keeps it instead of wrongly
+    // pruning rows that are actually in range. Stage the writer: Spark's
+    // parquet sink honors parquet.column.statistics.enabled from the
+    // session hadoop conf.
+    val root = freshRoot()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "parquet.column.statistics.enabled"
+    hc.set(key, "false")
+    try VersionedTable.commit(base().repartitionByRange(8, col("key")), root,
+      changes = None, statsColumns = Seq("key"))
+    finally hc.unset(key)
+    // the manifest recorded no stats for any file (not an under-covering
+    // range from whatever subset happened to be statted)
+    assert(VersionedTable.entries(root, 1).forall(_.stats.isEmpty))
+    // so no file is pruned, and the filtered read still sees every row
+    assert(VersionedTable.prunedFiles(root, 1, "key", 100L, 150L).size == 8)
+    assert(VersionedTable.readVersionWhere(spark, root, 1, "key", 100L, 150L)
+      .count() == 51)
+  }
+
   test("age-based vacuum prunes outside the window; pinned readers inside survive (r7)") {
     import java.nio.file.attribute.FileTime
     val root = freshRoot()
