@@ -1,0 +1,34 @@
+#!/bin/bash
+# CI gate — the `.github/workflows/ci.yml:27-34` analog (reference runs
+# pytest + flake8 on every push). One command, run locally or from the
+# workflow: compile, full ScalaTest suite, and a lint pass. Exits nonzero
+# on the first failure so a red tree can't merge looking green — this is
+# the gate that would have caught r8's 7 timestamp-vintage test failures
+# at commit time instead of at the round boundary.
+set -euo pipefail
+
+REPO_DIR="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$REPO_DIR"
+
+echo "== lint =="
+# No unimplemented stubs may ship in main source.
+if grep -rn '???' src/main/scala --include='*.scala'; then
+  echo "LINT FAIL: ??? stub in src/main" >&2
+  exit 1
+fi
+# No focused/ignored tests left behind.
+if grep -rnE '\b(ignore|it only)\(' src/test/scala --include='*.scala'; then
+  echo "LINT FAIL: ignored/focused test in src/test" >&2
+  exit 1
+fi
+# No tab characters (repo convention is 2-space indent).
+if grep -rnP '\t' src --include='*.scala'; then
+  echo "LINT FAIL: tab character in source" >&2
+  exit 1
+fi
+echo "lint ok"
+
+echo "== compile + test =="
+sbt -batch compile Test/compile test
+
+echo "CI PASSED"
