@@ -1029,7 +1029,51 @@ object Similarity {
        |FROM members m LEFT JOIN losers l ON l.vec_id = m.vec_id
        |ORDER BY m.vec_id""".stripMargin
 
+  // ---- sim_range_search -----------------------------------------------------
+  // Radius search — every corpus vector within cosine >= tau of each query,
+  // the retrieval mode top-k can't express (near-duplicate harvesting, "all
+  // evidence above a similarity bar"). Same topology as the brute-force
+  // baseline — queries broadcast against one corpus scan — but with NO
+  // per-query window: a threshold filter needs no sort at all, so the whole
+  // operator is scan + broadcast-hash-join + filter, embarrassingly parallel
+  // at 100 TB (top-k pays a per-query TakeOrdered; range search pays
+  // nothing). Threshold semantics follow dedup_embedding_cosine: exact
+  // integer dot products, the compare on the derived double — identical
+  // inputs → identical IEEE arithmetic in both engines.
+  private val RangeTau = 0.25
+
+  def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val queries = corpus.filter(col("vec_id") < AnnQueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_dotq(q_emb, embedding)").as("dot"),
+        col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+      .filter(col("cos") >= RangeTau)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos").cast("decimal(28,8)"), 4).cast("double").as("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  private val simRangeSearchOracle =
+    s"""WITH $quantizedSql,
+       |queries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qn WHERE vec_id < $AnnQueryCount),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q_qv)), i -> q_qv[i] * c.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+       |  FROM qn c JOIN queries ON c.vec_id <> query_id)
+       |SELECT query_id, neighbor_id,
+       |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
+       |FROM scored WHERE cos >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "sim_range_search" -> (simRangeSearch _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_lsh_multitable" -> (simLshMultitable _),
@@ -1041,6 +1085,7 @@ object Similarity {
     "dedup_semantic" -> (dedupSemantic _))
 
   val oracles: Map[String, String] = Map(
+    "sim_range_search" -> simRangeSearchOracle,
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_lsh_ann" -> simLshAnnOracle,
     "sim_lsh_multitable" -> simLshMultitableOracle,

@@ -20,7 +20,7 @@ object TextAnalysis {
     * includes \x0B in \s while DuckDB's RE2 does not, and Spark's SQL string
     * parser mangles unknown backslash escapes — literal chars behave
     * identically in both engines. */
-  private val ws = "[ \t\n\u000B\f\r]+"
+  private[llm] val ws = "[ \t\n\u000B\f\r]+"
 
   // ---- text_token_count -----------------------------------------------------
   // Whitespace tokens vs regex word-tokens (the BPE-ish split) vs distinct.

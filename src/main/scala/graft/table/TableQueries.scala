@@ -443,7 +443,40 @@ object TableQueries {
     VersionedTable.readVersion(s, root, v2).orderBy(col("key"))
   }
 
+  // ---- table_merge_on_read --------------------------------------------------
+  // DELETE without rewriting data: v1 is the orders snapshot; v2 is
+  // commitDeletes(key % 7 = 0) — an equality-delete `E` record carried
+  // alongside v1's untouched data files (the spec pins manifest(v2) ==
+  // manifest(v1)). Reading v2 through the log must subtract exactly the
+  // deleted keys via the broadcast anti-join, while v1 still serves every
+  // row — the merge-on-read contract both Iceberg (equality deletes) and
+  // Delta (deletion vectors) implement, and the only delete economics
+  // that work at 100 TB (KBs of metadata instead of rewriting every
+  // touched file). The oracle restates both versions from the raw table.
+  def tableMergeOnRead(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("mor")
+    val base = ordersBase(s, dir)
+    VersionedTable.commit(base, root) // v1: the snapshot
+    VersionedTable.commitDeletes(
+      base.filter(col("key") % 7 === 0).select(col("key")), root, "key") // v2
+    val v1 = VersionedTable.readVersion(s, root, 1)
+      .select(lit("v1").as("version"), col("key"), col("status"), col("total"))
+    val v2 = VersionedTable.readVersion(s, root, 2)
+      .select(lit("v2").as("version"), col("key"), col("status"), col("total"))
+    v1.unionAll(v2).orderBy(col("version"), col("key"))
+  }
+
+  private val tableMergeOnReadOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders)
+      |SELECT 'v1' AS version, key, status, total FROM base
+      |UNION ALL
+      |SELECT 'v2' AS version, key, status, total FROM base WHERE key % 7 <> 0
+      |ORDER BY version, key""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "table_merge_on_read" -> (tableMergeOnRead _),
     "table_time_travel" -> (tableTimeTravel _),
     "sink_compact" -> (sinkCompact _),
     "table_incremental_read" -> (tableIncrementalRead _),
@@ -459,6 +492,7 @@ object TableQueries {
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
+    "table_merge_on_read" -> tableMergeOnReadOracle,
     "table_time_travel" -> tableTimeTravelOracle,
     "sink_compact" -> sinkCompactOracle,
     "table_incremental_read" -> tableIncrementalReadOracle,

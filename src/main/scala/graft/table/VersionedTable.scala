@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{types, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, max, min}
+import org.apache.spark.sql.functions.{broadcast, col, expr, max, min}
 
 /** Minimal copy-on-write table format with a commit log — the transactional
   * read surface the merge_upsert family's "version swap" stands in for
@@ -68,10 +68,12 @@ object VersionedTable {
   /** Footer min/max of one integer column over one data file. */
   final case class FileStats(column: String, min: Long, max: Long)
 
-  /** One manifest record: a data or changeset file, with stats for zero
-    * or more columns (r8 — multi-column skipping index). */
+  /** One manifest record: a data, changeset, or equality-delete file,
+    * with stats for zero or more columns (r8 — multi-column skipping
+    * index). `delete` holds the deleted key column for `E` records (r9 —
+    * merge-on-read DELETE). */
   final case class ManifestEntry(path: String, change: Boolean,
-      stats: Seq[FileStats])
+      stats: Seq[FileStats], delete: Option[String] = None)
 
   /** Commit `df` as the next version of the table at `root`; returns the
     * committed version number. Copy-on-write: only writes new files, once
@@ -129,6 +131,32 @@ object VersionedTable {
     val lines = dataLines ++ changeLines ++ bloomLines :+ s"S\t${df.schema.json}"
     var v = latestVersion(root) + 1
     while (!publish(root, v, lines)) v = latestVersion(root) + 1
+    v
+  }
+
+  /** Merge-on-read DELETE (r9): commit a new version that subtracts every
+    * row whose `column` appears in `keys` — WITHOUT rewriting a single
+    * data file. The keys are written once as an equality-delete file
+    * (Iceberg's equality-delete contract; Delta's deletion-vector shape
+    * at key rather than position granularity) and the manifest carries
+    * the previous version's data/bloom/schema records forward verbatim
+    * plus the new `E` record; reads resolve the subtraction with a
+    * broadcast anti-join. This is the 100 TB delete path: dropping 0.001%
+    * of a table costs KBs of metadata + the key file, where copy-on-write
+    * would rewrite every touched file — compaction later folds the
+    * deletes into data files and commits a delete-free snapshot. Prior
+    * `C` records are not carried (this commit's own change feed is the
+    * deletion itself; a CDF range read across it falls back to the
+    * snapshot diff, the restore() convention). */
+  def commitDeletes(keys: DataFrame, root: String, column: String): Int = {
+    val base = latestVersion(root)
+    require(base >= 1, s"cannot DELETE from an empty table at $root")
+    val dDir = s"$root/deletes/${java.util.UUID.randomUUID()}"
+    keys.select(col(column)).distinct().write.parquet(dDir)
+    val eLines = listParquet(dDir).map(f => s"E\t$f\t$column")
+    val carried = rawLines(root, base).filterNot(_.startsWith("C\t"))
+    var v = base + 1
+    while (!publish(root, v, carried ++ eLines)) v = latestVersion(root) + 1
     v
   }
 
@@ -247,6 +275,8 @@ object VersionedTable {
         line.split('\t') match {
           case Array(path) => ManifestEntry(path, change = false, Nil) // legacy
           case Array("C", path) => ManifestEntry(path, change = true, Nil)
+          case Array("E", path, column) =>
+            ManifestEntry(path, change = false, Nil, delete = Some(column))
           case parts if parts.length >= 2 && parts(0) == "D" &&
               (parts.length - 2) % 3 == 0 =>
             val stats = parts.drop(2).grouped(3).map {
@@ -265,18 +295,43 @@ object VersionedTable {
       types.DataType.fromJson(l.substring(2)).asInstanceOf[types.StructType]
     }
 
+  /** Version v's DATA records (excludes changeset and delete files). */
+  private def dataEntries(root: String, v: Int): Seq[ManifestEntry] =
+    entries(root, v).filter(e => !e.change && e.delete.isEmpty)
+
   /** The frozen DATA file list of version v. */
   def manifest(root: String, v: Int): Seq[String] =
-    entries(root, v).filterNot(_.change).map(_.path)
+    dataEntries(root, v).map(_.path)
 
   /** The changeset files commit v recorded ([] when it recorded none). */
   def changeFiles(root: String, v: Int): Seq[String] =
     entries(root, v).filter(_.change).map(_.path)
 
+  /** Version v's equality-delete records, grouped by deleted column. */
+  def deleteFiles(root: String, v: Int): Map[String, Seq[String]] =
+    entries(root, v).collect {
+      case ManifestEntry(p, _, _, Some(c)) => (c, p)
+    }.groupBy(_._1).map { case (c, ps) => (c, ps.map(_._2)) }
+
+  /** Merge-on-read resolution: anti-join `df` against every delete
+    * column's key files of version v. The delete files are tiny relative
+    * to data (the whole point of MOR), so each anti-join broadcasts —
+    * at 100 TB the deleted-key set rides to every executor and the scan
+    * itself never re-shuffles. No-op for versions with no `E` records. */
+  private def applyDeletes(s: SparkSession, root: String, v: Int,
+      df: DataFrame): DataFrame =
+    deleteFiles(root, v).foldLeft(df) { case (acc, (c, files)) =>
+      val keys = s.read.parquet(files: _*).select(col(c)).distinct()
+      acc.join(broadcast(keys), Seq(c), "left_anti")
+    }
+
   /** Snapshot-isolated `VERSION AS OF v` read: the scan is pinned to the
-    * manifest's immutable files — later commits are invisible. */
+    * manifest's immutable files — later commits are invisible. A version
+    * holding equality-delete records serves the DELETED view (the
+    * merge-on-read contract: the data files still contain the rows; the
+    * read subtracts them). */
   def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
-    s.read.parquet(manifest(root, v): _*)
+    applyDeletes(s, root, v, s.read.parquet(manifest(root, v): _*))
 
   /** Latest-version read (what an unpinned reader sees). */
   def readLatest(s: SparkSession, root: String): DataFrame =
@@ -292,7 +347,7 @@ object VersionedTable {
   def readVersionEvolved(s: SparkSession, root: String, v: Int): DataFrame = {
     val target = tableSchema(root, latestVersion(root))
       .getOrElse(readLatest(s, root).schema) // pre-r8 table: infer once
-    s.read.schema(target).parquet(manifest(root, v): _*)
+    applyDeletes(s, root, v, s.read.schema(target).parquet(manifest(root, v): _*))
   }
 
   /** The data files of version v that survive EVERY predicate's stats
@@ -302,7 +357,7 @@ object VersionedTable {
     * conservatively kept by that predicate. */
   def prunedFiles(root: String, v: Int,
       preds: Seq[(String, Long, Long)]): Seq[String] =
-    entries(root, v).filterNot(_.change).filter { e =>
+    dataEntries(root, v).filter { e =>
       preds.forall { case (column, lo, hi) =>
         e.stats.find(_.column == column) match {
           case Some(FileStats(_, mn, mx)) => mx >= lo && mn <= hi
@@ -326,9 +381,10 @@ object VersionedTable {
       preds: Seq[(String, Long, Long)]): DataFrame = {
     val files = prunedFiles(root, v, preds)
     val src = if (files.nonEmpty) files else manifest(root, v)
-    preds.foldLeft(s.read.parquet(src: _*)) { case (df, (c, lo, hi)) =>
-      df.filter(col(c).between(lo, hi))
-    }
+    applyDeletes(s, root, v,
+      preds.foldLeft(s.read.parquet(src: _*)) { case (df, (c, lo, hi)) =>
+        df.filter(col(c).between(lo, hi))
+      })
   }
 
   /** Single-predicate form of [[readVersionWhere]]. */
@@ -377,7 +433,8 @@ object VersionedTable {
       column: String, value: Long): DataFrame = {
     val files = prunedFilesPoint(root, v, column, value)
     val src = if (files.nonEmpty) files else manifest(root, v)
-    s.read.parquet(src: _*).filter(col(column) === value)
+    applyDeletes(s, root, v,
+      s.read.parquet(src: _*).filter(col(column) === value))
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF v (the Delta RESTORE contract):
@@ -410,7 +467,12 @@ object VersionedTable {
     * — aggregating v1 after later commits sees v1's files only. */
   def metaAgg(s: SparkSession, root: String, v: Int,
       column: String): DataFrame = {
-    val files = entries(root, v).filterNot(_.change)
+    // footer counts/stats describe the data FILES; under merge-on-read
+    // deletes the version's logical rows are a subset, so a metadata-only
+    // answer would overcount — fail fast instead of answering wrong
+    require(deleteFiles(root, v).isEmpty,
+      s"metadata-only aggregate undefined under merge-on-read deletes at $root v$v")
+    val files = dataEntries(root, v)
     val nRows = files.map(e => footerRowCount(e.path)).sum
     val ranges = files.map { e =>
       e.stats.find(_.column == column).map(fs => (fs.min, fs.max))
@@ -495,7 +557,7 @@ object VersionedTable {
     val n = targetFileCount(root, v, targetBytes)
     val df = readVersion(s, root, v)
     def bounds(c: String): (Long, Long) = {
-      val st = entries(root, v).filterNot(_.change)
+      val st = dataEntries(root, v)
         .map(_.stats.find(_.column == c))
       if (st.nonEmpty && st.forall(_.isDefined)) {
         val fs = st.flatten
@@ -579,7 +641,8 @@ object VersionedTable {
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap(v => entries(root, v).map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
-    val orphans = Seq("data", "changes").map(d => Paths.get(s"$root/$d"))
+    val orphans = Seq("data", "changes", "deletes")
+      .map(d => Paths.get(s"$root/$d"))
       .filter(Files.isDirectory(_))
       .flatMap { top =>
         Using.resource(Files.list(top))(_.iterator().asScala.toList)

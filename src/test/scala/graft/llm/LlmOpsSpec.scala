@@ -365,4 +365,67 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"substring dedup must stay linear:\n$plan")
   }
+
+  test("gopher rules fire in published order; keeps satisfy every rule (r9)") {
+    val rows = Curation.curateGopherRules(spark, sfDir).collect()
+    val reasons = rows.map(_.getAs[String]("reason")).toSet
+    assert(reasons.subsetOf(Set("word_count", "mean_word_length",
+      "symbol_ratio", "alpha_fraction", "stopwords", "keep")))
+    val keeps = rows.filter(_.getAs[Boolean]("keep"))
+    assert(keeps.nonEmpty && keeps.length < rows.length,
+      s"rule battery must discriminate: ${keeps.length}/${rows.length} kept")
+    // a kept doc passes the two rules the fixture can actually fail
+    assert(keeps.forall { r =>
+      val n = r.getAs[Int]("n_words")
+      n >= 50 && n <= 100000 && r.getAs[Int]("n_stop") >= 2
+    }, "a kept doc violates a rule")
+    // per-row projection only: no exchange beyond the presentation sort
+    val plan = Curation.curateGopherRules(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"rule battery must not shuffle:\n$plan")
+  }
+
+  test("domain mixing hits each source's quota exactly and reproducibly (r9)") {
+    val out = Curation.curateMixDomains(spark, sfDir)
+    val kept = out.groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    // quotas replayed from the definition: budget = total/2, weight share
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val counts = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val w = counts.keys.map(src => src -> ((src.drop(3).toInt % 3) + 1)).toMap
+    val sumW = w.values.sum
+    val budget = counts.values.sum / 2
+    counts.keys.foreach { src =>
+      val quota = math.min(counts(src), budget * w(src) / sumW)
+      assert(kept.getOrElse(src, 0L) == quota,
+        s"$src kept ${kept.getOrElse(src, 0L)}, quota $quota")
+    }
+    // the md5 rank makes the SAMPLE deterministic, not just the counts
+    val a = out.collect().map(_.getAs[Long]("doc_id")).toSeq
+    val b = Curation.curateMixDomains(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(a == b, "mixture sample must be reproducible run-to-run")
+  }
+
+  test("range search: thresholded, sort-free, and consistent with brute-force top-k (r9)") {
+    val range = Similarity.simRangeSearch(spark, sfDir)
+    val rows = range.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("cosine") >= 0.2499),
+      "a below-threshold neighbor leaked through")
+    // every top-k neighbor above the radius must appear in the range result
+    val inRange = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val topk = Similarity.simTopkBruteforce(spark, sfDir).collect()
+      .filter(_.getAs[Double]("cosine") >= 0.2501)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(topk.nonEmpty && topk.forall(inRange.contains),
+      "range search missed a neighbor brute-force top-k found above the radius")
+    // the whole point vs top-k: no per-query sort in the plan (the output
+    // orderBy is the single presentation sort)
+    val plan = range.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"range search must not rank:\n$plan")
+  }
 }

@@ -492,4 +492,40 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(leftovers.isEmpty, s"orphaned publish temps: $leftovers")
   }
+
+  test("merge-on-read DELETE: no data rewrite, reads subtract, compact folds (r9)") {
+    val root = freshRoot()
+    VersionedTable.commit(base(), root) // v1
+    val v2 = VersionedTable.commitDeletes(
+      base().filter(col("key") % 7 === 0).select(col("key")), root, "key")
+    assert(v2 == 2)
+    // the delete commit is metadata + the key file — v2 lists EXACTLY
+    // v1's data files (nothing rewritten), plus an E record
+    assert(VersionedTable.manifest(root, 2) == VersionedTable.manifest(root, 1),
+      "merge-on-read delete rewrote data files")
+    assert(VersionedTable.deleteFiles(root, 2).keySet == Set("key"))
+    assert(VersionedTable.deleteFiles(root, 1).isEmpty)
+    // v2 reads subtract the deleted keys; v1 still serves every row
+    val v2Keys = VersionedTable.readVersion(spark, root, 2)
+      .select(col("key")).collect().map(_.getLong(0)).toSet
+    assert(v2Keys == (1L to 1000L).filterNot(_ % 7 == 0).toSet)
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 1000)
+    // the filtered and point read surfaces apply the deletes too
+    assert(VersionedTable.readVersionWhere(spark, root, 2, "key", 1, 20)
+      .collect().map(_.getAs[Long]("key")).toSet ==
+      (1L to 20L).filterNot(_ % 7 == 0).toSet)
+    assert(VersionedTable.readVersionPoint(spark, root, 2, "key", 14).isEmpty,
+      "point read served a deleted key")
+    // metadata-only aggregates must refuse to answer over a MOR version
+    // (footer counts include the subtracted rows)
+    intercept[IllegalArgumentException] {
+      VersionedTable.metaAgg(spark, root, 2, "key")
+    }
+    // compact reads the resolved view and commits a delete-FREE snapshot
+    val v3 = VersionedTable.compact(spark, root, 1L << 20)
+    assert(VersionedTable.deleteFiles(root, v3).isEmpty,
+      "compaction carried delete records into the rewritten snapshot")
+    assert(VersionedTable.readVersion(spark, root, v3).count() ==
+      (1L to 1000L).count(_ % 7 != 0))
+  }
 }
