@@ -299,7 +299,69 @@ object TextAnalysis {
       |FROM bstat b JOIN tstat t ON t.doc_id = b.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---- text_winnowing -------------------------------------------------------
+  // Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+  // 2003 — the MOSS algorithm): hash every k-gram (k=5 tokens), slide a
+  // w=4 window over the hash sequence, and keep each window's MINIMUM —
+  // the guarantee is that any shared run of >= w+k-1 tokens between two
+  // docs shares at least one selected fingerprint, at ~1/w the density of
+  // keeping every hash. Hashes are 64-bit md5 prefixes as fixed-width hex
+  // (lexicographic min == numeric min), the text_fingerprint convention.
+  // Output is the per-doc sketch (fingerprint count + md5 over the sorted
+  // fingerprint set — order-independent, so Spark's and DuckDB's distinct
+  // orderings can't diverge). Edge rule: fewer than w hashes → one window
+  // of them all; fewer than k tokens → no fingerprints (NULL sketch).
+  // Everything is ONE per-row projection — array ops inside the row, no
+  // explode, no shuffle: the 100 TB fingerprint pass is scan-bound.
+  def textWinnowing(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .withColumn("hashes", expr(
+        """case when size(toks) >= 5 then
+          |  transform(sequence(1, size(toks) - 4),
+          |    i -> substring(md5(concat_ws(' ', slice(toks, i, 5))), 1, 16))
+          |else array() end""".stripMargin))
+      .withColumn("winnowed", expr(
+        """case when size(hashes) >= 4 then
+          |  array_distinct(transform(sequence(1, size(hashes) - 3),
+          |    j -> array_min(slice(hashes, j, 4))))
+          |when size(hashes) >= 1 then array(array_min(hashes))
+          |else array() end""".stripMargin))
+      .select(col("doc_id"),
+        size(col("hashes")).as("n_grams"),
+        size(col("winnowed")).as("n_fp"),
+        when(size(col("winnowed")) > 0,
+          md5(concat_ws("", array_sort(col("winnowed"))))).as("sketch"))
+      .orderBy(col("doc_id"))
+
+  private val textWinnowingOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 5 THEN
+       |           list_transform(generate_series(1, len(toks) - 4),
+       |             i -> substring(md5(array_to_string(toks[i:i+4], ' ')), 1, 16))
+       |         ELSE []::VARCHAR[] END AS hashes
+       |  FROM t),
+       |w AS (
+       |  SELECT doc_id, hashes,
+       |         CASE WHEN len(hashes) >= 4 THEN
+       |           list_distinct(list_transform(generate_series(1, len(hashes) - 3),
+       |             j -> list_min(hashes[j:j+3])))
+       |         WHEN len(hashes) >= 1 THEN [list_min(hashes)]
+       |         ELSE []::VARCHAR[] END AS winnowed
+       |  FROM h)
+       |SELECT doc_id, len(hashes) AS n_grams, len(winnowed) AS n_fp,
+       |       CASE WHEN len(winnowed) > 0
+       |            THEN md5(array_to_string(list_sort(winnowed), ''))
+       |            ELSE NULL END AS sketch
+       |FROM w ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "text_winnowing" -> (textWinnowing _),
     "text_repetition" -> (textRepetition _),
     "text_token_count" -> (textTokenCount _),
     "text_quality" -> (textQuality _),
@@ -309,6 +371,7 @@ object TextAnalysis {
     "text_ngram_freq" -> (textNgramFreq _))
 
   val oracles: Map[String, String] = Map(
+    "text_winnowing" -> textWinnowingOracle,
     "text_repetition" -> textRepetitionOracle,
     "text_token_count" -> textTokenCountOracle,
     "text_quality" -> textQualityOracle,

@@ -649,7 +649,55 @@ object StreamQueries {
       |       CAST(ROUND(SUM(CAST(total AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_total
       |FROM final GROUP BY status ORDER BY status""".stripMargin
 
+  /** SLIDING event-time windows — the overlap semantics tumbling can't
+    * express (every event counts toward size/slide = 2 windows; the
+    * rolling "last 48h, hourly" dashboard shape). Same staging +
+    * AvailableNow + watermark topology as streamMicroBatch; the oracle
+    * replays the window ASSIGNMENT relationally (each event unnested into
+    * its two epoch-aligned slide starts) and must produce the identical
+    * aggregate — pinning Spark's window(ts, size, slide) start alignment,
+    * not just the sums. State scales with open windows × keys, 2× the
+    * tumbling key's — still watermark-bounded at 100 TB. */
+  def streamSlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val src = s"$base/src"
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+      .write.parquet(src)
+
+    val streamed = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
+      .select(to_date(col("w.start")).as("win_start"),
+        to_date(col("w.end")).as("win_end"),
+        col("n_events"), col("total_value"))
+
+    val table = s"stream_sliding_window_$id"
+    val q = withFewStatePartitions(s) {
+      streamed.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(table).orderBy(col("win_start"))
+  }
+
+  private val streamSlidingWindowOracle =
+    """WITH assigned AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) - o AS win_start, value
+      |  FROM events, unnest([0, 1]) AS t(o))
+      |SELECT win_start, win_start + 2 AS win_end, COUNT(*) AS n_events,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+      |FROM assigned GROUP BY win_start ORDER BY win_start""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "stream_sliding_window" -> (streamSlidingWindow _),
     "stream_cdf_read" -> (streamCdfRead _),
     "stream_incremental_agg" -> (streamIncrementalAgg _),
     "stream_index_ingest" -> (streamIndexIngest _),
@@ -664,6 +712,7 @@ object StreamQueries {
     // the streamed feed converges to the SAME relation as the batch CDF
     // read — one oracle, two read paths
     "stream_cdf_read" -> graft.table.TableQueries.oracles("table_incremental_read"),
+    "stream_sliding_window" -> streamSlidingWindowOracle,
     "stream_incremental_agg" -> streamIncrementalAggOracle,
     "stream_index_ingest" -> streamIndexIngestOracle,
     "stream_micro_batch" -> streamMicroBatchOracle,

@@ -409,6 +409,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(a == b, "mixture sample must be reproducible run-to-run")
   }
 
+  test("winnowing: shared long runs share a fingerprint; density ~1/w; no shuffle (r9)") {
+    import spark.implicits._
+    // two docs sharing a 12-token run (>= w+k-1 = 8 tokens) MUST share a
+    // winnowed fingerprint — the paper's theorem 1 guarantee; the third
+    // doc is disjoint and must not collide
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine ten $shared eleven"),
+      (3L, "completely different words with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_winnow_spec/documents.parquet")
+    val out = TextAnalysis.textWinnowing(spark, "/tmp/graft_winnow_spec")
+    // rebuild the fingerprint SETS (the key outputs only count + sketch)
+    val fps = docs
+      .select(col("doc_id"), expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')").as("toks"))
+      .withColumn("hashes", expr(
+        """transform(sequence(1, size(toks) - 4),
+          |  i -> substring(md5(concat_ws(' ', slice(toks, i, 5))), 1, 16))""".stripMargin))
+      .withColumn("winnowed", expr(
+        """array_distinct(transform(sequence(1, size(hashes) - 3),
+          |  j -> array_min(slice(hashes, j, 4))))""".stripMargin))
+      .select(col("doc_id"), col("winnowed")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing a >= w+k-1 token run must share a winnowed fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs collided")
+    // selected fingerprints are a small fraction of all k-gram hashes
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Int]("n_grams"), r.getAs[Int]("n_fp"))).toMap
+    assert(rows.values.forall { case (grams, fp) => fp < grams && fp > 0 })
+    // plan shape on a FRESH DataFrame: an executed AQE plan prints its
+    // Initial Plan section too and double-counts the one sort exchange
+    val plan = TextAnalysis.textWinnowing(spark, "/tmp/graft_winnow_spec")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"winnowing must stay per-row:\n$plan")
+  }
+
   test("range search: thresholded, sort-free, and consistent with brute-force top-k (r9)") {
     val range = Similarity.simRangeSearch(spark, sfDir)
     val rows = range.collect()

@@ -135,4 +135,20 @@ class StreamQueriesSpec extends SparkSpec {
     assert(streamed.sorted == want.sorted,
       s"RocksDB-backed drop-dup diverged (${streamed.size} vs ${want.size})")
   }
+
+  test("sliding windows: every event lands in exactly size/slide windows (r9)") {
+    import org.apache.spark.sql.functions._
+    val out = StreamQueries.streamSlidingWindow(spark, sfDir).collect()
+    val events = graft.model.Tables.load(spark, sfDir, "events")
+    // 2-day windows sliding 1 day: each event counted exactly twice
+    assert(out.map(_.getAs[Long]("n_events")).sum == 2 * events.count(),
+      "an event was assigned to the wrong number of overlapping windows")
+    // consecutive windows overlap: starts step by 1 day, each spans 2
+    val starts = out.map(_.getAs[java.sql.Date]("win_start").toLocalDate).sorted
+    assert(starts.zip(starts.tail).forall { case (a, b) =>
+      java.time.temporal.ChronoUnit.DAYS.between(a, b) == 1 })
+    assert(out.forall(r => java.time.temporal.ChronoUnit.DAYS.between(
+      r.getAs[java.sql.Date]("win_start").toLocalDate,
+      r.getAs[java.sql.Date]("win_end").toLocalDate) == 2))
+  }
 }
