@@ -218,6 +218,36 @@ object PipelineOps {
       |            THEN 'train' ELSE 'holdout' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- sample_importance: quality-weighted Bernoulli sampling ---------------
+  // The soft version of curate_keep_drop's hard threshold: each doc is kept
+  // with probability equal to its quality score (the importance-sampling
+  // step of data recipes that UPWEIGHT good text instead of binarizing).
+  // Like sample_split_hash, the coin is md5(doc_id) — a pure function of
+  // the stable key, so the SAMPLE is reproducible across runs, engines and
+  // partitionings: keep iff bucket(0..255) < floor(score * 256). Both
+  // engines floor the identical double, so no boundary can disagree.
+  // Per-row over the quality projection — shuffle-free.
+  def sampleImportance(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.textQuality(s, dir)
+      .select(col("doc_id"), col("score"))
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int"))
+      .withColumn("keep",
+        col("bucket") < floor(col("score") * 256).cast("int"))
+      .orderBy(col("doc_id"))
+
+  private def sampleImportanceOracle(qualityOracle: String): String =
+    s"""WITH q AS ($qualityOracle),
+       |b AS (
+       |  SELECT doc_id, score,
+       |         (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       |           + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+       |  FROM q)
+       |SELECT doc_id, score, bucket,
+       |       bucket < CAST(FLOOR(score * 256) AS INT) AS keep
+       |FROM b ORDER BY doc_id""".stripMargin
+
   // ---- agg_pivot / agg_unpivot: reshape operators ---------------------------
   // Pivot with PINNED values: passing the value list skips the extra
   // distinct-scan Spark otherwise runs to discover pivot columns — at
@@ -379,6 +409,7 @@ object PipelineOps {
     "join_scd2_asof" -> (joinScd2Asof _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "sample_split_hash" -> (sampleSplitHash _),
+    "sample_importance" -> (sampleImportance _),
     "agg_pivot" -> (aggPivot _),
     "agg_unpivot" -> (aggUnpivot _),
     "merge_upsert" -> (mergeUpsert _))
@@ -389,6 +420,8 @@ object PipelineOps {
     "join_scd2_asof" -> joinScd2AsofOracle,
     "join_bloom_prefilter" -> joinBloomPrefilterOracle,
     "sample_split_hash" -> sampleSplitHashOracle,
+    "sample_importance" -> sampleImportanceOracle(
+      graft.llm.TextAnalysis.oracles("text_quality")),
     "agg_pivot" -> aggPivotOracle,
     "agg_unpivot" -> aggUnpivotOracle,
     "merge_upsert" -> mergeUpsertOracle)

@@ -475,7 +475,47 @@ object TableQueries {
       |SELECT 'v2' AS version, key, status, total FROM base WHERE key % 7 <> 0
       |ORDER BY version, key""".stripMargin
 
+  // ---- table_replace_where --------------------------------------------------
+  // REPLACE WHERE — the daily-partition reload: v1 commits the orders
+  // snapshot RANGE-CLUSTERED on key with stats (each file owns a disjoint
+  // key slice), v2 replaces only keys 1..10000 with a transformed reload
+  // (status 'R', total doubled — ×2 is exact in binary, so no rounding
+  // convention is even needed). commitReplaceWhere carries every file
+  // whose stats prove it disjoint from the range verbatim — the spec pins
+  // path-identity for the carried set — and rewrites only the straddlers
+  // minus their in-range rows. Reading both versions through the log must
+  // show the reload exactly where the predicate says and v1 untouched.
+  def tableReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("rw")
+    val base = ordersBase(s, dir)
+    VersionedTable.commit(base.repartitionByRange(8, col("key")), root,
+      changes = None, statsColumns = Seq("key"))
+    val reload = base.filter(col("key").between(1, 10000))
+      .withColumn("status", lit("R"))
+      .withColumn("total", col("total") * 2)
+    VersionedTable.commitReplaceWhere(s, reload, root, "key", 1L, 10000L,
+      statsColumns = Seq("key"))
+    val v1 = VersionedTable.readVersion(s, root, 1)
+      .select(lit("v1").as("version"), col("key"), col("status"), col("total"))
+    val v2 = VersionedTable.readVersion(s, root, 2)
+      .select(lit("v2").as("version"), col("key"), col("status"), col("total"))
+    v1.unionAll(v2).orderBy(col("version"), col("key"))
+  }
+
+  private val tableReplaceWhereOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders)
+      |SELECT 'v1' AS version, key, status, total FROM base
+      |UNION ALL
+      |SELECT 'v2' AS version, key,
+      |       CASE WHEN key BETWEEN 1 AND 10000 THEN 'R' ELSE status END AS status,
+      |       CASE WHEN key BETWEEN 1 AND 10000 THEN total * 2 ELSE total END AS total
+      |FROM base
+      |ORDER BY version, key""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "table_replace_where" -> (tableReplaceWhere _),
     "table_merge_on_read" -> (tableMergeOnRead _),
     "table_time_travel" -> (tableTimeTravel _),
     "sink_compact" -> (sinkCompact _),
@@ -492,6 +532,7 @@ object TableQueries {
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
+    "table_replace_where" -> tableReplaceWhereOracle,
     "table_merge_on_read" -> tableMergeOnReadOracle,
     "table_time_travel" -> tableTimeTravelOracle,
     "sink_compact" -> sinkCompactOracle,

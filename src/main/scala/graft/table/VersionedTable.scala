@@ -134,6 +134,50 @@ object VersionedTable {
     v
   }
 
+  /** REPLACE WHERE (r9) — Delta's `replaceWhere` / dynamic-partition-
+    * overwrite: commit a new version where ONLY rows with `column` in
+    * [lo, hi] are replaced by `df`'s rows in that range. File-granular
+    * surgery on the manifest: data files whose recorded stats prove them
+    * DISJOINT from the range carry over verbatim (path-identical, zero
+    * I/O — on a range-clustered table that is almost all of them);
+    * straddling or stats-less files are rewritten minus their in-range
+    * rows; `df` is filtered to the predicate (rows outside it can't leak
+    * into the untouched region — the Delta contract). At 100 TB this is
+    * the daily-partition reload: rewrite one partition's worth of files,
+    * carry the rest as metadata. */
+  def commitReplaceWhere(s: SparkSession, df: DataFrame, root: String,
+      column: String, lo: Long, hi: Long,
+      statsColumns: Seq[String]): Int = {
+    val base = latestVersion(root)
+    require(base >= 1, s"cannot REPLACE WHERE on an empty table at $root")
+    require(deleteFiles(root, base).isEmpty,
+      "fold merge-on-read deletes (compact) before replaceWhere")
+    val (disjoint, touched) = dataEntries(root, base).partition(e =>
+      e.stats.find(_.column == column).exists(fs => fs.max < lo || fs.min > hi))
+    val survivors = if (touched.isEmpty) None
+      else Some(s.read.parquet(touched.map(_.path): _*)
+        .filter(!col(column).between(lo, hi)))
+    val replaced = df.filter(col(column).between(lo, hi))
+    val toWrite = survivors.map(_.unionByName(replaced)).getOrElse(replaced)
+    val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
+    toWrite.write.parquet(dataDir)
+    val newLines = listParquet(dataDir).map { f =>
+      val suffix = statsColumns.flatMap { c =>
+        footerMinMax(f, c).map { case (mn, mx) => s"\t$c\t$mn\t$mx" }
+      }.mkString
+      s"D\t$f$suffix"
+    }
+    // carried D lines verbatim (stats and all) from the base manifest
+    val keepPaths = disjoint.map(_.path).toSet
+    val carried = rawLines(root, base).filter { l =>
+      l.startsWith("D\t") && keepPaths.contains(l.split('\t')(1))
+    }
+    val lines = carried ++ newLines :+ s"S\t${toWrite.schema.json}"
+    var v = base + 1
+    while (!publish(root, v, lines)) v = latestVersion(root) + 1
+    v
+  }
+
   /** Merge-on-read DELETE (r9): commit a new version that subtracts every
     * row whose `column` appears in `keys` — WITHOUT rewriting a single
     * data file. The keys are written once as an equality-delete file

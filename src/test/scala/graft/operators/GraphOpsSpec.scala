@@ -97,4 +97,19 @@ class GraphOpsSpec extends SparkSpec {
       (2L, 3L), (3L, 2L)),
       s"hub order leaked into the edge list: ${edges.size} edges")
   }
+
+  test("degree-oriented triangle count: planted K4 + pendant structure is exact (r9)") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) + a triangle {4,5,6}
+    // hanging off node 4 (node 4 in 3+1) + pendant edge 6-7 (no triangle)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("p1", "p2")
+    val out = GraphOps.trianglesFromEdges(e).collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("n_triangles")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L,
+      5L -> 1L, 6L -> 1L),
+      s"per-node triangle counts wrong: $out")
+    // each triangle contributes exactly 3 node participations
+    assert(out.values.sum % 3 == 0)
+  }
 }

@@ -493,6 +493,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"orphaned publish temps: $leftovers")
   }
 
+  test("replaceWhere carries disjoint files verbatim, rewrites only straddlers (r9)") {
+    val root = freshRoot()
+    // range-clustered v1: 10 files, each owning ~100 consecutive keys
+    VersionedTable.commit(base().repartitionByRange(10, col("key")), root,
+      changes = None, statsColumns = Seq("key"))
+    val m1 = VersionedTable.manifest(root, 1)
+    assert(m1.size == 10)
+    val reload = base().filter(col("key").between(301, 500))
+      .withColumn("status", org.apache.spark.sql.functions.lit("reloaded"))
+    val v2 = VersionedTable.commitReplaceWhere(spark, reload, root,
+      "key", 301L, 500L, statsColumns = Seq("key"))
+    assert(v2 == 2)
+    // every v1 file disjoint from [301,500] carries over path-identically
+    val m2 = VersionedTable.manifest(root, 2).toSet
+    val disjoint = VersionedTable.entries(root, 1)
+      .filter(e => e.stats.exists(fs =>
+        fs.column == "key" && (fs.max < 301 || fs.min > 500)))
+    assert(disjoint.nonEmpty, "range clustering produced no disjoint files")
+    assert(disjoint.forall(e => m2.contains(e.path)),
+      "a provably-disjoint file was rewritten")
+    // the replaced range shows the reload; everything else is untouched
+    val rows = VersionedTable.readVersion(spark, root, 2).collect()
+    assert(rows.length == 1000)
+    assert(rows.filter(r => (301L to 500L).contains(r.getAs[Long]("key")))
+      .forall(_.getAs[String]("status") == "reloaded"))
+    assert(rows.filter(r => !(301L to 500L).contains(r.getAs[Long]("key")))
+      .forall(_.getAs[String]("status") != "reloaded"))
+    // v1 time travel still serves the pre-reload table
+    assert(VersionedTable.readVersion(spark, root, 1)
+      .filter(col("status") === "reloaded").isEmpty)
+  }
+
   test("merge-on-read DELETE: no data rewrite, reads subtract, compact folds (r9)") {
     val root = freshRoot()
     VersionedTable.commit(base(), root) // v1
