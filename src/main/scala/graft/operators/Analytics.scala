@@ -333,6 +333,141 @@ object Analytics {
       |  ON p.user_id = o.user_id AND p.d1 >= o.d
       |ORDER BY p.user_id, p.d""".stripMargin
 
+  /** As-of join, direction = NEAREST (pandas merge_asof's third mode, the
+    * one neither backward nor forward as-of covers): each probe matched to
+    * the reference closest in time on EITHER side, ties to the earlier
+    * reference. Substrate: per-customer order days split by orderkey
+    * parity (even = reference, odd = probe) — the two relations genuinely
+    * interleave on the date axis, so both directions win somewhere and
+    * customers with no even orders exercise the null path. Composition:
+    * ONE tagged union, then a backward pass (carry last reference
+    * at-or-before) and a forward pass (same window ordered descending) —
+    * two sorts over one shuffle on the key, no nested loop; the nearest
+    * pick is a projection. The oracle is two native DuckDB ASOF LEFT
+    * JOINs (>= and <=) plus the same pick — an independent first-class
+    * implementation of each direction. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ord = orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"), orderDate.as("d"))
+      .agg(max(col("o_orderkey")).as("orderkey"))
+    val tagged = ord.select(col("user_id"), col("d"),
+      when(col("orderkey") % 2 === 0, lit(0)).otherwise(lit(1)).as("kind"),
+      col("orderkey"))
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("d"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("d").desc, col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val refD = when(col("kind") === 0, col("d"))
+    val refK = when(col("kind") === 0, col("orderkey"))
+    tagged
+      .withColumn("bd", last(refD, ignoreNulls = true).over(back))
+      .withColumn("bk", last(refK, ignoreNulls = true).over(back))
+      .withColumn("fd", last(refD, ignoreNulls = true).over(fwd))
+      .withColumn("fk", last(refK, ignoreNulls = true).over(fwd))
+      .filter(col("kind") === 1)
+      .select(col("orderkey"), col("user_id"), col("d"),
+        when(col("bd").isNotNull && (col("fd").isNull ||
+          datediff(col("d"), col("bd")) <= datediff(col("fd"), col("d"))),
+          col("bk")).otherwise(col("fk")).as("nearest_orderkey"),
+        when(col("bd").isNotNull && (col("fd").isNull ||
+          datediff(col("d"), col("bd")) <= datediff(col("fd"), col("d"))),
+          datediff(col("d"), col("bd")))
+          .otherwise(datediff(col("fd"), col("d"))).as("dist_days"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  private val joinAsofNearestOracle =
+    """WITH ord AS (
+      |  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS d,
+      |         MAX(o_orderkey) AS orderkey
+      |  FROM orders GROUP BY 1, 2),
+      |refs AS (SELECT * FROM ord WHERE orderkey % 2 = 0),
+      |probes AS (SELECT * FROM ord WHERE orderkey % 2 = 1),
+      |b AS (
+      |  SELECT p.user_id, p.d, p.orderkey, r.d AS bd, r.orderkey AS bk
+      |  FROM probes p ASOF LEFT JOIN refs r
+      |    ON p.user_id = r.user_id AND p.d >= r.d),
+      |f AS (
+      |  SELECT p.user_id, p.d, p.orderkey, r.d AS fd, r.orderkey AS fk
+      |  FROM probes p ASOF LEFT JOIN refs r
+      |    ON p.user_id = r.user_id AND p.d <= r.d)
+      |SELECT b.orderkey, b.user_id, b.d,
+      |       CASE WHEN bd IS NOT NULL AND (fd IS NULL OR (b.d - bd) <= (fd - b.d))
+      |            THEN bk ELSE fk END AS nearest_orderkey,
+      |       CASE WHEN bd IS NOT NULL AND (fd IS NULL OR (b.d - bd) <= (fd - b.d))
+      |            THEN b.d - bd ELSE fd - b.d END AS dist_days
+      |FROM b JOIN f ON f.user_id = b.user_id AND f.d = b.d
+      |ORDER BY b.user_id, b.d""".stripMargin
+
+  /** RANGE-frame window — the moving aggregate a ROWS frame can't express:
+    * each order's trailing-30-day same-customer revenue, where the frame
+    * is defined by the VALUE distance on the date axis (gaps shrink the
+    * frame, same-day orders always co-occur in it) rather than a row
+    * count. Ordering key = integer epoch days in both engines, so the
+    * frame bound arithmetic is exact; sums aggregate in DECIMAL. One
+    * shuffle on the customer key; at 100 TB Spark evaluates the range
+    * frame with a sliding pointer over each partition's sort, same as a
+    * rows frame. */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_d"))
+      .rangeBetween(-30, 0)
+    orders(s, dir)
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderkey").as("orderkey"), orderDate.as("d"),
+        datediff(orderDate, lit("1970-01-01").cast("date")).as("epoch_d"),
+        col("o_totalprice").cast("decimal(18,4)").as("total"))
+      .withColumn("trail30_total",
+        round(sum(col("total")).over(w), 2).cast("double"))
+      .select(col("orderkey"), col("user_id"), col("d"),
+        col("trail30_total"))
+      .orderBy(col("user_id"), col("d"), col("orderkey"))
+  }
+
+  private val windowRangeFrameOracle =
+    """SELECT o_orderkey AS orderkey, o_custkey AS user_id,
+      |       CAST(o_orderdate AS DATE) AS d,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |         PARTITION BY o_custkey
+      |         ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trail30_total
+      |FROM orders
+      |ORDER BY user_id, d, orderkey""".stripMargin
+
+  /** MODE aggregate with a deterministic tie-break (smallest value wins) —
+    * Spark has no mode() and DuckDB's leaves ties engine-defined, so both
+    * sides state it explicitly: count per (group, value), rank by
+    * (count DESC, value), keep rank 1. Two hash-aggs + a k-row window —
+    * the 100 TB cost is the first groupBy; everything after runs on
+    * group-cardinality rows. */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("n").desc, col("status"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("priority"), col("status").as("mode_status"), col("n"))
+      .orderBy(col("priority"))
+  }
+
+  private val aggModeOracle =
+    """WITH counts AS (
+      |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |         COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT priority, status, n,
+      |         ROW_NUMBER() OVER (PARTITION BY priority
+      |           ORDER BY n DESC, status) AS rk
+      |  FROM counts)
+      |SELECT priority, status AS mode_status, n
+      |FROM ranked WHERE rk = 1 ORDER BY priority""".stripMargin
+
   /** Range join, bucketed — follow-up orders of the same customer within 3
     * days at-or-after an order (orders × orders share the 1992-1998 date
     * axis, so the key is non-vacuous — the r2 events-vs-orders anchoring
@@ -1049,6 +1184,9 @@ object Analytics {
     "join_anti" -> (joinAnti _),
     "join_asof" -> (joinAsof _),
     "join_asof_prev" -> (joinAsofPrev _),
+    "join_asof_nearest" -> (joinAsofNearest _),
+    "window_range_frame" -> (windowRangeFrame _),
+    "agg_mode" -> (aggMode _),
     "join_range_bucketed" -> (joinRangeBucketed _),
     "join_fuzzy_block" -> (joinFuzzyBlock _),
     "join_skew_salted" -> (joinSkewSalted _),
@@ -1086,6 +1224,9 @@ object Analytics {
     "join_anti" -> joinAntiOracle,
     "join_asof" -> joinAsofOracle,
     "join_asof_prev" -> joinAsofPrevOracle,
+    "join_asof_nearest" -> joinAsofNearestOracle,
+    "window_range_frame" -> windowRangeFrameOracle,
+    "agg_mode" -> aggModeOracle,
     "join_range_bucketed" -> joinRangeBucketedOracle,
     "join_fuzzy_block" -> joinFuzzyBlockOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,
