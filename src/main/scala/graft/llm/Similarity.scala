@@ -1123,7 +1123,64 @@ object Similarity {
        |FROM scored WHERE cos >= $RangeTau
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // ---- sim_knn_join ---------------------------------------------------------
+  // The kNN JOIN — top-k neighbors for EVERY corpus vector, not a query
+  // set: the all-corpus kNN-graph build that seeds graph-ANN indexes and
+  // SemDeDup-style pipelines. All-pairs is quadratic; the LSH bucket is
+  // the blocking — a SELF equi-join on the 4-bit sign bucket (the
+  // sim_lsh_ann table), candidates ∝ n²/buckets, then per-vector top-3 by
+  // exact integer-dot cosine. The per-vector rank runs as ONE window with
+  // Spark's WindowGroupLimit pruning each partition to k before the sort.
+  // At 100 TB: more hyperplane bits (smaller buckets) + T tables for
+  // recall, hot buckets salt — the same knobs as the query-set LSH keys;
+  // the candidate join is corpus⋈corpus on the bucket key and never
+  // broadcasts, which is exactly why the bucket count is the scale knob.
+  def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir).withColumn("bucket", expr(bucketE))
+    val scored = corpus.as("a").join(corpus.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        expr("graft_dotq(a.embedding, b.embedding)").as("dot"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        round(col("cos").cast("decimal(28,8)"), 4).cast("double").as("cosine"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  private val simKnnJoinOracle =
+    s"""WITH $quantizedSql,
+       |bucketed AS (
+       |  SELECT vec_id, qv, nrm,
+       |         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+       |         (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END) +
+       |         (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END) +
+       |         (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS bucket
+       |  FROM qn),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT vec_id, rank, neighbor_id,
+       |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "sim_knn_join" -> (simKnnJoin _),
     "sim_range_search" -> (simRangeSearch _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
@@ -1136,6 +1193,7 @@ object Similarity {
     "dedup_semantic" -> (dedupSemantic _))
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_join" -> simKnnJoinOracle,
     "sim_range_search" -> simRangeSearchOracle,
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_lsh_ann" -> simLshAnnOracle,

@@ -409,6 +409,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(a == b, "mixture sample must be reproducible run-to-run")
   }
 
+  test("knn join: every vector ranked, candidates bucket-blocked, ranks monotone (r9)") {
+    val rows = Similarity.simKnnJoin(spark, sfDir).collect()
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(byVec.size > 400, s"kNN graph covers the corpus: ${byVec.size} vectors")
+    // ranks are 1..k and cosine is non-increasing within each vector
+    byVec.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // the blocking is real: neighbors share the vector's 4-bit sign bucket
+    val buckets = graft.model.Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id",
+        """cast((case when element_at(embedding, 1) > 0 then 1 else 0 end) +
+          |(case when element_at(embedding, 9) > 0 then 2 else 0 end) +
+          |(case when element_at(embedding, 17) > 0 then 4 else 0 end) +
+          |(case when element_at(embedding, 25) > 0 then 8 else 0 end) as int) as b""".stripMargin)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("b")).toMap
+    assert(rows.forall(r =>
+      buckets(r.getAs[Long]("vec_id")) == buckets(r.getAs[Long]("neighbor_id"))),
+      "a neighbor escaped the LSH block")
+  }
+
   test("winnowing: shared long runs share a fingerprint; density ~1/w; no shuffle (r9)") {
     import spark.implicits._
     // two docs sharing a 12-token run (>= w+k-1 = 8 tokens) MUST share a
