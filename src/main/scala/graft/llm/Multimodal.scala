@@ -521,7 +521,93 @@ object Multimodal {
       |       CAST(ROUND(CAST(CAST(n_high_nibbles AS DOUBLE) / (2 * n_bytes) AS DECIMAL(28,8)), 4) AS DOUBLE) AS frac_high
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ---- mm_phash_dedup: perceptual-hash image dedup off the REAL raster -----
+  // The image twin of dedup_exact: an average-hash (the aHash of classic
+  // perceptual image dedup) computed from GENUINELY DECODED pixels — per
+  // doc, encode the deterministic PNG, ImageIO-decode it back, split the
+  // rows into 8 bands and set bit b when band b's mean gray exceeds the
+  // image mean (integer cross-multiplied: band_sum·h > total·band_rows, no
+  // float mean can disagree). Images whose content pattern repeats across
+  // docs (here: equal heights → identical row profile) collapse to the
+  // same hash; the dedup verdict is one hash-groupBy — the 32-byte-key
+  // shuffle of dedup_exact, on media. The oracle never decodes a pixel:
+  // it PREDICTS every band sum arithmetically from the generator formula,
+  // so the whole ImageIO encode→decode→raster-walk must reproduce the
+  // specified image exactly for the hash to match. At 100 TB: decode is
+  // mapPartitions next to the payload column (parquet-pruned), the hash
+  // is one byte per image, and the groupBy shuffles hashes, not pixels.
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = load(s, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 57).toInt
+          val h = (16 + (id * 7 + 3) % 49).toInt
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(ImageIoCodec.encodePng(w, h)))
+          val raster = img.getRaster
+          // per-band gray sums from the decoded raster (channel 0 — the
+          // generator writes all three channels equal)
+          val bandSum = new Array[Long](8)
+          val bandCnt = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            val b = y * 8 / h
+            bandSum(b) += raster.getSample(0, y, 0).toLong
+            bandCnt(b) += 1
+            y += 1
+          }
+          val total = bandSum.sum
+          var hash = 0
+          var b = 0
+          while (b < 8) {
+            if (bandSum(b) * h > total * bandCnt(b)) hash |= 1 << b
+            b += 1
+          }
+          (id, w, h, hash)
+        }
+      }
+      .toDF("doc_id", "w", "h", "ahash")
+    val groups = hashed.groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_same_hash"), min(col("doc_id")).as("keeper"))
+    hashed.join(groups, Seq("ahash"))
+      .select(col("doc_id"), col("ahash"), col("n_same_hash"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmPhashDedupOracle =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(16 + (doc_id * 7 + 3) % 49 AS INT) AS h,
+      |         CAST(16 + doc_id % 57 AS INT) AS w
+      |  FROM documents),
+      |vals AS (
+      |  SELECT doc_id, h, y, (y * 7 + 13) % 256 AS v, (y * 8) // h AS b
+      |  FROM (SELECT doc_id, h, unnest(generate_series(0, h - 1)) AS y FROM g)),
+      |bands AS (
+      |  SELECT doc_id, h, b, SUM(v) AS bs, COUNT(*) AS cnt
+      |  FROM vals GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, SUM(bs) AS ts FROM bands GROUP BY 1),
+      |hash AS (
+      |  SELECT bands.doc_id,
+      |         CAST(SUM(CASE WHEN bs * h > ts * cnt THEN 1 << b ELSE 0 END) AS INT) AS ahash
+      |  FROM bands JOIN tot ON tot.doc_id = bands.doc_id
+      |  GROUP BY 1),
+      |hashed AS (
+      |  SELECT g.doc_id, g.w, g.h, hash.ahash
+      |  FROM g JOIN hash ON hash.doc_id = g.doc_id),
+      |groups AS (
+      |  SELECT ahash, COUNT(*) AS n_same_hash, MIN(doc_id) AS keeper
+      |  FROM hashed GROUP BY ahash)
+      |SELECT h.doc_id, h.ahash, g2.n_same_hash, g2.keeper,
+      |       h.doc_id <> g2.keeper AS is_dup
+      |FROM hashed h JOIN groups g2 ON g2.ahash = h.ahash
+      |ORDER BY h.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_decode_audio" -> (mmDecodeAudio _),
@@ -529,6 +615,7 @@ object Multimodal {
     "mm_feature_extract" -> (mmFeatureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_dedup" -> mmPhashDedupOracle,
     "mm_decode_meta" -> mmDecodeMetaOracle,
     "mm_decode_real" -> mmDecodeRealOracle,
     "mm_decode_audio" -> mmDecodeAudioOracle,

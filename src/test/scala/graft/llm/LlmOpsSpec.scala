@@ -409,6 +409,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(a == b, "mixture sample must be reproducible run-to-run")
   }
 
+  test("phash dedup: equal-content images collapse, keeper is the group min (r9)") {
+    val rows = Multimodal.mmPhashDedup(spark, sfDir).collect()
+    assert(rows.length == 500)
+    val groups = rows.groupBy(_.getAs[Int]("ahash"))
+    // the fixture repeats content patterns — real duplicate groups exist
+    assert(groups.values.exists(_.length > 1), "no perceptual duplicates found")
+    assert(rows.exists(_.getAs[Boolean]("is_dup")))
+    groups.values.foreach { g =>
+      val keepers = g.map(_.getAs[Long]("keeper")).distinct
+      assert(keepers.length == 1 &&
+        keepers.head == g.map(_.getAs[Long]("doc_id")).min,
+        "keeper must be the group's min doc_id")
+      assert(g.forall(_.getAs[Long]("n_same_hash") == g.length))
+    }
+  }
+
   test("knn join: every vector ranked, candidates bucket-blocked, ranks monotone (r9)") {
     val rows = Similarity.simKnnJoin(spark, sfDir).collect()
     val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
