@@ -436,6 +436,41 @@ object Analytics {
       |FROM orders
       |ORDER BY user_id, d, orderkey""".stripMargin
 
+  /** Gaps-and-islands — the classic consecutive-run detection: each user's
+    * distinct activity days collapse into maximal runs of consecutive days
+    * via the diff-of-row-numbers trick (day − row_number is constant
+    * within a run and unique per run — no self-join, no iteration). Two
+    * window passes + one aggregate over a single shuffle on user_id; at
+    * 100 TB this is the sessionization-by-calendar operator (billing
+    * streaks, retention runs) and the shuffle key is the user, never the
+    * run. The oracle states the identical trick. */
+  def windowIslands(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    days
+      .withColumn("grp", expr("date_sub(d, row_number() over " +
+        "(partition by user_id order by d))"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("d")).as("island_start"), max(col("d")).as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("island_start"), col("island_end"),
+        col("n_days"))
+      .orderBy(col("user_id"), col("island_start"))
+  }
+
+  private val windowIslandsOracle =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      |  FROM events),
+      |grouped AS (
+      |  SELECT user_id, d,
+      |         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+      |  FROM days)
+      |SELECT user_id, MIN(d) AS island_start, MAX(d) AS island_end,
+      |       COUNT(*) AS n_days
+      |FROM grouped GROUP BY user_id, grp
+      |ORDER BY user_id, island_start""".stripMargin
+
   /** MODE aggregate with a deterministic tie-break (smallest value wins) —
     * Spark has no mode() and DuckDB's leaves ties engine-defined, so both
     * sides state it explicitly: count per (group, value), rank by
@@ -1186,6 +1221,7 @@ object Analytics {
     "join_asof_prev" -> (joinAsofPrev _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "window_range_frame" -> (windowRangeFrame _),
+    "window_islands" -> (windowIslands _),
     "agg_mode" -> (aggMode _),
     "join_range_bucketed" -> (joinRangeBucketed _),
     "join_fuzzy_block" -> (joinFuzzyBlock _),
@@ -1226,6 +1262,7 @@ object Analytics {
     "join_asof_prev" -> joinAsofPrevOracle,
     "join_asof_nearest" -> joinAsofNearestOracle,
     "window_range_frame" -> windowRangeFrameOracle,
+    "window_islands" -> windowIslandsOracle,
     "agg_mode" -> aggModeOracle,
     "join_range_bucketed" -> joinRangeBucketedOracle,
     "join_fuzzy_block" -> joinFuzzyBlockOracle,

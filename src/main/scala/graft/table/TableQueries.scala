@@ -514,7 +514,58 @@ object TableQueries {
       |FROM base
       |ORDER BY version, key""".stripMargin
 
+  // ---- table_shallow_clone --------------------------------------------------
+  // SHALLOW CLONE then diverge: v1 commits the orders snapshot; the clone
+  // forks it by metadata alone (zero data copied — spec pins that the
+  // clone's manifest lists the SOURCE's files path-identically); the
+  // clone then applies the merge_upsert changeset as ITS OWN v2. Reading
+  // (source latest, clone latest) must show the fork: source = the
+  // untouched snapshot, clone = the merged table — the dev-sandbox
+  // contract at 100 TB, where forking a table for an experiment costs a
+  // manifest write. Oracle: base ∪ merged, the time-travel relation with
+  // the roles played by two TABLES instead of two versions.
+  def tableShallowClone(s: SparkSession, dir: String): DataFrame = {
+    val src = freshRoot("clone-src")
+    val dst = freshRoot("clone-dst")
+    VersionedTable.commit(ordersBase(s, dir), src) // source v1
+    VersionedTable.shallowClone(src, 1, dst) // fork: metadata only
+    VersionedTable.commit(
+      PipelineOps.mergeUpsert(s, dir).drop("last_op"), dst) // clone v2
+    val source = VersionedTable.readLatest(s, src)
+      .select(lit("source").as("table"), col("key"), col("status"), col("total"))
+    val clone = VersionedTable.readLatest(s, dst)
+      .select(lit("clone").as("table"), col("key"), col("status"), col("total"))
+    source.unionAll(clone).orderBy(col("table"), col("key"))
+  }
+
+  private val tableShallowCloneOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders),
+      |changes AS (
+      |  SELECT key, 'D' AS op, CAST(NULL AS VARCHAR) AS new_status,
+      |         CAST(NULL AS DOUBLE) AS new_total
+      |  FROM base WHERE key % 13 = 0
+      |  UNION ALL
+      |  SELECT key, 'U', 'X',
+      |         CAST(ROUND(CAST(total * 1.1 AS DECIMAL(18,4)), 2) AS DOUBLE)
+      |  FROM base WHERE key % 10 = 0 AND key % 13 <> 0
+      |  UNION ALL
+      |  SELECT -key, 'I', 'N', total
+      |  FROM base WHERE key % 97 = 0 AND key > 0),
+      |merged AS (
+      |  SELECT COALESCE(b.key, c.key) AS key,
+      |         CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END AS status,
+      |         CASE WHEN c.op IS NOT NULL THEN c.new_total ELSE b.total END AS total
+      |  FROM base b FULL OUTER JOIN changes c ON c.key = b.key
+      |  WHERE c.op IS NULL OR c.op <> 'D')
+      |SELECT 'clone' AS "table", key, status, total FROM merged
+      |UNION ALL
+      |SELECT 'source' AS "table", key, status, total FROM base
+      |ORDER BY "table", key""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "table_shallow_clone" -> (tableShallowClone _),
     "table_replace_where" -> (tableReplaceWhere _),
     "table_merge_on_read" -> (tableMergeOnRead _),
     "table_time_travel" -> (tableTimeTravel _),
@@ -532,6 +583,7 @@ object TableQueries {
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
+    "table_shallow_clone" -> tableShallowCloneOracle,
     "table_replace_where" -> tableReplaceWhereOracle,
     "table_merge_on_read" -> tableMergeOnReadOracle,
     "table_time_travel" -> tableTimeTravelOracle,

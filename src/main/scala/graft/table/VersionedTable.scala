@@ -134,6 +134,27 @@ object VersionedTable {
     v
   }
 
+  /** SHALLOW CLONE (r9) — Delta's `CREATE TABLE ... SHALLOW CLONE`: publish
+    * a NEW table at `dstRoot` whose v1 manifest re-lists the source
+    * version's data/bloom/schema records — zero data copied, a KB-sized
+    * metadata write that forks a 100 TB table instantly (the dev-sandbox /
+    * experiment-branch operation). The clone then evolves independently:
+    * its commits write under its own root, so the source is never touched
+    * by clone writes. Caveat carried from the real systems: the clone
+    * REFERENCES the source's files, so vacuuming the source beyond the
+    * cloned version can orphan the clone — the retention contract spans
+    * clones (spec-pinned: clone reads survive source commits, and clone
+    * commits never mutate the source). `C` records are not carried (the
+    * clone has no change history of its own yet — the restore convention). */
+  def shallowClone(srcRoot: String, srcVersion: Int, dstRoot: String): Int = {
+    val lines = rawLines(srcRoot, srcVersion).filterNot(_.startsWith("C\t"))
+    require(latestVersion(dstRoot) == 0,
+      s"clone target $dstRoot already has commits")
+    var v = 1
+    while (!publish(dstRoot, v, lines)) v = latestVersion(dstRoot) + 1
+    v
+  }
+
   /** REPLACE WHERE (r9) — Delta's `replaceWhere` / dynamic-partition-
     * overwrite: commit a new version where ONLY rows with `column` in
     * [lo, hi] are replaced by `df`'s rows in that range. File-granular

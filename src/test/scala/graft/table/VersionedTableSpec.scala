@@ -493,6 +493,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"orphaned publish temps: $leftovers")
   }
 
+  test("shallow clone forks by metadata; clone and source evolve independently (r9)") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    VersionedTable.commit(base(), src, changes = None,
+      statsColumns = Seq("key"))
+    val v = VersionedTable.shallowClone(src, 1, dst)
+    assert(v == 1)
+    // zero data copied: the clone's manifest lists the SOURCE's files,
+    // path-identically, stats and all
+    assert(VersionedTable.manifest(dst, 1) == VersionedTable.manifest(src, 1))
+    assert(VersionedTable.entries(dst, 1).map(_.stats) ==
+      VersionedTable.entries(src, 1).map(_.stats))
+    // clone writes never touch the source...
+    VersionedTable.commit(base().filter(col("key") <= 10), dst)
+    assert(VersionedTable.latestVersion(src) == 1)
+    assert(VersionedTable.readLatest(spark, src).count() == 1000)
+    assert(VersionedTable.readLatest(spark, dst).count() == 10)
+    // ...and source commits never touch the clone's pinned v1
+    VersionedTable.commit(base().filter(col("key") <= 5), src)
+    assert(VersionedTable.readVersion(spark, dst, 1).count() == 1000)
+    // cloning onto a non-empty table refuses
+    intercept[IllegalArgumentException] {
+      VersionedTable.shallowClone(src, 1, dst)
+    }
+  }
+
   test("replaceWhere carries disjoint files verbatim, rewrites only straddlers (r9)") {
     val root = freshRoot()
     // range-clustered v1: 10 files, each owning ~100 consecutive keys
