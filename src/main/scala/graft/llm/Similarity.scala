@@ -610,6 +610,7 @@ object Similarity {
     indexCache.computeIfAbsent(s"$dir@$mtime/$tag", { _ =>
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_idx_").toString
+      sys.addShutdownHook(graft.sink.Sinks.deleteDir(tmp))
       build(tmp)
       tmp
     })

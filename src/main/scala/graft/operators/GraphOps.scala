@@ -76,6 +76,7 @@ object GraphOps {
     val root = graphCache.computeIfAbsent(s"$dir@$mtime", { _ =>
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_graph_").toString
+      sys.addShutdownHook(graft.sink.Sinks.deleteDir(tmp))
       val pairs = load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
@@ -269,6 +270,7 @@ object GraphOps {
       import org.apache.spark.sql.expressions.Window
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_tri_").toString
+      sys.addShutdownHook(graft.sink.Sinks.deleteDir(tmp))
       val pr = load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
