@@ -14,6 +14,8 @@ object Curation {
 
   // portable patterns: char classes + bounded quantifiers behave identically
   // in Java regex and RE2 (no \s, \b or lookaround)
+  private val toksE = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
   private val phoneRe = "[+][0-9][0-9 -]+[0-9]"
 
@@ -224,11 +226,160 @@ object Curation {
       |WHERE r.rnk <= quota
       |ORDER BY r.source, r.rnk""".stripMargin
 
+  // ---- curate_boilerplate ---------------------------------------------------
+  // C4-style boilerplate removal (Raffel et al. 2020 §2.2 removed any
+  // three-sentence span occurring more than once in the corpus): the text is
+  // tiled into consecutive non-overlapping 8-token segments, a segment whose
+  // hash appears in >= 3 DISTINCT documents is boilerplate (nav bars, cookie
+  // banners, license footers), and the document is rewritten without those
+  // segments. Differs from dedup_substring (sliding windows, per-doc dup
+  // MEASUREMENT) — this one REWRITES, and its tiling keeps each token in
+  // exactly one segment so removal is well-defined.
+  //
+  // Topology: one projection explodes ~n_tokens/8 segments per doc, a
+  // two-phase hash-agg on the 32-byte segment hash computes distinct-doc
+  // frequency (map-side combine over (hash, doc_id) first), one equi-join
+  // marks segments against that frequency table, and one hash-agg on doc_id
+  // reassembles the cleaned text in segment order. Linear in corpus tokens,
+  // no corpus self-join; the frequency table is |distinct segments| and
+  // shuffles, never broadcasts, so the plan is scale-independent.
+  private val BoilerW = 8
+  private val BoilerDf = 3
+
+  def curateBoilerplate(s: SparkSession, dir: String): DataFrame =
+    curateBoilerplateOver(s, load(s, dir, "documents"))
+
+  private[llm] def curateBoilerplateOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val w = BoilerW
+    val segs = docs
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  CASE WHEN size(toks) >= 1 THEN sequence(1, size(toks), $w)
+           |       ELSE array() END,
+           |  p -> concat_ws(' ', slice(toks, p, $w)))""".stripMargin)))
+      .toDF("doc_id", "idx", "seg")
+      .withColumn("sh", md5(col("seg")))
+    val segDf = segs.select(col("sh"), col("doc_id")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val perDoc = segs.join(segDf, Seq("sh"))
+      .withColumn("boiler", col("df") >= BoilerDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+        expr("""md5(concat_ws(' ',
+              |  transform(
+              |    filter(sort_array(collect_list(struct(idx, boiler, seg))),
+              |           x -> NOT x.boiler),
+              |    x -> x.seg)))""".stripMargin).as("cleaned_fp"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned_fp"), md5(lit(""))).as("cleaned_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val curateBoilerplateOracle = {
+    val w = BoilerW
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |segs AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |         array_to_string(toks[p : p + $w - 1], ' ') AS seg
+       |  FROM t, UNNEST(range(1, len(toks) + 1, $w)) AS u(p)),
+       |h AS (SELECT doc_id, p, seg, md5(seg) AS sh FROM segs),
+       |df AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY sh),
+       |m AS (SELECT h.*, df.df >= $BoilerDf AS boiler FROM h JOIN df USING (sh)),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_segments,
+       |         CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |         md5(COALESCE(string_agg(CASE WHEN NOT boiler THEN seg END, ' ' ORDER BY p), '')) AS cleaned_fp
+       |  FROM m GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(p.n_segments, 0) AS n_segments,
+       |       COALESCE(p.n_removed, 0) AS n_removed,
+       |       COALESCE(p.cleaned_fp, md5('')) AS cleaned_fp
+       |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---- curate_lm_score ------------------------------------------------------
+  // Unigram-LM quality scoring — the CCNet move (Wenzek et al. 2020: score
+  // every document under a language model trained on trusted text; keep the
+  // fluent half) with the LM reduced to its exact-arithmetic core. The
+  // "model" is the corpus unigram table itself; a token's log-probability is
+  // proxied by floor(log2(corpus_count)) — computed as length(bin(cnt)) - 1,
+  // an INTEGER both engines derive from the same integer count, so no
+  // ln()/float rounding can disagree at a threshold. A document's score is
+  // its mean token bits in millibit units (total_bits * 1000 div n_tokens,
+  // integer division); `keep` compares each doc against the corpus mean by
+  // integer cross-multiplication. Rare-token-heavy docs (the gibberish CCNet
+  // drops) score low; docs of common tokens score high.
+  //
+  // Scale: the unigram table is one map-side-combining agg (vocab-sized,
+  // tiny next to the corpus); scoring is an equi-join on token (AQE
+  // broadcasts the vocab side) + one hash-agg on doc_id; the corpus mean is
+  // a broadcast 1-row aggregate. Training "the LM" and applying it are the
+  // same two scans at any corpus size.
+  def curateLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(expr(toksE)).as("token"))
+    val freq = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bits", (length(expr("bin(cnt)")) - 1).cast("long"))
+      .select(col("token"), col("bits"))
+    val perDoc = toks.join(freq, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+      .withColumn("avg_millibits", expr("total_bits * 1000 div n_tokens"))
+    val corpus = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum(col("avg_millibits")).as("sum_mb"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        coalesce(col("avg_millibits"), lit(0L)).as("avg_millibits"),
+        (coalesce(col("avg_millibits"), lit(0L)) * col("n_docs") >= col("sum_mb"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val curateLmScoreOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |f AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+      |fb AS (SELECT token, CAST(length(format('{:b}', cnt)) - 1 AS BIGINT) AS bits FROM f),
+      |perdoc AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS total_bits
+      |  FROM t JOIN fb USING (token) GROUP BY doc_id),
+      |p2 AS (
+      |  SELECT doc_id, n_tokens, total_bits,
+      |         total_bits * 1000 // n_tokens AS avg_millibits
+      |  FROM perdoc),
+      |c AS (SELECT COUNT(*) AS n_docs, CAST(SUM(avg_millibits) AS BIGINT) AS sum_mb FROM p2)
+      |SELECT d.doc_id,
+      |       COALESCE(p2.n_tokens, 0) AS n_tokens,
+      |       COALESCE(p2.total_bits, 0) AS total_bits,
+      |       COALESCE(p2.avg_millibits, 0) AS avg_millibits,
+      |       COALESCE(p2.avg_millibits, 0) * c.n_docs >= c.sum_mb AS keep
+      |FROM documents d LEFT JOIN p2 ON p2.doc_id = d.doc_id CROSS JOIN c
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "text_pii_scrub" -> (textPiiScrub _),
     "curate_keep_drop" -> (curateKeepDrop _),
     "curate_gopher_rules" -> (curateGopherRules _),
-    "curate_mix_domains" -> (curateMixDomains _))
+    "curate_mix_domains" -> (curateMixDomains _),
+    "curate_boilerplate" -> (curateBoilerplate _),
+    "curate_lm_score" -> (curateLmScore _))
 
   def oracles: Map[String, String] = Map(
     "text_pii_scrub" -> textPiiScrubOracle,
@@ -237,5 +388,7 @@ object Curation {
       TextAnalysis.oracles("text_langid"),
       Dedup.oracles("dedup_minhash_lsh")),
     "curate_gopher_rules" -> curateGopherRulesOracle,
-    "curate_mix_domains" -> curateMixDomainsOracle)
+    "curate_mix_domains" -> curateMixDomainsOracle,
+    "curate_boilerplate" -> curateBoilerplateOracle,
+    "curate_lm_score" -> curateLmScoreOracle)
 }

@@ -508,8 +508,82 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- dedup_containment ----------------------------------------------------
+  // DIRECTED near-subset detection: containment C(A→B) = |A∩B| / |A| over
+  // the retained-shingle sets (Broder 1997's other resemblance measure).
+  // Jaccard misses the quote-and-extend case — a short doc fully embedded
+  // in a much longer one scores J = |A|/|B| ≈ 0 but C(A→B) = 1. Pipelines
+  // drop the contained side (it adds no novel text); this operator emits
+  // every ordered pair with C >= 0.8, sub = the contained doc.
+  //
+  // Same scale topology as dedup_ngram_jaccard (one inverted-index
+  // self-join with the corpus-relative hot-shingle cap — candidates are a
+  // pure function of the data, never all-pairs); the only new work is
+  // scoring each unordered candidate pair in both directions, which is a
+  // projection, not a second join.
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    dedupContainmentOver(s, load(s, dir, "documents"))
+
+  private[llm] def dedupContainmentOver(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    val docs = shingledFrom(s, docsIn).localCheckpoint()
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= expr("greatest(CAST(20 AS BIGINT), n_docs div 25)"))
+      .select(col("sh"))
+    val inv = sh.join(rare, "sh").select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val joined = common
+      .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("na.n").as("n_a"), col("nb.n").as("n_b"))
+    val asSub = joined.select(col("id_a").as("id_sub"),
+      col("id_b").as("id_sup"), col("common"), col("n_a").as("n_sub"))
+    val asSup = joined.select(col("id_b").as("id_sub"),
+      col("id_a").as("id_sup"), col("common"), col("n_b").as("n_sub"))
+    asSub.unionByName(asSup)
+      .filter(col("common") * 5 >= col("n_sub") * 4)  // C >= 0.8, integer-exact
+      .select(col("id_sub"), col("id_sup"),
+        round((col("common").cast("double") / col("n_sub"))
+          .cast("decimal(28,8)"), 4).cast("double").as("containment"))
+      .orderBy(col("id_sub"), col("id_sup"))
+  }
+
+  private val dedupContainmentOracle =
+    s"""WITH $shingledSql,
+       |inv0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+       |rare AS (SELECT sh FROM inv0 GROUP BY sh
+       |         HAVING COUNT(*) <= GREATEST(20, (SELECT COUNT(*) FROM docs) // 25)),
+       |inv AS (SELECT doc_id, inv0.sh FROM inv0 JOIN rare ON inv0.sh = rare.sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+       |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b
+       |  FROM common
+       |  JOIN sizes na ON na.doc_id = id_a
+       |  JOIN sizes nb ON nb.doc_id = id_b),
+       |d AS (
+       |  SELECT id_a AS id_sub, id_b AS id_sup, common, n_a AS n_sub FROM j
+       |  UNION ALL
+       |  SELECT id_b AS id_sub, id_a AS id_sup, common, n_b AS n_sub FROM j)
+       |SELECT id_sub, id_sup,
+       |       CAST(ROUND(CAST(CAST(common AS DOUBLE) / n_sub AS DECIMAL(28,8)), 4) AS DOUBLE) AS containment
+       |FROM d WHERE common * 5 >= n_sub * 4
+       |ORDER BY id_sub, id_sup""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "dedup_exact" -> (dedupExact _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -519,6 +593,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactOracle,
+    "dedup_containment" -> dedupContainmentOracle,
     "dedup_minhash_lsh" -> dedupMinhashLshOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_simhash" -> dedupSimhashOracle,

@@ -159,7 +159,41 @@ object SourceQueries {
       |SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
       |FROM merged GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  // ---- src_jsonl ------------------------------------------------------------
+  // JSONL round-trip — the interchange format LLM corpora actually ship in
+  // (one JSON object per line; WebText, C4, RedPajama, FineWeb all
+  // distribute this way). The contract under test: (a) the sink emits
+  // line-delimited JSON Spark itself can re-ingest, and (b) the read path
+  // takes an EXPLICIT schema — at 100 TB, schema inference is a full extra
+  // pass over the corpus, so production reads must never pay it. The
+  // readback aggregates per source with a full-text checksum (md5 over the
+  // doc_id-ordered concatenation), so any escaping/encoding loss in the
+  // round-trip changes the hash against the oracle, which reads the SAME
+  // relation from the original parquet.
+  def srcJsonl(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_src_jsonl" +
+      s"-${ProcessHandle.current().pid()}-${evoRunId.incrementAndGet()}"
+    graft.sink.Sinks.deleteDir(path)
+    val docs = graft.model.Tables.load(s, dir, "documents")
+    docs.write.json(s"$path/docs")
+    s.read.schema(docs.schema).json(s"$path/docs")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("""md5(concat_ws(chr(1),
+              |  transform(sort_array(collect_list(struct(doc_id, text))),
+              |            x -> x.text)))""".stripMargin).as("corpus_fp"))
+      .orderBy(col("source"))
+  }
+
+  private val srcJsonlOracle =
+    """SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |       md5(string_agg(text, chr(1) ORDER BY doc_id)) AS corpus_fp
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "src_jsonl" -> (srcJsonl _),
     "src_http_graphql" -> (srcHttpGraphql _),
     "src_retry" -> (srcRetry _),
     "src_pagination" -> (srcPagination _),
@@ -168,6 +202,7 @@ object SourceQueries {
     "src_schema_evolution" -> (srcSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    "src_jsonl" -> srcJsonlOracle,
     "src_http_graphql" -> itemsOracle("personnel/2025-06-27.json"),
     "src_retry" -> srcRetryOracle,
     "src_pagination" -> itemsOracle("projects/2025-06-27_p*.json"),
