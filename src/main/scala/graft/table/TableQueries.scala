@@ -409,6 +409,55 @@ object TableQueries {
       |FROM base
       |ORDER BY version, key""".stripMargin
 
+  // ---- table_constraint_check -----------------------------------------------
+  // CHECK constraints at commit time (r9): the table declares row
+  // invariants (total >= 0, NOT NULL key/status); a batch violating any of
+  // them is rejected ATOMICALLY by commitChecked — no data files, no
+  // version. The key stages v1 (the clean snapshot), attempts a corrupted
+  // append snapshot (every 7th batch key's total negated) which MUST
+  // reject, then commits the repaired snapshot as v2. The output aggregates
+  // the final table and carries n_versions = 2 — if the rejected commit had
+  // published, or the corruption had leaked through, either the version
+  // count or the status sums would change and the hash would fail.
+  def tableConstraintCheck(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("chk")
+    val constraints =
+      Seq("total >= 0", "status IS NOT NULL", "key IS NOT NULL")
+    val base = ordersBase(s, dir)
+    require(VersionedTable.commitChecked(base, root, constraints).isRight,
+      "clean snapshot must commit")
+    val batch = base.select((col("key") + 3000000L).as("key"),
+      col("status"), col("total"))
+    val corrupted = batch.withColumn("total",
+      when(col("key") % 7 === 0, -col("total")).otherwise(col("total")))
+    val v2Bad = VersionedTable.commitChecked(
+      base.unionAll(corrupted), root, constraints)
+    require(v2Bad.isLeft, "corrupted batch must be rejected")
+    val fixed = corrupted.filter(col("key") % 7 =!= 0)
+    val v2 = VersionedTable.commitChecked(
+      base.unionAll(fixed), root, constraints)
+      .getOrElse(sys.error("repaired snapshot must commit"))
+    val nVersions = VersionedTable.latestVersion(root)
+    VersionedTable.readVersion(s, root, v2)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("total").cast("decimal(18,2)")).cast("double").as("sum_total"))
+      .withColumn("n_versions", lit(nVersions))
+      .orderBy(col("status"))
+  }
+
+  private val tableConstraintCheckOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders),
+      |batch AS (SELECT key + 3000000 AS key, status, total FROM base),
+      |fixed AS (SELECT * FROM batch WHERE key % 7 <> 0),
+      |final AS (SELECT * FROM base UNION ALL SELECT * FROM fixed)
+      |SELECT status, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+      |       2 AS n_versions
+      |FROM final GROUP BY status ORDER BY status""".stripMargin
+
   // ---- table_vacuum_age -----------------------------------------------------
   // Retention-window VACUUM (r7): same staged table as table_vacuum, but
   // pruning by AGE (`RETAIN n HOURS`) instead of version count — v1's
@@ -579,6 +628,7 @@ object TableQueries {
     "table_restore" -> (tableRestore _),
     "table_orphan_cleanup" -> (tableOrphanCleanup _),
     "table_schema_evolution" -> (tableSchemaEvolution _),
+    "table_constraint_check" -> (tableConstraintCheck _),
     "table_vacuum" -> (tableVacuum _),
     "table_vacuum_age" -> (tableVacuumAge _))
 
@@ -597,6 +647,7 @@ object TableQueries {
     "table_restore" -> tableRestoreOracle,
     "table_orphan_cleanup" -> tableRestoreOracle, // identity: cleanup never touches committed data
     "table_schema_evolution" -> tableSchemaEvolutionOracle,
+    "table_constraint_check" -> tableConstraintCheckOracle,
     "table_vacuum" -> sinkCompactOracle,
     "table_vacuum_age" -> sinkCompactOracle)
 }

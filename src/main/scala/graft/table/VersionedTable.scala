@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{types, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr, max, min}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, max, min, sum, when}
 
 /** Minimal copy-on-write table format with a commit log — the transactional
   * read surface the merge_upsert family's "version swap" stands in for
@@ -132,6 +132,35 @@ object VersionedTable {
     var v = latestVersion(root) + 1
     while (!publish(root, v, lines)) v = latestVersion(root) + 1
     v
+  }
+
+  /** CHECK-constraint commit (r9) — the write-side contract Delta/Iceberg
+    * tables enforce: a commit whose rows violate any declared constraint is
+    * rejected ATOMICALLY — no data files land, no version is published, the
+    * table is exactly what it was. Constraint semantics follow the SQL
+    * standard CHECK: a row violates only when the expression evaluates to
+    * FALSE (NULL passes — declare `c IS NOT NULL` explicitly to reject
+    * nulls, same as everyone else).
+    *
+    * Validation here is one aggregate scan of the incoming batch BEFORE
+    * anything is written — all constraints folded into a single projection
+    * (one pass regardless of constraint count), so rejection costs one read
+    * of the batch and zero writes. A production writer folds the same
+    * per-row predicate into the write task and aborts the commit on first
+    * violation; the manifest-side contract (no version, no files) is
+    * identical.
+    *
+    * @return Left(constraint → violation count) on rejection,
+    *         Right(published version) on success. */
+  def commitChecked(df: DataFrame, root: String,
+      constraints: Seq[String]): Either[Map[String, Long], Int] = {
+    val counts = df.select(constraints.zipWithIndex.map { case (c, i) =>
+      sum(when(!coalesce(expr(c), lit(true)), 1L).otherwise(0L)).as(s"c$i")
+    }: _*).collect()(0)
+    val bad = constraints.zipWithIndex
+      .map { case (c, i) => c -> counts.getLong(i) }
+      .filter(_._2 > 0).toMap
+    if (bad.nonEmpty) Left(bad) else Right(commit(df, root))
   }
 
   /** SHALLOW CLONE (r9) — Delta's `CREATE TABLE ... SHALLOW CLONE`: publish

@@ -586,4 +586,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, root, v3).count() ==
       (1L to 1000L).count(_ % 7 != 0))
   }
+
+  test("constraint rejection is atomic: no version, no files, SQL NULL semantics (r9)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val constraints = Seq("total >= 0", "status IS NOT NULL")
+    assert(VersionedTable.commitChecked(base(), root, constraints) == Right(1))
+    // a corrupted batch: one negative total
+    val bad = base().withColumn("total",
+      when(col("key") === 500L, lit(-1.0)).otherwise(col("total")))
+    val rej = VersionedTable.commitChecked(bad, root, constraints)
+    assert(rej == Left(Map("total >= 0" -> 1L)),
+      s"expected exactly the one violation: $rej")
+    // atomicity: still v1, and no orphan data landed under data/
+    assert(VersionedTable.latestVersion(root) == 1)
+    val dataFiles = {
+      val d = Paths.get(root, "data")
+      if (Files.exists(d))
+        Files.walk(d).filter(p => p.toString.endsWith(".parquet")).count()
+      else 0L
+    }
+    val v1Files = VersionedTable.entries(root, 1).count(_.change == false)
+    assert(dataFiles == v1Files,
+      s"rejected commit staged files: $dataFiles on disk vs $v1Files in v1")
+    // SQL CHECK semantics: NULL passes a plain predicate (total >= 0 over
+    // a NULL total is not a violation) but IS NOT NULL rejects it
+    val withNull = base().withColumn("total",
+      when(col("key") === 1L, lit(null).cast("double")).otherwise(col("total")))
+    assert(VersionedTable.commitChecked(withNull, root,
+      Seq("total >= 0")).isRight, "NULL must pass a plain CHECK (SQL standard)")
+    assert(VersionedTable.commitChecked(withNull, root,
+      Seq("total IS NOT NULL")).isLeft, "explicit NOT NULL must reject")
+  }
 }
