@@ -112,4 +112,29 @@ class GraphOpsSpec extends SparkSpec {
     // each triangle contributes exactly 3 node participations
     assert(out.values.sum % 3 == 0)
   }
+
+  test("jaccard similarity: ranked per query, candidates share a neighbor, corpus never shuffles for them (r9)") {
+    val df = GraphOps.queries("graph_jaccard_sim")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // per-query ranks are 1..k, jaccard non-increasing within a query
+    rows.groupBy(_.getAs[Long]("part")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val jacs = sorted.map(_.getAs[Double]("jaccard"))
+      assert(jacs.zip(jacs.tail).forall { case (a, b) => a >= b },
+        "rank order must follow jaccard")
+    }
+    assert(rows.forall { r =>
+      val j = r.getAs[Double]("jaccard")
+      j > 0 && j <= 1 && r.getAs[Long]("n_common") >= 1
+    })
+    // candidate generation is broadcast-side: the only exchanges are the
+    // aggregation/degree/window shuffles, never a shuffle JOIN of the
+    // full adjacency against itself
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query adjacency must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
