@@ -696,7 +696,87 @@ object StreamQueries {
       |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
       |FROM assigned GROUP BY win_start ORDER BY win_start""".stripMargin
 
+  // ---- stream_quarantine ----------------------------------------------------
+  // Dead-letter routing on streaming ingest — the expectations contract of
+  // Delta Live Tables / dlt.expect_or_drop: declared row invariants
+  // (value >= 0, event_type IS NOT NULL) are applied INSIDE each
+  // micro-batch, valid rows land in the main table, violators land in a
+  // QUARANTINE table with nothing dropped on the floor — the streaming
+  // complement of table_constraint_check's all-or-nothing batch commit
+  // (an endless stream can't reject a whole day's ingest for one bad
+  // row; it splits). Staged corruption is deterministic (every 11th
+  // event's value negated, every 13th's type nulled), arrives in TWO
+  // waves (maxFilesPerTrigger=1), and each batch writes BOTH sides to
+  // batchId-keyed subdirs with overwrite — a retried batch rewrites its
+  // own directory instead of double-appending, which is the standard
+  // idempotent-foreachBatch recipe. Conservation is part of the hashed
+  // contract: ok + quarantine row counts must equal the corpus.
+  /** Base dir of the most recent streamQuarantine run (spec hook — the
+    * lastDedupBase convention). */
+  @volatile private[streaming] var lastQuarantineBase: String = _
+
+  def streamQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    lastQuarantineBase = base
+    val staged = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .withColumn("value",
+        when(col("event_id") % 11 === 0, -col("value")).otherwise(col("value")))
+      .withColumn("event_type",
+        when(col("event_id") % 13 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")))
+    staged.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$base/src")
+    staged.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$base/src")
+
+    val ok = col("value") >= 0 && col("event_type").isNotNull
+    val q = withFewStatePartitions(s) {
+      s.readStream.schema(s.read.parquet(s"$base/src").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.filter(ok).write.mode("overwrite")
+            .parquet(s"$base/ok/b$batchId")
+          batch.filter(!ok).write.mode("overwrite")
+            .parquet(s"$base/quarantine/b$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    def sideAgg(sub: String, label: String): DataFrame =
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/$sub")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+            .as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(lit(label).as("side"), col("n_events"), col("total_value"),
+          col("n_users"))
+    sideAgg("ok", "ok").unionAll(sideAgg("quarantine", "quarantine"))
+      .orderBy(col("side"))
+  }
+
+  private val streamQuarantineOracle =
+    """WITH staged AS (
+      |  SELECT event_id, user_id,
+      |         CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS event_type,
+      |         CASE WHEN event_id % 11 = 0 THEN -value ELSE value END AS value
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, (value >= 0 AND event_type IS NOT NULL) AS ok FROM staged)
+      |SELECT CASE WHEN ok THEN 'ok' ELSE 'quarantine' END AS side,
+      |       COUNT(*) AS n_events,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM flagged GROUP BY 1 ORDER BY side""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "stream_quarantine" -> (streamQuarantine _),
     "stream_sliding_window" -> (streamSlidingWindow _),
     "stream_cdf_read" -> (streamCdfRead _),
     "stream_incremental_agg" -> (streamIncrementalAgg _),
@@ -709,6 +789,7 @@ object StreamQueries {
     "stream_merge_upsert" -> (streamMergeUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "stream_quarantine" -> streamQuarantineOracle,
     // the streamed feed converges to the SAME relation as the batch CDF
     // read — one oracle, two read paths
     "stream_cdf_read" -> graft.table.TableQueries.oracles("table_incremental_read"),

@@ -151,4 +151,21 @@ class StreamQueriesSpec extends SparkSpec {
       r.getAs[java.sql.Date]("win_start").toLocalDate,
       r.getAs[java.sql.Date]("win_end").toLocalDate) == 2))
   }
+
+  test("quarantine: conservation, per-batch routing, idempotent batch dirs (r9)") {
+    val out = StreamQueries.queries("stream_quarantine")(spark, sfDir).collect()
+    val bySide = out.map(r => r.getAs[String]("side") ->
+      r.getAs[Long]("n_events")).toMap
+    val corpus = graft.model.Tables.load(spark, sfDir, "events").count()
+    // nothing dropped on the floor: the two sides partition the corpus
+    assert(bySide("ok") + bySide("quarantine") == corpus,
+      s"rows lost in routing: $bySide vs corpus $corpus")
+    assert(bySide("quarantine") > 0 && bySide("ok") > bySide("quarantine"))
+    // both waves routed both sides: batchId-keyed dirs b0 and b1 exist
+    // under each sink (the overwrite-by-batchId idempotence layout)
+    val base = StreamQueries.lastQuarantineBase
+    for (side <- Seq("ok", "quarantine"); b <- Seq("b0", "b1"))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$side/$b")),
+        s"missing $side/$b — a micro-batch skipped a sink")
+  }
 }
