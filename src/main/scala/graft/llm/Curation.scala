@@ -312,30 +312,70 @@ object Curation {
   // every document under a language model trained on trusted text; keep the
   // fluent half) with the LM reduced to its exact-arithmetic core. The
   // "model" is the corpus unigram table itself; a token's log-probability is
-  // proxied by floor(log2(corpus_count)) — computed as length(bin(cnt)) - 1,
-  // an INTEGER both engines derive from the same integer count, so no
-  // ln()/float rounding can disagree at a threshold. A document's score is
-  // its mean token bits in millibit units (total_bits * 1000 div n_tokens,
-  // integer division); `keep` compares each doc against the corpus mean by
-  // integer cross-multiplication. Rare-token-heavy docs (the gibberish CCNet
-  // drops) score low; docs of common tokens score high.
+  // proxied by its log2 corpus frequency in integer MILLIBITS (see
+  // [[lmScores]] — floor(log2) by bit length plus exact linear
+  // interpolation between powers of two, so no ln()/float rounding can
+  // disagree at a threshold). A document's score is its mean token
+  // millibits (integer division); `keep` compares each doc against the
+  // corpus mean by integer cross-multiplication. Rare-token-heavy docs
+  // (the gibberish CCNet drops) score low; docs of common tokens score
+  // high.
   //
   // Scale: the unigram table is one map-side-combining agg (vocab-sized,
   // tiny next to the corpus); scoring is an equi-join on token (AQE
   // broadcasts the vocab side) + one hash-agg on doc_id; the corpus mean is
   // a broadcast 1-row aggregate. Training "the LM" and applying it are the
   // same two scans at any corpus size.
-  def curateLmScore(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc unigram-LM scores (doc_id, n_tokens, total_millibits,
+    * avg_millibits) — shared by curate_lm_score and curate_ppl_buckets.
+    *
+    * A token's log2-frequency in MILLIBITS, exact integer arithmetic:
+    * p = floor(log2(cnt)) via length(bin(cnt))-1, then linear
+    * interpolation between powers of two — p*1000 + (cnt - 2^p)*1000 div
+    * 2^p. The interpolation matters: pure floor(log2) collapses a
+    * near-uniform frequency table to one value (every token "9 bits") and
+    * the distribution degenerates; the piecewise-linear form keeps each
+    * distinct count a distinct score while every operation stays integer
+    * (shift, multiply, truncated divide — bit-identical across engines,
+    * no libm log at any threshold). */
+  private def lmScores(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(expr(toksE)).as("token"))
     val freq = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("bits", (length(expr("bin(cnt)")) - 1).cast("long"))
-      .select(col("token"), col("bits"))
-    val perDoc = toks.join(freq, Seq("token"))
+      .withColumn("p", (length(expr("bin(cnt)")) - 1).cast("long"))
+      .withColumn("mb", expr(
+        "p * 1000 + (cnt - shiftleft(1L, cast(p as int))) * 1000 div shiftleft(1L, cast(p as int))"))
+      .select(col("token"), col("mb"))
+    toks.join(freq, Seq("token"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
-      .withColumn("avg_millibits", expr("total_bits * 1000 div n_tokens"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("mb")).as("total_millibits"))
+      .withColumn("avg_millibits", expr("total_millibits div n_tokens"))
+  }
+
+  /** The same per-doc scores as a DuckDB CTE chain ending in `p2`. */
+  private val lmScoresSql =
+    """t AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |f AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+      |fb AS (SELECT token,
+      |       CAST((length(format('{:b}', cnt)) - 1) * 1000
+      |            + (cnt - (CAST(1 AS BIGINT) << (length(format('{:b}', cnt)) - 1))) * 1000
+      |              // (CAST(1 AS BIGINT) << (length(format('{:b}', cnt)) - 1)) AS BIGINT) AS mb
+      |       FROM f),
+      |perdoc AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(mb) AS BIGINT) AS total_millibits
+      |  FROM t JOIN fb USING (token) GROUP BY doc_id),
+      |p2 AS (
+      |  SELECT doc_id, n_tokens, total_millibits,
+      |         total_millibits // n_tokens AS avg_millibits
+      |  FROM perdoc)""".stripMargin
+
+  def curateLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val perDoc = lmScores(s, dir)
     val corpus = perDoc.agg(count(lit(1)).as("n_docs"),
       sum(col("avg_millibits")).as("sum_mb"))
     docs.select(col("doc_id"))
@@ -343,7 +383,7 @@ object Curation {
       .crossJoin(broadcast(corpus))
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        coalesce(col("total_millibits"), lit(0L)).as("total_millibits"),
         coalesce(col("avg_millibits"), lit(0L)).as("avg_millibits"),
         (coalesce(col("avg_millibits"), lit(0L)) * col("n_docs") >= col("sum_mb"))
           .as("keep"))
@@ -351,27 +391,71 @@ object Curation {
   }
 
   private val curateLmScoreOracle =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
-      |  FROM documents),
-      |f AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
-      |fb AS (SELECT token, CAST(length(format('{:b}', cnt)) - 1 AS BIGINT) AS bits FROM f),
-      |perdoc AS (
-      |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS total_bits
-      |  FROM t JOIN fb USING (token) GROUP BY doc_id),
-      |p2 AS (
-      |  SELECT doc_id, n_tokens, total_bits,
-      |         total_bits * 1000 // n_tokens AS avg_millibits
-      |  FROM perdoc),
+    s"""WITH $lmScoresSql,
       |c AS (SELECT COUNT(*) AS n_docs, CAST(SUM(avg_millibits) AS BIGINT) AS sum_mb FROM p2)
       |SELECT d.doc_id,
       |       COALESCE(p2.n_tokens, 0) AS n_tokens,
-      |       COALESCE(p2.total_bits, 0) AS total_bits,
+      |       COALESCE(p2.total_millibits, 0) AS total_millibits,
       |       COALESCE(p2.avg_millibits, 0) AS avg_millibits,
       |       COALESCE(p2.avg_millibits, 0) * c.n_docs >= c.sum_mb AS keep
       |FROM documents d LEFT JOIN p2 ON p2.doc_id = d.doc_id CROSS JOIN c
       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- curate_ppl_buckets ---------------------------------------------------
+  // CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): the corpus is
+  // cut into score TERTILES and recipes sample the buckets differently
+  // (head = fluent, tail = noisy). The cutoffs are VALUES, not ranks — the
+  // honest large-scale semantics: a global NTILE would funnel the whole
+  // corpus through one sorted partition, so instead the score histogram
+  // (avg_millibits is an integer in [0, 64000) — at most that many distinct
+  // values regardless of corpus size) aggregates map-side, a cumulative
+  // count over the DESCENDING histogram finds the largest values where
+  // coverage reaches ceil(n/3) and ceil(2n/3), and assignment is one
+  // per-row compare against the two broadcast cutoffs. Ties share a bucket
+  // (sizes are ~n/3, not exactly — the threshold contract, same as CCNet's
+  // own percentile cutoffs).
+  def curatePplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = lmScores(s, dir).select(col("doc_id"), col("avg_millibits"))
+    val hist = scores.groupBy(col("avg_millibits")).agg(count(lit(1)).as("c"))
+    // window over the HISTOGRAM (≤ 64k rows by construction), not the corpus
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("avg_millibits").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cuts = cum.crossJoin(broadcast(
+        scores.agg(count(lit(1)).as("n"))))
+      .agg(
+        max(when(col("cum") >= expr("(n + 2) div 3"),
+          col("avg_millibits"))).as("c1"),
+        max(when(col("cum") >= expr("(2 * n + 2) div 3"),
+          col("avg_millibits"))).as("c2"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_millibits"),
+        when(col("avg_millibits") >= col("c1"), "head")
+          .when(col("avg_millibits") >= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val curatePplBucketsOracle =
+    s"""WITH $lmScoresSql,
+       |hist AS (SELECT avg_millibits, COUNT(*) AS c FROM p2 GROUP BY avg_millibits),
+       |cum AS (
+       |  SELECT avg_millibits, c,
+       |         SUM(c) OVER (ORDER BY avg_millibits DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |n1 AS (SELECT COUNT(*) AS n FROM p2),
+       |cuts AS (
+       |  SELECT MAX(CASE WHEN cum >= (n + 2) // 3 THEN avg_millibits END) AS c1,
+       |         MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN avg_millibits END) AS c2
+       |  FROM cum CROSS JOIN n1)
+       |SELECT doc_id, avg_millibits,
+       |       CASE WHEN avg_millibits >= c1 THEN 'head'
+       |            WHEN avg_millibits >= c2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM p2 CROSS JOIN cuts
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map[String, Q](
     "text_pii_scrub" -> (textPiiScrub _),
@@ -379,7 +463,8 @@ object Curation {
     "curate_gopher_rules" -> (curateGopherRules _),
     "curate_mix_domains" -> (curateMixDomains _),
     "curate_boilerplate" -> (curateBoilerplate _),
-    "curate_lm_score" -> (curateLmScore _))
+    "curate_lm_score" -> (curateLmScore _),
+    "curate_ppl_buckets" -> (curatePplBuckets _))
 
   def oracles: Map[String, String] = Map(
     "text_pii_scrub" -> textPiiScrubOracle,
@@ -390,5 +475,6 @@ object Curation {
     "curate_gopher_rules" -> curateGopherRulesOracle,
     "curate_mix_domains" -> curateMixDomainsOracle,
     "curate_boilerplate" -> curateBoilerplateOracle,
-    "curate_lm_score" -> curateLmScoreOracle)
+    "curate_lm_score" -> curateLmScoreOracle,
+    "curate_ppl_buckets" -> curatePplBucketsOracle)
 }

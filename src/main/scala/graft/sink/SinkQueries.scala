@@ -175,7 +175,58 @@ object SinkQueries {
        |FROM flat GROUP BY ed ORDER BY ed""".stripMargin
       .replace("$ROOT$", root)
 
+  // ---- sink_shards ----------------------------------------------------------
+  // Training-shard EXPORT — the step that hands a curated corpus to the
+  // trainer (WebDataset / Megatron shards): every doc routes to one of 8
+  // shards by a pure function of its stable id (first md5 byte mod 8 —
+  // sample_split_hash's reproducibility contract: re-running the export on
+  // any cluster shape emits byte-identical shard membership), the shards
+  // land as a partitioned parquet layout, and the key returns the shard
+  // MANIFEST read back FROM THE WRITTEN FILES — shard sizes, token totals
+  // (what trainers budget by), and a doc_id-ordered full-text checksum, so
+  // a routing or write error fails the hash. The oracle derives the same
+  // manifest from the raw table.
+  //
+  // Scale: the write is one hash-partitioned shuffle (partitionBy over 8
+  // values; at 100 TB shards number in the thousands and the same plan
+  // holds); the manifest is one per-shard hash-agg over the readback. The
+  // checksum's per-shard sort is bounded by shard size — at real scale the
+  // checksum becomes a sum of per-doc hashes (order-independent) instead;
+  // the manifest columns trainers consume (counts, token totals) are
+  // already order-free.
+  def sinkShards(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("shards")
+    val docs = graft.model.Tables.load(s, dir, "documents")
+      .withColumn("shard",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") % 8).cast("int"))
+    docs.write.partitionBy("shard").parquet(path)
+    s.read.parquet(path)
+      .withColumn("n_toks",
+        size(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")))
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        expr("""md5(concat_ws(chr(1),
+              |  transform(sort_array(collect_list(struct(doc_id, text))),
+              |            x -> x.text)))""".stripMargin).as("shard_fp"))
+      .orderBy(col("shard"))
+  }
+
+  private val sinkShardsOracle =
+    """WITH d AS (
+      |  SELECT *,
+      |         ((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |          + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS shard,
+      |         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_toks
+      |  FROM documents)
+      |SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |       md5(string_agg(text, chr(1) ORDER BY doc_id)) AS shard_fp
+      |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "sink_shards" -> (sinkShards _),
     "sink_truncate" -> (sinkTruncate _),
     "sink_append_historical" -> (sinkAppendHistorical _),
     "stream_snapshot_append" -> (streamSnapshotAppend _),
@@ -184,6 +235,7 @@ object SinkQueries {
     "sink_schema_explicit" -> (sinkSchemaExplicit _))
 
   val oracles: Map[String, String] = Map(
+    "sink_shards" -> sinkShardsOracle,
     "sink_truncate" -> fixtureCounts("personnel"),
     "sink_append_historical" -> fixtureCounts("personnel",
       Map("2025-06-27" -> 2)),

@@ -564,12 +564,12 @@ class LlmOpsSpec extends SparkSpec {
     val kept = rows.count(_.getAs[Boolean]("keep"))
     assert(kept > 0 && kept < rows.length,
       s"corpus-mean threshold must discriminate: $kept/${rows.length}")
-    // score bounds: bits per token of a 64-bit count is < 64, so avg
-    // millibits lives in [0, 64000]; total_bits = 0 only with 0 tokens
+    // score bounds: millibits per token of a 64-bit count is < 64000
+    // (p*1000 + frac < (p+1)*1000 ≤ 64000); total = 0 only with 0 tokens
     assert(rows.forall { r =>
       val mb = r.getAs[Long]("avg_millibits")
       mb >= 0 && mb < 64000 &&
-        ((r.getAs[Long]("total_bits") == 0) == (r.getAs[Long]("n_tokens") == 0))
+        ((r.getAs[Long]("total_millibits") == 0) == (r.getAs[Long]("n_tokens") == 0))
     })
     // the keep set is exactly the docs at/above the corpus mean
     val n = rows.length.toLong
@@ -592,5 +592,23 @@ class LlmOpsSpec extends SparkSpec {
     // 16/64 of the signal); MRL-trained embeddings concentrate it. Floor
     // well above sim_lsh_ann's single-table 0.033, with slack for data.
     assert(recall >= 0.2, s"recall@5 $recall collapsed below the useful band")
+  }
+
+  test("ppl buckets: three non-degenerate tertiles strictly ordered by score (r9)") {
+    val rows = Curation.queries("curate_ppl_buckets")(spark, sfDir).collect()
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("avg_millibits"))).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"),
+      s"a tertile is empty: ${byBucket.keySet}")
+    // value cutoffs: ties share a bucket, sizes are ~n/3 within slack
+    val n = rows.length
+    byBucket.values.foreach(b =>
+      assert(b.length > n / 5 && b.length < n / 2,
+        s"degenerate tertile sizes: ${byBucket.view.mapValues(_.length).toMap}"))
+    // buckets are ordered by score: min(head) > max(middle) > ... is too
+    // strict only at the cutoff value itself, which belongs to the upper
+    // bucket — so min(upper) must exceed every LOWER-bucket score
+    assert(byBucket("head").min > byBucket("middle").max)
+    assert(byBucket("middle").min > byBucket("tail").max)
   }
 }

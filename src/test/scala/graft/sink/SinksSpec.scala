@@ -127,4 +127,22 @@ class SinksSpec extends SparkSpec {
     val df = Analytics.filterDateRangePart(spark, sfDir)
     assert(df.exceptAll(flat).isEmpty && flat.exceptAll(df).isEmpty)
   }
+
+  test("shard export: partitioned layout on disk, conservation, bit-reproducible (r9)") {
+    val run1 = SinkQueries.queries("sink_shards")(spark, sfDir).collect()
+    assert(run1.map(_.getAs[Int]("shard")).toSet == (0 to 7).toSet,
+      "every shard must be present")
+    val corpus = graft.model.Tables.load(spark, sfDir, "documents").count()
+    assert(run1.map(_.getAs[Long]("n_docs")).sum == corpus,
+      "docs lost or duplicated in sharding")
+    // the layout trainers consume: shard=N partition dirs on disk
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_sinks/shards")
+    val parts = dir.listFiles().map(_.getName).filter(_.startsWith("shard="))
+    assert(parts.length == 8, s"expected 8 shard dirs, got ${parts.toSeq}")
+    // pure-function routing: a re-run reproduces the manifest bit-for-bit
+    val run2 = SinkQueries.queries("sink_shards")(spark, sfDir).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq,
+      "shard export is not reproducible")
+  }
 }
