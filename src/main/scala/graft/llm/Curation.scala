@@ -375,7 +375,9 @@ object Curation {
 
   def curateLmScore(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
-    val perDoc = lmScores(s, dir)
+    // two consumers (corpus mean + the join) — materialize once per
+    // invocation, the dedup-family localCheckpoint lifecycle
+    val perDoc = lmScores(s, dir).localCheckpoint()
     val corpus = perDoc.agg(count(lit(1)).as("n_docs"),
       sum(col("avg_millibits")).as("sum_mb"))
     docs.select(col("doc_id"))
@@ -416,7 +418,9 @@ object Curation {
   // own percentile cutoffs).
   def curatePplBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // three consumers (histogram, count, assignment) — one materialization
     val scores = lmScores(s, dir).select(col("doc_id"), col("avg_millibits"))
+      .localCheckpoint()
     val hist = scores.groupBy(col("avg_millibits")).agg(count(lit(1)).as("c"))
     // window over the HISTOGRAM (≤ 64k rows by construction), not the corpus
     val cum = hist.withColumn("cum", sum(col("c")).over(
