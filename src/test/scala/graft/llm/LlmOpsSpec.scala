@@ -611,4 +611,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(byBucket("head").min > byBucket("middle").max)
     assert(byBucket("middle").min > byBucket("tail").max)
   }
+
+  test("prefix join is EXACT: equals brute force, keeps the pair the capped index must drop (r9)") {
+    import spark.implicits._
+    // 2 identical docs whose every shingle is shared by 28 more docs (df=30
+    // > the cap of 20), so the capped inverted index holds NO entries for
+    // them — plus disjoint filler so the corpus isn't degenerate
+    val core = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = (Seq((1L, core), (2L, core)) ++
+      (3L to 30L).map(i => (i, s"$core " + (1 to 200).map(j => s"t${i}x$j").mkString(" "))) ++
+      (31L to 40L).map(i => (i, (1 to 40).map(j => s"u${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupPrefixJoinOver(spark, docs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    // brute force over the same shingle sets, replayed in plain Scala
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ").toSeq
+      toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.collect().map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      c = (sets(a) & sets(b)).size; u = (sets(a) | sets(b)).size
+      if c * 5 >= u * 3
+    } yield (a, b, math.round(c.toDouble / u * 10000) / 10000.0)).toSet
+    assert(got == want,
+      s"prefix join must equal brute force: missing ${want -- got}, extra ${got -- want}")
+    // the theorem's payoff: the (1,2) pair IS found here and is NOT
+    // findable by the capped index (every shared shingle is over the cap)
+    assert(got.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    val capped = Dedup.dedupNgramJaccardOver(spark, docs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(!capped.contains((1L, 2L)),
+      "expected the capped index to drop the all-hot-shingle pair (else this spec is vacuous)")
+    val plan = Dedup.dedupPrefixJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must stay an equi-join:\n$plan")
+  }
 }
