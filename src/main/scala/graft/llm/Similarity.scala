@@ -1261,7 +1261,92 @@ object Similarity {
        |       pre_rank
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---- sim_knn_classify -----------------------------------------------------
+  // kNN label propagation — the semi-supervised labeling step of curation
+  // pipelines (propagate a quality/domain/topic label from a labeled seed
+  // set to the rest of the corpus through embedding space): every
+  // "unlabeled" vector (vec_id % 10 == 3, ~10% held out) takes the
+  // MAJORITY label of its 3 nearest labeled neighbors, ties broken toward
+  // the smaller label. The held-out side is 10% of the corpus — NOT a
+  // broadcastable query set — so candidates come from the sim_knn_join
+  // blocking (equi-join on the 4-bit sign-LSH bucket, both sides
+  // partitioned, never broadcast); exact integer-dot cosine ranks within
+  // the bucket, WindowGroupLimit prunes to k before any sort. The output
+  // carries the held-back true label and a correctness flag, so the
+  // classifier's accuracy is itself part of the hashed contract. On THIS
+  // fixture the accuracy sits at the 1/10 chance baseline — measured
+  // exact (unblocked) kNN scores the same, because the fixture's labels
+  // are assigned independently of the isotropic vectors; the spec
+  // therefore pins the MECHANISM (vote counts, majority/tie rules,
+  // determinism), which is the operator. On real embeddings, where labels
+  // ARE geometric, the same plan is the standard semi-supervised
+  // propagator.
+  def simKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir).withColumn("bucket", expr(bucketE))
+      .join(load(s, dir, "embeddings").select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+    val unl = corpus.filter(col("vec_id") % 10 === 3)
+    val lab = corpus.filter(col("vec_id") % 10 =!= 3)
+    val scored = unl.as("q").join(lab.as("c"),
+        col("q.bucket") === col("c.bucket"))
+      .select(col("q.vec_id").as("vec_id"), col("q.label").as("true_label"),
+        col("c.vec_id").as("neighbor_id"), col("c.label").as("n_label"),
+        expr("graft_dotq(q.embedding, c.embedding)").as("dot"),
+        col("q.nrm").as("qn"), col("c.nrm").as("cn"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val votes = scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .groupBy(col("vec_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("vec_id"))
+      .orderBy(col("n_votes").desc, col("n_label"))
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"), col("n_label").as("pred_label"),
+        col("n_votes"), col("true_label"),
+        (col("n_label") === col("true_label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val simKnnClassifyOracle =
+    s"""WITH $quantizedSql,
+       |bucketed AS (
+       |  SELECT qn.vec_id, qv, nrm, e.label,
+       |         (CASE WHEN qn.embedding[1] > 0 THEN 1 ELSE 0 END) +
+       |         (CASE WHEN qn.embedding[9] > 0 THEN 2 ELSE 0 END) +
+       |         (CASE WHEN qn.embedding[17] > 0 THEN 4 ELSE 0 END) +
+       |         (CASE WHEN qn.embedding[25] > 0 THEN 8 ELSE 0 END) AS bucket
+       |  FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id),
+       |scored AS (
+       |  SELECT q.vec_id, q.label AS true_label,
+       |         c.vec_id AS neighbor_id, c.label AS n_label,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+       |  FROM bucketed q JOIN bucketed c
+       |    ON q.bucket = c.bucket
+       |   AND q.vec_id % 10 = 3 AND c.vec_id % 10 <> 3),
+       |top3 AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, true_label, n_label,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM scored) WHERE rank <= 3),
+       |votes AS (
+       |  SELECT vec_id, true_label, n_label, COUNT(*) AS n_votes
+       |  FROM top3 GROUP BY 1, 2, 3),
+       |pick AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |           ORDER BY n_votes DESC, n_label) AS vr
+       |  FROM votes)
+       |SELECT vec_id, n_label AS pred_label, n_votes, true_label,
+       |       n_label = true_label AS correct
+       |FROM pick WHERE vr = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "sim_knn_classify" -> (simKnnClassify _),
     "sim_matryoshka" -> (simMatryoshka _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_range_search" -> (simRangeSearch _),
@@ -1276,6 +1361,7 @@ object Similarity {
     "dedup_semantic" -> (dedupSemantic _))
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_classify" -> simKnnClassifyOracle,
     "sim_matryoshka" -> simMatryoshkaOracle,
     "sim_knn_join" -> simKnnJoinOracle,
     "sim_range_search" -> simRangeSearchOracle,

@@ -192,7 +192,68 @@ object SourceQueries {
       |       md5(string_agg(text, chr(1) ORDER BY doc_id)) AS corpus_fp
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- src_csv_badrecords ---------------------------------------------------
+  // Robust CSV ingest — the PERMISSIVE-mode contract production loaders
+  // depend on: malformed rows (here every doc_id % 17 == 0 row is staged
+  // with fields missing) must neither kill the job (FAILFAST) nor vanish
+  // (DROPMALFORMED) but land intact in the corrupt-record column for a
+  // quarantine pass — the batch-source sibling of stream_quarantine. The
+  // read takes an EXPLICIT schema (+ the _corrupt column); the result
+  // aggregates both sides, and conservation (ok + corrupt == corpus) plus
+  // the ok-side full-text checksum are in the hashed contract, so a parser
+  // that dropped or half-parsed a malformed row fails the oracle compare.
+  def srcCsvBadRecords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"${sys.props("java.io.tmpdir")}/graft_src_csv" +
+      s"-${ProcessHandle.current().pid()}-${evoRunId.incrementAndGet()}"
+    graft.sink.Sinks.deleteDir(path)
+    val docs = graft.model.Tables.load(s, dir, "documents")
+    // fixture text is [a-z0-9 ]+ so no CSV quoting/escaping ambiguity —
+    // the corruption (missing fields) is the only malformation
+    docs.select(when(col("doc_id") % 17 === 0,
+        concat_ws(",", col("doc_id"), col("lang")))
+      .otherwise(concat_ws(",", col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text"))).as("value"))
+      .write.text(s"$path/csv")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType),
+      StructField("text", StringType), StructField("_corrupt", StringType)))
+    val back = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(s"$path/csv")
+      .localCheckpoint() // two aggregation consumers, one parse
+    val ok = back.filter(col("_corrupt").isNull)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("""md5(concat_ws(chr(1),
+              |  transform(sort_array(collect_list(struct(doc_id, text))),
+              |            x -> x.text)))""".stripMargin).as("corpus_fp"))
+      .select(lit("ok").as("side"), col("n_rows"), col("sum_chars"),
+        col("corpus_fp"))
+    val bad = back.filter(col("_corrupt").isNotNull)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("corrupt").as("side"), col("n_rows"),
+        lit(null).cast("long").as("sum_chars"),
+        lit(null).cast("string").as("corpus_fp"))
+    bad.unionAll(ok).orderBy(col("side"))
+  }
+
+  private val srcCsvBadRecordsOracle =
+    """WITH flag AS (SELECT *, doc_id % 17 = 0 AS bad FROM documents)
+      |SELECT 'corrupt' AS side, COUNT(*) AS n_rows,
+      |       CAST(NULL AS BIGINT) AS sum_chars,
+      |       CAST(NULL AS VARCHAR) AS corpus_fp
+      |FROM flag WHERE bad
+      |UNION ALL
+      |SELECT 'ok', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+      |       md5(string_agg(text, chr(1) ORDER BY doc_id))
+      |FROM flag WHERE NOT bad
+      |ORDER BY side""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "src_csv_badrecords" -> (srcCsvBadRecords _),
     "src_jsonl" -> (srcJsonl _),
     "src_http_graphql" -> (srcHttpGraphql _),
     "src_retry" -> (srcRetry _),
@@ -202,6 +263,7 @@ object SourceQueries {
     "src_schema_evolution" -> (srcSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    "src_csv_badrecords" -> srcCsvBadRecordsOracle,
     "src_jsonl" -> srcJsonlOracle,
     "src_http_graphql" -> itemsOracle("personnel/2025-06-27.json"),
     "src_retry" -> srcRetryOracle,

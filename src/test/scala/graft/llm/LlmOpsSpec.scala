@@ -649,4 +649,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"prefix join must stay an equi-join:\n$plan")
   }
+
+  test("knn classify: every held-out vector with candidates gets one majority verdict (r9)") {
+    val rows = Similarity.queries("sim_knn_classify")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // one verdict per vector, vote counts within [1, k], held-out ids only
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length, "a vector got two verdicts")
+    assert(ids.forall(_ % 10 == 3), "a labeled vector was classified")
+    assert(rows.forall { r =>
+      val v = r.getAs[Long]("n_votes"); v >= 1 && v <= 3 })
+    assert(rows.forall(r => r.getAs[Boolean]("correct") ==
+      (r.getAs[Int]("pred_label") == r.getAs[Int]("true_label"))))
+    // determinism: a re-run yields the identical verdict set
+    val again = Similarity.queries("sim_knn_classify")(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

@@ -31,4 +31,13 @@ class JsonlSpec extends SparkSpec {
     val fps = rows.map(_.getAs[String]("corpus_fp"))
     assert(fps.distinct.length == fps.length)
   }
+
+  test("csv bad records: malformed rows quarantine whole, good rows parse whole") {
+    val out = SourceQueries.queries("src_csv_badrecords")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("side") -> r.getAs[Long]("n_rows")).toMap
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val expectBad = docs.filter(org.apache.spark.sql.functions.expr("doc_id % 17 = 0")).count()
+    assert(out("corrupt") == expectBad, s"quarantined ${out("corrupt")} of $expectBad planted")
+    assert(out("ok") + out("corrupt") == docs.count(), "rows lost in PERMISSIVE parse")
+  }
 }
