@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
 import graft.llm.{Curation, Dedup, DedupStress, MinHashAgg, Multimodal, PipelinePrep, Retrieval, Similarity, TextAnalysis, Tokenize}
-import graft.operators.{Analytics, GraphOps, PipelineOps}
+import graft.operators.{Analytics, DataProfile, GraphOps, PipelineOps, TimeSeries}
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
 import graft.streaming.{SessionStream, StreamQueries}
@@ -33,7 +33,7 @@ object SparkEntry {
       StreamQueries.queries ++ MinHashAgg.queries ++ Curation.queries ++
       PipelineOps.queries ++ PipelinePrep.queries ++ GraphOps.queries ++
       SessionStream.queries ++ Tokenize.queries ++ TableQueries.queries ++
-      Retrieval.queries
+      Retrieval.queries ++ TimeSeries.queries ++ DataProfile.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -45,5 +45,5 @@ object SparkEntry {
       StreamQueries.oracles ++ MinHashAgg.oracles ++ Curation.oracles ++
       PipelineOps.oracles ++ PipelinePrep.oracles ++ GraphOps.oracles ++
       SessionStream.oracles ++ Tokenize.oracles ++ TableQueries.oracles ++
-      Retrieval.oracles
+      Retrieval.oracles ++ TimeSeries.oracles ++ DataProfile.oracles
 }

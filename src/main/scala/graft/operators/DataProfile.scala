@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables.load
+
+/** Data-quality profiling and statistical aggregates — the checks a
+  * pipeline runs on every ingested snapshot before trusting it (the
+  * reference's `ETLMonitor` health report grows into exactly this once
+  * "row count > 0" stops being enough — SURVEY.md §3.2).
+  *
+  * Portability contract: every statistic is either an exact integer count
+  * or is computed from exact scale-0 decimal sums cast to double with ONE
+  * correctly-rounded conversion, then combined with an identically-shaped
+  * IEEE-double expression in both engines — so corr/slope hash-match
+  * bit-for-bit without any epsilon.
+  */
+object DataProfile {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- profile_columns ------------------------------------------------------
+  // Per-column profile of `orders` in ONE scan: null count, exact distinct
+  // count, min/max (rendered to strings AFTER the typed min/max, so numeric
+  // order is preserved). The aggregate runs partial+final; the exact
+  // per-column distincts expand the input (one Expand branch per distinct
+  // aggregate) — at 100 TB production swaps countDistinct for
+  // approx_count_distinct (HLL, mergeable, one pass, no Expand) and keeps
+  // the same shape; exact is kept here because the oracle compares values.
+  // The unpivot to long form is a zero-shuffle Generate over the single
+  // aggregated row.
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    val profiled = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    // typed min/max first, string rendering second; doubles via DECIMAL(18,2)
+    // and timestamps via DATE so both engines print the identical text
+    def str(c: String) = o.schema(c).dataType.typeName match {
+      case "double"    => (x: org.apache.spark.sql.Column) =>
+        x.cast("decimal(18,2)").cast("string")
+      case "timestamp" => (x: org.apache.spark.sql.Column) =>
+        x.cast("date").cast("string")
+      case _           => (x: org.apache.spark.sql.Column) => x.cast("string")
+    }
+    val aggs = profiled.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        str(c)(min(col(c))).as(s"mn_$c"),
+        str(c)(max(col(c))).as(s"mx_$c"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = profiled
+      .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
+      .mkString(", ")
+    one.select(expr(
+        s"stack(${profiled.size}, $stackArgs) AS " +
+          "(column_name, n_null, n_distinct, min_str, max_str)"))
+      .orderBy(col("column_name"))
+  }
+
+  private val profileColumnsOracle = {
+    def sel(c: String, mn: String, mx: String) =
+      s"""SELECT '$c' AS column_name,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $mn AS min_str, $mx AS max_str FROM orders""".stripMargin
+    def plain(c: String) =
+      sel(c, s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+    def dbl(c: String) =
+      sel(c, s"CAST(CAST(MIN($c) AS DECIMAL(18,2)) AS VARCHAR)",
+        s"CAST(CAST(MAX($c) AS DECIMAL(18,2)) AS VARCHAR)")
+    def ts(c: String) =
+      sel(c, s"CAST(CAST(MIN($c) AS DATE) AS VARCHAR)",
+        s"CAST(CAST(MAX($c) AS DATE) AS VARCHAR)")
+    Seq(plain("o_orderkey"), plain("o_custkey"), plain("o_orderstatus"),
+      dbl("o_totalprice"), ts("o_orderdate"), plain("o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // ---- agg_corr_regr --------------------------------------------------------
+  // Pearson correlation + OLS slope/intercept of extendedprice on quantity
+  // per returnflag. Built-in corr()/regr_slope() accumulate doubles in
+  // partition order — not reproducible across engines or partitionings — so
+  // the co-moments are computed EXACTLY instead: quantize both measures to
+  // integer cents, sum the bigint products as scale-0 decimals (one
+  // map-side-combining hash agg, overflow-safe to petabyte row counts),
+  // cast each exact sum to double once, and evaluate the textbook formulas
+  //   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+  //   corr  = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+  // with the same expression shape both engines — deterministic to the bit.
+  // Cent-scaling cancels in slope and corr; intercept is descaled by 100.
+  def aggCorrRegr(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("xc"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("yc"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"),
+        sum(col("yc")).as("sy"),
+        sum(expr("CAST(xc * yc AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("CAST(xc * xc AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(yc * yc AS DECIMAL(38,0))")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        expr("""((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                |  CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                | (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                |  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"""
+          .stripMargin).as("slope"),
+        expr("""((CAST(sy AS DOUBLE) -
+                |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                |   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+                |  CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0"""
+          .stripMargin).as("intercept"),
+        expr("""((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                |  CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                | sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+          .stripMargin).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val aggCorrRegrOracle =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |         CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+      |         SUM(CAST(xc * yc AS DECIMAL(38,0))) AS sxy,
+      |         SUM(CAST(xc * xc AS DECIMAL(38,0))) AS sxx,
+      |         SUM(CAST(yc * yc AS DECIMAL(38,0))) AS syy
+      |  FROM q GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS slope,
+      |  ((CAST(sy AS DOUBLE) -
+      |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+      |    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0 AS intercept,
+      |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |   sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |         CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS corr
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "profile_columns" -> (profileColumns _),
+    "agg_corr_regr" -> (aggCorrRegr _))
+
+  val oracles: Map[String, String] = Map(
+    "profile_columns" -> profileColumnsOracle,
+    "agg_corr_regr" -> aggCorrRegrOracle)
+}

@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables.load
+
+/** Time-series analytics over the `events` stream table (the reference's
+  * cost/usage board — SURVEY.md §1.2, FIXTURES.md): calendar gap-filling,
+  * linear interpolation, funnel analysis, and cohort retention. These are
+  * the operators the reference's monitoring suite (`advanced_monitoring.py`
+  * day-over-day reports) grows into once the day grain has holes and the
+  * question becomes per-entity trajectories rather than global dailies.
+  *
+  * Portability contract (same as Dedup/PipelinePrep): money is quantized to
+  * integer cents before any arithmetic, interpolation is integer division
+  * (Spark `div` and DuckDB `//` both truncate toward zero — verified), so
+  * the DuckDB oracle replays every value bit-for-bit.
+  *
+  * Scale notes (100 TB posture) are on each operator.
+  */
+object TimeSeries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, dir: String) = load(s, dir, "events")
+
+  /** Exact integer cents: `value` ships as an exactly-2dp double, so
+    * value*100 is within 1 ulp of an integer and both engines round it to
+    * the same one. */
+  private val cents: Column = expr("CAST(round(value * 100) AS BIGINT)")
+
+  // ---- shared: per-user daily purchase series + its dense calendar ---------
+  // obs is one hash-agg on (user_id, day); the calendar comes from each
+  // user's own [min(day), max(day)] span via sequence+explode, so grid size
+  // is bounded by users × span-days — never a global cross join against a
+  // calendar dimension. The left join and every window below share the
+  // user_id hash partitioning, so the whole family is ONE shuffle of the
+  // aggregated series (not of raw events) end-to-end; at 100 TB the raw
+  // scan prunes to event_type='purchase' at the parquet row-group level
+  // (PushedFilters) and the per-user series that shuffles is ~span-days
+  // rows per user, thousands of times smaller than the event log.
+  private def dailyGrid(s: SparkSession, dir: String): DataFrame = {
+    val obs = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(cents).as("cents"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(obs, Seq("user_id", "day"), "left")
+  }
+
+  private val dailyGridSql =
+    """obs AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY 1)),
+      |ser AS (
+      |  SELECT g.user_id, g.day, o.cents
+      |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day)""".stripMargin
+
+  // ---- ts_fill_gaps ---------------------------------------------------------
+  // Calendar densification + forward fill: every user gets one row per day
+  // of their active span; days with no purchases carry the last observed
+  // daily total (last-observation-carried-forward, the standard series
+  // repair before any day-over-day computation). The first grid day per
+  // user is observed by construction, so filled_cents is never null.
+  def tsFillGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyGrid(s, dir)
+      .withColumn("filled_cents", last(col("cents"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("cents").isNull)
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val tsFillGapsOracle =
+    s"""WITH $dailyGridSql
+       |SELECT user_id, day, cents,
+       |       last_value(cents IGNORE NULLS) OVER (
+       |         PARTITION BY user_id ORDER BY day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+       |       cents IS NULL AS is_gap
+       |FROM ser ORDER BY user_id, day""".stripMargin
+
+  // ---- ts_interpolate -------------------------------------------------------
+  // Linear interpolation across interior gaps: a missing day takes
+  // prev + (next - prev) * (day - prev_day) / (next_day - prev_day), all in
+  // integer cents with truncating division, so both engines compute the
+  // identical bigint. Neighbor lookup is two windows over the same user_id
+  // partitioning the grid join already established (no extra exchange —
+  // forward pass carries the last observed (day, cents), backward pass the
+  // first upcoming one). Grid spans are per-user min..max, so every gap row
+  // has both neighbors by construction.
+  def tsInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    dailyGrid(s, dir)
+      .withColumn("prev_day", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("prev_cents", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_day", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("next_cents", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("interp_cents",
+        when(col("cents").isNotNull, col("cents")).otherwise(
+          expr("""prev_cents + ((next_cents - prev_cents) *
+                 |CAST(datediff(day, prev_day) AS BIGINT)) div
+                 |CAST(datediff(next_day, prev_day) AS BIGINT)""".stripMargin)))
+      .select(col("user_id"), col("day"), col("cents"), col("interp_cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val tsInterpolateOracle =
+    s"""WITH $dailyGridSql,
+       |nb AS (
+       |  SELECT user_id, day, cents,
+       |    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+       |    last_value(cents IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_cents,
+       |    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day,
+       |    first_value(cents IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_cents
+       |  FROM ser)
+       |SELECT user_id, day, cents,
+       |       CASE WHEN cents IS NOT NULL THEN cents
+       |            ELSE prev_cents + ((next_cents - prev_cents) *
+       |                 date_diff('day', prev_day, day)) //
+       |                 date_diff('day', prev_day, next_day)
+       |       END AS interp_cents
+       |FROM nb ORDER BY user_id, day""".stripMargin
+
+  // ---- window_funnel --------------------------------------------------------
+  // Conversion funnel view → click → purchase within a 1-hour window of the
+  // opening view (the windowFunnel analysis ClickHouse popularized): a user
+  // reaches level 2 if some click follows some view within the hour, level
+  // 3 if a purchase then follows that click still inside the same hour.
+  // Relational form: two equi-joins on user_id with time-band predicates —
+  // candidate pairs are bounded by per-user event rate × window length
+  // (~0.1 events/hour here), never a per-user cross product of full
+  // histories. At 100 TB the event log is bucketed by user_id so both
+  // joins are shuffle-free zipper joins; the distinct-user counts are
+  // map-side-combining hash aggs on a bigint key.
+  def windowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    def step(t: String, asCol: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts").as(asCol))
+    val v = step("view", "tv")
+    val c = step("click", "tc")
+    val p = step("purchase", "tp")
+    val vc = v.join(c, Seq("user_id"))
+      .filter(col("tc") > col("tv") &&
+        col("tc") <= col("tv") + expr("INTERVAL 1 HOUR"))
+    val vcp = vc.join(p, Seq("user_id"))
+      .filter(col("tp") > col("tc") &&
+        col("tp") <= col("tv") + expr("INTERVAL 1 HOUR"))
+    def lvl(df: DataFrame, n: Int, name: String) =
+      df.agg(countDistinct(col("user_id")).as("n_users"))
+        .select(lit(n).as("step"), lit(name).as("step_name"), col("n_users"))
+    lvl(v, 1, "view").unionAll(lvl(vc, 2, "click")).unionAll(lvl(vcp, 3, "purchase"))
+      .orderBy(col("step"))
+  }
+
+  private val windowFunnelOracle =
+    """WITH v AS (SELECT user_id, ts AS tv FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts AS tc FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS tp FROM events WHERE event_type = 'purchase'),
+      |vc AS (
+      |  SELECT v.user_id, tv, tc FROM v JOIN c ON v.user_id = c.user_id
+      |  WHERE tc > tv AND tc <= tv + INTERVAL 1 HOUR),
+      |vcp AS (
+      |  SELECT vc.user_id FROM vc JOIN p ON vc.user_id = p.user_id
+      |  WHERE tp > tc AND tp <= tv + INTERVAL 1 HOUR)
+      |SELECT 1 AS step, 'view' AS step_name, COUNT(DISTINCT user_id) AS n_users FROM v
+      |UNION ALL
+      |SELECT 2, 'click', COUNT(DISTINCT user_id) FROM vc
+      |UNION ALL
+      |SELECT 3, 'purchase', COUNT(DISTINCT user_id) FROM vcp
+      |ORDER BY step""".stripMargin
+
+  // ---- cohort_retention -----------------------------------------------------
+  // Day-grain cohort retention over purchases: a user's cohort is their
+  // first purchase day; each later active day contributes to that cohort's
+  // (cohort_day, day_offset) cell. The output is the classic retention
+  // triangle (n_users per cohort per offset). Two hash aggs on user_id +
+  // one broadcast-sized join back (first-day table is one row per user —
+  // at 100 TB it still shuffles on user_id rather than broadcasting, but
+  // the join input is the DISTINCT (user, day) activity set, not raw
+  // events, so the heavy log is touched exactly once).
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val act = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firsts = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val cohortRetentionOracle =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1)
+      |SELECT f.cohort_day,
+      |       date_diff('day', f.cohort_day, a.day) AS day_offset,
+      |       COUNT(DISTINCT a.user_id) AS n_users
+      |FROM act a JOIN firsts f ON a.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map[String, Q](
+    "ts_fill_gaps" -> (tsFillGaps _),
+    "ts_interpolate" -> (tsInterpolate _),
+    "window_funnel" -> (windowFunnel _),
+    "cohort_retention" -> (cohortRetention _))
+
+  val oracles: Map[String, String] = Map(
+    "ts_fill_gaps" -> tsFillGapsOracle,
+    "ts_interpolate" -> tsInterpolateOracle,
+    "window_funnel" -> windowFunnelOracle,
+    "cohort_retention" -> cohortRetentionOracle)
+}

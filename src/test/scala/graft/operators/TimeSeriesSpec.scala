@@ -1,0 +1,127 @@
+package graft.operators
+
+import java.sql.Date
+
+import graft.SparkSpec
+
+/** Semantic invariants the oracle hash can't state directly: grid density,
+  * forward-fill/interpolation bounds, funnel monotonicity, and the cohort
+  * triangle's diagonal. */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("ts_fill_gaps: dense calendar, non-null forward fill, real gaps") {
+    val rows = TimeSeries.tsFillGaps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_.getAs[Date]("day").toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        days.min(Ordering.by((_: java.time.LocalDate).toEpochDay)),
+        days.max(Ordering.by((_: java.time.LocalDate).toEpochDay))) + 1
+      assert(rs.length == span, s"user $u grid not dense: ${rs.length} vs $span")
+      assert(days.distinct.length == days.length, s"user $u duplicate days")
+    }
+    assert(rows.forall(!_.isNullAt(rows.head.fieldIndex("filled_cents"))),
+      "filled_cents must never be null (first grid day is observed)")
+    // the fill actually fires: fixture purchases are ~13/user/30d, so gaps exist
+    assert(rows.exists(_.getBoolean(rows.head.fieldIndex("is_gap"))))
+    // forward-fill semantics: walking each user's days in order, a gap row
+    // carries exactly the last observed value
+    byUser.foreach { case (u, rs) =>
+      var lastObs: Option[Long] = None
+      rs.sortBy(_.getAs[Date]("day").toLocalDate.toEpochDay).foreach { r =>
+        val cents = if (r.isNullAt(r.fieldIndex("cents"))) None
+          else Some(r.getLong(r.fieldIndex("cents")))
+        val filled = r.getLong(r.fieldIndex("filled_cents"))
+        cents match {
+          case Some(c) => assert(filled == c); lastObs = Some(c)
+          case None    => assert(lastObs.contains(filled),
+            s"user $u gap fill $filled != last observed $lastObs")
+        }
+      }
+    }
+  }
+
+  test("ts_interpolate: gaps land between their neighbors, observed pass through") {
+    val rows = TimeSeries.tsInterpolate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val iCents = rows.head.fieldIndex("cents")
+    val iInterp = rows.head.fieldIndex("interp_cents")
+    assert(rows.forall(!_.isNullAt(iInterp)), "interp_cents must be total")
+    rows.filter(!_.isNullAt(iCents)).foreach(r =>
+      assert(r.getLong(iInterp) == r.getLong(iCents)))
+    // each gap value lies inside [min(prev,next), max(prev,next)] of the
+    // observed neighbors along the user's day-ordered series
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val ordered = rs.sortBy(_.getAs[Date]("day").toLocalDate.toEpochDay)
+      val obsIdx = ordered.zipWithIndex.filter(!_._1.isNullAt(iCents)).map(_._2)
+      ordered.zipWithIndex.filter(_._1.isNullAt(iCents)).foreach { case (r, i) =>
+        val prev = obsIdx.filter(_ < i).max
+        val next = obsIdx.filter(_ > i).min
+        val lo = math.min(ordered(prev).getLong(iCents), ordered(next).getLong(iCents))
+        val hi = math.max(ordered(prev).getLong(iCents), ordered(next).getLong(iCents))
+        val v = r.getLong(iInterp)
+        assert(v >= lo && v <= hi, s"user $u day $i interp $v outside [$lo,$hi]")
+      }
+    }
+  }
+
+  test("window_funnel: three monotone non-increasing levels") {
+    val rows = TimeSeries.windowFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val counts = rows.map(_.getLong(2))
+    assert(counts(0) > 0, "some user viewed")
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel must narrow: ${counts.toSeq}")
+  }
+
+  test("cohort_retention: offset-0 diagonal is each cohort's peak") {
+    val rows = TimeSeries.cohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Date]("cohort_day")).foreach { case (cd, rs) =>
+      val at0 = rs.find(_.getInt(1) == 0)
+      assert(at0.isDefined, s"cohort $cd missing offset 0")
+      val peak = rs.map(_.getLong(2)).max
+      assert(at0.get.getLong(2) == peak,
+        s"cohort $cd: offset-0 (${at0.get.getLong(2)}) must equal peak $peak")
+    }
+  }
+
+  test("profile_columns: one row per column, exact stats, portable rendering") {
+    val rows = DataProfile.profileColumns(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCol("o_orderkey").getLong(1) == 0, "orderkey has no nulls")
+    val nRows = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(byCol("o_orderkey").getLong(2) == nRows, "orderkey is unique")
+    assert(byCol("o_orderdate").getString(3).matches("\\d{4}-\\d{2}-\\d{2}"),
+      "date min renders as ISO date")
+    assert(byCol("o_totalprice").getString(4).matches("\\d+\\.\\d{2}"),
+      "double max renders as 2dp decimal")
+  }
+
+  test("agg_corr_regr: matches the built-in corr/regr_slope to 1e-9") {
+    import org.apache.spark.sql.functions._
+    val rows = DataProfile.aggCorrRegr(spark, sfDir).collect()
+    assert(rows.length == 3) // returnflags R/A/N
+    rows.foreach(r => assert(r.getDouble(4).abs <= 1.0, "corr out of [-1,1]"))
+    // the exact-decimal formulation must agree with Spark's streaming
+    // co-moment implementation up to its own fp wobble (the two differ only
+    // in summation order; the cent quantization is an exact 100x scaling
+    // that cancels in both statistics)
+    val builtin = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_extendedprice"), col("l_quantity")).as("c"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("cov"),
+        var_pop(col("l_quantity")).as("vx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2) / r.getDouble(3))).toMap
+    rows.foreach { r =>
+      val (bCorr, bSlope) = builtin(r.getString(0))
+      assert((r.getDouble(4) - bCorr).abs < 1e-9,
+        s"corr ${r.getDouble(4)} vs builtin $bCorr")
+      assert((r.getDouble(2) - bSlope).abs < 1e-6 * (1 + bSlope.abs),
+        s"slope ${r.getDouble(2)} vs builtin $bSlope")
+    }
+  }
+}
