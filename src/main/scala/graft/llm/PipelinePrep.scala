@@ -470,11 +470,65 @@ object PipelinePrep {
       |FROM hit h CROSS JOIN bounds b
       |WHERE h.rk = 1 ORDER BY q_pct""".stripMargin
 
+  // ---- embed_random_proj ----------------------------------------------------
+  // Sparse random projection (Achlioptas 2001 / Johnson–Lindenstrauss): each
+  // 64-d embedding maps to 8 dims through a fixed ±1 sign matrix — the cheap
+  // dimensionality squeeze that feeds prefilter indexes (sim_matryoshka's
+  // trained cousin, available on ANY embedding because it needs no
+  // training). The sign matrix is a pure function of (input dim, output
+  // dim) via md5, computed ONCE on the driver and inlined as array
+  // literals — per row the projection is 8 codegen'd zip_with/aggregate
+  // folds over the already-quantized BIGINT vector (exact integer sums, no
+  // fp accumulation order anywhere), shuffle-free at any corpus size. The
+  // oracle re-DERIVES the matrix from the same md5 rule in SQL, so a
+  // driver-side derivation bug cannot self-confirm.
+  private def rpSign(j: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$j:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0) < '8') 1L else -1L
+  }
+
+  def embedRandomProj(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+          .as("qv"))
+    val projCols = (0 until 8).map { d =>
+      val arr = (0 until 64).map(j => s"${rpSign(j, d)}L").mkString(",")
+      expr(s"aggregate(zip_with(qv, array($arr), (x, sgn) -> x * sgn), 0L, (a, y) -> a + y)")
+        .as(s"p$d")
+    }
+    base.select(col("vec_id") +: projCols: _*).orderBy(col("vec_id"))
+  }
+
+  private val embedRandomProjOracle = {
+    val pCols = (0 until 8)
+      .map(d => s"MAX(CASE WHEN d = $d THEN pv END) AS p$d").mkString(",\n  ")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, j, qv[j + 1] AS x FROM q, generate_series(0, 63) t(j)),
+       |sg AS (
+       |  SELECT j, d,
+       |         CASE WHEN substring(md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) < '8'
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM generate_series(0, 63) t(j), generate_series(0, 7) u(d)),
+       |p AS (
+       |  SELECT vec_id, d, CAST(SUM(x * sgn) AS BIGINT) AS pv
+       |  FROM ex JOIN sg USING (j) GROUP BY 1, 2)
+       |SELECT vec_id,
+       |  $pCols
+       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
     "curate_decontaminate" -> (curateDecontaminate _),
     "pack_sequences" -> (packSequences _),
     "sample_stratified" -> (sampleStratified _),
     "embed_quantize" -> (embedQuantize _),
+    "embed_random_proj" -> (embedRandomProj _),
     "text_chunk" -> (textChunk _),
     "sketch_cms_topk" -> (sketchCmsTopk _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),
@@ -485,6 +539,7 @@ object PipelinePrep {
     "pack_sequences" -> packSequencesOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "embed_quantize" -> embedQuantizeOracle,
+    "embed_random_proj" -> embedRandomProjOracle,
     "text_chunk" -> textChunkOracle,
     "sketch_cms_topk" -> sketchCmsTopkOracle,
     "sketch_hll_distinct" -> sketchHllDistinctOracle,

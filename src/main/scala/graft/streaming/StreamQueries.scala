@@ -260,6 +260,75 @@ object StreamQueries {
       | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join — the attribution report that
+    * must ALSO emit the non-converting impressions: same even→odd pairing
+    * as stream_stream_join, but an even event with no odd partner inside
+    * its 30-minute window surfaces null-padded. Outer semantics under
+    * streaming are an eviction contract: the unmatched row physically
+    * cannot be emitted until the global watermark has passed its whole
+    * match window (a partner might still arrive), so emission rides state
+    * EXPIRY, not row arrival. A far-future sentinel row staged as a
+    * later-mtime second file on EACH side (watermark = min across inputs)
+    * drives both watermarks past every real window once the real files are
+    * done, and the engine's shouldRunAnotherBatch schedules the required
+    * no-new-data cleanup batch under AvailableNow — deterministic full
+    * flush, which is what lets the batch LEFT JOIN oracle state the
+    * result. State bound at 100 TB is identical to the inner join (~30
+    * minutes of events per side per key); outer adds the eviction
+    * emission, not retention. */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val maxTs = events.agg(max(col("ts"))).first().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000)
+    def stage(sideName: String, parity: Int, sentId: Long): String = {
+      val p = s"$base/src$sideName"
+      events.filter(col("event_id") % 2 === parity).write.parquet(p)
+      import s.implicits._
+      // separate append job → strictly later mtime → last file the source
+      // picks up → the watermark-advancing final micro-batch
+      Seq((sentId, -1L, sentinelTs)).toDF("event_id", "user_id", "ts")
+        .write.mode("append").parquet(p)
+      p
+    }
+    val srcA = stage("A", 0, -2L)
+    val srcB = stage("B", 1, -1L)
+    def side(src: String, p: String) =
+      s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+          col("ts").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "1 day")
+    val joined = side(srcA, "a").join(side(srcB, "b"),
+      expr("""a_user = b_user AND
+             |b_ts > a_ts AND b_ts <= a_ts + interval 30 minutes""".stripMargin),
+      "leftOuter")
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"))
+
+    val table = s"stream_outer_join_$id"
+    val q = withFewStatePartitions(s) {
+      joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    // the A-side sentinel emits as an unmatched left row — not data
+    s.table(table).filter(col("a_id") >= 0)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val streamOuterJoinOracle =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+      |FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
+      |LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Watermark-BOUNDED streaming dedup — `dropDuplicatesWithinWatermark`,
     * the state-expiring twin of stream_dedup_ingest's unbounded groupBy
     * state: keys are remembered only while inside the watermark, so state
@@ -785,6 +854,7 @@ object StreamQueries {
     "stream_dedup_ingest" -> (streamDedupIngest _),
     "stream_join_enrich" -> (streamJoinEnrich _),
     "stream_stream_join" -> (streamStreamJoin _),
+    "stream_outer_join" -> (streamOuterJoin _),
     "stream_drop_dup_watermark" -> (streamDropDupWatermark _),
     "stream_merge_upsert" -> (streamMergeUpsert _))
 
@@ -800,6 +870,7 @@ object StreamQueries {
     "stream_dedup_ingest" -> streamDedupIngestOracle,
     "stream_join_enrich" -> streamJoinEnrichOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
+    "stream_outer_join" -> streamOuterJoinOracle,
     "stream_drop_dup_watermark" -> streamDropDupWatermarkOracle,
     "stream_merge_upsert" -> streamMergeUpsertOracle)
 }

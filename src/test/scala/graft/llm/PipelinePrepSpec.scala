@@ -190,4 +190,34 @@ class PipelinePrepSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "stream-stream join diverges from the batch interval join")
   }
+
+  test("embed_random_proj: engine projection equals driver-side recompute (r9)") {
+    val out = PipelinePrep.embedRandomProj(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // the sign matrix is balanced-ish (md5 first hex digit < '8' is a fair
+    // coin over 512 cells) and the projections are non-degenerate
+    assert((0 until 8).forall(d => out.exists(_.getLong(d + 1) != 0L)),
+      "a projection dimension is identically zero")
+    // exact recompute of the full projection for 5 vectors via independent
+    // driver-side md5 + integer arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Long = {
+      val hex = md.digest(s"rp:$j:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1L else -1L
+    }
+    val raw = graft.model.Tables.load(spark, sfDir, "embeddings")
+      .orderBy(col("vec_id")).limit(5).collect()
+    raw.foreach { r =>
+      val vid = r.getLong(0)
+      val emb = r.getSeq[Float](1)
+      val q = emb.map(x => math.floor(x.toDouble * 1e6).toLong)
+      val got = out.find(_.getLong(0) == vid).get
+      (0 until 8).foreach { d =>
+        val want = q.zipWithIndex.map { case (x, j) => x * sign(j, d) }.sum
+        assert(got.getLong(d + 1) == want,
+          s"vec $vid dim $d: engine ${got.getLong(d + 1)} != recompute $want")
+      }
+    }
+  }
 }

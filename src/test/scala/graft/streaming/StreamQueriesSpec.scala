@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 import graft.llm.Dedup
 
@@ -167,5 +169,29 @@ class StreamQueriesSpec extends SparkSpec {
     for (side <- Seq("ok", "quarantine"); b <- Seq("b0", "b1"))
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$side/$b")),
         s"missing $side/$b — a micro-batch skipped a sink")
+  }
+
+  test("stream_outer_join: unmatched lefts flush null-padded, once each (r9)") {
+    val out = StreamQueries.streamOuterJoin(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val iB = out.head.fieldIndex("b_id")
+    val (unmatched, matched) = out.partition(_.isNullAt(iB))
+    // the outer semantics actually fired: the watermark-driven eviction
+    // emitted impressions with no conversion inside their window
+    assert(unmatched.nonEmpty, "no null-padded rows — eviction never flushed")
+    assert(matched.nonEmpty, "no matched pairs at all")
+    // every unmatched left appears exactly once, and never ALSO matched
+    val unmatchedIds = unmatched.map(_.getLong(out.head.fieldIndex("a_id")))
+    assert(unmatchedIds.distinct.length == unmatchedIds.length,
+      "an unmatched left row was emitted twice")
+    val matchedIds = matched.map(_.getLong(out.head.fieldIndex("a_id"))).toSet
+    assert(!unmatchedIds.exists(matchedIds), "a left row is both matched and null-padded")
+    // sentinel rows never leak
+    assert(out.forall(_.getLong(out.head.fieldIndex("a_id")) >= 0))
+    // conservation: every even event surfaces at least once
+    val evens = graft.model.Tables.load(spark, sfDir, "events")
+      .filter(col("event_id") % 2 === 0).count()
+    assert((unmatchedIds.length + matchedIds.size) == evens,
+      "left side not conserved through the outer join")
   }
 }
