@@ -336,6 +336,14 @@ object Dedup {
     dedupClustersOver(s, load(s, dir, "documents"))
 
   private[llm] def dedupClustersOver(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    val (repMap, sym) = clusterPrelude(s, docsIn)
+    reattachMembers(repMap, minLabelCc(sym))
+  }
+
+  /** Exact-dup pre-collapse + verified-pair edge build shared by both CC
+    * algorithms (min-label propagation and large-star/small-star). Returns
+    * (repMap: doc_id→rep, sym: symmetric directed pair edges). */
+  private[llm] def clusterPrelude(s: SparkSession, docsIn: DataFrame): (DataFrame, DataFrame) = {
     // EXACT-DUP PRE-COLLAPSE (r6): identical texts have identical shingle
     // sets, hence identical minhash bands — every same-text pair is a
     // certain LSH candidate with J = 1. Collapsing each exact group to its
@@ -382,6 +390,12 @@ object Dedup {
     val sym = pairs.toDF("src", "dst")
       .union(pairs.select(col("id_b"), col("id_a")).toDF("src", "dst"))
       .localCheckpoint()
+    (repMap, sym)
+  }
+
+  /** Min-label propagation to the component-min fixpoint over a symmetric
+    * edge set; returns (doc_id, cluster_id) for every active vertex. */
+  private[llm] def minLabelCc(sym: DataFrame): DataFrame = {
     // ACTIVE-VERTEX set (r4): only vertices incident to a pair can ever
     // change label — everyone else is its own singleton cluster. Iterating
     // over that set instead of the whole corpus shrinks every superstep
@@ -411,9 +425,13 @@ object Dedup {
       converged = delta == 0
     }
     require(converged, s"label propagation did not converge in $iter supersteps")
-    // reattach collapsed members: every doc takes its representative's
-    // component label; a rep not in `labels` is a singleton component
-    // (its exact group, possibly of size 1) labeled by the rep itself
+    labels
+  }
+
+  /** Reattach collapsed members: every doc takes its representative's
+    * component label; a rep not in `labels` is a singleton component
+    * (its exact group, possibly of size 1) labeled by the rep itself. */
+  private def reattachMembers(repMap: DataFrame, labels: DataFrame): DataFrame =
     repMap
       .join(labels.withColumnRenamed("doc_id", "rep_id"),
         col("rep") === col("rep_id"), "left")
@@ -422,6 +440,71 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("keep"))
       .orderBy(col("doc_id"))
+
+  // ---- dedup_cc_twophase ----------------------------------------------------
+  // The SAME component relation as dedup_clusters, computed by the
+  // alternating large-star / small-star algorithm (Kiveris et al., "
+  // Connected Components in MapReduce and Beyond", SoCC 2014) instead of
+  // min-label propagation. Why a second algorithm for one answer: label
+  // propagation runs one superstep per unit of component DIAMETER — fine
+  // for squat dup clusters, quadratic pain on chain-shaped components
+  // (each superstep is a full edge join, and a 10k-long chain needs 10k of
+  // them). Large-star/small-star contracts components in O(log n) rounds
+  // regardless of diameter by rewiring edges toward local minima:
+  //   large-star(u): every neighbor v > u re-attaches to m = min(Γ⁺(u))
+  //   small-star(u): every smaller neighbor (and u) re-attaches to its m
+  // The edge set monotonically collapses to a star forest rooted at each
+  // component's minimum — exactly the cluster_id contract — so the two
+  // keys share the reattach tail AND the oracle (one recursive-CTE
+  // relation, two engine algorithms; the stream_cdf_read precedent).
+  // Both phases are one hash-agg + one equi-join over the live edge set;
+  // convergence is exact set-stability (two exceptAll probes per round —
+  // same cost class as the round itself), plus a one-parent-per-child
+  // functional check before labels are read off.
+  def dedupCcTwophase(s: SparkSession, dir: String): DataFrame = {
+    val (repMap, sym) = clusterPrelude(s, load(s, dir, "documents"))
+    reattachMembers(repMap, twophaseCc(sym))
+  }
+
+  private[llm] def twophaseCc(sym0: DataFrame): DataFrame = {
+    // canonical undirected form: (u, v) with u > v, no self-loops
+    var e = sym0.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 48) {
+      iter += 1
+      // large-star over the symmetric view: (v, m(u)) for v > u.
+      // v > u ≥ m(u) keeps the output canonical and self-loop-free.
+      val symE = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = symE.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      val ls = symE.join(mL, symE("u") === col("c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the canonical orientation: m(u) = min smaller
+      // neighbor; children {v ≠ m} and u itself re-attach to m — output
+      // stays canonical ((v, m): v > m since m is the min; (u, m): u > m).
+      val mS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = ls.join(mS, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mS.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+    }
+    require(converged, s"large/small-star did not converge in $iter rounds")
+    // at the fixpoint the edge set must be a star forest: one parent per
+    // child (read-off would emit duplicate labels otherwise)
+    require(e.groupBy(col("u")).agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1).isEmpty, "converged edge set is not functional")
+    e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
   }
 
   /** The recursive-CTE clusters oracle over an arbitrary LSH-CTE chain and
@@ -713,6 +796,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_cc_twophase" -> (dedupCcTwophase _),
     "dedup_substring" -> (dedupSubstring _))
 
   val oracles: Map[String, String] = Map(
@@ -724,5 +808,8 @@ object Dedup {
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    // same relation, different engine algorithm — one oracle, two paths
+    // (the stream_cdf_read precedent)
+    "dedup_cc_twophase" -> dedupClustersOracle,
     "dedup_substring" -> dedupSubstringOracle)
 }

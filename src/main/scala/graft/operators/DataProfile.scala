@@ -159,11 +159,78 @@ object DataProfile {
       |         CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS corr
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  // ---- anomaly_daily_mad ----------------------------------------------------
+  // Robust outlier detection over the daily revenue series — the alerting
+  // rule behind "did yesterday's load look wrong?" (the reference's
+  // threshold alerts use fixed cutoffs; median/MAD adapts the cutoff to
+  // the series itself and, unlike mean/stddev, one broken day cannot drag
+  // the baseline toward itself). Everything is exact integers: daily
+  // totals in cents, the LOWER median (row_number (n+1) div 2 with a day
+  // tie-break — a real series value, no fractional midpoint), MAD as the
+  // lower median of absolute deviations, and the flag by integer
+  // cross-multiply: dev > 2.5 · 1.4826 · MAD ⟺ dev·10000 > MAD·37065
+  // (1.4826 = the normal-consistency constant that makes MAD comparable
+  // to a stddev). The windows run over the DAY-GRAIN aggregate — tens of
+  // rows per month at any corpus size (same single-partition escape
+  // hatch as the flagship LAG report: partition by year if the series
+  // ever gets long).
+  def anomalyDailyMad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byVal = Window.orderBy(col("cents"), col("day"))
+    val withMed = daily
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).over(all))
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val byDev = Window.orderBy(col("dev"), col("day"))
+    withMed
+      .withColumn("rn2", row_number().over(byDev))
+      .withColumn("mad",
+        max(when(col("rn2") === expr("(n + 1) div 2"), col("dev"))).over(all))
+      .select(col("day"), col("cents"), col("med"), col("dev"), col("mad"),
+        (col("dev") * 10000L > col("mad") * 37065L).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  private val anomalyDailyMadOracle =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT day, cents,
+      |         COUNT(*) OVER () AS n,
+      |         ROW_NUMBER() OVER (ORDER BY cents, day) AS rn
+      |  FROM d),
+      |m AS (
+      |  SELECT day, cents,  n,
+      |         MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) OVER () AS med
+      |  FROM r),
+      |v AS (
+      |  SELECT day, cents, n, med, abs(cents - med) AS dev,
+      |         ROW_NUMBER() OVER (ORDER BY abs(cents - med), day) AS rn2
+      |  FROM m),
+      |w AS (
+      |  SELECT day, cents, med, dev,
+      |         MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END) OVER () AS mad
+      |  FROM v)
+      |SELECT day, cents, med, dev, mad,
+      |       dev * 10000 > mad * 37065 AS is_anomaly
+      |FROM w ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "profile_columns" -> (profileColumns _),
-    "agg_corr_regr" -> (aggCorrRegr _))
+    "agg_corr_regr" -> (aggCorrRegr _),
+    "anomaly_daily_mad" -> (anomalyDailyMad _))
 
   val oracles: Map[String, String] = Map(
     "profile_columns" -> profileColumnsOracle,
-    "agg_corr_regr" -> aggCorrRegrOracle)
+    "agg_corr_regr" -> aggCorrRegrOracle,
+    "anomaly_daily_mad" -> anomalyDailyMadOracle)
 }

@@ -100,6 +100,26 @@ class TimeSeriesSpec extends SparkSpec {
       "double max renders as 2dp decimal")
   }
 
+  test("anomaly_daily_mad: exact lower medians, internally consistent flags") {
+    val rows = DataProfile.anomalyDailyMad(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val med = rows.head.getLong(2)
+    val mad = rows.head.getLong(4)
+    assert(rows.forall(r => r.getLong(2) == med && r.getLong(4) == mad),
+      "median/MAD must be series constants")
+    // the lower median IS a series value, and sits at the (n+1)/2 position
+    val cents = rows.map(_.getLong(1)).sorted
+    assert(med == cents((cents.length + 1) / 2 - 1))
+    val devs = rows.map(r => math.abs(r.getLong(1) - med)).sorted
+    assert(mad == devs((devs.length + 1) / 2 - 1))
+    // flags are exactly the integer cross-multiplied rule
+    rows.foreach { r =>
+      val dev = r.getLong(3)
+      assert(dev == math.abs(r.getLong(1) - med))
+      assert(r.getBoolean(5) == (dev * 10000L > mad * 37065L))
+    }
+  }
+
   test("agg_corr_regr: matches the built-in corr/regr_slope to 1e-9") {
     import org.apache.spark.sql.functions._
     val rows = DataProfile.aggCorrRegr(spark, sfDir).collect()
