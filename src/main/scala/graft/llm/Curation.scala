@@ -461,7 +461,57 @@ object Curation {
        |FROM p2 CROSS JOIN cuts
        |ORDER BY doc_id""".stripMargin
 
+  // ---- curate_classifier_score ----------------------------------------------
+  // Linear-classifier quality scoring — the fastText/DCLM-class filter
+  // (score every document under a PRETRAINED hashed linear model and keep
+  // what clears the bar), reduced to its exact-arithmetic serving core.
+  // The "model" is a hashed bag-of-words weight table: a token's weight is
+  // a pure function of md5(token) — conv(first 4 hex, 16, 10) mod 2001
+  // minus 1000, i.e. an integer milliweight in [-1000, 1000] — standing in
+  // for trained weights with the same storage/serving shape (the hashing
+  // trick: no vocabulary file, fixed memory, OOV tokens score like any
+  // other bucket). Doc score = mean token milliweight (integer div,
+  // truncation identical both engines — negative sums verified), keep =
+  // score above the fixed 0 bar. Serving cost is ONE projection-explode +
+  // one map-side-combining hash-agg per doc — no joins, no broadcast
+  // model table (the model rides in the hash function), so scoring 100 TB
+  // is scan-bound, the property that made fastText filtering the default
+  // at CommonCrawl scale. The oracle replays the hash → weight → mean →
+  // threshold pipeline bit-for-bit from the raw table.
+  def curateClassifierScore(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(toksE)).as("tok"))
+      .select(col("doc_id"),
+        (expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT)") % 2001L
+          - 1000L).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("CAST(sum(w) AS BIGINT) div count(1)").as("score_milli"))
+      .withColumn("keep", col("score_milli") > 0L)
+      .orderBy(col("doc_id"))
+
+  private val curateClassifierScoreOracle = {
+    // 4-hex-digit parse without from_hex: positional instr over the hex
+    // alphabet (the streamJoinEnrich convention, widened to 4 chars)
+    val hex = "'0123456789abcdef'"
+    def nib(i: Int, mult: Long) =
+      s"(instr($hex, substring(h, $i, 1)) - 1) * $mult"
+    s"""WITH t AS (
+       |  SELECT doc_id, substring(md5(unnest(list_filter(
+       |           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))), 1, 4) AS h
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |         (${nib(1, 4096L)} + ${nib(2, 256L)} + ${nib(3, 16L)} + ${nib(4, 1L)}) % 2001 - 1000 AS w
+       |  FROM t)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(w) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS score_milli,
+       |       CAST(SUM(w) AS BIGINT) // CAST(COUNT(*) AS BIGINT) > 0 AS keep
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
+    "curate_classifier_score" -> (curateClassifierScore _),
     "text_pii_scrub" -> (textPiiScrub _),
     "curate_keep_drop" -> (curateKeepDrop _),
     "curate_gopher_rules" -> (curateGopherRules _),
@@ -471,6 +521,7 @@ object Curation {
     "curate_ppl_buckets" -> (curatePplBuckets _))
 
   def oracles: Map[String, String] = Map(
+    "curate_classifier_score" -> curateClassifierScoreOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "curate_keep_drop" -> curateKeepDropOracle(
       TextAnalysis.oracles("text_quality"),

@@ -224,13 +224,91 @@ object DataProfile {
       |       dev * 10000 > mad * 37065 AS is_anomaly
       |FROM w ORDER BY day""".stripMargin
 
+  // ---- agg_weighted_median --------------------------------------------------
+  // Weighted lower median per group: the median unit price where each row
+  // counts quantity-many units (the "typical price a unit actually sold
+  // at" statistic; the unweighted median over-weights small orders).
+  // Definition: the smallest value whose RANGE-frame cumulative weight
+  // reaches half the group total — the range frame makes tied values
+  // share one cumulative weight, so no tie-break is needed and both
+  // engines pick the identical cent value by integer cross-multiply
+  // (2·cumw ≥ totw). One exchange on the group key serves the window, the
+  // total, and the final agg.
+  def aggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = load(s, dir, "lineitem").select(col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("yc"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("qw"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("yc"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = d.groupBy(col("l_returnflag")).agg(sum(col("qw")).as("totw"))
+    d.withColumn("cumw", sum(col("qw")).over(w))
+      .join(t, Seq("l_returnflag"))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("yc")).as("wmed_cents"), min(col("totw")).as("tot_units"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val aggWeightedMedianOracle =
+    """WITH d AS (
+      |  SELECT l_returnflag,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS yc,
+      |         CAST(round(l_quantity) AS BIGINT) AS qw
+      |  FROM lineitem),
+      |t AS (SELECT l_returnflag, CAST(SUM(qw) AS BIGINT) AS totw FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT l_returnflag, yc,
+      |         CAST(SUM(qw) OVER (PARTITION BY l_returnflag ORDER BY yc
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+      |  FROM d)
+      |SELECT c.l_returnflag, MIN(c.yc) AS wmed_cents,
+      |       CAST(MIN(t.totw) AS BIGINT) AS tot_units
+      |FROM c JOIN t ON t.l_returnflag = c.l_returnflag
+      |WHERE c.cumw * 2 >= t.totw
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- window_cume_dist -----------------------------------------------------
+  // Distributional position windows — percent_rank (rank-based, ties share
+  // a rank) and cume_dist (fraction of rows ≤ current) per priority class:
+  // the "where does this order sit in its class" report. Both are exact
+  // rational functions of integer ranks/counts evaluated as ONE IEEE
+  // division, so the doubles are bit-identical across engines despite
+  // being doubles. The stats windows run over the FULL class; the output
+  // then samples 1/97 of rows by key so the compared result stays small
+  // while every emitted rank reflects the whole distribution.
+  def windowCumeDist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("pct_rank"), col("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val windowCumeDistOracle =
+    """SELECT o_orderkey, o_orderpriority, pct_rank, cume FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pct_rank,
+      |         cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume
+      |  FROM orders)
+      |WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "profile_columns" -> (profileColumns _),
     "agg_corr_regr" -> (aggCorrRegr _),
-    "anomaly_daily_mad" -> (anomalyDailyMad _))
+    "anomaly_daily_mad" -> (anomalyDailyMad _),
+    "agg_weighted_median" -> (aggWeightedMedian _),
+    "window_cume_dist" -> (windowCumeDist _))
 
   val oracles: Map[String, String] = Map(
     "profile_columns" -> profileColumnsOracle,
     "agg_corr_regr" -> aggCorrRegrOracle,
-    "anomaly_daily_mad" -> anomalyDailyMadOracle)
+    "anomaly_daily_mad" -> anomalyDailyMadOracle,
+    "agg_weighted_median" -> aggWeightedMedianOracle,
+    "window_cume_dist" -> windowCumeDistOracle)
 }

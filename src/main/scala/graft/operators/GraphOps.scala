@@ -447,15 +447,63 @@ object GraphOps {
        |FROM r WHERE rank <= 3
        |ORDER BY part, rank""".stripMargin
 
+  // ---- graph_bfs_distance ---------------------------------------------------
+  // Multi-source BFS hop distances from the seed suppliers (node % 7 == 0)
+  // over the co-supply graph — the reachability/radius primitive behind
+  // "how far does influence propagate" queries and the distance features
+  // graph ML consumes. Frontier-expansion loop: each level is ONE equi-join
+  // (edges ⋈ frontier) + distinct + anti-join against the settled set —
+  // the textbook Pregel BFS; levels = graph eccentricity (small-world here,
+  // a handful of rounds), each frontier localCheckpointed so lineage stays
+  // O(1). Only REACHED nodes are emitted. The oracle replays the same
+  // exploration as a recursive CTE (min dist over all generated paths,
+  // depth-guarded to the same 32-round bound).
+  def graphBfsDistance(s: SparkSession, dir: String): DataFrame = {
+    val (edges, _, nodes) = buildGraph(s, dir)
+    val seeds = nodes.filter(col("node") % 7 === 0)
+      .select(col("node"), lit(0).as("dist"))
+    var known = seeds.localCheckpoint()
+    var frontier = known
+    var level = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && level < 32) {
+      level += 1
+      val nxt = edges
+        .join(frontier.select(col("node")), edges("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(known.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .select(col("node"), lit(level).as("dist"))
+        .localCheckpoint()
+      frontierSize = nxt.count()
+      if (frontierSize > 0) known = known.union(nxt).localCheckpoint()
+      frontier = nxt
+    }
+    known.select(col("node").as("suppkey"), col("dist")).orderBy(col("suppkey"))
+  }
+
+  private val graphBfsDistanceOracle =
+    s"""WITH RECURSIVE $graphCtes,
+       |bfs AS (
+       |  SELECT node, 0 AS dist FROM nodes WHERE node % 7 = 0
+       |  UNION
+       |  SELECT e.dst AS node, b.dist + 1 AS dist
+       |  FROM bfs b JOIN edges e ON e.src = b.node
+       |  WHERE b.dist < 32)
+       |SELECT node AS suppkey, MIN(dist) AS dist
+       |FROM bfs GROUP BY node ORDER BY suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "graph_pagerank" -> (graphPagerank _),
     "graph_pagerank_conv" -> (graphPagerankConv _),
     "graph_triangles" -> (graphTriangles _),
-    "graph_jaccard_sim" -> (graphJaccardSim _))
+    "graph_jaccard_sim" -> (graphJaccardSim _),
+    "graph_bfs_distance" -> (graphBfsDistance _))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankOracle,
     "graph_pagerank_conv" -> graphPagerankConvOracle,
     "graph_triangles" -> graphTrianglesOracle,
-    "graph_jaccard_sim" -> graphJaccardSimOracle)
+    "graph_jaccard_sim" -> graphJaccardSimOracle,
+    "graph_bfs_distance" -> graphBfsDistanceOracle)
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Batch-E invariants: weighted-median recompute, distribution-window
+  * bounds, classifier-score recompute, BFS level structure. */
+class DataProfileSpec extends SparkSpec {
+
+  test("agg_weighted_median: equals a driver-side recompute per group") {
+    val rows = DataProfile.aggWeightedMedian(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("yc"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qw"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val grp = li.filter(_._1 == flag).sortBy(_._2)
+      val tot = grp.map(_._3).sum
+      var cum = 0L
+      val wmed = grp.find { case (_, _, w) => cum += w; cum * 2 >= tot }.get._2
+      assert(r.getLong(1) == wmed, s"$flag: ${r.getLong(1)} != recompute $wmed")
+      assert(r.getLong(2) == tot)
+    }
+  }
+
+  test("window_cume_dist: bounds, monotonicity along each class") {
+    val rows = DataProfile.windowCumeDist(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pr, cd) = (r.getDouble(2), r.getDouble(3))
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+      assert(pr <= cd + 1e-12, s"percent_rank $pr must not exceed cume_dist $cd")
+    }
+  }
+
+  test("curate_classifier_score: engine scores equal a driver md5 recompute") {
+    val out = graft.llm.Curation.curateClassifierScore(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getBoolean(3)) && out.exists(!_.getBoolean(3)),
+      "threshold must actually split the corpus")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .orderBy(col("doc_id")).limit(3)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.filter(_._2 != null).foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.nonEmpty) {
+        val ws = toks.map { t =>
+          val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.substring(0, 4), 16) % 2001L - 1000L
+        }
+        val want = ws.sum / toks.length // JVM division truncates like div
+        val got = out.find(_.getLong(0) == id).get
+        assert(got.getLong(1) == toks.length)
+        assert(got.getLong(2) == want, s"doc $id: ${got.getLong(2)} != $want")
+      }
+    }
+  }
+
+  test("graph_bfs_distance: seeds at zero, contiguous levels, all reached ring") {
+    val rows = GraphOps.queries("graph_bfs_distance")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byNode = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byNode.filter(_._1 % 7 == 0).values.foreach(d => assert(d == 0))
+    assert(byNode.exists(_._2 > 0), "BFS never left the seed set")
+    val levels = byNode.values.toSeq.distinct.sorted
+    assert(levels == (0 to levels.max), s"levels must be contiguous: $levels")
+  }
+}
