@@ -224,15 +224,53 @@ object TimeSeries {
       |FROM act a JOIN firsts f ON a.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- window_rolling_distinct ----------------------------------------------
+  // Rolling 7-day distinct active users per day (the WAU curve): COUNT
+  // DISTINCT over a sliding window cannot ride a running aggregate
+  // (distinct doesn't decompose), so each (user, day) activity fact is
+  // EXPLODED into the ≤7 report days it contributes to and the count
+  // becomes a plain per-day hash-agg — contribution-list expansion, the
+  // standard exact formulation. Cost: activity×7 rows through one
+  // map-side-combining distinct + one agg; the raw event log is touched
+  // once (the DISTINCT (user, day) projection). At 100 TB the exact
+  // distinct swaps for an HLL sketch union over the same exploded frame
+  // (mergeable, same plan shape) — noted, exact kept for the oracle.
+  // Report days are clipped to the observed activity grid so the curve
+  // never extends past the data.
+  def windowRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val act = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val grid = act.select(col("day")).distinct()
+    act.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .distinct()
+      .join(grid, Seq("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active_7d"))
+      .orderBy(col("day"))
+  }
+
+  private val windowRollingDistinctOracle =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |grid AS (SELECT DISTINCT day FROM act)
+      |SELECT g.day, COUNT(DISTINCT a.user_id) AS n_active_7d
+      |FROM grid g JOIN act a
+      |  ON a.day BETWEEN g.day - 6 AND g.day
+      |GROUP BY g.day ORDER BY g.day""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "ts_fill_gaps" -> (tsFillGaps _),
     "ts_interpolate" -> (tsInterpolate _),
     "window_funnel" -> (windowFunnel _),
-    "cohort_retention" -> (cohortRetention _))
+    "cohort_retention" -> (cohortRetention _),
+    "window_rolling_distinct" -> (windowRollingDistinct _))
 
   val oracles: Map[String, String] = Map(
     "ts_fill_gaps" -> tsFillGapsOracle,
     "ts_interpolate" -> tsInterpolateOracle,
     "window_funnel" -> windowFunnelOracle,
-    "cohort_retention" -> cohortRetentionOracle)
+    "cohort_retention" -> cohortRetentionOracle,
+    "window_rolling_distinct" -> windowRollingDistinctOracle)
 }

@@ -458,6 +458,67 @@ object TableQueries {
       |       2 AS n_versions
       |FROM final GROUP BY status ORDER BY status""".stripMargin
 
+  // ---- table_concurrent_commit ----------------------------------------------
+  // Optimistic concurrency with REBASE — the serializability contract two
+  // concurrent table writers actually need (the CAS in `publish` only
+  // guarantees version uniqueness; without re-applying the transform, the
+  // loser of the race would publish a result computed against a stale
+  // snapshot and silently erase the winner: the lost update). The key
+  // scripts the classic interleave deterministically: writer B reads v1
+  // and computes a surcharge on OPEN orders; while B is in its publish
+  // window, writer A commits v2 cancelling every 10th order; B's CAS at
+  // v2 fails, B REBASES — recomputes the surcharge against v2, where A's
+  // cancellations are visible — and lands v3. The final table equals the
+  // SEQUENTIAL application A-then-B (what the oracle states): orders A
+  // cancelled do NOT carry B's surcharge even though B first read them as
+  // open. final_version=3 / n_attempts=2 ride in the hashed output, so a
+  // blind-retry regression (which would publish the stale frame and show
+  // surcharged cancelled orders) fails the compare. Money stays exact:
+  // the 5% surcharge is cents div 20 in BIGINT, descaled by one double
+  // division both engines share.
+  def tableConcurrentCommit(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("occ")
+    VersionedTable.commit(ordersBase(s, dir), root) // v1
+    def cancel(df: DataFrame) = df.select(col("key"),
+      when(col("key") % 10 === 0, lit("X")).otherwise(col("status")).as("status"),
+      col("total"))
+    def surcharge(df: DataFrame) = df
+      .withColumn("cents", expr("CAST(round(total * 100) AS BIGINT)"))
+      .select(col("key"), col("status"),
+        when(col("status") === "O",
+          (col("cents") + expr("cents div 20")).cast("double") / 100.0)
+          .otherwise(col("total")).as("total"))
+    val (vFinal, attempts) = VersionedTable.commitTransform(s, root, surcharge,
+      beforePublish = attempt =>
+        if (attempt == 1)
+          VersionedTable.commit(
+            cancel(VersionedTable.readVersion(s, root, 1)), root)) // A lands v2
+    require(vFinal == 3 && attempts == 2,
+      s"scripted interleave must rebase once: v=$vFinal attempts=$attempts")
+    VersionedTable.readVersion(s, root, vFinal)
+      .withColumn("final_version", lit(vFinal))
+      .withColumn("n_attempts", lit(attempts))
+      .orderBy(col("key"))
+  }
+
+  private val tableConcurrentCommitOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders),
+      |a AS (
+      |  SELECT key, CASE WHEN key % 10 = 0 THEN 'X' ELSE status END AS status,
+      |         total
+      |  FROM base),
+      |b AS (
+      |  SELECT key, status,
+      |         CASE WHEN status = 'O'
+      |              THEN CAST(CAST(round(total * 100) AS BIGINT) +
+      |                        CAST(round(total * 100) AS BIGINT) // 20 AS DOUBLE) / 100.0
+      |              ELSE total END AS total
+      |  FROM a)
+      |SELECT key, status, total, 3 AS final_version, 2 AS n_attempts
+      |FROM b ORDER BY key""".stripMargin
+
   // ---- table_vacuum_age -----------------------------------------------------
   // Retention-window VACUUM (r7): same staged table as table_vacuum, but
   // pruning by AGE (`RETAIN n HOURS`) instead of version count — v1's
@@ -629,6 +690,7 @@ object TableQueries {
     "table_orphan_cleanup" -> (tableOrphanCleanup _),
     "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_constraint_check" -> (tableConstraintCheck _),
+    "table_concurrent_commit" -> (tableConcurrentCommit _),
     "table_vacuum" -> (tableVacuum _),
     "table_vacuum_age" -> (tableVacuumAge _))
 
@@ -648,6 +710,7 @@ object TableQueries {
     "table_orphan_cleanup" -> tableRestoreOracle, // identity: cleanup never touches committed data
     "table_schema_evolution" -> tableSchemaEvolutionOracle,
     "table_constraint_check" -> tableConstraintCheckOracle,
+    "table_concurrent_commit" -> tableConcurrentCommitOracle,
     "table_vacuum" -> sinkCompactOracle,
     "table_vacuum_age" -> sinkCompactOracle)
 }

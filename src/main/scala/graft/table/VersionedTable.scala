@@ -333,6 +333,39 @@ object VersionedTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Optimistic read-modify-write TRANSACTION (r9) — the Delta/Iceberg
+    * commit loop that `commit`'s blind CAS retry is NOT: a plain append
+    * can retry at the next version verbatim, but a transform computed
+    * against a snapshot must not publish once a concurrent writer has
+    * moved the table — that is the textbook lost update. The loop instead
+    * REBASES on conflict: re-read the new latest snapshot, re-apply
+    * `transform`, try the next version. `beforePublish(attempt)` runs in
+    * the window between snapshot read and publish (where a concurrent
+    * commit can land), letting the query key and the spec script a
+    * deterministic interleave instead of racing threads. A failed
+    * attempt's data files are deleted eagerly (they are unreferenced —
+    * the orphan sweep would also catch them). Returns
+    * (publishedVersion, attempts). */
+  def commitTransform(s: SparkSession, root: String,
+      transform: DataFrame => DataFrame,
+      beforePublish: Int => Unit = _ => ()): (Int, Int) = {
+    require(latestVersion(root) > 0, "commitTransform needs a staged table")
+    var attempt = 0
+    while (attempt < 64) {
+      attempt += 1
+      val base = latestVersion(root)
+      val out = transform(readVersion(s, root, base))
+      val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
+      out.write.parquet(dataDir)
+      val lines = listParquet(dataDir).map(f => s"D\t$f") :+
+        s"S\t${out.schema.json}"
+      beforePublish(attempt)
+      if (publish(root, base + 1, lines)) return (base + 1, attempt)
+      graft.sink.Sinks.deleteDir(dataDir)
+    }
+    throw new IllegalStateException("commitTransform: 64 conflicts in a row")
+  }
+
   /** Highest published version, 0 if the table has no commits yet. */
   def latestVersion(root: String): Int = {
     val commits = Paths.get(s"$root/_commits")

@@ -100,6 +100,28 @@ class TimeSeriesSpec extends SparkSpec {
       "double max renders as 2dp decimal")
   }
 
+  test("window_rolling_distinct: equals a driver-side 7-day recompute") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val rows = TimeSeries.windowRollingDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val act = graft.model.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getAs[Date]("day").toLocalDate))
+    val gridDays = act.map(_._2).distinct
+    assert(rows.length == gridDays.length, "one row per observed day")
+    rows.foreach { r =>
+      val d = r.getAs[Date]("day").toLocalDate
+      val want = act.filter { case (_, ad) =>
+        !ad.isAfter(d) && !ad.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length
+      assert(r.getLong(1) == want, s"day $d: ${r.getLong(1)} != $want")
+    }
+    // the window actually widens the count somewhere (7d > 1d)
+    val daily = act.groupBy(_._2).map { case (d, xs) => d -> xs.map(_._1).distinct.length }
+    assert(rows.exists(r =>
+      r.getLong(1) > daily(r.getAs[Date]("day").toLocalDate)))
+  }
+
   test("anomaly_daily_mad: exact lower medians, internally consistent flags") {
     val rows = DataProfile.anomalyDailyMad(spark, sfDir).collect()
     assert(rows.nonEmpty)

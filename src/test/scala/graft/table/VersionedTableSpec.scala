@@ -618,4 +618,53 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.commitChecked(withNull, root,
       Seq("total IS NOT NULL")).isLeft, "explicit NOT NULL must reject")
   }
+
+  test("commitTransform rebases on conflict instead of publishing stale state (r9)") {
+    val root = freshRoot()
+    VersionedTable.commit(base(), root) // v1: totals k*1.5, status s0..s4
+    // writer B doubles every total; writer A (interleaved during B's first
+    // publish window) deletes keys > 500
+    val (v, attempts) = VersionedTable.commitTransform(spark, root,
+      df => df.withColumn("total", col("total") * 2),
+      beforePublish = a =>
+        if (a == 1) VersionedTable.commit(
+          VersionedTable.readVersion(spark, root, 1).filter(col("key") <= 500),
+          root))
+    assert(v == 3 && attempts == 2, s"expected one rebase: v=$v attempts=$attempts")
+    val fin = VersionedTable.readVersion(spark, root, 3)
+    // serializable outcome = A then B: 500 rows, all doubled
+    assert(fin.count() == 500, "rebase must see A's delete (lost update otherwise)")
+    assert(fin.filter(col("total") =!= col("key") * 3.0).count() == 0)
+    // and the failed attempt left no orphan data files behind
+    val dataFiles = Files.walk(Paths.get(root, "data"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val referenced = (1 to 3)
+      .flatMap(vv => VersionedTable.entries(root, vv)).map(_.path).distinct.size
+    assert(dataFiles == referenced,
+      s"conflict attempt leaked files: $dataFiles on disk vs $referenced referenced")
+    // no conflict → single attempt, no rebase
+    val (v4, a4) = VersionedTable.commitTransform(spark, root,
+      df => df.filter(col("key") <= 100))
+    assert(v4 == 4 && a4 == 1)
+    assert(VersionedTable.readVersion(spark, root, 4).count() == 100)
+  }
+
+  test("table_concurrent_commit key: the stale frame would differ (lost-update guard)") {
+    val out = TableQueries.queries("table_concurrent_commit")(spark, sfDir)
+    val cancelledSurcharged = out
+      .filter(col("status") === "X" && col("key") % 10 === 0)
+      .count()
+    assert(cancelledSurcharged > 0, "fixture must exercise the conflict set")
+    // in the FINAL state no cancelled order carries the surcharge: its
+    // total must still equal the raw table's total (B rebased after A)
+    val raw = graft.model.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("raw_total"),
+        col("o_orderstatus").as("raw_status"))
+    val drifted = out.join(raw, Seq("key"))
+      .filter(col("status") === "X" && col("raw_status") === "O" &&
+        col("total") =!= col("raw_total"))
+      .count()
+    assert(drifted == 0,
+      s"$drifted cancelled orders carry the stale surcharge — lost update")
+  }
 }
