@@ -523,8 +523,68 @@ object PipelinePrep {
        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  // ---- pack_length_buckets --------------------------------------------------
+  // Length-bucketed batching — the padding-efficiency move for UNPACKED
+  // training/inference (dynamic batching): docs grouped by floor(log2(
+  // n_tokens)) so each 32-doc batch pads to its own max instead of the
+  // global max. bits = length(bin(n)) − 1 is the exact integer log2 both
+  // engines compute identically (the curate_lm_score device); batches
+  // form in doc_id order inside a bucket (row_number div 32 — the
+  // pack_sequences reproducibility contract), padded cost = batch_max ×
+  // batch_size summed per bucket, and the report carries waste per-mille
+  // by integer division. The whole operator is one exchange on the bucket
+  // key: the window and both aggregations share it.
+  def packLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = load(s, dir, "documents")
+      .select(col("doc_id"), expr(s"size($toksE)").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", expr("length(bin(n_tokens)) - 1"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val batched = d
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr("(rn - 1) div 32"))
+    val perBatch = batched.groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("bn"), sum(col("n_tokens")).as("bsum"),
+        max(col("n_tokens")).as("bmax"))
+    perBatch.groupBy(col("bucket"))
+      .agg(sum(col("bn")).as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("bsum")).as("sum_tokens"),
+        sum(col("bmax") * col("bn")).as("padded_tokens"))
+      .withColumn("waste_permille",
+        expr("((padded_tokens - sum_tokens) * 1000) div padded_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  private val packLengthBucketsOracle =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tokens, length(bin(n_tokens)) - 1 AS bucket
+       |  FROM d WHERE n_tokens > 0),
+       |bt AS (
+       |  SELECT bucket, n_tokens,
+       |         (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 32 AS batch_id
+       |  FROM b),
+       |pb AS (
+       |  SELECT bucket, batch_id, CAST(COUNT(*) AS BIGINT) AS bn,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS bsum,
+       |         CAST(MAX(n_tokens) AS BIGINT) AS bmax
+       |  FROM bt GROUP BY 1, 2)
+       |SELECT bucket, CAST(SUM(bn) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       |       CAST(SUM(bsum) AS BIGINT) AS sum_tokens,
+       |       CAST(SUM(bmax * bn) AS BIGINT) AS padded_tokens,
+       |       (CAST(SUM(bmax * bn) AS BIGINT) - CAST(SUM(bsum) AS BIGINT)) * 1000
+       |         // CAST(SUM(bmax * bn) AS BIGINT) AS waste_permille
+       |FROM pb GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "curate_decontaminate" -> (curateDecontaminate _),
+    "pack_length_buckets" -> (packLengthBuckets _),
     "pack_sequences" -> (packSequences _),
     "sample_stratified" -> (sampleStratified _),
     "embed_quantize" -> (embedQuantize _),
@@ -536,6 +596,7 @@ object PipelinePrep {
 
   val oracles: Map[String, String] = Map(
     "curate_decontaminate" -> curateDecontaminateOracle,
+    "pack_length_buckets" -> packLengthBucketsOracle,
     "pack_sequences" -> packSequencesOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "embed_quantize" -> embedQuantizeOracle,

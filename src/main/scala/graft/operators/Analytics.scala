@@ -333,6 +333,56 @@ object Analytics {
       |  ON p.user_id = o.user_id AND p.d1 >= o.d
       |ORDER BY p.user_id, p.d""".stripMargin
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof's `tolerance`
+    * knob, the fourth as-of mode here): the previous order only counts if
+    * it happened within 180 days of this one — an as-of match older than
+    * the business window is noise, not context (churn analyses, repeat-
+    * purchase features). Same single-shuffle union+window composition as
+    * join_asof_prev, additionally carrying the matched REFERENCE DAY so
+    * the tolerance is one datediff projection after the window — the
+    * bound adds zero topology. Matches outside tolerance null out (the
+    * pandas contract) and the gap rides along for the ones that hold.
+    * Oracle: DuckDB's native ASOF LEFT JOIN post-filtered by the same
+    * day arithmetic. */
+  def joinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ord = orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"), orderDate.as("d"))
+      .agg(max(col("o_orderkey")).as("orderkey"))
+    val refs = ord.select(col("user_id"), col("d").as("t"), lit(0).as("kind"),
+      col("orderkey").as("ref_orderkey"), col("d").as("ref_d"),
+      lit(null).cast("date").as("d"), lit(null).cast("bigint").as("orderkey"))
+    val probes = ord.select(col("user_id"), date_sub(col("d"), 1).as("t"),
+      lit(1).as("kind"), lit(null).cast("bigint").as("ref_orderkey"),
+      lit(null).cast("date").as("ref_d"), col("d"), col("orderkey"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    refs.unionByName(probes)
+      .withColumn("prev_orderkey", last(col("ref_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("prev_d", last(col("ref_d"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("within", datediff(col("d"), col("prev_d")) <= 180)
+      .select(col("orderkey"), col("user_id"), col("d"),
+        when(col("within"), col("prev_orderkey")).as("prev_orderkey_tol"),
+        when(col("within"), datediff(col("d"), col("prev_d"))).as("gap_days"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  private val joinAsofToleranceOracle =
+    """WITH ord AS (
+      |  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS d,
+      |         MAX(o_orderkey) AS orderkey
+      |  FROM orders GROUP BY 1, 2),
+      |probe AS (SELECT user_id, d, d - 1 AS d1, orderkey FROM ord)
+      |SELECT p.orderkey, p.user_id, p.d,
+      |       CASE WHEN date_diff('day', o.d, p.d) <= 180 THEN o.orderkey END
+      |         AS prev_orderkey_tol,
+      |       CASE WHEN date_diff('day', o.d, p.d) <= 180
+      |            THEN date_diff('day', o.d, p.d) END AS gap_days
+      |FROM probe p ASOF LEFT JOIN ord o
+      |  ON p.user_id = o.user_id AND p.d1 >= o.d
+      |ORDER BY p.user_id, p.d""".stripMargin
+
   /** As-of join, direction = NEAREST (pandas merge_asof's third mode, the
     * one neither backward nor forward as-of covers): each probe matched to
     * the reference closest in time on EITHER side, ties to the earlier
@@ -1220,6 +1270,7 @@ object Analytics {
     "join_asof" -> (joinAsof _),
     "join_asof_prev" -> (joinAsofPrev _),
     "join_asof_nearest" -> (joinAsofNearest _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "window_range_frame" -> (windowRangeFrame _),
     "window_islands" -> (windowIslands _),
     "agg_mode" -> (aggMode _),
@@ -1261,6 +1312,7 @@ object Analytics {
     "join_asof" -> joinAsofOracle,
     "join_asof_prev" -> joinAsofPrevOracle,
     "join_asof_nearest" -> joinAsofNearestOracle,
+    "join_asof_tolerance" -> joinAsofToleranceOracle,
     "window_range_frame" -> windowRangeFrameOracle,
     "window_islands" -> windowIslandsOracle,
     "agg_mode" -> aggModeOracle,

@@ -298,17 +298,41 @@ object DataProfile {
       |  FROM orders)
       |WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin
 
+  // ---- agg_collect_set ------------------------------------------------------
+  // Set-valued aggregation surfaced portably: the distinct statuses seen
+  // per priority class, SORTED then joined to one string — collect_set's
+  // nondeterministic element order (and the engines' differing array
+  // renderings) never reaches the compared output. The companion count
+  // pins cardinality independently of the rendering.
+  def aggCollectSet(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy(col("o_orderpriority"))
+
+  private val aggCollectSetOracle =
+    """SELECT o_orderpriority,
+      |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+      |         AS statuses,
+      |       COUNT(DISTINCT o_orderstatus) AS n_statuses
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "profile_columns" -> (profileColumns _),
     "agg_corr_regr" -> (aggCorrRegr _),
     "anomaly_daily_mad" -> (anomalyDailyMad _),
     "agg_weighted_median" -> (aggWeightedMedian _),
-    "window_cume_dist" -> (windowCumeDist _))
+    "window_cume_dist" -> (windowCumeDist _),
+    "agg_collect_set" -> (aggCollectSet _))
 
   val oracles: Map[String, String] = Map(
     "profile_columns" -> profileColumnsOracle,
     "agg_corr_regr" -> aggCorrRegrOracle,
     "anomaly_daily_mad" -> anomalyDailyMadOracle,
     "agg_weighted_median" -> aggWeightedMedianOracle,
-    "window_cume_dist" -> windowCumeDistOracle)
+    "window_cume_dist" -> windowCumeDistOracle,
+    "agg_collect_set" -> aggCollectSetOracle)
 }

@@ -225,7 +225,49 @@ object SinkQueries {
       |       md5(string_agg(text, chr(1) ORDER BY doc_id)) AS shard_fp
       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- sink_dynamic_overwrite ----------------------------------------------
+  // Dynamic partition overwrite — the vanilla-Spark daily-reload idiom
+  // (partitionOverwriteMode=dynamic): an overwrite write replaces ONLY the
+  // partitions the incoming frame actually touches and leaves every other
+  // partition's files on disk untouched (static mode would clobber the
+  // whole table — the classic first-production-incident of partitioned
+  // sinks; table_replace_where is this same contract implemented at the
+  // manifest layer). The key stages a status-partitioned table, reloads
+  // just the 'O' partition with doubled totals, and aggregates the
+  // re-read: 'O' must show the reload, 'F'/'P' the original rows — a
+  // wrong overwrite mode empties them and fails both count and sum.
+  def sinkDynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("sink_dynamic_overwrite")
+    val base = graft.model.Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    base.write.partitionBy("o_orderstatus").parquet(path)
+    val reload = base.filter(col("o_orderstatus") === "O")
+      .withColumn("o_totalprice", col("o_totalprice") * 2) // ×2 is fp-exact
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try reload.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val sinkDynamicOverwriteOracle =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'O'
+      |                                THEN o_totalprice * 2
+      |                                ELSE o_totalprice END
+      |                      AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "sink_dynamic_overwrite" -> (sinkDynamicOverwrite _),
     "sink_shards" -> (sinkShards _),
     "sink_truncate" -> (sinkTruncate _),
     "sink_append_historical" -> (sinkAppendHistorical _),
@@ -235,6 +277,7 @@ object SinkQueries {
     "sink_schema_explicit" -> (sinkSchemaExplicit _))
 
   val oracles: Map[String, String] = Map(
+    "sink_dynamic_overwrite" -> sinkDynamicOverwriteOracle,
     "sink_shards" -> sinkShardsOracle,
     "sink_truncate" -> fixtureCounts("personnel"),
     "sink_append_historical" -> fixtureCounts("personnel",

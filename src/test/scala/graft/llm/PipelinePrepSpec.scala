@@ -191,6 +191,26 @@ class PipelinePrepSpec extends SparkSpec {
       "stream-stream join diverges from the batch interval join")
   }
 
+  test("pack_length_buckets: power-of-two membership, bounded waste (r9)") {
+    val rows = PipelinePrep.packLengthBuckets(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val lens = graft.model.Tables.load(spark, sfDir, "documents")
+      .selectExpr("size(filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n")
+      .collect().map(_.getInt(0)).filter(_ > 0)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      // bucket b holds exactly the docs with 2^b <= len < 2^(b+1)
+      val want = lens.count(n => n >= (1 << b) && n < (1 << (b + 1)))
+      assert(r.getLong(1) == want, s"bucket $b: ${r.getLong(1)} docs != $want")
+      // padding can only add, never exceed (2x - 1)/x of the real tokens
+      // inside a power-of-two bucket; permille stays in [0, 500)
+      val wp = r.getLong(5)
+      assert(wp >= 0 && wp < 500, s"bucket $b waste $wp out of range")
+      assert(r.getLong(4) >= r.getLong(3), "padded < real tokens")
+    }
+    assert(rows.map(_.getLong(1)).sum == lens.length, "docs lost in bucketing")
+  }
+
   test("embed_random_proj: engine projection equals driver-side recompute (r9)") {
     val out = PipelinePrep.embedRandomProj(spark, sfDir).collect()
     assert(out.nonEmpty)

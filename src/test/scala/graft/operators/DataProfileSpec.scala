@@ -61,6 +61,47 @@ class DataProfileSpec extends SparkSpec {
     }
   }
 
+  test("join_asof_tolerance: bound holds, nulls exist, agrees with untolerated as-of") {
+    val tol = Analytics.queries("join_asof_tolerance")(spark, sfDir).collect()
+    val iKey = tol.head.fieldIndex("prev_orderkey_tol")
+    val iGap = tol.head.fieldIndex("gap_days")
+    assert(tol.exists(_.isNullAt(iKey)), "tolerance never voided a match")
+    assert(tol.exists(!_.isNullAt(iKey)), "tolerance voided every match")
+    tol.filter(!_.isNullAt(iGap)).foreach(r =>
+      assert(r.getInt(iGap) >= 1 && r.getInt(iGap) <= 180))
+    // wherever the tolerated key is non-null it must equal the plain
+    // backward as-of match (tolerance only FILTERS, never re-matches)
+    val plain = Analytics.queries("join_asof_prev")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    tol.filter(!_.isNullAt(iKey)).foreach(r =>
+      assert(plain(r.getLong(0)).contains(r.getLong(iKey))))
+  }
+
+  test("agg_collect_set: rendered sets are sorted and match the count") {
+    val rows = DataProfile.aggCollectSet(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getString(1).split(",").toSeq
+      assert(parts == parts.sorted && parts.distinct == parts)
+      assert(parts.length == r.getLong(2))
+    }
+  }
+
+  test("sink_dynamic_overwrite: static mode WOULD clobber untouched partitions") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_dynover_spec").toString + "/t"
+    val df = Seq((1L, "A"), (2L, "B")).toDF("k", "p")
+    df.write.partitionBy("p").parquet(path)
+    // static overwrite with only partition A present → B is gone: the
+    // failure mode the dynamic key exists to prevent
+    df.filter($"p" === "A").write.mode("overwrite")
+      .partitionBy("p").parquet(path)
+    assert(spark.read.parquet(path).select("p").distinct().count() == 1,
+      "static overwrite kept untouched partitions — contrast premise broken")
+  }
+
   test("graph_bfs_distance: seeds at zero, contiguous levels, all reached ring") {
     val rows = GraphOps.queries("graph_bfs_distance")(spark, sfDir).collect()
     assert(rows.nonEmpty)
