@@ -591,6 +591,88 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- dedup_span_removal ---------------------------------------------------
+  // Exact-substring span REMOVAL (Lee et al. 2022, "Deduplicating Training
+  // Data Makes Language Models Better" — the deduplicate-text-datasets
+  // operator): dedup_substring MEASURES duplicated 8-token spans; this key
+  // REMOVES them and rewrites the document. A token is removed iff it is
+  // covered by any window whose hash occurs more than once in the corpus
+  // (union of covering windows — overlapping dup spans merge naturally in
+  // position space, no interval algebra needed). The cleaned text's md5
+  // rides in the hashed output, so the rebuild — token indexing, coverage
+  // union, order-preserving reassembly — must be byte-exact in both
+  // engines.
+  //
+  // Topology: the dedup_substring window pass (one explode, one exchange
+  // on the 32-byte hash), then dup windows explode to their ≤8 covered
+  // positions (output ∝ duplicated tokens, not corpus tokens), one
+  // hash-agg collects per-doc removal sets, and the rebuild is a per-row
+  // indexed-lambda projection — linear end-to-end, no self-joins.
+  def dedupSpanRemoval(s: SparkSession, dir: String): DataFrame =
+    dedupSpanRemovalOver(s, load(s, dir, "documents"))
+
+  private[llm] def dedupSpanRemovalOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val w = SubstringW
+    val toksDf = docs.select(col("doc_id"),
+      coalesce(expr(toksE), expr("array()")).as("toks"))
+    val wins = toksDf.select(col("doc_id"),
+      explode(expr(
+        s"""CASE WHEN size(toks) >= $w THEN sequence(1, size(toks) - $w + 1)
+           |     ELSE array() END""".stripMargin)).as("p"),
+      col("toks"))
+      .select(col("doc_id"), col("p"),
+        expr(s"md5(concat_ws(' ', slice(toks, p, $w)))").as("wh"))
+    val removed = wins
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .filter(col("n_occ") > 1)
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + $w - 1)")).as("t"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("t")).as("removed"))
+    toksDf.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("removed"), expr("array()")).as("removed"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("removed")).as("n_removed"),
+        expr("md5(concat_ws(' ', filter(toks, (x, i) -> NOT array_contains(removed, i + 1))))")
+          .as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSpanRemovalOracle = {
+    val w = SubstringW
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), []) AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(p AS INT) AS p,
+       |         md5(array_to_string(toks[p : p + $w - 1], ' ')) AS wh
+       |  FROM t, UNNEST(range(1, len(toks) - $w + 2)) AS u(p)),
+       |c AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) > 1),
+       |pos AS (
+       |  SELECT DISTINCT doc_id, CAST(q AS INT) AS tpos
+       |  FROM (SELECT w.doc_id, w.p FROM w JOIN c USING (wh)) dw,
+       |       UNNEST(range(dw.p, dw.p + $w)) AS v(q)),
+       |toku AS (
+       |  SELECT doc_id, CAST(i AS INT) AS i, toks[CAST(i AS INT)] AS tok
+       |  FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+       |kept AS (
+       |  SELECT k.doc_id, k.i, k.tok
+       |  FROM toku k LEFT JOIN pos p ON p.doc_id = k.doc_id AND p.tpos = k.i
+       |  WHERE p.doc_id IS NULL),
+       |clean AS (
+       |  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+       |  FROM kept GROUP BY doc_id),
+       |nrem AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_removed FROM pos GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+       |       COALESCE(nrem.n_removed, 0) AS n_removed,
+       |       COALESCE(clean.h, md5('')) AS clean_md5
+       |FROM t LEFT JOIN nrem ON nrem.doc_id = t.doc_id
+       |       LEFT JOIN clean ON clean.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---- dedup_containment ----------------------------------------------------
   // DIRECTED near-subset detection: containment C(A→B) = |A∩B| / |A| over
   // the retained-shingle sets (Broder 1997's other resemblance measure).
@@ -797,7 +879,8 @@ object Dedup {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_cc_twophase" -> (dedupCcTwophase _),
-    "dedup_substring" -> (dedupSubstring _))
+    "dedup_substring" -> (dedupSubstring _),
+    "dedup_span_removal" -> (dedupSpanRemoval _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactOracle,
@@ -811,5 +894,6 @@ object Dedup {
     // same relation, different engine algorithm — one oracle, two paths
     // (the stream_cdf_read precedent)
     "dedup_cc_twophase" -> dedupClustersOracle,
-    "dedup_substring" -> dedupSubstringOracle)
+    "dedup_substring" -> dedupSubstringOracle,
+    "dedup_span_removal" -> dedupSpanRemovalOracle)
 }

@@ -327,6 +327,76 @@ object StreamQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** NATIVE event-time session windows — `session_window(ts, gap)` under a
+    * watermark through real micro-batches: the built-in operator for the
+    * semantics SessionStream implements by hand with
+    * flatMapGroupsWithState (both keys exist deliberately: the built-in is
+    * what a user reaches for first; the custom state core is the escape
+    * hatch when per-session logic outgrows windowed aggregation). Append
+    * mode only emits a session once the watermark proves no event can
+    * extend it, so the stream_outer_join sentinel choreography drives the
+    * final flush and the oracle states PURE gap-sessionization with no
+    * cutoff arithmetic. Session merge boundary is exclusive (an event at
+    * exactly last+gap opens a NEW session — the oracle's `>=` break
+    * mirrors Spark's range-union rule). State per key = open sessions
+    * only, watermark-bounded. */
+  def streamSessionNative(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val src = s"$base/src"
+    val events = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val maxTs = events.agg(max(col("ts"))).first().getTimestamp(0)
+    events.coalesce(1).write.parquet(src)
+    import s.implicits._
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000), 0.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(src)
+    val streamed = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val table = s"stream_session_native_$id"
+    val q = withFewStatePartitions(s) {
+      streamed.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(table).filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("cents"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val streamSessionNativeOracle =
+    """WITH e AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts, cents,
+      |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   >= INTERVAL 2 HOUR
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, ts, cents,
+      |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |       MAX(ts) + INTERVAL 2 HOUR AS session_end,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   private val streamOuterJoinOracle =
     """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
       |FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
@@ -861,6 +931,7 @@ object StreamQueries {
     "stream_join_enrich" -> (streamJoinEnrich _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_outer_join" -> (streamOuterJoin _),
+    "stream_session_native" -> (streamSessionNative _),
     "stream_drop_dup_watermark" -> (streamDropDupWatermark _),
     "stream_merge_upsert" -> (streamMergeUpsert _))
 
@@ -877,6 +948,7 @@ object StreamQueries {
     "stream_join_enrich" -> streamJoinEnrichOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
     "stream_outer_join" -> streamOuterJoinOracle,
+    "stream_session_native" -> streamSessionNativeOracle,
     "stream_drop_dup_watermark" -> streamDropDupWatermarkOracle,
     "stream_merge_upsert" -> streamMergeUpsertOracle)
 }

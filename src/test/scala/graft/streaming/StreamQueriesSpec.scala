@@ -171,6 +171,27 @@ class StreamQueriesSpec extends SparkSpec {
         s"missing $side/$b — a micro-batch skipped a sink")
   }
 
+  test("stream_session_native: disjoint gap-ruled sessions, corpus conserved (r9)") {
+    val out = StreamQueries.streamSessionNative(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val corpus = graft.model.Tables.load(spark, sfDir, "events").count()
+    assert(out.map(_.getLong(3)).sum == corpus, "events lost in sessionization")
+    assert(out.exists(_.getLong(3) > 1), "no session ever merged two events")
+    out.groupBy(_.getLong(0)).foreach { case (u, ss) =>
+      val ordered = ss.sortBy(_.getTimestamp(1).getTime)
+      ordered.foreach { r =>
+        assert(r.getTimestamp(2).getTime - r.getTimestamp(1).getTime >=
+          2L * 3600 * 1000, "end must be at least start + gap")
+      }
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(2).getTime <= b.getTimestamp(1).getTime,
+            s"user $u sessions overlap: ${a.getTimestamp(2)} > ${b.getTimestamp(1)}")
+        case _ => ()
+      }
+    }
+  }
+
   test("stream_outer_join: unmatched lefts flush null-padded, once each (r9)") {
     val out = StreamQueries.streamOuterJoin(spark, sfDir).collect()
     assert(out.nonEmpty)
