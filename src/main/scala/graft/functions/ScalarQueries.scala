@@ -270,7 +270,62 @@ object ScalarQueries {
   private def runSql(q: String): Q =
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q) }
 
+  // ---- fn_time_bucket -------------------------------------------------------
+  // Arbitrary-interval time bucketing (TimescaleDB's time_bucket / Spark
+  // 3.3+ window().start): 15-minute buckets computed in the INTEGER
+  // domain — unix_micros div bucket_micros, re-materialized as a
+  // timestamp — so the bucket edge is a pure integer fact both engines
+  // share (no engine-specific interval-truncation semantics in the hashed
+  // output). The per-bucket aggregate keeps the key honest: a wrong edge
+  // moves events across buckets and breaks both count and sum.
+  def fnTimeBucket(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(expr("timestamp_micros((unix_micros(ts) div 900000000) * 900000000)")
+        .as("bucket_start"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .orderBy(col("bucket_start"))
+
+  private val fnTimeBucketOracle =
+    """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket_start,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- window_ratio_total ---------------------------------------------------
+  // ratio_to_report — each day's share of its month's revenue: the share
+  // denominator is a windowed total (partition = month), the division is
+  // ONE double op over two exact decimal-rooted operands, so the doubles
+  // are bit-identical across engines. The month window runs over the
+  // day-grain aggregate, never the raw rows.
+  def windowRatioTotal(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .withColumn("m", trunc(col("d"), "month"))
+    val w = Window.partitionBy(col("m"))
+    daily
+      .withColumn("month_cents", sum(col("cents")).over(w))
+      .select(col("d"), col("cents"),
+        (col("cents").cast("double") / col("month_cents").cast("double"))
+          .as("share_of_month"))
+      .orderBy(col("d"))
+  }
+
+  private val windowRatioTotalOracle =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1)
+      |SELECT d, cents,
+      |       CAST(cents AS DOUBLE) /
+      |       CAST(SUM(cents) OVER (PARTITION BY date_trunc('month', d)) AS DOUBLE)
+      |         AS share_of_month
+      |FROM daily ORDER BY d""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "fn_time_bucket" -> (fnTimeBucket _),
+    "window_ratio_total" -> (windowRatioTotal _),
     "fn_cast_float" -> (fnCastFloat _),
     "fn_parse_date" -> (fnParseDate _),
     "fn_parse_timestamp_iso" -> (fnParseTimestampIso _),
@@ -285,6 +340,8 @@ object ScalarQueries {
   ) ++ sharedSql.map { case (k, sql) => k -> runSql(sql) }
 
   val oracles: Map[String, String] = Map(
+    "fn_time_bucket" -> fnTimeBucketOracle,
+    "window_ratio_total" -> windowRatioTotalOracle,
     "fn_cast_float" -> fnCastFloatOracle,
     "fn_parse_date" -> fnParseDateOracle,
     "fn_parse_timestamp_iso" -> fnParseTimestampIsoOracle,

@@ -327,6 +327,68 @@ object StreamQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the streaming join
+    * family (inner: stream_stream_join; left: stream_outer_join): BOTH
+    * sides' unmatched rows surface null-padded on watermark eviction —
+    * impressions that never converted AND conversions with no preceding
+    * impression in-window (the orphan-conversion audit). Same sentinel
+    * flush choreography; both sentinels filter out (each emits as its
+    * side's unmatched row). */
+  def streamFullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val maxTs = events.agg(max(col("ts"))).first().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000)
+    def stage(sideName: String, parity: Int, sentId: Long): String = {
+      val p = s"$base/src$sideName"
+      events.filter(col("event_id") % 2 === parity)
+        .coalesce(1).write.parquet(p)
+      import s.implicits._
+      Seq((sentId, -1L, sentinelTs)).toDF("event_id", "user_id", "ts")
+        .write.mode("append").parquet(p)
+      p
+    }
+    val srcA = stage("A", 0, -2L)
+    val srcB = stage("B", 1, -1L)
+    def side(src: String, p: String) =
+      s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+          col("ts").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "1 day")
+    val joined = side(srcA, "a").join(side(srcB, "b"),
+      expr("""a_user = b_user AND
+             |b_ts > a_ts AND b_ts <= a_ts + interval 30 minutes""".stripMargin),
+      "fullOuter")
+      .select(coalesce(col("a_user"), col("b_user")).as("user_id"),
+        col("a_id"), col("b_id"))
+
+    val table = s"stream_full_outer_$id"
+    val q = withFewStatePartitions(s) {
+      joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(table)
+      .filter(coalesce(col("a_id"), lit(0L)) >= 0 &&
+        coalesce(col("b_id"), lit(0L)) >= 0)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val streamFullOuterJoinOracle =
+    """SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+      |       a.event_id AS a_id, b.event_id AS b_id
+      |FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
+      |FULL JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** NATIVE event-time session windows — `session_window(ts, gap)` under a
     * watermark through real micro-batches: the built-in operator for the
     * semantics SessionStream implements by hand with
@@ -932,6 +994,7 @@ object StreamQueries {
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_outer_join" -> (streamOuterJoin _),
     "stream_session_native" -> (streamSessionNative _),
+    "stream_full_outer_join" -> (streamFullOuterJoin _),
     "stream_drop_dup_watermark" -> (streamDropDupWatermark _),
     "stream_merge_upsert" -> (streamMergeUpsert _))
 
@@ -949,6 +1012,7 @@ object StreamQueries {
     "stream_stream_join" -> streamStreamJoinOracle,
     "stream_outer_join" -> streamOuterJoinOracle,
     "stream_session_native" -> streamSessionNativeOracle,
+    "stream_full_outer_join" -> streamFullOuterJoinOracle,
     "stream_drop_dup_watermark" -> streamDropDupWatermarkOracle,
     "stream_merge_upsert" -> streamMergeUpsertOracle)
 }

@@ -192,6 +192,25 @@ class StreamQueriesSpec extends SparkSpec {
     }
   }
 
+  test("stream_full_outer_join: both sides' unmatched flush, both conserved (r9)") {
+    val out = StreamQueries.streamFullOuterJoin(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val iA = out.head.fieldIndex("a_id")
+    val iB = out.head.fieldIndex("b_id")
+    val leftOnly = out.count(r => !r.isNullAt(iA) && r.isNullAt(iB))
+    val rightOnly = out.count(r => r.isNullAt(iA) && !r.isNullAt(iB))
+    assert(leftOnly > 0, "no unconverted impressions surfaced")
+    assert(rightOnly > 0, "no orphan conversions surfaced")
+    // conservation on BOTH sides: every even and every odd event appears
+    val ev = graft.model.Tables.load(spark, sfDir, "events")
+    val evens = ev.filter(col("event_id") % 2 === 0).count()
+    val odds = ev.filter(col("event_id") % 2 === 1).count()
+    val aIds = out.filter(!_.isNullAt(iA)).map(_.getLong(iA)).distinct.length
+    val bIds = out.filter(!_.isNullAt(iB)).map(_.getLong(iB)).distinct.length
+    assert(aIds == evens, s"left side not conserved: $aIds vs $evens")
+    assert(bIds == odds, s"right side not conserved: $bIds vs $odds")
+  }
+
   test("stream_outer_join: unmatched lefts flush null-padded, once each (r9)") {
     val out = StreamQueries.streamOuterJoin(spark, sfDir).collect()
     assert(out.nonEmpty)
