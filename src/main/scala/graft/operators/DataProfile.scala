@@ -320,7 +320,89 @@ object DataProfile {
       |       COUNT(DISTINCT o_orderstatus) AS n_statuses
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- window_topn_pergroup -------------------------------------------------
+  // Top-3 line items per order by price — the per-group top-k every
+  // report needs, written the way Spark can OPTIMIZE: a row_number window
+  // immediately filtered by rank ≤ k lets the planner insert
+  // WindowGroupLimit (Spark 3.5+), which keeps only k rows per group
+  // DURING the sort instead of ranking every row and discarding — at
+  // 100 TB that is the difference between shuffling k·groups rows and
+  // shuffling the corpus through a full per-group sort. Tie-break on
+  // linenumber makes the pick total-ordered; output samples 1/101 of
+  // orders after the window so the compare stays small.
+  def windowTopnPergroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .filter(col("l_orderkey") % 101 === 0)
+      .select(col("l_orderkey"), col("rn"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("rn"))
+  }
+
+  private val windowTopnPergroupOracle =
+    """SELECT l_orderkey, rn, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |           ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3 AND l_orderkey % 101 = 0
+      |ORDER BY l_orderkey, rn""".stripMargin
+
+  // ---- join_dpp_prune -------------------------------------------------------
+  // Dynamic partition pruning: the fact table is STAGED as a
+  // status-partitioned parquet layout and joined to a tiny staged dim
+  // whose filter (keep = true) selects one status — the planner can't
+  // know which partition survives until it evaluates the dim side, so it
+  // injects a dynamicpruning subquery into the fact scan's PARTITION
+  // FILTERS (reusing the broadcast) and the fact side reads one
+  // partition's files instead of all three. Both sides go through disk
+  // so Catalyst cannot constant-fold the dim away (the staging is the
+  // point: DPP is a scan-time feature). At 100 TB this is the star-join
+  // pattern: the date-dim filter prunes the fact's date partitions
+  // without the query author naming them.
+  private lazy val dppRoot: String = {
+    val ns = s"${sys.props("java.io.tmpdir")}/graft_dpp-${ProcessHandle.current().pid()}"
+    sys.addShutdownHook(graft.sink.Sinks.deleteDir(ns))
+    ns
+  }
+
+  def joinDppPrune(s: SparkSession, dir: String): DataFrame = {
+    val base = s"$dppRoot/${java.util.UUID.randomUUID()}"
+    val orders = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    orders.write.partitionBy("o_orderstatus").parquet(s"$base/fact")
+    // the dim predicate must be a real equality (tag = 'keep'): Catalyst
+    // folds a boolean `keep = true` column to a bare attribute reference,
+    // which fails the planner's isLikelySelective test and suppresses DPP
+    orders.select(col("o_orderstatus")).distinct()
+      .withColumn("tag",
+        when(col("o_orderstatus") === "O", lit("keep")).otherwise(lit("drop")))
+      .write.parquet(s"$base/dim")
+    val fact = s.read.parquet(s"$base/fact")
+    val dim = s.read.parquet(s"$base/dim").filter(col("tag") === "keep")
+    fact.join(broadcast(dim), Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val joinDppPruneOracle =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |         AS sum_total
+      |FROM orders WHERE o_orderstatus = 'O'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "window_topn_pergroup" -> (windowTopnPergroup _),
+    "join_dpp_prune" -> (joinDppPrune _),
     "profile_columns" -> (profileColumns _),
     "agg_corr_regr" -> (aggCorrRegr _),
     "anomaly_daily_mad" -> (anomalyDailyMad _),
@@ -329,6 +411,8 @@ object DataProfile {
     "agg_collect_set" -> (aggCollectSet _))
 
   val oracles: Map[String, String] = Map(
+    "window_topn_pergroup" -> windowTopnPergroupOracle,
+    "join_dpp_prune" -> joinDppPruneOracle,
     "profile_columns" -> profileColumnsOracle,
     "agg_corr_regr" -> aggCorrRegrOracle,
     "anomaly_daily_mad" -> anomalyDailyMadOracle,

@@ -61,6 +61,45 @@ class DataProfileSpec extends SparkSpec {
     }
   }
 
+  test("window_topn_pergroup: WindowGroupLimit in plan, k-bounded contiguous ranks") {
+    val df = DataProfile.windowTopnPergroup(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank<=k filter did not lower to WindowGroupLimit")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (ok, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.length) && ranks.length <= 3,
+        s"order $ok ranks $ranks")
+      val prices = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(prices.sameElements(prices.sortBy(-(_: Double))),
+        s"order $ok not price-descending")
+    }
+  }
+
+  test("join_dpp_prune: dynamic pruning reaches the fact scan, one partition read") {
+    val df = DataProfile.queries("join_dpp_prune")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "O")
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      "fact scan has no dynamic-pruning partition filter")
+    // runtime proof the pruning FIRED: after execution the fact scan's
+    // partition-count metric must be 1 (of the 3 status partitions)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case s: FileSourceScanExec => s } ++
+        (p.collect { case a: AdaptiveSparkPlanExec => a }
+          .flatMap(a => scans(a.executedPlan)))
+    val factScan = scans(df.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("fact")))
+    factScan.foreach { sc =>
+      val parts = sc.metrics.get("numPartitions").map(_.value)
+      parts.foreach(n => assert(n == 1, s"fact scan read $n partitions, not 1"))
+    }
+  }
+
   test("join_asof_tolerance: bound holds, nulls exist, agrees with untolerated as-of") {
     val tol = Analytics.queries("join_asof_tolerance")(spark, sfDir).collect()
     val iKey = tol.head.fieldIndex("prev_orderkey_tol")
