@@ -270,6 +270,50 @@ object ScalarQueries {
   private def runSql(q: String): Q =
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q) }
 
+  // ---- fn_edit_distance -----------------------------------------------------
+  // Bounded Levenshtein — the entity-resolution scalar (join_fuzzy_block
+  // uses it inside a blocked join; this key pins the SCALAR semantics
+  // incl. the bound): Spark's 3-arg levenshtein short-circuits the DP
+  // once the bound is exceeded and reports -1 — at 100 TB the bound is
+  // the difference between O(len²) per pair and O(bound·len) (the reason
+  // every record-linkage engine exposes it). The oracle derives the same
+  // -1 contract from the unbounded distance.
+  def fnEditDistance(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey"),
+        expr("levenshtein(c_name, c_mktsegment)").as("d"),
+        expr("levenshtein(c_name, c_mktsegment, 5)").as("d_bounded"))
+      .orderBy(col("c_custkey"))
+
+  private val fnEditDistanceOracle =
+    """SELECT c_custkey,
+      |       levenshtein(c_name, c_mktsegment) AS d,
+      |       CASE WHEN levenshtein(c_name, c_mktsegment) <= 5
+      |            THEN levenshtein(c_name, c_mktsegment) ELSE -1 END AS d_bounded
+      |FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""".stripMargin
+
+  // ---- agg_any_all ----------------------------------------------------------
+  // Boolean quantifier aggregates (SQL:2023 ANY/ALL; bool_and/bool_or):
+  // "did every order in the class clear the floor" / "does the class
+  // contain an open order" — the assertion-style aggregates data-quality
+  // checks compose from. Exact boolean algebra, partial-agg friendly
+  // (AND/OR are associative+commutative).
+  def aggAnyAll(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("bool_and(o_totalprice > 1000.0)").as("all_above_floor"),
+        expr("bool_or(o_orderstatus = 'O')").as("any_open"),
+        count(when(col("o_totalprice") <= 1000.0, 1)).as("n_below"))
+      .orderBy(col("o_orderpriority"))
+
+  private val aggAnyAllOracle =
+    """SELECT o_orderpriority,
+      |       bool_and(o_totalprice > 1000.0) AS all_above_floor,
+      |       bool_or(o_orderstatus = 'O') AS any_open,
+      |       COUNT(CASE WHEN o_totalprice <= 1000.0 THEN 1 END) AS n_below
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- fn_time_bucket -------------------------------------------------------
   // Arbitrary-interval time bucketing (TimescaleDB's time_bucket / Spark
   // 3.3+ window().start): 15-minute buckets computed in the INTEGER
@@ -326,6 +370,8 @@ object ScalarQueries {
   val queries: Map[String, Q] = Map[String, Q](
     "fn_time_bucket" -> (fnTimeBucket _),
     "window_ratio_total" -> (windowRatioTotal _),
+    "fn_edit_distance" -> (fnEditDistance _),
+    "agg_any_all" -> (aggAnyAll _),
     "fn_cast_float" -> (fnCastFloat _),
     "fn_parse_date" -> (fnParseDate _),
     "fn_parse_timestamp_iso" -> (fnParseTimestampIso _),
@@ -342,6 +388,8 @@ object ScalarQueries {
   val oracles: Map[String, String] = Map(
     "fn_time_bucket" -> fnTimeBucketOracle,
     "window_ratio_total" -> windowRatioTotalOracle,
+    "fn_edit_distance" -> fnEditDistanceOracle,
+    "agg_any_all" -> aggAnyAllOracle,
     "fn_cast_float" -> fnCastFloatOracle,
     "fn_parse_date" -> fnParseDateOracle,
     "fn_parse_timestamp_iso" -> fnParseTimestampIsoOracle,
