@@ -400,7 +400,79 @@ object DataProfile {
       |FROM orders WHERE o_orderstatus = 'O'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- agg_max_by -----------------------------------------------------------
+  // arg-max/arg-min aggregates (max_by/min_by; DuckDB arg_max/arg_min) —
+  // "WHICH order had the day's peak", the lookup join every
+  // greatest-n-per-group rewrite exists to avoid. Both engines leave the
+  // tie winner unspecified, so the ordering measure is made UNIQUE by
+  // folding the key into its low digits: cents·10^8 + orderkey is one
+  // exact bigint both engines compare identically — the hashed output is
+  // deterministic without relying on either engine's tie behavior.
+  def aggMaxBy(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .withColumn("tie_key",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("max_by(o_orderkey, tie_key)").as("peak_orderkey"),
+        expr("min_by(o_orderkey, tie_key)").as("floor_orderkey"),
+        max(col("o_totalprice")).as("peak_total"))
+      .orderBy(col("o_orderstatus"))
+
+  private val aggMaxByOracle =
+    """SELECT o_orderstatus,
+      |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey)
+      |    AS peak_orderkey,
+      |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey)
+      |    AS floor_orderkey,
+      |  MAX(o_totalprice) AS peak_total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- fn_null_safe_eq ------------------------------------------------------
+  // Null-safe equality (<=> / IS NOT DISTINCT FROM) — the comparison
+  // snapshot-diff and CDC-merge logic needs on nullable columns, where
+  // plain `=` silently drops NULL=NULL rows: per event, a nullable field
+  // (the JSON k bucketed to a decile, nulled above the median — a
+  // deterministic mixed-null population both engines derive identically)
+  // is compared to its event-ordered predecessor under both semantics,
+  // and the aggregate counts exactly where they diverge.
+  def fnNullSafeEq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("event_id"))
+    load(s, dir, "events")
+      .select(col("event_id"),
+        expr("""CASE WHEN CAST(get_json_object(props, '$.k') AS BIGINT) < 50
+               |     THEN CAST(get_json_object(props, '$.k') AS BIGINT) div 10
+               |     END""".stripMargin).as("src"))
+      .withColumn("prev_src", lag(col("src"), 1).over(w))
+      .agg(
+        count(when(col("src") === col("prev_src"), 1)).as("eq_matches"),
+        count(when(col("src") <=> col("prev_src"), 1)).as("nse_matches"),
+        count(when(col("src").isNull && col("prev_src").isNull, 1))
+          .as("both_null"))
+      .select(col("eq_matches"), col("nse_matches"), col("both_null"),
+        (col("nse_matches") - col("eq_matches")).as("null_only_matches"))
+  }
+
+  private val fnNullSafeEqOracle =
+    """WITH e AS (
+      |  SELECT event_id,
+      |         CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 50
+      |              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+      |              END AS src
+      |  FROM events),
+      |l AS (
+      |  SELECT src, LAG(src) OVER (ORDER BY event_id) AS prev_src FROM e)
+      |SELECT
+      |  COUNT(CASE WHEN src = prev_src THEN 1 END) AS eq_matches,
+      |  COUNT(CASE WHEN src IS NOT DISTINCT FROM prev_src THEN 1 END) AS nse_matches,
+      |  COUNT(CASE WHEN src IS NULL AND prev_src IS NULL THEN 1 END) AS both_null,
+      |  COUNT(CASE WHEN src IS NOT DISTINCT FROM prev_src THEN 1 END) -
+      |    COUNT(CASE WHEN src = prev_src THEN 1 END) AS null_only_matches
+      |FROM l""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "agg_max_by" -> (aggMaxBy _),
+    "fn_null_safe_eq" -> (fnNullSafeEq _),
     "window_topn_pergroup" -> (windowTopnPergroup _),
     "join_dpp_prune" -> (joinDppPrune _),
     "profile_columns" -> (profileColumns _),
@@ -411,6 +483,8 @@ object DataProfile {
     "agg_collect_set" -> (aggCollectSet _))
 
   val oracles: Map[String, String] = Map(
+    "agg_max_by" -> aggMaxByOracle,
+    "fn_null_safe_eq" -> fnNullSafeEqOracle,
     "window_topn_pergroup" -> windowTopnPergroupOracle,
     "join_dpp_prune" -> joinDppPruneOracle,
     "profile_columns" -> profileColumnsOracle,

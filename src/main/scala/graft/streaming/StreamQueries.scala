@@ -327,6 +327,54 @@ object StreamQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Stream-stream LEFT SEMI interval join — existence filtering between
+    * two live streams: emit each impression ONCE as soon as any
+    * conversion lands in its window (no pair multiplication — the
+    * "which impressions converted at all" feed, deduplicated by
+    * construction). Spark buffers the left row only until first match or
+    * watermark expiry; the oracle is the batch EXISTS. Unmatched rows
+    * never emit, so no sentinel choreography is needed — the key also
+    * pins that a semi join's output is match-driven, not eviction-driven. */
+  def streamSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    events.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$base/srcA")
+    events.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$base/srcB")
+    def side(src: String, p: String) =
+      s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+        .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+          col("ts").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "1 day")
+    val joined = side(s"$base/srcA", "a").join(side(s"$base/srcB", "b"),
+      expr("""a_user = b_user AND
+             |b_ts > a_ts AND b_ts <= a_ts + interval 30 minutes""".stripMargin),
+      "leftSemi")
+      .select(col("a_user").as("user_id"), col("a_id"))
+    val table = s"stream_semi_join_$id"
+    val q = withFewStatePartitions(s) {
+      joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(table).orderBy(col("a_id"))
+  }
+
+  private val streamSemiJoinOracle =
+    """SELECT a.user_id, a.event_id AS a_id
+      |FROM events a
+      |WHERE a.event_id % 2 = 0 AND EXISTS (
+      |  SELECT 1 FROM events b
+      |  WHERE b.event_id % 2 = 1 AND b.user_id = a.user_id
+      |    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+      |ORDER BY a_id""".stripMargin
+
   /** Stream-stream FULL OUTER interval join — completes the streaming join
     * family (inner: stream_stream_join; left: stream_outer_join): BOTH
     * sides' unmatched rows surface null-padded on watermark eviction —
@@ -995,6 +1043,7 @@ object StreamQueries {
     "stream_outer_join" -> (streamOuterJoin _),
     "stream_session_native" -> (streamSessionNative _),
     "stream_full_outer_join" -> (streamFullOuterJoin _),
+    "stream_semi_join" -> (streamSemiJoin _),
     "stream_drop_dup_watermark" -> (streamDropDupWatermark _),
     "stream_merge_upsert" -> (streamMergeUpsert _))
 
@@ -1013,6 +1062,7 @@ object StreamQueries {
     "stream_outer_join" -> streamOuterJoinOracle,
     "stream_session_native" -> streamSessionNativeOracle,
     "stream_full_outer_join" -> streamFullOuterJoinOracle,
+    "stream_semi_join" -> streamSemiJoinOracle,
     "stream_drop_dup_watermark" -> streamDropDupWatermarkOracle,
     "stream_merge_upsert" -> streamMergeUpsertOracle)
 }

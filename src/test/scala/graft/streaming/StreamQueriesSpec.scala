@@ -192,6 +192,19 @@ class StreamQueriesSpec extends SparkSpec {
     }
   }
 
+  test("stream_semi_join: existence semantics — once each, no pair blowup (r9)") {
+    val out = StreamQueries.streamSemiJoin(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length,
+      "semi join emitted an impression more than once")
+    // exactly the matched-left ids of the inner interval join
+    val innerLeft = StreamQueries.streamStreamJoin(spark, sfDir)
+      .select(col("a_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.toSet == innerLeft,
+      "semi-join id set diverges from the inner join's distinct left side")
+  }
+
   test("stream_full_outer_join: both sides' unmatched flush, both conserved (r9)") {
     val out = StreamQueries.streamFullOuterJoin(spark, sfDir).collect()
     assert(out.nonEmpty)
