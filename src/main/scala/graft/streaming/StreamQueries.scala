@@ -22,6 +22,20 @@ object StreamQueries {
 
   private val runId = new AtomicInteger(0)
 
+  /** Max event timestamp for sentinel construction — guarded: `max(ts)`
+    * over zero rows (or an all-null column) returns null, and the raw
+    * `.getTimestamp(0)` NPE'd with no hint at the cause (r9 ADVICE). The
+    * sentinel choreography is meaningless without at least one real
+    * event, so an empty slice is a precondition failure, stated as one. */
+  private def maxEventTs(events: DataFrame, tsCol: String): java.sql.Timestamp = {
+    val row = events.agg(max(col(tsCol))).first()
+    require(!row.isNullAt(0),
+      s"streaming staging requires a non-empty events slice with non-null " +
+        s"'$tsCol' (max($tsCol) came back null) — cannot build the " +
+        "watermark-advancing sentinel")
+    row.getTimestamp(0)
+  }
+
   /** Per-JVM staging root under a shared parent. Scoping the root by pid
     * means cleanup can never clobber a DIFFERENT JVM's in-flight staged
     * source or live checkpoint (the r3 shared-root delete could); the
@@ -281,7 +295,7 @@ object StreamQueries {
     val base = s"$qRoot/$id"
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val maxTs = events.agg(max(col("ts"))).first().getTimestamp(0)
+    val maxTs = maxEventTs(events, "ts")
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000)
     def stage(sideName: String, parity: Int, sentId: Long): String = {
       val p = s"$base/src$sideName"
@@ -387,7 +401,7 @@ object StreamQueries {
     val base = s"$qRoot/$id"
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val maxTs = events.agg(max(col("ts"))).first().getTimestamp(0)
+    val maxTs = maxEventTs(events, "ts")
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000)
     def stage(sideName: String, parity: Int, sentId: Long): String = {
       val p = s"$base/src$sideName"
@@ -456,7 +470,7 @@ object StreamQueries {
     val src = s"$base/src"
     val events = Tables.load(s, dir, "events")
       .select(col("user_id"), col("ts"), col("value"))
-    val maxTs = events.agg(max(col("ts"))).first().getTimestamp(0)
+    val maxTs = maxEventTs(events, "ts")
     events.coalesce(1).write.parquet(src)
     import s.implicits._
     Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000), 0.0))

@@ -38,6 +38,19 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT graft_dotq(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
         .collect().head.getLong(0)
       assert(dot > 0, "quantized dot must be positive for positive vectors")
+      // arity gate (r10): wrong argument counts must fail ANALYSIS with
+      // the function named — not IndexOutOfBounds (missing arg) and not
+      // silent truncation (surplus arg)
+      def analysisError(sql: String): String =
+        intercept[org.apache.spark.sql.AnalysisException] {
+          withExt.sql(sql).collect()
+        }.getMessage
+      assert(analysisError("SELECT graft_dotq(array(1.0f))")
+        .contains("graft_dotq"), "missing-arg error must name the function")
+      assert(analysisError(
+        "SELECT graft_simhash16(graft_shingle3('a b c'), 2)")
+        .contains("graft_simhash16"),
+        "surplus-arg must be an analysis error, not silently dropped")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

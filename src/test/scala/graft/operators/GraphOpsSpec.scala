@@ -113,6 +113,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.values.sum % 3 == 0)
   }
 
+  test("partitioned triangle plan: identical counts through shuffled hash joins, no hardcoded broadcast (r10)") {
+    import spark.implicits._
+    // same planted structure as the broadcast-path test
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("p1", "p2")
+    val forced = GraphOps.trianglesFromEdges(e, forcePartitioned = true)
+    // the scale-killer class this gate removes is a COMPILED broadcast of
+    // a data-proportional artifact: assert on the pre-adaptive physical
+    // plan (AQE may still choose broadcast at runtime from MEASURED sizes
+    // — that is the safe, size-aware behavior, not the hardcoded hint)
+    val phys = forced.queryExecution.sparkPlan.toString
+    assert(!phys.contains("BroadcastHashJoin"),
+      s"forced partitioned plan must not compile a broadcast join:\n$phys")
+    assert(phys.contains("ShuffledHashJoin"),
+      s"wedge legs should be shuffled hash joins (not sort-merge over the wedge stream):\n$phys")
+    val out = forced.collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("n_triangles")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L,
+      5L -> 1L, 6L -> 1L),
+      s"partitioned plan changed the counts: $out")
+  }
+
   test("jaccard similarity: ranked per query, candidates share a neighbor, corpus never shuffles for them (r9)") {
     val df = GraphOps.queries("graph_jaccard_sim")(spark, sfDir)
     val rows = df.collect()

@@ -100,6 +100,30 @@ class TimeSeriesSpec extends SparkSpec {
       "double max renders as 2dp decimal")
   }
 
+  test("profile_columns_approx: no Expand in the plan, estimates inside the HLL band vs exact (r10)") {
+    val approx = DataProfile.profileColumnsApprox(spark, sfDir)
+    // the 100 TB contract: the sketch profile must NOT pay
+    // profile_columns' per-column Expand branch over the full scan —
+    // assert on the COMPILED physical plan (sparkPlan, pre-AQE), which is
+    // where a distinct-aggregate Expand would appear
+    val phys = approx.queryExecution.sparkPlan.toString
+    assert(!phys.contains("Expand"),
+      s"approx profile plan must not contain an Expand node:\n$phys")
+    val est = approx.collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(est.size == 6)
+    val exact = DataProfile.profileColumns(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // 64 registers → standard error 1.04/√64 ≈ 13%; LinearCounting is
+    // near-exact at tiny cardinalities. Band: 30% relative (2.3 SE) with
+    // an absolute floor of 2 for the handful-of-values columns.
+    est.foreach { case (c, e) =>
+      val x = exact(c).toDouble
+      assert(math.abs(e - x) <= math.max(2.0, 0.30 * x),
+        s"$c: estimate $e outside the HLL band around exact $x")
+    }
+  }
+
   test("window_rolling_distinct: equals a driver-side 7-day recompute") {
     import org.apache.spark.sql.functions.{col, to_date}
     val rows = TimeSeries.windowRollingDistinct(spark, sfDir).collect()

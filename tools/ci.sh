@@ -26,6 +26,16 @@ if grep -rnP '\t' src --include='*.scala'; then
   echo "LINT FAIL: tab character in source" >&2
   exit 1
 fi
+# Working-tree leak gate: everything here derives from public knowledge
+# only, so internal-looking hostnames / registries must never enter the
+# tree (judge docs defang theirs as host.infra.***, which the trailing
+# [a-z] deliberately does not match). Fails CI before any external
+# scanner sees a reintroduction.
+if grep -rniE '(artifactory|nexus)\.(infra|corp|internal)\.[a-z]|[a-z0-9-]+\.corp\.[a-z]+/|go/[a-z-]+-internal' \
+    src tools README.md SURVEY.md PLANS.md PERF.md 2>/dev/null; then
+  echo "LINT FAIL: internal-looking hostname/shortlink in working tree" >&2
+  exit 1
+fi
 echo "lint ok"
 
 echo "== compile + test =="
