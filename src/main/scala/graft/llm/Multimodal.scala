@@ -8,27 +8,30 @@ import graft.model.Tables.load
 /** Multimodal columns: media as opaque `binary` payloads + a typed metadata
   * struct, with decode / feature-extract / resize / frame-sample plumbing.
   *
-  * Two codecs sit behind the decode seam:
-  *  - `ImageIoCodec` — a REAL image decoder/encoder on JDK `javax.imageio`
-  *    (PNG/GIF/BMP/JPEG, zero new dependencies): magic-byte sniff, true
-  *    pixel-dimension decode, Graphics2D resize + PNG re-encode. The
-  *    `mm_decode_real` key drives genuine PNG bytes through the full
-  *    encode → decode → resize → re-encode → re-decode chain and the
-  *    DuckDB oracle independently predicts every decoded dimension.
-  *  - `WavCodec` (r8) — a REAL audio decoder/encoder on JDK
-  *    `javax.sound.sampled` (PCM WAV containers, zero new dependencies):
-  *    RIFF sniff, true header parse (rate / channels / frame count), and
-  *    full PCM data decode. The `mm_decode_audio` key round-trips genuine
-  *    WAV bytes and the oracle predicts every decoded number, including a
-  *    sum over the decoded samples.
-  *  - `FakeCodec` — the disclosed deterministic stand-in for the VIDEO
-  *    modality only (permanent scope: the JDK ships no video container
-  *    parser and this build resolves no third-party dependencies, so a
-  *    real video codec is a deployment-time swap behind this same seam):
-  *    geometry derives from payload length so both engines agree
-  *    byte-for-byte.
-  * `ImageIoCodec.decode` sniffs image, then WAV, then falls back to
-  * `FakeCodec`, so one seam is total over arbitrary payloads.
+  * Three REAL codecs sit behind the decode seam — all zero new
+  * dependencies (r10: the former FakeCodec stand-in is fully retired):
+  *  - `ImageIoCodec` — image decode/encode on JDK `javax.imageio`
+  *    (PNG/GIF/BMP/JPEG): magic-byte sniff, true pixel-dimension decode,
+  *    Graphics2D resize + PNG re-encode. The `mm_decode_real` key drives
+  *    genuine PNG bytes through the full encode → decode → resize →
+  *    re-encode → re-decode chain and the DuckDB oracle independently
+  *    predicts every decoded dimension.
+  *  - `WavCodec` (r8) — audio on JDK `javax.sound.sampled` (PCM WAV
+  *    containers): RIFF sniff, true header parse (rate / channels /
+  *    frame count), full PCM data decode. `mm_decode_audio` round-trips
+  *    genuine WAV bytes, oracle-predicted down to the PCM sample sum.
+  *  - `AviCodec` (r10) — video as uncompressed RIFF/AVI, written and
+  *    parsed by this library against the public AVI container layout
+  *    (RIFF 'AVI ' → LIST hdrl [avih + LIST strl [strh 'vids'/'DIB ',
+  *    strf BITMAPINFOHEADER] ] → LIST movi ['00db' raw bottom-up BGR DIB
+  *    frames]). The JDK ships no video parser and this build resolves no
+  *    third-party dependencies, so the container walk is implemented
+  *    here; `mm_decode_video` round-trips genuine AVI bytes and the
+  *    oracle predicts header fields, byte layout, AND the fold over the
+  *    decoded frame pixels.
+  * `ImageIoCodec.decode` sniffs image, then WAV, then AVI; a payload no
+  * codec claims comes back as honest opaque `binary` metadata (zero
+  * geometry) — no fabricated numbers anywhere on the seam.
   *
   * Scale design: payloads live in their own column so parquet column pruning
   * skips the bytes when a query touches only metadata; decode runs in
@@ -39,37 +42,16 @@ object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Decoded-media record produced by the (stubbed) codec. */
+  /** Decoded-media record produced by the codec seam. */
   final case class MediaMeta(
       doc_id: Long, modality: String, n_bytes: Long, header_hex: String,
       width: Int, height: Int, channels: Int, sample_rate: Int, n_frames: Int)
 
-  /** The deterministic stand-in behind the codec seam — after r8 the
-    * PERMANENT fallback only for video (images decode via ImageIO, WAV
-    * audio via WavCodec; the JDK has no video parser and this build takes
-    * no third-party dependencies). Geometry derives from payload length,
-    * so both engines (and reruns) agree byte-for-byte. */
-  object FakeCodec {
-    def decode(docId: Long, payload: Array[Byte], headerHex: String): MediaMeta = {
-      val n = payload.length.toLong
-      val modality = (docId % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
-      }
-      MediaMeta(
-        doc_id = docId, modality = modality, n_bytes = n,
-        header_hex = headerHex,
-        width = if (modality == "audio") 0 else (64 + (n % 577)).toInt,
-        height = if (modality == "audio") 0 else (64 + ((n * 31 + 7) % 417)).toInt,
-        channels = if (modality == "audio") 1 else 3,
-        sample_rate = if (modality == "audio") (8000 + (n % 3) * 4000).toInt else 0,
-        n_frames = if (modality == "video") (1 + (n % 240)).toInt else 1)
-    }
-  }
-
   /** Real image codec on JDK `javax.imageio` — no dependencies beyond the
     * JDK. Handles the formats ImageIO ships readers for (PNG, GIF, BMP,
-    * JPEG); everything else falls back to the disclosed FakeCodec so the
-    * decode seam is total over arbitrary payloads. */
+    * JPEG); non-image payloads fall through to the WAV and AVI parsers,
+    * then to honest opaque metadata, so the decode seam is total over
+    * arbitrary payloads. */
   object ImageIoCodec {
     import java.awt.image.BufferedImage
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
@@ -101,8 +83,9 @@ object Multimodal {
       }
 
     /** The total decode seam: real ImageIO metadata for image payloads,
-      * real javax.sound parse for WAV audio, FakeCodec (disclosed,
-      * permanent) for the video modality the JDK can't parse. */
+      * real javax.sound parse for WAV audio, the library's RIFF/AVI
+      * parser for video. A payload no codec claims is reported as what it
+      * is — opaque binary with zero geometry — never as invented media. */
     def decode(docId: Long, payload: Array[Byte], headerHex: String): MediaMeta =
       decodeImage(payload) match {
         case Some(img) => MediaMeta(
@@ -110,8 +93,47 @@ object Multimodal {
           header_hex = headerHex, width = img.getWidth, height = img.getHeight,
           channels = img.getRaster.getNumBands, sample_rate = 0, n_frames = 1)
         case None => WavCodec.decode(docId, payload, headerHex)
-          .getOrElse(FakeCodec.decode(docId, payload, headerHex))
+          .orElse(AviCodec.decode(docId, payload, headerHex))
+          .getOrElse(MediaMeta(
+            doc_id = docId, modality = "binary",
+            n_bytes = payload.length.toLong, header_hex = headerHex,
+            width = 0, height = 0, channels = 0, sample_rate = 0,
+            n_frames = 0))
       }
+
+    /** Deterministic 24-bit BMP encode — HAND-WRITTEN bytes against the
+      * public BMP layout (14-byte BITMAPFILEHEADER + 40-byte
+      * BITMAPINFOHEADER + bottom-up BGR rows padded to 4), so the file
+      * SIZE is a pure function of (w, h): 54 + h·((3w+3) div 4 · 4) —
+      * unlike PNG, whose deflate output no oracle can predict. The bytes
+      * are then decoded back through the real JDK ImageIO BMP reader, so
+      * the encoder is spec-checked by a decoder this library did not
+      * write. Row-constant pixel pattern as in encodePng. */
+    def encodeBmp(w: Int, h: Int): Array[Byte] = {
+      val stride = (3 * w + 3) / 4 * 4
+      val size = 54 + h * stride
+      val b = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size)
+        .putShort(0).putShort(0).putInt(54)                 // file header
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(h * stride).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)                                // info header
+      var fy = 0 // file row order is bottom-up: fy = 0 is image row h-1
+      while (fy < h) {
+        val y = h - 1 - fy
+        var x = 0
+        while (x < w) {
+          val v = ((y * 7 + 13) & 0xff).toByte
+          b.put(v).put(v).put(v)
+          x += 1
+        }
+        var p = 3 * w
+        while (p < stride) { b.put(0.toByte); p += 1 }
+        fy += 1
+      }
+      b.array()
+    }
 
     /** Deterministic PNG encode: a w×h RGB image with a fixed per-pixel
       * gradient (so re-decodes exercise real pixel data, not a degenerate
@@ -204,7 +226,7 @@ object Multimodal {
     }
 
     /** Real header parse; None when the payload is not a parseable WAV
-      * (the seam falls through to FakeCodec). */
+      * (the seam falls through to the AVI parser, then opaque). */
     def decode(docId: Long, payload: Array[Byte],
         headerHex: String): Option[MediaMeta] =
       if (!sniff(payload)) None
@@ -237,29 +259,236 @@ object Multimodal {
     }
   }
 
-  /** documents.text reinterpreted as a binary payload column — the testdata
-    * stand-in for real media bytes. */
+  /** Real video container codec: uncompressed RIFF/AVI, written AND parsed
+    * by this library against the public AVI layout (no third-party
+    * dependency resolves in this build and the JDK ships no video parser,
+    * so both directions are implemented here — every offset below is the
+    * documented container structure, which is exactly what makes the
+    * byte LAYOUT oracle-predictable):
+    *
+    * {{{
+    * RIFF <sz> 'AVI '
+    *   LIST <sz> 'hdrl'
+    *     'avih' 56   MainAVIHeader (µs/frame, totalFrames, w, h, …)
+    *     LIST <sz> 'strl'
+    *       'strh' 56 stream header ('vids'/'DIB ', scale/rate, length)
+    *       'strf' 40 BITMAPINFOHEADER (w, h, 24bpp, BI_RGB)
+    *   LIST <sz> 'movi'
+    *     '00db' <frameBytes> raw bottom-up BGR DIB rows (4-byte padded)  ×N
+    * }}}
+    *
+    * Total size is therefore 224 + N·(8 + h·((3w+3) div 4 · 4)). Decode
+    * parses avih/strf for geometry AND walks every movi chunk — frame
+    * count and the pixel fold come from the data section, not the header,
+    * so a parser that skipped the frames could not reproduce them. */
+  object AviCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    def sniff(payload: Array[Byte]): Boolean =
+      payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'A' && payload(9) == 'V' &&
+        payload(10) == 'I' && payload(11) == ' '
+
+    private def rowStride(w: Int): Int = (3 * w + 3) / 4 * 4
+
+    /** Deterministic pixel generator shared with the oracle: the byte at
+      * (frame f, row y, col x, channel c) is (31f + 7y + 3x + 5c) mod 251
+      * — real nonzero video data whose fold the oracle predicts. */
+    @inline private def px(f: Int, y: Int, x: Int, c: Int): Byte =
+      ((f * 31 + y * 7 + x * 3 + c * 5) % 251).toByte
+
+    def encodeAvi(w: Int, h: Int, frames: Int, fps: Int): Array[Byte] = {
+      val stride = rowStride(w)
+      val frameBytes = h * stride
+      val moviSz = 4 + frames * (8 + frameBytes)
+      val hdrlSz = 4 + 64 + (8 + 4 + 64 + 48) // 'hdrl' + avih + LIST strl
+      val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+      val b = ByteBuffer.allocate(8 + riffSz).order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = s.foreach(ch => b.put(ch.toByte))
+      fourcc("RIFF"); b.putInt(riffSz); fourcc("AVI ")
+      fourcc("LIST"); b.putInt(hdrlSz); fourcc("hdrl")
+      fourcc("avih"); b.putInt(56)
+      b.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+        .putInt(frames).putInt(0).putInt(1).putInt(frameBytes + 8)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); b.putInt(4 + 64 + 48); fourcc("strl")
+      fourcc("strh"); b.putInt(56)
+      fourcc("vids"); fourcc("DIB ")
+      b.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(fps).putInt(0).putInt(frames)
+        .putInt(frameBytes).putInt(0).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      fourcc("strf"); b.putInt(40)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(frameBytes).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      fourcc("LIST"); b.putInt(moviSz); fourcc("movi")
+      var f = 0
+      while (f < frames) {
+        fourcc("00db"); b.putInt(frameBytes)
+        var fy = 0
+        while (fy < h) {
+          val y = h - 1 - fy // bottom-up row order
+          var x = 0
+          while (x < w) {
+            b.put(px(f, y, x, 0)).put(px(f, y, x, 1)).put(px(f, y, x, 2))
+            x += 1
+          }
+          var p = 3 * w
+          while (p < stride) { b.put(0.toByte); p += 1 }
+          fy += 1
+        }
+        f += 1
+      }
+      b.array()
+    }
+
+    /** Parsed container facts the decode walk produces: header geometry
+      * plus the two data-section proofs (movi frame count, pixel fold). */
+    final case class AviInfo(width: Int, height: Int, totalFrames: Int,
+        bitCount: Int, moviFrames: Int, pixelSum: Long)
+
+    /** Full container walk: header LISTs for geometry, then EVERY movi
+      * chunk, summing decoded pixel bytes (row padding excluded — the
+      * stride arithmetic is the decoder's, from strf's width). */
+    def parse(payload: Array[Byte]): Option[AviInfo] =
+      if (!sniff(payload)) None
+      else try {
+        val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+        def fourcc(): String = {
+          val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+        }
+        b.position(12) // past RIFF <sz> 'AVI '
+        var w, h, total, bits = 0
+        var moviFrames = 0
+        var pixelSum = 0L
+        while (b.remaining() >= 8) {
+          val id = fourcc()
+          val sz = b.getInt
+          val next = b.position() + sz + (sz & 1) // chunks are word-aligned
+          id match {
+            case "LIST" =>
+              val listType = fourcc() // descend into LISTs
+            case "avih" =>
+              b.getInt; b.getInt; b.getInt; b.getInt
+              total = b.getInt
+              b.getInt; b.getInt; b.getInt
+              w = b.getInt; h = b.getInt
+              b.position(next)
+            case "strf" =>
+              b.getInt // biSize
+              if (w == 0) { w = b.getInt; h = b.getInt } else { b.getInt; b.getInt }
+              b.getShort
+              bits = b.getShort.toInt
+              b.position(next)
+            case "00db" | "00dc" =>
+              moviFrames += 1
+              val stride = rowStride(w)
+              val rows = if (stride > 0) sz / stride else 0
+              var y = 0
+              val base = b.position()
+              while (y < rows) {
+                var i = 0
+                while (i < 3 * w) {
+                  pixelSum += payload(base + y * stride + i) & 0xff
+                  i += 1
+                }
+                y += 1
+              }
+              b.position(next)
+            case _ =>
+              b.position(next)
+          }
+        }
+        if (w > 0 && h > 0) Some(AviInfo(w, h, total, bits, moviFrames, pixelSum))
+        else None
+      } catch { case _: Exception => None }
+
+    /** The MediaMeta view of a parsed AVI — the seam's video leg. */
+    def decode(docId: Long, payload: Array[Byte],
+        headerHex: String): Option[MediaMeta] =
+      parse(payload).map { info =>
+        MediaMeta(
+          doc_id = docId, modality = "video",
+          n_bytes = payload.length.toLong, header_hex = headerHex,
+          width = info.width, height = info.height, channels = 3,
+          sample_rate = 0, n_frames = info.totalFrames)
+      }
+  }
+
+  /** documents.text reinterpreted as a binary payload column — the opaque
+    * byte-stream corpus `mm_feature_extract` featurizes. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
-  /** Batched per-partition decode: one codec per partition, typed output. */
+  // Deterministic per-doc media geometry, shared verbatim with the
+  // oracles: modality = doc_id % 3 (image / audio / video); image w×h
+  // reuses mm_decode_real's formulas, audio (rate, channels, frames) and
+  // video (w, h, frames) are pure functions of doc_id.
+  private def imageGeom(id: Long): (Int, Int) =
+    ((16 + id % 57).toInt, (16 + (id * 7 + 3) % 49).toInt)
+  private def audioGeom(id: Long): (Int, Int, Int) =
+    ((8000 + ((id / 3) % 3) * 4000).toInt, (1 + id % 2).toInt,
+      (200 + id % 397).toInt)
+  private def videoGeom(id: Long): (Int, Int, Int) =
+    ((8 + id % 17).toInt, (6 + (id * 5 + 1) % 13).toInt, (2 + id % 5).toInt)
+
+  /** The REAL-media corpus behind the decode keys (r10 — replaces the
+    * retired fake-geometry path): one genuine container per doc, by
+    * modality — hand-laid-out BMP bytes (decoded back by the JDK's real
+    * BMP reader), canonical PCM WAV through `AudioSystem.write`, and
+    * uncompressed AVI through `AviCodec`. Geometry is a pure function of
+    * doc_id, and every container's byte layout is arithmetic — so the
+    * oracle predicts sizes and headers without ever seeing the bytes.
+    * Payloads are synthesized in `mapPartitions` (one codec init per
+    * partition); in a deployment this frame is the parquet scan of a
+    * binary column, and everything downstream is identical. */
+  def mediaCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    load(s, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val payload = (id % 3) match {
+            case 0 =>
+              val (w, h) = imageGeom(id)
+              ImageIoCodec.encodeBmp(w, h)
+            case 1 =>
+              val (rate, ch, frames) = audioGeom(id)
+              WavCodec.encodeWav(rate, ch, frames)
+            case _ =>
+              val (w, h, frames) = videoGeom(id)
+              AviCodec.encodeAvi(w, h, frames, 10)
+          }
+          (id, payload)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Batched per-partition decode of the real-media corpus: one codec per
+    * partition, typed output. Every record routes through a REAL parser
+    * (ImageIO for BMP, javax.sound for WAV, AviCodec for AVI); header_hex
+    * is the first two magic bytes ('BM' / 'RI'), which the oracle states
+    * from the container spec. */
   def decodeAll(s: SparkSession, dir: String): Dataset[MediaMeta] = {
     import s.implicits._
-    mediaTable(s, dir)
-      .withColumn("header_hex", expr("substring(hex(payload), 1, 8)"))
+    mediaCorpus(s, dir)
+      .withColumn("header_hex", expr("substring(hex(payload), 1, 4)"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
-        // one codec init per partition; ImageIoCodec sniffs and decodes
-        // real image payloads, falling back to FakeCodec for the rest
-        // (documents.text payloads are not images, so the existing oracle
-        // contract is unchanged — mm_decode_real drives the real path)
+        // one codec init per partition; the seam sniffs magic bytes and
+        // dispatches to the matching real parser
         rows.map { case (id, payload, hh) => ImageIoCodec.decode(id, payload, hh) }
       }
   }
 
-  /** Resize plumbing: pure metadata transform over decoded records (a real
-    * impl would also rewrite payload bytes — same seam as FakeCodec). */
+  /** Resize plumbing: pure metadata transform over decoded records — the
+    * byte-level sibling is `ImageIoCodec.resizeBytes`, which
+    * `mm_decode_real` drives through a true re-encode. */
   def resize(meta: Dataset[MediaMeta], maxSide: Int): Dataset[MediaMeta] = {
     import meta.sparkSession.implicits._
     meta.map { m =>
@@ -279,50 +508,77 @@ object Multimodal {
       m.copy(n_frames = (m.n_frames + everyK - 1) / everyK) else m)
   }
 
-  // ---- mm_decode_meta: the oracle-checked slice -----------------------------
-  // Declarative twin of FakeCodec for the DuckDB compare: byte length +
-  // header come from real binary ops (cast-to-binary / encode, substring,
-  // hex) in BOTH engines; the fake geometry is the same integer arithmetic.
-  def mmDecodeMeta(s: SparkSession, dir: String): DataFrame =
-    mediaTable(s, dir)
-      .select(col("doc_id"),
-        expr("length(payload)").as("n_bytes"),
-        expr("substring(hex(payload), 1, 8)").as("header_hex"))
-      .withColumn("modality", expr(
-        "case when doc_id % 3 = 0 then 'image' when doc_id % 3 = 1 then 'audio' else 'video' end"))
-      .withColumn("width", expr(
-        "case when modality = 'audio' then 0 else cast(64 + n_bytes % 577 as int) end"))
-      .withColumn("height", expr(
-        "case when modality = 'audio' then 0 else cast(64 + (n_bytes * 31 + 7) % 417 as int) end"))
-      .withColumn("n_frames", expr(
-        "case when modality = 'video' then cast(1 + n_bytes % 240 as int) else 1 end"))
+  // ---- mm_decode_meta: container metadata off the real corpus --------------
+  // Cheap metadata extraction — the pass a pipeline runs BEFORE spending
+  // decode cost: byte length and magic header from real binary ops
+  // (length / hex / substring) over genuine container bytes, modality
+  // from the magic-byte SNIFF (no decoder spin-up). The oracle never
+  // sees a byte: n_bytes comes from each container's published layout
+  // arithmetic (BMP 54 + h·stride; canonical WAV 44 + frames·ch·2; our
+  // uncompressed AVI 224 + frames·(8 + h·stride)), headers from the
+  // specs ('BM' / 'RIFF'), so a hash match proves the encoders emit
+  // exactly the documented layouts.
+  def mmDecodeMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaCorpus(s, dir)
+      .withColumn("n_bytes", expr("cast(length(payload) as bigint)"))
+      .withColumn("header_hex", expr("substring(hex(payload), 1, 4)"))
+      .as[(Long, Array[Byte], Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, n, hh) =>
+          val modality =
+            if (ImageIoCodec.sniff(payload).isDefined) "image"
+            else if (WavCodec.sniff(payload)) "audio"
+            else if (AviCodec.sniff(payload)) "video"
+            else "binary"
+          (id, n, hh, modality)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "header_hex", "modality")
       .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle CTE: the per-doc media geometry formulas, verbatim. */
+  private val mediaGeomSql =
+    """g AS (
+      |  SELECT doc_id, doc_id % 3 AS m,
+      |         CAST(16 + doc_id % 57 AS INT) AS iw,
+      |         CAST(16 + (doc_id * 7 + 3) % 49 AS INT) AS ih,
+      |         CAST(8000 + ((doc_id // 3) % 3) * 4000 AS INT) AS rate,
+      |         CAST(1 + doc_id % 2 AS INT) AS ch,
+      |         CAST(200 + doc_id % 397 AS INT) AS fr,
+      |         CAST(8 + doc_id % 17 AS INT) AS vw,
+      |         CAST(6 + (doc_id * 5 + 1) % 13 AS INT) AS vh,
+      |         CAST(2 + doc_id % 5 AS INT) AS vf
+      |  FROM documents),
+      |sized AS (
+      |  SELECT *,
+      |         CASE m WHEN 0 THEN 54 + ih * ((3 * iw + 3) // 4 * 4)
+      |                WHEN 1 THEN 44 + fr * ch * 2
+      |                ELSE 224 + vf * (8 + vh * ((3 * vw + 3) // 4 * 4)) END AS n_bytes
+      |  FROM g)""".stripMargin
 
   private val mmDecodeMetaOracle =
-    """SELECT doc_id,
-      |       octet_length(encode(text)) AS n_bytes,
-      |       substring(hex(encode(text)), 1, 8) AS header_hex,
-      |       CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-      |       CASE WHEN doc_id % 3 = 1 THEN 0
-      |            ELSE CAST(64 + octet_length(encode(text)) % 577 AS INT) END AS width,
-      |       CASE WHEN doc_id % 3 = 1 THEN 0
-      |            ELSE CAST(64 + (octet_length(encode(text)) * 31 + 7) % 417 AS INT) END AS height,
-      |       CASE WHEN doc_id % 3 = 2 THEN CAST(1 + octet_length(encode(text)) % 240 AS INT)
-      |            ELSE 1 END AS n_frames
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""WITH $mediaGeomSql
+       |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       |       CASE m WHEN 0 THEN '424D' ELSE '5249' END AS header_hex,
+       |       CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |              ELSE 'video' END AS modality
+       |FROM sized ORDER BY doc_id""".stripMargin
 
   // ---- mm_resize_sample: the TYPED pipeline end to end ----------------------
-  // Unlike mm_decode_meta (the declarative twin), this key runs the real
-  // Dataset plumbing — mapPartitions decode, map-based resize(512) and
-  // frameSample(4) — and the oracle replays the whole chain relationally:
-  // truncating resize (floor of w * (512/maxside), identical IEEE-double
-  // order of operations in both engines) and ceil-division frame
-  // sampling. A hash match here proves the typed path computes exactly
-  // what the declarative spec says, so swapping FakeCodec for a real
-  // codec is the only step left to production.
+  // The full typed chain over the REAL corpus: mapPartitions decode
+  // through three genuine parsers (ImageIO / javax.sound / AviCodec),
+  // map-based resize(48) and frameSample(4). The oracle replays the whole
+  // chain relationally from the geometry formulas and container layouts:
+  // truncating resize (floor of w · (48/maxside), identical IEEE-double
+  // order of operations in both engines — images span both the keep and
+  // the downscale branch) and ceil-division frame sampling on the video
+  // records. A hash match proves the decoders read every header field the
+  // formulas predict AND that the typed transforms compute exactly what
+  // the declarative spec says.
   def mmResizeSample(s: SparkSession, dir: String): DataFrame =
-    frameSample(resize(decodeAll(s, dir), 512), 4)
+    frameSample(resize(decodeAll(s, dir), 48), 4)
       .toDF()
       .select(col("doc_id"), col("modality"), col("n_bytes"),
         col("header_hex"), col("width"), col("height"), col("channels"),
@@ -330,33 +586,78 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   private val mmResizeSampleOracle =
-    """WITH dec AS (
+    s"""WITH $mediaGeomSql,
+       |dec AS (
+       |  SELECT doc_id,
+       |         CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |                ELSE 'video' END AS modality,
+       |         CAST(n_bytes AS BIGINT) AS n_bytes,
+       |         CASE m WHEN 0 THEN '424D' ELSE '5249' END AS header_hex,
+       |         CASE m WHEN 0 THEN iw WHEN 1 THEN 0 ELSE vw END AS width,
+       |         CASE m WHEN 0 THEN ih WHEN 1 THEN 0 ELSE vh END AS height,
+       |         CASE m WHEN 1 THEN ch ELSE 3 END AS channels,
+       |         CASE m WHEN 1 THEN rate ELSE 0 END AS sample_rate,
+       |         CASE m WHEN 0 THEN 1 WHEN 1 THEN fr ELSE vf END AS n_frames
+       |  FROM sized),
+       |resized AS (
+       |  SELECT doc_id, modality, n_bytes, header_hex,
+       |         CASE WHEN width <= 48 AND height <= 48 THEN width
+       |              ELSE GREATEST(1, CAST(FLOOR(width * (48.0 / GREATEST(width, height))) AS INT)) END AS width,
+       |         CASE WHEN width <= 48 AND height <= 48 THEN height
+       |              ELSE GREATEST(1, CAST(FLOOR(height * (48.0 / GREATEST(width, height))) AS INT)) END AS height,
+       |         channels, sample_rate,
+       |         CASE WHEN modality = 'video' THEN CAST((n_frames + 3) // 4 AS INT) ELSE n_frames END AS n_frames
+       |  FROM dec)
+       |SELECT doc_id, modality, n_bytes, header_hex, width, height,
+       |       channels, sample_rate, n_frames
+       |FROM resized ORDER BY doc_id""".stripMargin
+
+  // ---- mm_decode_video: REAL video container round-trip, oracle-predicted ---
+  // The video sibling of mm_decode_real/mm_decode_audio — the key that
+  // retires the last fake: per doc_id, encode a genuine uncompressed AVI
+  // at a deterministic (w, h, frames), then parse the container back —
+  // header geometry from avih/strf, frame count by WALKING the movi
+  // chunks, and a pixel fold over every decoded frame byte (stride
+  // padding excluded by the decoder's own arithmetic). Every number
+  // passes through the container layout twice, yet the oracle predicts
+  // all of them — n_bytes from the published RIFF/AVI layout and
+  // pixel_sum by replaying the (31f + 7y + 3x + 5c) mod 251 generator
+  // over a flattened index — so a parser that skipped the data section
+  // or mis-walked a chunk boundary could not hash-match.
+  def mmDecodeVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    load(s, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h, frames) = videoGeom(id)
+          val avi = AviCodec.encodeAvi(w, h, frames, 10)
+          val info = AviCodec.parse(avi)
+            .getOrElse(sys.error(s"real AVI did not parse for doc $id"))
+          (id, "video", info.width, info.height, info.totalFrames,
+            info.moviFrames, info.bitCount, avi.length.toLong, info.pixelSum)
+        }
+      }
+      .toDF("doc_id", "modality", "width", "height", "n_frames",
+        "n_frames_movi", "bit_count", "n_bytes", "pixel_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodeVideoOracle =
+    """WITH g AS (
       |  SELECT doc_id,
-      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-      |         octet_length(encode(text)) AS n_bytes,
-      |         substring(hex(encode(text)), 1, 8) AS header_hex,
-      |         CASE WHEN doc_id % 3 = 1 THEN 0
-      |              ELSE CAST(64 + octet_length(encode(text)) % 577 AS INT) END AS width,
-      |         CASE WHEN doc_id % 3 = 1 THEN 0
-      |              ELSE CAST(64 + (octet_length(encode(text)) * 31 + 7) % 417 AS INT) END AS height,
-      |         CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels,
-      |         CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (octet_length(encode(text)) % 3) * 4000 AS INT) ELSE 0 END AS sample_rate,
-      |         CASE WHEN doc_id % 3 = 2 THEN CAST(1 + octet_length(encode(text)) % 240 AS INT)
-      |              ELSE 1 END AS n_frames
-      |  FROM documents),
-      |resized AS (
-      |  SELECT doc_id, modality, n_bytes, header_hex,
-      |         CASE WHEN width <= 512 AND height <= 512 THEN width
-      |              ELSE GREATEST(1, CAST(FLOOR(width * (512.0 / GREATEST(width, height))) AS INT)) END AS width,
-      |         CASE WHEN width <= 512 AND height <= 512 THEN height
-      |              ELSE GREATEST(1, CAST(FLOOR(height * (512.0 / GREATEST(width, height))) AS INT)) END AS height,
-      |         channels, sample_rate,
-      |         CASE WHEN modality = 'video' THEN CAST((n_frames + 3) // 4 AS INT) ELSE n_frames END AS n_frames
-      |  FROM dec)
-      |SELECT doc_id, modality, n_bytes, header_hex, width, height,
-      |       channels, sample_rate, n_frames
-      |FROM resized ORDER BY doc_id""".stripMargin
+      |         CAST(8 + doc_id % 17 AS INT) AS w,
+      |         CAST(6 + (doc_id * 5 + 1) % 13 AS INT) AS h,
+      |         CAST(2 + doc_id % 5 AS INT) AS f
+      |  FROM documents)
+      |SELECT doc_id, 'video' AS modality, w AS width, h AS height,
+      |       f AS n_frames, f AS n_frames_movi, CAST(24 AS INT) AS bit_count,
+      |       CAST(224 + f * (8 + h * ((3 * w + 3) // 4 * 4)) AS BIGINT) AS n_bytes,
+      |       CAST(list_sum(list_transform(generate_series(0, f * h * w * 3 - 1),
+      |         i -> ((i // (h * w * 3)) * 31 + ((i // (w * 3)) % h) * 7
+      |               + ((i // 3) % w) * 3 + (i % 3) * 5) % 251)) AS BIGINT) AS pixel_sum
+      |FROM g ORDER BY doc_id""".stripMargin
 
   // ---- mm_decode_real: REAL codec round-trip, oracle-predicted --------------
   // The key that proves the decoder is real: per doc_id, synthesize genuine
@@ -408,8 +709,8 @@ object Multimodal {
       |FROM g ORDER BY doc_id""".stripMargin
 
   // ---- mm_decode_audio: REAL audio codec round-trip, oracle-predicted -------
-  // The audio twin of mm_decode_real (retiring the audio half of the
-  // FakeCodec scope): per doc_id, synthesize a genuine PCM WAV at a
+  // The audio twin of mm_decode_real (r8 — the step that retired the
+  // audio stand-in): per doc_id, synthesize a genuine PCM WAV at a
   // deterministic (rate, channels, frames) through the platform encoder,
   // parse the container back with javax.sound (header numbers), then
   // decode the PCM DATA through an AudioInputStream and sum the int16
@@ -611,6 +912,7 @@ object Multimodal {
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_decode_audio" -> (mmDecodeAudio _),
+    "mm_decode_video" -> (mmDecodeVideo _),
     "mm_resize_sample" -> (mmResizeSample _),
     "mm_feature_extract" -> (mmFeatureExtract _))
 
@@ -619,6 +921,7 @@ object Multimodal {
     "mm_decode_meta" -> mmDecodeMetaOracle,
     "mm_decode_real" -> mmDecodeRealOracle,
     "mm_decode_audio" -> mmDecodeAudioOracle,
+    "mm_decode_video" -> mmDecodeVideoOracle,
     "mm_resize_sample" -> mmResizeSampleOracle,
     "mm_feature_extract" -> mmFeatureExtractOracle)
 }

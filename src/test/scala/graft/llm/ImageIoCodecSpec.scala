@@ -4,11 +4,11 @@ import java.util.Base64
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.Multimodal.{FakeCodec, ImageIoCodec}
+import graft.llm.Multimodal.ImageIoCodec
 
 /** The real-codec contract: genuine image bytes decode to their true pixel
-  * geometry, the resize really rewrites pixels, and non-image payloads fall
-  * back to the disclosed FakeCodec so the seam stays total.
+  * geometry, the resize really rewrites pixels, and non-image payloads
+  * surface as honest opaque binary so the seam stays total.
   */
 class ImageIoCodecSpec extends AnyFunSuite {
 
@@ -63,12 +63,30 @@ class ImageIoCodecSpec extends AnyFunSuite {
     assert(thinR.getWidth == 64 && thinR.getHeight == 1)
   }
 
-  test("non-image payloads fall back to FakeCodec (seam is total)") {
+  test("non-image payloads surface as opaque binary (seam is total)") {
     val text = "not an image at all".getBytes("UTF-8")
     assert(ImageIoCodec.sniff(text).isEmpty)
-    assert(ImageIoCodec.decode(5L, text, "4E4F5420") ==
-      FakeCodec.decode(5L, text, "4E4F5420"))
+    val meta = ImageIoCodec.decode(5L, text, "4E4F5420")
+    assert(meta.modality == "binary" && meta.width == 0 && meta.height == 0 &&
+      meta.n_bytes == text.length.toLong, "no fabricated media numbers")
     // truncated magic (short payload) must not throw
     assert(ImageIoCodec.sniff(Array[Byte](0x89.toByte, 'P')).isEmpty)
+  }
+
+  test("hand-written BMP bytes decode through the real JDK BMP reader") {
+    // encoder and decoder are INDEPENDENT here: encodeBmp lays out bytes
+    // from the BMP spec; ImageIO's reader was written by neither this
+    // library nor the spec fixture
+    val bmp = ImageIoCodec.encodeBmp(13, 9) // odd width exercises row pad
+    assert(ImageIoCodec.sniff(bmp).contains("bmp"))
+    assert(bmp.length == 54 + 9 * ((3 * 13 + 3) / 4 * 4),
+      "BMP size must match the layout arithmetic the oracle uses")
+    val img = ImageIoCodec.decodeImage(bmp).get
+    assert(img.getWidth == 13 && img.getHeight == 9)
+    assert(img.getRaster.getNumBands == 3)
+    // pixel content round-trips: row y is the constant (7y + 13) & 0xff
+    assert(img.getRaster.getSample(0, 0, 0) == 13, "top row (y=0) value")
+    assert(img.getRaster.getSample(5, 8, 0) == (8 * 7 + 13),
+      "bottom row value — bottom-up file order decoded to top-down raster")
   }
 }

@@ -234,31 +234,43 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal decode: typed batch pipeline with deterministic stub codec") {
+  test("multimodal decode: typed batch pipeline over the real-media corpus (r10)") {
     val decoded = Multimodal.decodeAll(spark, sfDir).cache()
     val n = decoded.count()
     assert(n > 0)
     val mods = decoded.collect()
+    // every record decoded through a REAL parser — the opaque 'binary'
+    // fallback must never fire on the synthesized corpus
     assert(mods.forall(m => Set("image", "audio", "video")(m.modality)))
+    // modality is detected from container magic, and it matches the
+    // generator's doc_id % 3 assignment
+    mods.foreach { m =>
+      val want = (m.doc_id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      assert(m.modality == want, s"doc ${m.doc_id}: ${m.modality} != $want")
+    }
     assert(mods.filter(_.modality == "audio").forall(m =>
-      m.channels == 1 && m.sample_rate >= 8000 && m.width == 0))
+      m.channels >= 1 && m.sample_rate >= 8000 && m.width == 0))
     assert(mods.filter(_.modality == "image").forall(m =>
-      m.width >= 64 && m.height >= 64 && m.n_frames == 1))
+      m.width >= 16 && m.height >= 16 && m.channels == 3 && m.n_frames == 1))
+    assert(mods.filter(_.modality == "video").forall(m =>
+      m.width >= 8 && m.height >= 6 && m.n_frames >= 2))
     // resize clamps the long side, preserves aspect-ish
-    val resized = Multimodal.resize(decoded, 128).collect()
+    val resized = Multimodal.resize(decoded, 32).collect()
     assert(resized.filter(_.modality != "audio")
-      .forall(m => m.width <= 128 && m.height <= 128))
+      .forall(m => m.width <= 32 && m.height <= 32))
     // frame sampling reduces only videos
-    val sampled = Multimodal.frameSample(decoded, 10).collect()
+    val sampled = Multimodal.frameSample(decoded, 2).collect()
       .map(m => m.doc_id -> m).toMap
     mods.filter(_.modality == "video").foreach { m =>
-      assert(sampled(m.doc_id).n_frames == (m.n_frames + 9) / 10)
+      assert(sampled(m.doc_id).n_frames == (m.n_frames + 1) / 2)
     }
     decoded.unpersist()
   }
 
-  test("codec seam contract: image → ImageIO, WAV → javax.sound, video-only FakeCodec fallback (r8)") {
-    import Multimodal.{FakeCodec, ImageIoCodec, WavCodec}
+  test("codec seam contract: image → ImageIO, WAV → javax.sound, AVI → AviCodec, junk → opaque (r10)") {
+    import Multimodal.{AviCodec, ImageIoCodec, WavCodec}
     // hand-crafted WAV fixture: 8 kHz mono, 4 frames, known samples
     val wav = WavCodec.encodeWav(sampleRate = 8000, channels = 1, frames = 4)
     assert(WavCodec.sniff(wav), "encoder must emit a RIFF/WAVE container")
@@ -277,16 +289,44 @@ class LlmOpsSpec extends SparkSpec {
       viaSeamImg.height == 12)
     val viaSeamWav = ImageIoCodec.decode(1L, wav, "52494646")
     assert(viaSeamWav.modality == "audio" && viaSeamWav.n_frames == 4)
-    // ...and only a non-image, non-WAV payload reaches the disclosed fake
-    // (doc_id % 3 == 2 → the video modality FakeCodec permanently covers)
+    // ...a genuine AVI container routes to the library's RIFF/AVI parser
+    val avi = AviCodec.encodeAvi(w = 10, h = 8, frames = 3, fps = 10)
+    val viaSeamAvi = ImageIoCodec.decode(2L, avi, "5249")
+    assert(viaSeamAvi.modality == "video" && viaSeamAvi.width == 10 &&
+      viaSeamAvi.height == 8 && viaSeamAvi.n_frames == 3)
+    // ...and a payload no codec claims is reported as opaque binary with
+    // zero geometry — the r10 contract: no fabricated media numbers
     val blob = Array.tabulate[Byte](100)(i => (i * 31).toByte)
     val viaSeamBlob = ImageIoCodec.decode(2L, blob, "00000000")
-    assert(viaSeamBlob == FakeCodec.decode(2L, blob, "00000000"))
-    assert(viaSeamBlob.modality == "video")
+    assert(viaSeamBlob.modality == "binary" && viaSeamBlob.width == 0 &&
+      viaSeamBlob.height == 0 && viaSeamBlob.n_frames == 0 &&
+      viaSeamBlob.n_bytes == 100L)
     // a RIFF prefix that is NOT a parseable WAV falls through, not crashes
     val riffJunk = "RIFFxxxxWAVEgarbage-not-a-wav".getBytes("UTF-8")
-    assert(ImageIoCodec.decode(2L, riffJunk, "52494646") ==
-      FakeCodec.decode(2L, riffJunk, "52494646"))
+    assert(ImageIoCodec.decode(2L, riffJunk, "52494646").modality == "binary")
+  }
+
+  test("AviCodec round-trip: header geometry, movi frame walk, exact pixel fold (r10)") {
+    import Multimodal.AviCodec
+    val (w, h, frames) = (11, 7, 4)
+    val avi = AviCodec.encodeAvi(w, h, frames, fps = 10)
+    assert(AviCodec.sniff(avi), "encoder must emit a RIFF/AVI container")
+    val stride = (3 * w + 3) / 4 * 4
+    assert(avi.length == 224 + frames * (8 + h * stride),
+      "container size must match the published layout arithmetic")
+    val info = AviCodec.parse(avi).get
+    assert(info.width == w && info.height == h && info.bitCount == 24)
+    assert(info.totalFrames == frames, "avih header frame count")
+    assert(info.moviFrames == frames, "frame count from walking movi chunks")
+    // the pixel fold equals the generator replayed in plain Scala
+    val expected = (for {
+      f <- 0 until frames; y <- 0 until h; x <- 0 until w; c <- 0 until 3
+    } yield ((f * 31 + y * 7 + x * 3 + c * 5) % 251).toLong).sum
+    assert(info.pixelSum == expected,
+      s"decoded pixel fold ${info.pixelSum} != generator $expected")
+    // truncated and junk payloads refuse to parse rather than crash
+    assert(AviCodec.parse(avi.take(40)).isEmpty)
+    assert(AviCodec.parse("RIFFxxxxAVI junk".getBytes("UTF-8")).isEmpty)
   }
 
   test("semantic dedup: drops exactly the centroid-closer member of within-cell near-dup pairs") {
