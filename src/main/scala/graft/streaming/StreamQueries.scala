@@ -22,13 +22,26 @@ object StreamQueries {
 
   private val runId = new AtomicInteger(0)
 
+  /** Staging cost meter: cumulative wall time spent writing fixture files
+    * and probing sentinel bounds since the last drain. The staged-stream
+    * keys pay a real file/checkpoint HARNESS cost before the stream plan
+    * runs at all; the bench drains this around each measured pass so the
+    * per-key artifact reports staging and query time separately and a
+    * plan regression can't hide inside staging noise (r9 VERDICT). */
+  private val stagingNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def drainStagingNanos(): Long = stagingNanos.getAndSet(0L)
+  private def timedStaging[A](work: => A): A = {
+    val t0 = System.nanoTime()
+    try work finally stagingNanos.addAndGet(System.nanoTime() - t0)
+  }
+
   /** Max event timestamp for sentinel construction — guarded: `max(ts)`
     * over zero rows (or an all-null column) returns null, and the raw
     * `.getTimestamp(0)` NPE'd with no hint at the cause (r9 ADVICE). The
     * sentinel choreography is meaningless without at least one real
     * event, so an empty slice is a precondition failure, stated as one. */
   private def maxEventTs(events: DataFrame, tsCol: String): java.sql.Timestamp = {
-    val row = events.agg(max(col(tsCol))).first()
+    val row = timedStaging { events.agg(max(col(tsCol))).first() }
     require(!row.isNullAt(0),
       s"streaming staging requires a non-empty events slice with non-null " +
         s"'$tsCol' (max($tsCol) came back null) — cannot build the " +
@@ -80,7 +93,7 @@ object StreamQueries {
     val src = s"$base/src"
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("value"))
-    events.write.parquet(src)
+    timedStaging { events.write.parquet(src) }
 
     val streamed = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
       .withWatermark("ts", "1 day")
@@ -136,9 +149,11 @@ object StreamQueries {
     val src = s"$base/src"
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
     // two arrival waves, one file each → exactly two micro-batches
-    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(src)
-    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
-      .write.mode("append").parquet(src)
+    timedStaging {
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(src)
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(src)
+    }
 
     val streamed = s.readStream.schema(s.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
@@ -180,7 +195,7 @@ object StreamQueries {
     val src = s"$base/src"
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    events.write.parquet(src)
+    timedStaging { events.write.parquet(src) }
 
     // static dim: deterministic tier from the md5-bucket split idiom
     // (pure function of user_id — reproducible across engines)
@@ -240,8 +255,10 @@ object StreamQueries {
     val base = s"$qRoot/$id"
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"))
-    events.filter(col("event_id") % 2 === 0).write.parquet(s"$base/srcA")
-    events.filter(col("event_id") % 2 === 1).write.parquet(s"$base/srcB")
+    timedStaging {
+      events.filter(col("event_id") % 2 === 0).write.parquet(s"$base/srcA")
+      events.filter(col("event_id") % 2 === 1).write.parquet(s"$base/srcB")
+    }
 
     def side(src: String, p: String) =
       s.readStream.schema(s.read.parquet(src).schema).parquet(src)
@@ -313,8 +330,8 @@ object StreamQueries {
         .write.mode("append").parquet(p)
       p
     }
-    val srcA = stage("A", 0, -2L)
-    val srcB = stage("B", 1, -1L)
+    val srcA = timedStaging { stage("A", 0, -2L) }
+    val srcB = timedStaging { stage("B", 1, -1L) }
     def side(src: String, p: String) =
       s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -354,10 +371,12 @@ object StreamQueries {
     val base = s"$qRoot/$id"
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"))
-    events.filter(col("event_id") % 2 === 0)
-      .coalesce(1).write.parquet(s"$base/srcA")
-    events.filter(col("event_id") % 2 === 1)
-      .coalesce(1).write.parquet(s"$base/srcB")
+    timedStaging {
+      events.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$base/srcA")
+      events.filter(col("event_id") % 2 === 1)
+        .coalesce(1).write.parquet(s"$base/srcB")
+    }
     def side(src: String, p: String) =
       s.readStream.schema(s.read.parquet(src).schema).parquet(src)
         .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
@@ -412,8 +431,8 @@ object StreamQueries {
         .write.mode("append").parquet(p)
       p
     }
-    val srcA = stage("A", 0, -2L)
-    val srcB = stage("B", 1, -1L)
+    val srcA = timedStaging { stage("A", 0, -2L) }
+    val srcB = timedStaging { stage("B", 1, -1L) }
     def side(src: String, p: String) =
       s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -471,10 +490,12 @@ object StreamQueries {
     val events = Tables.load(s, dir, "events")
       .select(col("user_id"), col("ts"), col("value"))
     val maxTs = maxEventTs(events, "ts")
-    events.coalesce(1).write.parquet(src)
     import s.implicits._
-    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000), 0.0))
-      .toDF("user_id", "ts", "value").write.mode("append").parquet(src)
+    timedStaging {
+      events.coalesce(1).write.parquet(src)
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000), 0.0))
+        .toDF("user_id", "ts", "value").write.mode("append").parquet(src)
+    }
     val streamed = s.readStream.schema(s.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .withWatermark("ts", "1 day")
@@ -545,8 +566,10 @@ object StreamQueries {
     val src = s"$base/src"
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("value"))
-    events.coalesce(1).write.parquet(src)
-    events.coalesce(1).write.mode("append").parquet(src) // the dup wave
+    timedStaging {
+      events.coalesce(1).write.parquet(src)
+      events.coalesce(1).write.mode("append").parquet(src) // the dup wave
+    }
 
     val streamed = s.readStream.schema(s.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
@@ -606,9 +629,11 @@ object StreamQueries {
     val changes = deletes.unionAll(updates).unionAll(inserts)
     // two arrival waves, one file each → two micro-batches, each key once
     // (=!= 0, not === 1: insert keys are negative and Scala % keeps sign)
-    changes.filter(col("key") % 2 === 0).coalesce(1).write.parquet(s"$base/src")
-    changes.filter(col("key") % 2 =!= 0).coalesce(1)
-      .write.mode("append").parquet(s"$base/src")
+    timedStaging {
+      changes.filter(col("key") % 2 === 0).coalesce(1).write.parquet(s"$base/src")
+      changes.filter(col("key") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    }
 
     val q = withFewStatePartitions(s) {
       s.readStream.schema(s.read.parquet(s"$base/src").schema)
@@ -816,9 +841,11 @@ object StreamQueries {
     val emb = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     // two arrival waves by vec_id parity, one file each → two micro-batches
-    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$base/src")
-    emb.filter(col("vec_id") % 2 === 1).coalesce(1)
-      .write.mode("append").parquet(s"$base/src")
+    timedStaging {
+      emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$base/src")
+      emb.filter(col("vec_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    }
     // the quantizer trains OFFLINE; ingest only assigns against it
     val cent = graft.llm.Similarity.coarseCentroids(s, dir).localCheckpoint()
     val q = withFewStatePartitions(s) {
@@ -931,9 +958,11 @@ object StreamQueries {
     val id = runId.incrementAndGet()
     val base = s"$qRoot/$id"
     val src = s"$base/src"
-    Tables.load(s, dir, "events")
-      .select(col("event_id"), col("ts"), col("value"))
-      .write.parquet(src)
+    timedStaging {
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+        .write.parquet(src)
+    }
 
     val streamed = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
       .withWatermark("ts", "2 days")
@@ -996,10 +1025,12 @@ object StreamQueries {
       .withColumn("event_type",
         when(col("event_id") % 13 === 0, lit(null).cast("string"))
           .otherwise(col("event_type")))
-    staged.filter(col("event_id") % 2 === 0).coalesce(1)
-      .write.parquet(s"$base/src")
-    staged.filter(col("event_id") % 2 === 1).coalesce(1)
-      .write.mode("append").parquet(s"$base/src")
+    timedStaging {
+      staged.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$base/src")
+      staged.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    }
 
     val ok = col("value") >= 0 && col("event_type").isNotNull
     val q = withFewStatePartitions(s) {

@@ -705,4 +705,36 @@ class LlmOpsSpec extends SparkSpec {
     val again = Similarity.queries("sim_knn_classify")(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("knn classify on a label-correlated fixture: accuracy far above the 1/10 chance baseline (r10)") {
+    import spark.implicits._
+    // The testdata embeddings assign labels independently of the isotropic
+    // vectors, so the r9 spec could only pin the voting mechanism. This
+    // fixture makes labels GEOMETRIC — 600 vectors in 10 sign-pattern
+    // clusters (pseudo-random ±0.5 center signs per (cluster, dim), ±0.10
+    // deterministic noise that can never flip a sign), label = cluster —
+    // so a working propagator must recover held-out labels from embedding
+    // space. Cluster id varies with i/10, independent of the i%10 holdout
+    // split, so every cluster contributes held-out members.
+    val dim = 64
+    val vecs = (0L until 600L).map { i =>
+      val c = ((i / 10) % 10).toInt
+      val emb = Array.tabulate(dim) { d =>
+        val center = if ((c * 13 + d * 7) % 10 < 5) 0.5f else -0.5f
+        center + ((i * 31 + d * 17) % 21 - 10) / 100.0f
+      }
+      (i, emb, c)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_knnfix_").toString
+    try {
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$tmp/embeddings.parquet")
+      val out = Similarity.queries("sim_knn_classify")(spark, tmp).collect()
+      assert(out.length == 60, "all held-out vectors classified")
+      val acc = out.count(_.getAs[Boolean]("correct")).toDouble / out.length
+      info(f"label-correlated fixture accuracy: $acc%.3f (chance baseline 0.10)")
+      assert(acc >= 0.9,
+        f"propagator accuracy $acc%.3f below 0.9 on geometrically separable clusters")
+    } finally graft.sink.Sinks.deleteDir(tmp)
+  }
 }
