@@ -367,7 +367,46 @@ object ScalarQueries {
       |         AS share_of_month
       |FROM daily ORDER BY d""".stripMargin
 
+  // ---- fn_url_parse: URL decomposition against constructed truth -----------
+  // parse_url over synthesized URLs whose every component is a pure
+  // function of doc_id — the oracle never parses anything, it CONSTRUCTS
+  // the expected host/path/params from the same arithmetic, so Spark's
+  // real parser (java.net.URI under parse_url) is checked against ground
+  // truth rather than against another parser's opinion. Components chosen
+  // to exercise the sharp edges: mixed-case host (parse_url preserves
+  // case; canonicalization is dedup_url_canonical's job), an explicit
+  // port (HOST excludes it), a multi-segment path, and a 3-param query
+  // with a targeted single-key extraction. At 100 TB this is a
+  // codegen'd scalar over the scan — no shuffle but the presentation
+  // sort.
+  def fnUrlParse(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("""concat('https://Host', doc_id % 7, '.Example.COM:8443/p',
+               |  doc_id % 5, '/', doc_id, '?utm_source=news&q=',
+               |  doc_id % 13, '&b=', doc_id % 3)""".stripMargin).as("url"))
+      .select(col("doc_id"), col("url"),
+        expr("parse_url(url, 'PROTOCOL')").as("proto"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'q')").as("q_param"),
+        expr("parse_url(url, 'QUERY', 'b')").as("b_param"))
+      .orderBy(col("doc_id"))
+
+  private val fnUrlParseOracle =
+    """SELECT doc_id,
+      |       concat('https://Host', doc_id % 7, '.Example.COM:8443/p',
+      |              doc_id % 5, '/', doc_id, '?utm_source=news&q=',
+      |              doc_id % 13, '&b=', doc_id % 3) AS url,
+      |       'https' AS proto,
+      |       concat('Host', doc_id % 7, '.Example.COM') AS host,
+      |       concat('/p', doc_id % 5, '/', doc_id) AS path,
+      |       CAST(doc_id % 13 AS VARCHAR) AS q_param,
+      |       CAST(doc_id % 3 AS VARCHAR) AS b_param
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "fn_url_parse" -> (fnUrlParse _),
     "fn_time_bucket" -> (fnTimeBucket _),
     "window_ratio_total" -> (windowRatioTotal _),
     "fn_edit_distance" -> (fnEditDistance _),
@@ -386,6 +425,7 @@ object ScalarQueries {
   ) ++ sharedSql.map { case (k, sql) => k -> runSql(sql) }
 
   val oracles: Map[String, String] = Map(
+    "fn_url_parse" -> fnUrlParseOracle,
     "fn_time_bucket" -> fnTimeBucketOracle,
     "window_ratio_total" -> windowRatioTotalOracle,
     "fn_edit_distance" -> fnEditDistanceOracle,

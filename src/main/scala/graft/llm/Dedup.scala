@@ -869,7 +869,76 @@ object Dedup {
        |WHERE common * 5 >= (nsum - common) * 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- dedup_url_canonical --------------------------------------------------
+  // URL canonicalization + dedup — the FIRST dedup pass of every web-crawl
+  // pipeline (the same page arrives under scheme/host case variants,
+  // explicit default ports, trailing slashes, tracking params, and
+  // shuffled query order; byte-exact dedup sees five distinct strings).
+  // Each doc_id pair (2k, 2k+1) plants one page under two surface forms;
+  // the canonicalizer — lowercase host, strip the :443 default port, strip
+  // the trailing slash, DROP utm_* params, SORT the survivors — must
+  // collapse exactly the pairs. The operator genuinely parses the string
+  // (Spark parse_url = java.net.URI + higher-order filter/sort on the
+  // split params); the oracle canonicalizes independently with regex +
+  // list ops, so the two parsers must agree on every URL. Topology =
+  // dedup_exact on the canonical string: one hash-groupBy, the shuffle
+  // carries short canonical keys — at 100 TB this is the cheapest dedup
+  // that exists, which is why crawls run it before any content hashing.
+  def dedupUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val urls = load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("""case when doc_id % 2 = 0
+               |  then concat('https://host', doc_id div 2 % 7, '.example.com/p/',
+               |              doc_id div 2, '?b=', doc_id div 2 % 3, '&a=', doc_id div 2 % 5)
+               |  else concat('HTTPS://Host', doc_id div 2 % 7, '.Example.COM:443/p/',
+               |              doc_id div 2, '/?utm_source=feed&a=', doc_id div 2 % 5,
+               |              '&b=', doc_id div 2 % 3)
+               |end""".stripMargin).as("url"))
+    val canon = urls.withColumn("canonical", expr(
+      """concat('https://', lower(parse_url(url, 'HOST')),
+        |  regexp_replace(parse_url(url, 'PATH'), '/$', ''),
+        |  '?',
+        |  concat_ws('&', array_sort(filter(split(parse_url(url, 'QUERY'), '&'),
+        |                                   p -> NOT startswith(p, 'utm_')))))""".stripMargin))
+    val groups = canon.groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keeper"))
+    canon.join(groups, Seq("canonical"))
+      .select(col("doc_id"), col("url"), col("canonical"), col("n_variants"),
+        col("keeper"), (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupUrlCanonicalOracle =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 2 = 0
+      |           THEN concat('https://host', (doc_id // 2) % 7, '.example.com/p/',
+      |                       doc_id // 2, '?b=', (doc_id // 2) % 3, '&a=', (doc_id // 2) % 5)
+      |           ELSE concat('HTTPS://Host', (doc_id // 2) % 7, '.Example.COM:443/p/',
+      |                       doc_id // 2, '/?utm_source=feed&a=', (doc_id // 2) % 5,
+      |                       '&b=', (doc_id // 2) % 3)
+      |         END AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id, url,
+      |         concat('https://',
+      |           regexp_replace(lower(regexp_extract(url, '://([^/]+)', 1)), ':443$', ''),
+      |           regexp_replace(regexp_extract(url, '://[^/]+(/[^?]*)', 1), '/$', ''),
+      |           '?',
+      |           array_to_string(list_sort(list_filter(
+      |             string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+      |             p -> NOT starts_with(p, 'utm_'))), '&')) AS canonical
+      |  FROM urls),
+      |groups AS (
+      |  SELECT canonical, COUNT(*) AS n_variants, MIN(doc_id) AS keeper
+      |  FROM canon GROUP BY 1)
+      |SELECT c.doc_id, c.url, c.canonical, g.n_variants, g.keeper,
+      |       c.doc_id <> g.keeper AS is_dup
+      |FROM canon c JOIN groups g ON g.canonical = c.canonical
+      |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "dedup_url_canonical" -> (dedupUrlCanonical _),
     "dedup_exact" -> (dedupExact _),
     "dedup_prefix_join" -> (dedupPrefixJoin _),
     "dedup_containment" -> (dedupContainment _),
@@ -883,6 +952,7 @@ object Dedup {
     "dedup_span_removal" -> (dedupSpanRemoval _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_url_canonical" -> dedupUrlCanonicalOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_prefix_join" -> dedupPrefixJoinOracle,
     "dedup_containment" -> dedupContainmentOracle,

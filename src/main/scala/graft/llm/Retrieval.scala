@@ -215,11 +215,80 @@ object Retrieval {
        |       bm25_rank, vec_rank
        |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ---- retrieval_maxsim -----------------------------------------------------
+  // Late-interaction retrieval (ColBERT's MaxSim, Khattab & Zaharia 2020):
+  // passages are MULTI-vector — one embedding per token — and
+  // score(q, d) = Σ over query tokens of max over doc tokens of their
+  // similarity, which preserves token-level matching that single-vector
+  // cosine collapses (the third ranking mode beside BM25-sparse and
+  // dense-single-vector; RRF fuses the other two — this one replaces
+  // them at rerank time). Token vectors: every 8 consecutive vec_ids form
+  // one passage (vec_id div 8 = passage, mod 8 = token slot); queries are
+  // passages with id % 16 == 1. Similarity is the repo's exact integer
+  // micro-dot (graft_dotq), so every MaxSim is a bigint and ranking is
+  // exact. Topology: the query token set (queries × 8 rows) BROADCASTS
+  // into a nested-loop over corpus tokens — the corpus never shuffles for
+  // candidate generation; per-token maxes and the per-passage sum are two
+  // map-side-combining hash aggs; top-3 per query prunes under
+  // WindowGroupLimit. At 100 TB the nested loop is bounded by an ANN
+  // prefilter (sim_lsh_ann / sim_ivf_ann produce the candidate set; this
+  // operator is the reranker over it) — the plan here IS the rerank plan.
+  def retrievalMaxsim(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val tok = load(s, dir, "embeddings")
+      .select(expr("vec_id div 8").as("doc"),
+        expr("vec_id % 8").as("ti"), col("embedding"))
+    val qt = tok.filter(col("doc") % 16 === 1)
+      .select(col("doc").as("qdoc"), col("ti").as("qti"),
+        col("embedding").as("qemb"))
+    val dots = tok.crossJoin(broadcast(qt))
+      .filter(col("doc") =!= col("qdoc"))
+      .select(col("qdoc"), col("qti"), col("doc"),
+        expr("graft_dotq(qemb, embedding)").as("dot"))
+    val best = dots.groupBy(col("qdoc"), col("doc"), col("qti"))
+      .agg(max(col("dot")).as("m"))
+    val score = best.groupBy(col("qdoc"), col("doc"))
+      .agg(sum(col("m")).as("maxsim"))
+    val w = Window.partitionBy(col("qdoc"))
+      .orderBy(col("maxsim").desc, col("doc"))
+    score.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qdoc").as("query_doc"), col("rank"), col("doc"),
+        col("maxsim"))
+      .orderBy(col("query_doc"), col("rank"))
+  }
+
+  private val retrievalMaxsimOracle =
+    """WITH qn AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |tok AS (
+      |  SELECT vec_id // 8 AS doc, vec_id % 8 AS ti, qv FROM qn),
+      |qt AS (SELECT doc AS qdoc, ti AS qti, qv AS qqv FROM tok WHERE doc % 16 = 1),
+      |dots AS (
+      |  SELECT qt.qdoc, qt.qti, tok.doc,
+      |         CAST(list_sum(list_transform(generate_series(1, len(qt.qqv)),
+      |           i -> qt.qqv[i] * tok.qv[i])) AS BIGINT) AS dot
+      |  FROM qt JOIN tok ON tok.doc <> qt.qdoc),
+      |best AS (
+      |  SELECT qdoc, doc, qti, MAX(dot) AS m FROM dots GROUP BY 1, 2, 3),
+      |score AS (
+      |  SELECT qdoc, doc, CAST(SUM(m) AS BIGINT) AS maxsim FROM best GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qdoc
+      |           ORDER BY maxsim DESC, doc) AS rank
+      |  FROM score)
+      |SELECT qdoc AS query_doc, rank, doc, maxsim
+      |FROM ranked WHERE rank <= 3 ORDER BY query_doc, rank""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "text_bm25" -> (textBm25 _),
-    "hybrid_rrf" -> (hybridRrf _))
+    "hybrid_rrf" -> (hybridRrf _),
+    "retrieval_maxsim" -> (retrievalMaxsim _))
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Oracle,
-    "hybrid_rrf" -> hybridRrfOracle)
+    "hybrid_rrf" -> hybridRrfOracle,
+    "retrieval_maxsim" -> retrievalMaxsimOracle)
 }

@@ -203,6 +203,77 @@ object DataProfile {
        |ORDER BY est.column_name""".stripMargin
   }
 
+  // ---- agg_skew_kurt --------------------------------------------------------
+  // Skewness + excess kurtosis of extendedprice per returnflag — the
+  // distribution-shape profile beside corr/slope (agg_corr_regr) and the
+  // robust median/MAD (anomaly_daily_mad): the moments a drift monitor
+  // tracks to catch a fattening tail before the mean moves. Same exactness
+  // device as agg_corr_regr taken to 4th powers: cents are summed to exact
+  // power sums S1..S4 (S3/S4 as scale-0 DECIMAL(38,0) — cents^4 ≈ 1.2e28
+  // and the sum stays inside 38 digits past sf10; the BIGINT path would
+  // overflow at the very first row), each exact sum cast to double ONCE,
+  // then the raw-moment formulas evaluated STEPWISE so both engines round
+  // the identical intermediate doubles (m2^1.5 is written m2·sqrt(m2) —
+  // sqrt and ·,/ are correctly-rounded IEEE in both engines; pow(x,1.5)
+  // is libm-dependent and never used). Spec cross-checks Spark's built-in
+  // skewness/kurtosis to 1e-9. One map-side-combining hash agg at any SF.
+  def aggSkewKurt(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1"),
+        sum(expr("CAST(c * c AS DECIMAL(38,0))")).as("s2"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c")).as("s3"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c * c")).as("s4"))
+      .withColumn("dn", expr("cast(n as double)"))
+      .withColumn("mean", expr("cast(s1 as double) / dn"))
+      .withColumn("r2", expr("cast(s2 as double) / dn"))
+      .withColumn("r3", expr("cast(s3 as double) / dn"))
+      .withColumn("r4", expr("cast(s4 as double) / dn"))
+      .withColumn("m2", expr("r2 - mean * mean"))
+      .withColumn("m3", expr("r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean"))
+      .withColumn("m4", expr(
+        "r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2 - 3.0 * mean * mean * mean * mean"))
+      .select(col("l_returnflag"), col("n"),
+        expr("mean / 100.0").as("mean_price"),
+        expr("m3 / (m2 * sqrt(m2))").as("skewness"),
+        expr("m4 / (m2 * m2) - 3.0").as("kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val aggSkewKurtOracle =
+    """WITH q AS (
+      |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(c) AS BIGINT) AS s1,
+      |         SUM(CAST(c AS HUGEINT) * c) AS s2,
+      |         SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+      |         SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+      |  FROM q GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS dn,
+      |         CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+      |         CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+      |  FROM m),
+      |r AS (
+      |  SELECT l_returnflag, n, dn, d1 / dn AS mean,
+      |         d2 / dn AS r2, d3 / dn AS r3, d4 / dn AS r4
+      |  FROM d),
+      |c AS (
+      |  SELECT l_returnflag, n, mean, r2, r3, r4,
+      |         r2 - mean * mean AS m2,
+      |         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+      |         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2 - 3.0 * mean * mean * mean * mean AS m4
+      |  FROM r)
+      |SELECT l_returnflag, n, mean / 100.0 AS mean_price,
+      |       m3 / (m2 * sqrt(m2)) AS skewness,
+      |       m4 / (m2 * m2) - 3.0 AS kurtosis
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
   // ---- agg_corr_regr --------------------------------------------------------
   // Pearson correlation + OLS slope/intercept of extendedprice on quantity
   // per returnflag. Built-in corr()/regr_slope() accumulate doubles in
@@ -617,6 +688,7 @@ object DataProfile {
     "profile_columns" -> (profileColumns _),
     "profile_columns_approx" -> (profileColumnsApprox _),
     "agg_corr_regr" -> (aggCorrRegr _),
+    "agg_skew_kurt" -> (aggSkewKurt _),
     "anomaly_daily_mad" -> (anomalyDailyMad _),
     "agg_weighted_median" -> (aggWeightedMedian _),
     "window_cume_dist" -> (windowCumeDist _),
@@ -630,6 +702,7 @@ object DataProfile {
     "profile_columns" -> profileColumnsOracle,
     "profile_columns_approx" -> profileColumnsApproxOracle,
     "agg_corr_regr" -> aggCorrRegrOracle,
+    "agg_skew_kurt" -> aggSkewKurtOracle,
     "anomaly_daily_mad" -> anomalyDailyMadOracle,
     "agg_weighted_median" -> aggWeightedMedianOracle,
     "window_cume_dist" -> windowCumeDistOracle,

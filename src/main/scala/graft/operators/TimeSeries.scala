@@ -260,11 +260,111 @@ object TimeSeries {
       |  ON a.day BETWEEN g.day - 6 AND g.day
       |GROUP BY g.day ORDER BY g.day""".stripMargin
 
+  // ---- window_ewma ----------------------------------------------------------
+  // Exponentially weighted moving average over the global daily revenue
+  // series — the smoothing every monitoring dashboard reaches for once a
+  // plain moving average lags too far behind level shifts (the flagship
+  // LAG report's day-over-day delta is its roughest cousin; anomaly_daily_
+  // mad is its robust sibling). α = 1/2 over a trailing 8-day window, so
+  // the weights are EXACT powers of two: a day at distance δ contributes
+  // cents·2^(7−δ), and the EWMA is one integer-ratio num/den with a single
+  // double division at the end — both engines compute the identical
+  // bigints and the identical correctly-rounded quotient, no fp
+  // accumulation anywhere. Missing days simply contribute nothing (their
+  // weight mass drops out of the denominator — the standard irregular-
+  // series EWMA). Topology: everything happens on the DAY-GRAIN aggregate
+  // (tens of rows per month at any corpus size — same posture as
+  // anomaly_daily_mad); the distance self-join is series×8 rows.
+  def windowEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    daily.as("a").join(daily.as("b"),
+        datediff(col("a.day"), col("b.day")).between(0, 7))
+      .groupBy(col("a.day").as("day"))
+      .agg(max(when(col("a.day") === col("b.day"), col("b.cents"))).as("cents"),
+        sum(expr("b.cents * shiftleft(1L, 7 - datediff(a.day, b.day))"))
+          .as("ewma_num"),
+        sum(expr("shiftleft(1L, 7 - datediff(a.day, b.day))")).as("ewma_den"))
+      .withColumn("ewma_cents", expr(
+        """cast(round(cast(cast(ewma_num as double) / cast(ewma_den as double)
+          |  as decimal(28,6)), 2) as double)""".stripMargin))
+      .orderBy(col("day"))
+  }
+
+  private val windowEwmaOracle =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT a.day,
+      |       CAST(MAX(CASE WHEN a.day = b.day THEN b.cents END) AS BIGINT) AS cents,
+      |       CAST(SUM(b.cents * (CAST(1 AS BIGINT) << (7 - (a.day - b.day)))) AS BIGINT) AS ewma_num,
+      |       CAST(SUM(CAST(1 AS BIGINT) << (7 - (a.day - b.day))) AS BIGINT) AS ewma_den,
+      |       CAST(ROUND(CAST(CAST(SUM(b.cents * (CAST(1 AS BIGINT) << (7 - (a.day - b.day)))) AS DOUBLE)
+      |         / CAST(SUM(CAST(1 AS BIGINT) << (7 - (a.day - b.day))) AS DOUBLE)
+      |         AS DECIMAL(28,6)), 2) AS DOUBLE) AS ewma_cents
+      |FROM daily a JOIN daily b ON a.day - b.day BETWEEN 0 AND 7
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
+  // ---- ts_resample_ohlc -----------------------------------------------------
+  // Downsample the raw event stream to HOURLY bars per event type with
+  // open/high/low/close semantics — the resample-with-first/last-semantics
+  // every telemetry/market pipeline runs (plain groupBy gives high/low for
+  // free; OPEN and CLOSE need a deterministic within-bucket ORDER, which
+  // is the actual operator here). The order is (ts, event_id) — event_id
+  // is unique, so ties at the same microsecond resolve identically in
+  // both engines and the bar is a pure function of the data. One window
+  // pass (row_number asc + partition count) and one hash-agg, both
+  // sharing the (type, hour) partitioning — a single shuffle of the
+  // event slice at any scale; money in exact cents.
+  def tsResampleOhlc(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), cents.as("c"))
+    val w = Window.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("ts"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("hour"))))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(max(when(col("rn") === 1, col("c"))).as("open_c"),
+        max(col("c")).as("high_c"),
+        min(col("c")).as("low_c"),
+        max(when(col("rn") === col("cnt"), col("c"))).as("close_c"),
+        count(lit(1)).as("n_events"),
+        sum(col("c")).as("vol_c"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val tsResampleOhlcOracle =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT *,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type, hour
+      |           ORDER BY ts, event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type, hour) AS cnt
+      |  FROM e)
+      |SELECT event_type, hour,
+      |       CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS open_c,
+      |       CAST(MAX(c) AS BIGINT) AS high_c,
+      |       CAST(MIN(c) AS BIGINT) AS low_c,
+      |       CAST(MAX(CASE WHEN rn = cnt THEN c END) AS BIGINT) AS close_c,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(c) AS BIGINT) AS vol_c
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "ts_fill_gaps" -> (tsFillGaps _),
     "ts_interpolate" -> (tsInterpolate _),
     "window_funnel" -> (windowFunnel _),
     "cohort_retention" -> (cohortRetention _),
+    "window_ewma" -> (windowEwma _),
+    "ts_resample_ohlc" -> (tsResampleOhlc _),
     "window_rolling_distinct" -> (windowRollingDistinct _))
 
   val oracles: Map[String, String] = Map(
@@ -272,5 +372,7 @@ object TimeSeries {
     "ts_interpolate" -> tsInterpolateOracle,
     "window_funnel" -> windowFunnelOracle,
     "cohort_retention" -> cohortRetentionOracle,
+    "window_ewma" -> windowEwmaOracle,
+    "ts_resample_ohlc" -> tsResampleOhlcOracle,
     "window_rolling_distinct" -> windowRollingDistinctOracle)
 }

@@ -81,4 +81,18 @@ class ScalarsSpec extends SparkSpec {
     assert(eval(pctChange(lit(110.0), lit(100.0))) == 10.0)
     assert(eval(pctChange(lit(95.0), lit(100.0))) == -5.0)
   }
+
+  test("parse_url semantics the fn_url_parse oracle relies on (r10)") {
+    import org.apache.spark.sql.functions.expr
+    val u = "https://Host3.Example.COM:8443/p2/42?utm_source=news&q=7&b=1"
+    def part(e: String): String =
+      spark.sql(s"SELECT $e FROM (SELECT '$u' AS url)").first().getString(0)
+    // HOST excludes the port and PRESERVES case (canonicalization is a
+    // separate operator's job); targeted QUERY extraction picks one key
+    assert(part("parse_url(url, 'HOST')") == "Host3.Example.COM")
+    assert(part("parse_url(url, 'PATH')") == "/p2/42")
+    assert(part("parse_url(url, 'PROTOCOL')") == "https")
+    assert(part("parse_url(url, 'QUERY', 'q')") == "7")
+    assert(part("parse_url(url, 'QUERY', 'utm_source')") == "news")
+  }
 }

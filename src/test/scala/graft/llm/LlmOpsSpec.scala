@@ -706,6 +706,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("url canonicalization collapses exactly the planted variant pairs (r10)") {
+    val out = Dedup.dedupUrlCanonical(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length % 2 == 0)
+    // each planted pair (2k lowercase-clean, 2k+1 cased+port+slash+utm)
+    // must canonicalize identically — and NOTHING else may collide
+    assert(out.forall(_.getAs[Long]("n_variants") == 2L),
+      "every canonical group is exactly the planted pair")
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("keeper") == id - (id % 2),
+        s"doc $id: keeper must be the even member")
+      assert(r.getAs[Boolean]("is_dup") == (id % 2 == 1))
+      val c = r.getAs[String]("canonical")
+      assert(c == c.toLowerCase && !c.contains(":443") && !c.contains("utm_"),
+        s"canonical still carries surface noise: $c")
+      // params arrive sorted: a= before b=
+      assert(c.indexOf("?a=") >= 0 && c.indexOf("&b=") > c.indexOf("?a="),
+        s"query params not sorted in: $c")
+    }
+  }
+
   test("knn classify on a label-correlated fixture: accuracy far above the 1/10 chance baseline (r10)") {
     import spark.implicits._
     // The testdata embeddings assign labels independently of the isotropic

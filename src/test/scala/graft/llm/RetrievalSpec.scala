@@ -91,4 +91,40 @@ class RetrievalSpec extends SparkSpec {
         s"query $q fusion order must follow rrf desc")
     }
   }
+
+  test("retrieval_maxsim: top-3 per query equals a driver-side MaxSim recompute (r10)") {
+    import org.apache.spark.sql.functions.col
+    val out = Retrieval.retrievalMaxsim(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // structural: full top-3, descending scores, no self-passage
+    out.groupBy(_.getAs[Long]("query_doc")).foreach { case (q, rows) =>
+      assert(rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Int]("rank")).toSeq
+        == (1 to rows.length))
+      val sc = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("maxsim"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(_.getAs[Long]("doc") != q), "self-passage excluded")
+    }
+    // independent recompute: quantize, group into 8-token passages, exact
+    // Σ-of-max over integer dots for every (query, candidate) pair
+    val vecs = graft.model.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+    val passages = vecs.groupBy(_._1 / 8)
+      .map { case (d, vs) => d -> vs.sortBy(_._1).map(_._2) }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val queries = passages.keys.filter(_ % 16 == 1)
+    val expected = queries.flatMap { q =>
+      passages.filter(_._1 != q).map { case (d, toks) =>
+        (q, d, passages(q).map(qt => toks.map(ct => dot(qt, ct)).max).sum)
+      }
+    }.toSeq.groupBy(_._1).flatMap { case (q, cands) =>
+      cands.sortBy(c => (-c._3, c._2)).take(3).zipWithIndex
+        .map { case ((_, d, s), i) => (q, i + 1, d, s) }
+    }.toSet
+    val actual = out.map(r => (r.getAs[Long]("query_doc"), r.getAs[Int]("rank"),
+      r.getAs[Long]("doc"), r.getAs[Long]("maxsim"))).toSet
+    assert(actual == expected, "MaxSim top-3 must equal the exact recompute")
+  }
 }

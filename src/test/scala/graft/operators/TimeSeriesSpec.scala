@@ -124,6 +124,79 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("window_ewma: weights are exact powers of two, equals a driver-side recompute (r10)") {
+    import org.apache.spark.sql.functions.{col, expr, sum, to_date}
+    val rows = TimeSeries.windowEwma(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent driver recompute from the raw daily series
+    val daily = graft.model.Tables.load(spark, sfDir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .collect()
+      .map(r => r.getAs[Date]("day").toLocalDate -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val d = r.getAs[Date]("day").toLocalDate
+      val window = (0 to 7).flatMap { delta =>
+        daily.get(d.minusDays(delta.toLong)).map(c => (c, 1L << (7 - delta)))
+      }
+      assert(r.getAs[Long]("ewma_num") == window.map(p => p._1 * p._2).sum,
+        s"$d: numerator mismatch")
+      assert(r.getAs[Long]("ewma_den") == window.map(_._2).sum,
+        s"$d: denominator mismatch")
+      // the smoothed value sits inside the window's [min, max] envelope
+      val vals = window.map(_._1)
+      assert(r.getAs[Double]("ewma_cents") >= vals.min - 1 &&
+        r.getAs[Double]("ewma_cents") <= vals.max + 1)
+    }
+  }
+
+  test("ts_resample_ohlc: bar invariants + a driver-recomputed bucket (r10)") {
+    import org.apache.spark.sql.functions.col
+    val rows = TimeSeries.tsResampleOhlc(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Long]("open_c"), r.getAs[Long]("high_c"),
+        r.getAs[Long]("low_c"), r.getAs[Long]("close_c"))
+      assert(l <= o && o <= h && l <= c && c <= h,
+        s"bar ${r.get(1)}: open/close outside [low, high]")
+      assert(r.getAs[Long]("n_events") >= 1)
+      assert(r.getAs[Long]("vol_c") >= l * r.getAs[Long]("n_events"))
+    }
+    // recompute the largest bucket by walking its events in (ts, id) order
+    val biggest = rows.maxBy(_.getAs[Long]("n_events"))
+    val hour = biggest.getAs[java.sql.Timestamp]("hour")
+    val evs = graft.model.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), math.round(r.getAs[Double]("value") * 100)))
+      .filter { case (ts, _, _) =>
+        ts.getTime / 3600000 == hour.getTime / 3600000 }
+      .sortBy { case (ts, id, _) => (ts.getTime, id) }
+    assert(biggest.getAs[Long]("open_c") == evs.head._3, "open = first by (ts, id)")
+    assert(biggest.getAs[Long]("close_c") == evs.last._3, "close = last by (ts, id)")
+    assert(biggest.getAs[Long]("n_events") == evs.length)
+  }
+
+  test("agg_skew_kurt: matches Spark's built-in skewness/kurtosis (r10)") {
+    import org.apache.spark.sql.functions.{col, expr, kurtosis, skewness}
+    val rows = DataProfile.aggSkewKurt(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val builtin = graft.model.Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(expr("round(l_extendedprice * 100)")).as("sk"),
+        kurtosis(expr("round(l_extendedprice * 100)")).as("ku"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (sk, ku) = builtin(r.getString(0))
+      assert(math.abs(r.getAs[Double]("skewness") - sk) < 1e-6,
+        s"${r.getString(0)}: skew ${r.getAs[Double]("skewness")} vs builtin $sk")
+      assert(math.abs(r.getAs[Double]("kurtosis") - ku) < 1e-6,
+        s"${r.getString(0)}: kurt ${r.getAs[Double]("kurtosis")} vs builtin $ku")
+    }
+  }
+
   test("window_rolling_distinct: equals a driver-side 7-day recompute") {
     import org.apache.spark.sql.functions.{col, to_date}
     val rows = TimeSeries.windowRollingDistinct(spark, sfDir).collect()
