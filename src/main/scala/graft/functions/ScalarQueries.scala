@@ -405,7 +405,51 @@ object ScalarQueries {
       |       CAST(doc_id % 3 AS VARCHAR) AS b_param
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- fn_regex_extract_all: multi-match extraction --------------------------
+  // regexp_extract_all over synthesized social-style text — the
+  // entity-extraction scalar (hashtags/mentions) every enrichment pass
+  // runs: matches are POSITIONAL, so the array order is part of the
+  // contract (both engines scan left to right), and the match count +
+  // joined rendering ride in the hashed output. The text is constructed
+  // from doc_id arithmetic so the oracle knows exactly which entities
+  // exist where; a no-hashtag variant (doc_id % 11 == 0) pins the
+  // empty-array path. Codegen'd scalar over the scan — no shuffle.
+  def fnRegexExtractAll(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("""case when doc_id % 11 = 0
+               |  then concat('plain note ', doc_id, ' without entities')
+               |  else concat('note #topic', doc_id % 7, ' for @user', doc_id % 3,
+               |              ' and #area', doc_id % 5, ' cc @user', doc_id % 4)
+               |end""".stripMargin).as("text"))
+      .select(col("doc_id"), col("text"),
+        expr("regexp_extract_all(text, '#\\\\w+', 0)").as("tags"),
+        expr("regexp_extract_all(text, '@\\\\w+', 0)").as("mentions"))
+      .select(col("doc_id"),
+        size(col("tags")).as("n_tags"),
+        concat_ws("|", col("tags")).as("tags_joined"),
+        size(col("mentions")).as("n_mentions"),
+        concat_ws("|", col("mentions")).as("mentions_joined"))
+      .orderBy(col("doc_id"))
+
+  private val fnRegexExtractAllOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 0
+      |           THEN concat('plain note ', doc_id, ' without entities')
+      |           ELSE concat('note #topic', doc_id % 7, ' for @user', doc_id % 3,
+      |                       ' and #area', doc_id % 5, ' cc @user', doc_id % 4)
+      |         END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '#\w+')) AS INT) AS n_tags,
+      |       COALESCE(array_to_string(regexp_extract_all(text, '#\w+'), '|'), '') AS tags_joined,
+      |       CAST(len(regexp_extract_all(text, '@\w+')) AS INT) AS n_mentions,
+      |       COALESCE(array_to_string(regexp_extract_all(text, '@\w+'), '|'), '') AS mentions_joined
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "fn_regex_extract_all" -> (fnRegexExtractAll _),
     "fn_url_parse" -> (fnUrlParse _),
     "fn_time_bucket" -> (fnTimeBucket _),
     "window_ratio_total" -> (windowRatioTotal _),
@@ -425,6 +469,7 @@ object ScalarQueries {
   ) ++ sharedSql.map { case (k, sql) => k -> runSql(sql) }
 
   val oracles: Map[String, String] = Map(
+    "fn_regex_extract_all" -> fnRegexExtractAllOracle,
     "fn_url_parse" -> fnUrlParseOracle,
     "fn_time_bucket" -> fnTimeBucketOracle,
     "window_ratio_total" -> windowRatioTotalOracle,

@@ -203,6 +203,47 @@ object DataProfile {
        |ORDER BY est.column_name""".stripMargin
   }
 
+  // ---- agg_bitmap_distinct --------------------------------------------------
+  // EXACT mergeable distinct counts via fixed-width bitmaps — the third
+  // cardinality mode beside exact countDistinct (Expand, not mergeable
+  // across slices) and HLL (mergeable, approximate): when the key space
+  // is dense integers (user ids here), a bitmap OR-aggregate gives exact
+  // distincts that still merge associatively — the ClickHouse
+  // groupBitmap / Druid "exact unique" design. Per (day, bucket =
+  // user_id div 64) the 64 users collapse into one BIGINT mask by
+  // bit_or(1 << (user_id % 64)); per day the distinct count is
+  // Σ bit_count(mask). Both aggregates combine map-side and two disjoint
+  // slices merge by bucket-wise OR (spec-pinned), so the plan shuffles
+  // ≤ one mask row per (day, live bucket) — never raw user ids. Shift
+  // semantics at bit 63 agree across engines (Spark shiftleft wraps to
+  // Long.MinValue; the oracle states that constant explicitly).
+  def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        expr("user_id div 64").as("bucket"),
+        expr("CAST(user_id % 64 AS INT)").as("bit"))
+    val masks = e.groupBy(col("day"), col("bucket"))
+      .agg(expr("bit_or(shiftleft(1L, bit))").as("mask"))
+    masks.groupBy(col("day"))
+      .agg(sum(expr("bit_count(mask)")).as("n_distinct_users"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy(col("day"))
+  }
+
+  private val aggBitmapDistinctOracle =
+    """WITH e AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id // 64 AS bucket,
+      |         CAST(user_id % 64 AS INT) AS bit
+      |  FROM events),
+      |masks AS (
+      |  SELECT day, bucket,
+      |         bit_or(CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |                     ELSE CAST(1 AS BIGINT) << bit END) AS mask
+      |  FROM e GROUP BY 1, 2)
+      |SELECT day, CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct_users,
+      |       COUNT(*) AS n_buckets
+      |FROM masks GROUP BY 1 ORDER BY day""".stripMargin
+
   // ---- agg_skew_kurt --------------------------------------------------------
   // Skewness + excess kurtosis of extendedprice per returnflag — the
   // distribution-shape profile beside corr/slope (agg_corr_regr) and the
@@ -689,6 +730,7 @@ object DataProfile {
     "profile_columns_approx" -> (profileColumnsApprox _),
     "agg_corr_regr" -> (aggCorrRegr _),
     "agg_skew_kurt" -> (aggSkewKurt _),
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "anomaly_daily_mad" -> (anomalyDailyMad _),
     "agg_weighted_median" -> (aggWeightedMedian _),
     "window_cume_dist" -> (windowCumeDist _),
@@ -703,6 +745,7 @@ object DataProfile {
     "profile_columns_approx" -> profileColumnsApproxOracle,
     "agg_corr_regr" -> aggCorrRegrOracle,
     "agg_skew_kurt" -> aggSkewKurtOracle,
+    "agg_bitmap_distinct" -> aggBitmapDistinctOracle,
     "anomaly_daily_mad" -> anomalyDailyMadOracle,
     "agg_weighted_median" -> aggWeightedMedianOracle,
     "window_cume_dist" -> windowCumeDistOracle,

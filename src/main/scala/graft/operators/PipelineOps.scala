@@ -403,7 +403,77 @@ object PipelineOps {
       |WHERE c.op IS NULL OR c.op <> 'D'
       |ORDER BY key""".stripMargin
 
+  // ---- join_full_outer_diff -------------------------------------------------
+  // Snapshot reconciliation through a batch FULL OUTER join — the audit
+  // every daily-reload pipeline runs when two snapshot vintages disagree
+  // ("what changed between yesterday's load and today's?"): today's
+  // snapshot is derived from yesterday's by planted key arithmetic
+  // (drop every 97th key → REMOVED, double every 89th surviving total →
+  // CHANGED, append fresh negative keys → ADDED), full-outer on the key,
+  // and each row classifies from null-side structure + value compare.
+  // The report is per-class counts + an exact-cents delta — the numbers
+  // a reconciliation dashboard shows. This is the batch full-outer the
+  // join family lacked (the streaming siblings ride watermark eviction;
+  // here both null sides materialize in one pass). At 100 TB both
+  // snapshots hash-partition on the key — one co-partitioned shuffle
+  // each, no broadcast (both sides are table-sized by construction).
+  def joinFullOuterDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "orders")
+      .select(col("o_orderkey").as("key"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val today = base.filter(col("key") % 97 =!= 0)
+      .withColumn("cents",
+        when(col("key") % 89 === 0, col("cents") * 2).otherwise(col("cents")))
+      // fresh keys are -(key+1): strictly negative, so the degenerate
+      // key 0 (where -key = key would collide with its own removal)
+      // cannot alias a surviving row
+      .unionAll(base.filter(col("key") % 101 === 0)
+        .select((-(col("key") + 1)).as("key"), col("cents")))
+    val diff = base.as("a").join(today.as("b"), col("a.key") === col("b.key"),
+        "full_outer")
+      .select(
+        coalesce(col("a.key"), col("b.key")).as("key"),
+        when(col("a.key").isNull, lit("added"))
+          .when(col("b.key").isNull, lit("removed"))
+          .when(col("a.cents") =!= col("b.cents"), lit("changed"))
+          .otherwise(lit("unchanged")).as("class"),
+        (coalesce(col("b.cents"), lit(0L)) - coalesce(col("a.cents"), lit(0L)))
+          .as("delta_cents"))
+    diff.groupBy(col("class"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("delta_cents")).as("delta_cents"),
+        min(col("key")).as("min_key"),
+        max(col("key")).as("max_key"))
+      .orderBy(col("class"))
+  }
+
+  private val joinFullOuterDiffOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |today AS (
+      |  SELECT key,
+      |         CASE WHEN key % 89 = 0 THEN cents * 2 ELSE cents END AS cents
+      |  FROM base WHERE key % 97 <> 0
+      |  UNION ALL
+      |  SELECT -(key + 1) AS key, cents FROM base WHERE key % 101 = 0),
+      |diff AS (
+      |  SELECT COALESCE(a.key, b.key) AS key,
+      |         CASE WHEN a.key IS NULL THEN 'added'
+      |              WHEN b.key IS NULL THEN 'removed'
+      |              WHEN a.cents <> b.cents THEN 'changed'
+      |              ELSE 'unchanged' END AS class,
+      |         COALESCE(b.cents, 0) - COALESCE(a.cents, 0) AS delta_cents
+      |  FROM base a FULL OUTER JOIN today b ON a.key = b.key)
+      |SELECT class, COUNT(*) AS n,
+      |       CAST(SUM(delta_cents) AS BIGINT) AS delta_cents,
+      |       CAST(MIN(key) AS BIGINT) AS min_key,
+      |       CAST(MAX(key) AS BIGINT) AS max_key
+      |FROM diff GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "join_full_outer_diff" -> (joinFullOuterDiff _),
     "window_session" -> (windowSession _),
     "scd2_intervals" -> (scd2Intervals _),
     "join_scd2_asof" -> (joinScd2Asof _),
@@ -415,6 +485,7 @@ object PipelineOps {
     "merge_upsert" -> (mergeUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "join_full_outer_diff" -> joinFullOuterDiffOracle,
     "window_session" -> windowSessionOracle,
     "scd2_intervals" -> scd2IntervalsOracle,
     "join_scd2_asof" -> joinScd2AsofOracle,

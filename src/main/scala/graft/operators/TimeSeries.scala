@@ -358,7 +358,60 @@ object TimeSeries {
       |       CAST(SUM(c) AS BIGINT) AS vol_c
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- window_streaks -------------------------------------------------------
+  // Event-pattern detection relationally (the MATCH_RECOGNIZE / CEP-lite
+  // class): per user, maximal runs of STRICTLY increasing purchase
+  // amounts in event order — "escalating spend" streaks, the classic
+  // gaps-and-islands formulation: up = 1 when this purchase exceeds the
+  // previous (first row: 0), streak id = running count of non-ups, then
+  // one hash-agg per (user, streak). Order is (ts, event_id) — unique, so
+  // both engines segment identically; strictness (>) makes ties break
+  // streaks deterministically. Output per user: longest run + number of
+  // runs ≥ 3. Two window passes + two aggs, ALL sharing the user_id hash
+  // partitioning — one shuffle of the purchase slice at any scale (the
+  // same posture as window_islands, which segments by time gap where this
+  // segments by VALUE direction).
+  def windowStreaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val p = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), cents.as("c"))
+      .withColumn("up", when(col("c") > lag(col("c"), 1).over(w), 1).otherwise(0))
+      .withColumn("grp", sum(lit(1) - col("up")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    p.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("run_len")).as("longest_run"),
+        sum(when(col("run_len") >= 3, 1L).otherwise(0L)).as("n_runs3"),
+        count(lit(1)).as("n_runs"))
+      .orderBy(col("user_id"))
+  }
+
+  private val windowStreaksOracle =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT user_id, ts, event_id, c,
+      |         CASE WHEN c > lag(c) OVER (PARTITION BY user_id
+      |                ORDER BY ts, event_id) THEN 1 ELSE 0 END AS up
+      |  FROM p),
+      |g AS (
+      |  SELECT user_id,
+      |         SUM(1 - up) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM u),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS run_len FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_run,
+      |       CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs3,
+      |       COUNT(*) AS n_runs
+      |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "window_streaks" -> (windowStreaks _),
     "ts_fill_gaps" -> (tsFillGaps _),
     "ts_interpolate" -> (tsInterpolate _),
     "window_funnel" -> (windowFunnel _),
@@ -368,6 +421,7 @@ object TimeSeries {
     "window_rolling_distinct" -> (windowRollingDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "window_streaks" -> windowStreaksOracle,
     "ts_fill_gaps" -> tsFillGapsOracle,
     "ts_interpolate" -> tsInterpolateOracle,
     "window_funnel" -> windowFunnelOracle,

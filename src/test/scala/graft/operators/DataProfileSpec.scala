@@ -150,4 +150,31 @@ class DataProfileSpec extends SparkSpec {
     val levels = byNode.values.toSeq.distinct.sorted
     assert(levels == (0 to levels.max), s"levels must be contiguous: $levels")
   }
+
+  test("agg_bitmap_distinct: exact per-day distincts, masks merge by OR across slices (r10)") {
+    import org.apache.spark.sql.functions.{col, countDistinct, to_date}
+    val out = DataProfile.aggBitmapDistinct(spark, sfDir).collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("n_distinct_users")).toMap
+    // the bitmap count must equal exact countDistinct — this mode is EXACT
+    val exact = graft.model.Tables.load(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("nd")).collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("nd")).toMap
+    assert(out == exact, "bitmap distinct must equal exact countDistinct")
+    // mergeability: per-bucket masks of two disjoint event slices OR into
+    // the whole-corpus masks (the property HLL only approximates)
+    val e = graft.model.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def masks(rows: Array[(Long, Long)]): Map[Long, Long] =
+      rows.groupBy(_._2 / 64).map { case (b, us) =>
+        b -> us.map(u => 1L << (u._2 % 64)).reduce(_ | _)
+      }
+    val whole = masks(e)
+    val a = masks(e.filter(_._1 % 2 == 0))
+    val b = masks(e.filter(_._1 % 2 == 1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) | b.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "slice masks must OR-merge to the corpus masks")
+  }
 }

@@ -207,4 +207,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m.select("key").distinct().count() == m.count())
     m.unpersist()
   }
+
+  test("join_full_outer_diff: class counts reconcile with the planted mutations (r10)") {
+    import org.apache.spark.sql.functions.col
+    val out = PipelineOps.joinFullOuterDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("added", "removed", "changed", "unchanged"))
+    val keys = graft.model.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val removed = keys.count(_ % 97 == 0)
+    val added = keys.count(_ % 101 == 0)
+    val changed = keys.count(k => k % 89 == 0 && k % 97 != 0)
+    assert(out("removed").getAs[Long]("n") == removed)
+    assert(out("added").getAs[Long]("n") == added)
+    assert(out("changed").getAs[Long]("n") == changed)
+    assert(out("unchanged").getAs[Long]("n") ==
+      keys.length - removed - changed)
+    // removed rows subtract their full value; added keys are negative
+    assert(out("removed").getAs[Long]("delta_cents") < 0)
+    assert(out("added").getAs[Long]("max_key") < 0)
+    assert(out("unchanged").getAs[Long]("delta_cents") == 0L)
+  }
 }

@@ -197,6 +197,38 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("window_streaks: equals a driver-side walk of each user's purchase series (r10)") {
+    import org.apache.spark.sql.functions.col
+    val out = TimeSeries.windowStreaks(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("longest_run"),
+        r.getAs[Long]("n_runs3"), r.getAs[Long]("n_runs"))).toMap
+    assert(out.nonEmpty)
+    val purchases = graft.model.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), math.round(r.getAs[Double]("value") * 100)))
+      .groupBy(_._1)
+    assert(out.keySet == purchases.keySet)
+    purchases.foreach { case (u, rows) =>
+      val series = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      // walk the series: split into maximal strictly-increasing runs
+      val plain = scala.collection.mutable.ListBuffer[Int]()
+      var len = 0
+      var prev = Long.MinValue
+      var first = true
+      series.foreach { c =>
+        if (first || c <= prev) { if (len > 0) plain += len; len = 1 }
+        else len += 1
+        prev = c; first = false
+      }
+      if (len > 0) plain += len
+      val (lr, n3, nr) = out(u)
+      assert(lr == plain.max, s"user $u: longest $lr != ${plain.max}")
+      assert(n3 == plain.count(_ >= 3), s"user $u: n_runs3")
+      assert(nr == plain.length, s"user $u: n_runs")
+    }
+  }
+
   test("window_rolling_distinct: equals a driver-side 7-day recompute") {
     import org.apache.spark.sql.functions.{col, to_date}
     val rows = TimeSeries.windowRollingDistinct(spark, sfDir).collect()
