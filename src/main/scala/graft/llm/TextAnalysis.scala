@@ -360,7 +360,52 @@ object TextAnalysis {
        |            ELSE NULL END AS sketch
        |FROM w ORDER BY doc_id""".stripMargin
 
+  // ---- text_readability -----------------------------------------------------
+  // Flesch reading ease over the corpus — the classic readability score a
+  // curation pipeline thresholds beside text_quality's surface ratios:
+  // 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+  // sentences = non-empty [.!?]+ splits, words = the shared token rule,
+  // and syllables approximated by vowel-group count (the standard
+  // dictionary-free surrogate) — every input an exact integer, the
+  // formula one identically-shaped double expression rounded in the
+  // decimal domain, so both engines hash-match without epsilon. Guards
+  // (max with 1) keep degenerate docs finite. Scan-local scalar work —
+  // no shuffle but the presentation sort.
+  def textReadability(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        greatest(lit(1), size(expr(
+          "filter(split(text, '[.!?]+'), p -> length(trim(p)) > 0)")))
+          .as("n_sent"),
+        greatest(lit(1), size(expr(toksE))).as("n_words"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .as("n_syll"))
+      .withColumn("flesch", expr(
+        """cast(round(cast(
+          |  206.835 - 1.015 * (cast(n_words as double) / cast(n_sent as double))
+          |          - 84.6 * (cast(n_syll as double) / cast(n_words as double))
+          |as decimal(28,8)), 4) as double)""".stripMargin))
+      .orderBy(col("doc_id"))
+
+  private val textReadabilityOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         GREATEST(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+      |                                     p -> len(trim(p)) > 0))) AS n_sent,
+      |         GREATEST(1, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                                     x -> x <> ''))) AS n_words,
+      |         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_sent AS INT) AS n_sent, CAST(n_words AS INT) AS n_words,
+      |       CAST(n_syll AS INT) AS n_syll,
+      |       CAST(ROUND(CAST(
+      |         206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+      |                 - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+      |       AS DECIMAL(28,8)), 4) AS DOUBLE) AS flesch
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "text_readability" -> (textReadability _),
     "text_winnowing" -> (textWinnowing _),
     "text_repetition" -> (textRepetition _),
     "text_token_count" -> (textTokenCount _),
@@ -371,6 +416,7 @@ object TextAnalysis {
     "text_ngram_freq" -> (textNgramFreq _))
 
   val oracles: Map[String, String] = Map(
+    "text_readability" -> textReadabilityOracle,
     "text_winnowing" -> textWinnowingOracle,
     "text_repetition" -> textRepetitionOracle,
     "text_token_count" -> textTokenCountOracle,

@@ -244,6 +244,62 @@ object DataProfile {
       |       COUNT(*) AS n_buckets
       |FROM masks GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---- agg_gini -------------------------------------------------------------
+  // Gini coefficient of per-customer revenue concentration — the
+  // inequality profile ("do 1% of customers carry 50% of revenue?") a
+  // curation pipeline runs on domain/source distributions before fixing
+  // a sampling mix. Exact rank formulation: customers sorted ascending by
+  // (total, custkey) — the composite is unique, so both engines rank
+  // identically — and G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx). Every sum is
+  // exact (Σ i·x as scale-0 DECIMAL / HUGEINT: rank × cents overflows a
+  // bigint sum past ~sf1), cast to double once, one identically-shaped
+  // final expression. The rank window is a single global sort of the
+  // CUSTOMER AGGREGATE (not the fact table) — series-sized; at 100 TB the
+  // per-customer totals come from the map-side-combining agg and the
+  // sort is over customers only.
+  def aggGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("tot"))
+    val ranked = totals.withColumn("rn",
+      row_number().over(Window.orderBy(col("tot"), col("o_custkey"))))
+    ranked.agg(count(lit(1)).as("n_customers"),
+        sum(col("tot")).as("total_cents"),
+        sum(expr("CAST(rn AS DECIMAL(38,0)) * tot")).as("ix"))
+      .withColumn("dn", expr("cast(n_customers as double)"))
+      .withColumn("sxd", expr("cast(total_cents as double)"))
+      .withColumn("ixd", expr("cast(ix as double)"))
+      .select(col("n_customers"), col("total_cents"),
+        expr("""cast(round(cast(
+               |  (2.0 * ixd - (dn + 1.0) * sxd) / (dn * sxd)
+               |as decimal(28,8)), 6) as double)""".stripMargin).as("gini"))
+  }
+
+  private val aggGiniOracle =
+    """WITH totals AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS tot
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT tot, ROW_NUMBER() OVER (ORDER BY tot, o_custkey) AS rn FROM totals),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |         CAST(SUM(tot) AS BIGINT) AS total_cents,
+      |         SUM(CAST(rn AS HUGEINT) * tot) AS ix
+      |  FROM ranked),
+      |d AS (
+      |  SELECT n_customers, total_cents,
+      |         CAST(n_customers AS DOUBLE) AS dn,
+      |         CAST(total_cents AS DOUBLE) AS sxd,
+      |         CAST(ix AS DOUBLE) AS ixd
+      |  FROM agg)
+      |SELECT n_customers, total_cents,
+      |       CAST(ROUND(CAST(
+      |         (2.0 * ixd - (dn + 1.0) * sxd) / (dn * sxd)
+      |       AS DECIMAL(28,8)), 6) AS DOUBLE) AS gini
+      |FROM d""".stripMargin
+
   // ---- agg_skew_kurt --------------------------------------------------------
   // Skewness + excess kurtosis of extendedprice per returnflag — the
   // distribution-shape profile beside corr/slope (agg_corr_regr) and the
@@ -730,6 +786,7 @@ object DataProfile {
     "profile_columns_approx" -> (profileColumnsApprox _),
     "agg_corr_regr" -> (aggCorrRegr _),
     "agg_skew_kurt" -> (aggSkewKurt _),
+    "agg_gini" -> (aggGini _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "anomaly_daily_mad" -> (anomalyDailyMad _),
     "agg_weighted_median" -> (aggWeightedMedian _),
@@ -745,6 +802,7 @@ object DataProfile {
     "profile_columns_approx" -> profileColumnsApproxOracle,
     "agg_corr_regr" -> aggCorrRegrOracle,
     "agg_skew_kurt" -> aggSkewKurtOracle,
+    "agg_gini" -> aggGiniOracle,
     "agg_bitmap_distinct" -> aggBitmapDistinctOracle,
     "anomaly_daily_mad" -> anomalyDailyMadOracle,
     "agg_weighted_median" -> aggWeightedMedianOracle,

@@ -472,7 +472,63 @@ object PipelineOps {
       |       CAST(MAX(key) AS BIGINT) AS max_key
       |FROM diff GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- sample_time_split ----------------------------------------------------
+  // TEMPORAL train/test split + leakage audit — the split an ML pipeline
+  // must use when examples have timestamps (hash splits leak the future
+  // into training): cutoff = first day + 3/4 of the observed span
+  // (integer day arithmetic on the data's own min/max, so the boundary
+  // is a pure function of the data), events before it train, the rest
+  // test — and the report carries the LEAKAGE count: users active on
+  // both sides, exactly the population whose test rows are
+  // non-independent of training (what a grouped/user-level split would
+  // have to hold out). One scan tags map-side against a broadcast
+  // 2-value bound row; the audit is a user-grain agg — no second scan
+  // of the event log.
+  def sampleTimeSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) * 3 div 4 AS INT))")
+        .as("cutoff"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col("day") < col("cutoff"), lit("train")).otherwise(lit("test")))
+    val leak = tagged.select(col("user_id"), col("split")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sides"))
+      .filter(col("n_sides") === 2)
+      .agg(count(lit(1)).as("n_leak_users"))
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"))
+      .crossJoin(broadcast(leak))
+      .orderBy(col("split"))
+  }
+
+  private val sampleTimeSplitOracle =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+      |b AS (
+      |  SELECT MIN(day) + CAST((MAX(day) - MIN(day)) * 3 // 4 AS INT) AS cutoff
+      |  FROM ev),
+      |tagged AS (
+      |  SELECT day, user_id,
+      |         CASE WHEN day < (SELECT cutoff FROM b) THEN 'train'
+      |              ELSE 'test' END AS split
+      |  FROM ev),
+      |leak AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_leak_users FROM (
+      |    SELECT user_id FROM (SELECT DISTINCT user_id, split FROM tagged) t
+      |    GROUP BY user_id HAVING COUNT(*) = 2))
+      |SELECT split, COUNT(*) AS n_events,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       MIN(day) AS first_day, MAX(day) AS last_day,
+      |       (SELECT n_leak_users FROM leak) AS n_leak_users
+      |FROM tagged GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "sample_time_split" -> (sampleTimeSplit _),
     "join_full_outer_diff" -> (joinFullOuterDiff _),
     "window_session" -> (windowSession _),
     "scd2_intervals" -> (scd2Intervals _),
@@ -485,6 +541,7 @@ object PipelineOps {
     "merge_upsert" -> (mergeUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "sample_time_split" -> sampleTimeSplitOracle,
     "join_full_outer_diff" -> joinFullOuterDiffOracle,
     "window_session" -> windowSessionOracle,
     "scd2_intervals" -> scd2IntervalsOracle,

@@ -410,7 +410,102 @@ object TimeSeries {
       |       COUNT(*) AS n_runs
       |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // ---- window_zscore_rolling ------------------------------------------------
+  // Rolling z-score of daily revenue against its trailing 30 observations
+  // — the PARAMETRIC anomaly detector beside anomaly_daily_mad's robust
+  // median/MAD (a monitoring stack runs both: z-score reacts faster, MAD
+  // survives broken days): mean and population variance come from exact
+  // window sums (Σc as BIGINT, Σc² as scale-0 DECIMAL — cents² would
+  // overflow a bigint window sum), each cast to double once, z computed
+  // stepwise with the identical IEEE shape both sides; emitted only when
+  // the window holds ≥ 10 observations with positive variance (early and
+  // degenerate days stay NULL rather than fabricating a score). Runs
+  // entirely on the day-grain series — same posture as anomaly_daily_mad.
+  def windowZscoreRolling(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val w = Window.orderBy(col("day")).rowsBetween(-29, 0)
+    daily
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cents")).over(w))
+      .withColumn("s2", sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).over(w))
+      .withColumn("mean", expr("cast(s1 as double) / cast(n_w as double)"))
+      .withColumn("variance", expr(
+        "cast(s2 as double) / cast(n_w as double) - mean * mean"))
+      .withColumn("z", expr(
+        """case when n_w >= 10 and variance > 0.0
+          |then cast(round(cast(
+          |  (cast(cents as double) - mean) / sqrt(variance)
+          |as decimal(28,8)), 4) as double) end""".stripMargin))
+      .select(col("day"), col("cents"), col("n_w"), col("z"))
+      .orderBy(col("day"))
+  }
+
+  private val windowZscoreRollingOracle =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |win AS (
+      |  SELECT day, cents,
+      |         COUNT(*) OVER w AS n_w,
+      |         CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+      |         SUM(CAST(cents AS HUGEINT) * cents) OVER w AS s2
+      |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+      |m AS (
+      |  SELECT day, cents, n_w,
+      |         CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE) AS mean,
+      |         CAST(s2 AS DOUBLE) / CAST(n_w AS DOUBLE) AS r2
+      |  FROM win),
+      |v AS (SELECT day, cents, n_w, mean, r2 - mean * mean AS variance FROM m)
+      |SELECT day, cents, n_w,
+      |       CASE WHEN n_w >= 10 AND variance > 0.0
+      |            THEN CAST(ROUND(CAST(
+      |              (CAST(cents AS DOUBLE) - mean) / sqrt(variance)
+      |            AS DECIMAL(28,8)), 4) AS DOUBLE) END AS z
+      |FROM v ORDER BY day""".stripMargin
+
+  // ---- window_drawdown ------------------------------------------------------
+  // Maximum drawdown of the cumulative daily revenue curve — running
+  // cumulative sum, its running peak, and the per-day gap (how far below
+  // the best-ever cumulative the series sits): the classic
+  // peak-to-trough measure, here over exact integer cents so every value
+  // is a bigint and no fp enters at all. Two stacked windows over the
+  // same day ordering; day-grain series, metadata-sized at any corpus.
+  def windowDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val run = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_cents", sum(col("cents")).over(run))
+      .withColumn("peak_cents", max(col("cum_cents")).over(run))
+      .withColumn("drawdown_cents", col("peak_cents") - col("cum_cents"))
+      .orderBy(col("day"))
+  }
+
+  private val windowDrawdownOracle =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT day, cents,
+      |         CAST(SUM(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |  FROM daily)
+      |SELECT day, cents, cum_cents,
+      |       CAST(MAX(cum_cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |         AND CURRENT ROW) AS BIGINT) AS peak_cents,
+      |       CAST(MAX(cum_cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |         AND CURRENT ROW) - cum_cents AS BIGINT) AS drawdown_cents
+      |FROM c ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "window_zscore_rolling" -> (windowZscoreRolling _),
+    "window_drawdown" -> (windowDrawdown _),
     "window_streaks" -> (windowStreaks _),
     "ts_fill_gaps" -> (tsFillGaps _),
     "ts_interpolate" -> (tsInterpolate _),
@@ -421,6 +516,8 @@ object TimeSeries {
     "window_rolling_distinct" -> (windowRollingDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "window_zscore_rolling" -> windowZscoreRollingOracle,
+    "window_drawdown" -> windowDrawdownOracle,
     "window_streaks" -> windowStreaksOracle,
     "ts_fill_gaps" -> tsFillGapsOracle,
     "ts_interpolate" -> tsInterpolateOracle,

@@ -758,4 +758,23 @@ class LlmOpsSpec extends SparkSpec {
         f"propagator accuracy $acc%.3f below 0.9 on geometrically separable clusters")
     } finally graft.sink.Sinks.deleteDir(tmp)
   }
+
+  test("text_readability: score equals the Flesch formula over its own counts (r10)") {
+    val rows = TextAnalysis.textReadability(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ns, nw, sy) = (r.getAs[Int]("n_sent"), r.getAs[Int]("n_words"),
+        r.getAs[Int]("n_syll"))
+      assert(ns >= 1 && nw >= 1)
+      assert(sy >= nw / 4, s"doc ${r.get(0)}: implausibly few vowel groups")
+      val want = BigDecimal(206.835 - 1.015 * (nw.toDouble / ns)
+          - 84.6 * (sy.toDouble / nw))
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      // the engine rounds through DECIMAL(28,8) before the 4dp round; a
+      // value on the half-way boundary can land one quantum away from
+      // this double recompute — allow exactly that quantum
+      assert(math.abs(r.getAs[Double]("flesch") - want) <= 1.01e-4,
+        s"doc ${r.get(0)}: flesch ${r.getAs[Double]("flesch")} != $want")
+    }
+  }
 }

@@ -177,4 +177,22 @@ class DataProfileSpec extends SparkSpec {
       k -> (a.getOrElse(k, 0L) | b.getOrElse(k, 0L))).toMap
     assert(merged == whole, "slice masks must OR-merge to the corpus masks")
   }
+
+  test("agg_gini: bounds + equals a driver-side rank recompute (r10)") {
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    val r = DataProfile.aggGini(spark, sfDir).collect().head
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0, s"gini $g out of [0, 1)")
+    val totals = graft.model.Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("tot"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(x => (x._2, x._1)).map(_._2)
+    val n = totals.length.toDouble
+    val sx = totals.sum.toDouble
+    val ix = totals.zipWithIndex.map { case (x, i0) => (i0 + 1).toDouble * x }.sum
+    val want = (2.0 * ix - (n + 1.0) * sx) / (n * sx)
+    assert(math.abs(g - want) < 1e-6, s"gini $g vs recompute $want")
+    assert(r.getAs[Long]("n_customers") == totals.length)
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.sql.Date
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -227,5 +229,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("removed").getAs[Long]("delta_cents") < 0)
     assert(out("added").getAs[Long]("max_key") < 0)
     assert(out("unchanged").getAs[Long]("delta_cents") == 0L)
+  }
+
+  test("sample_time_split: clean temporal boundary + exact leakage audit (r10)") {
+    import org.apache.spark.sql.functions.col
+    val out = PipelineOps.sampleTimeSplit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("train", "test"))
+    val ev = graft.model.Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("user_id")).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts").toLocalDateTime.toLocalDate,
+        r.getLong(1)))
+    assert(out("train").getAs[Long]("n_events") +
+      out("test").getAs[Long]("n_events") == ev.length,
+      "splits must conserve the corpus")
+    // the boundary is clean: every train day strictly precedes every test day
+    val trainLast = out("train").getAs[Date]("last_day").toLocalDate
+    val testFirst = out("test").getAs[Date]("first_day").toLocalDate
+    assert(trainLast.isBefore(testFirst), s"$trainLast !< $testFirst")
+    // leakage = users active on both sides of that boundary
+    val cutoff = testFirst
+    val trainU = ev.filter(_._1.isBefore(cutoff)).map(_._2).toSet
+    val testU = ev.filterNot(_._1.isBefore(cutoff)).map(_._2).toSet
+    val leak = (trainU & testU).size
+    assert(out("train").getAs[Long]("n_leak_users") == leak)
+    assert(out("test").getAs[Long]("n_leak_users") == leak)
   }
 }

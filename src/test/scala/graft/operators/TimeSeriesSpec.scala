@@ -229,6 +229,55 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("window_zscore_rolling: equals a driver-side trailing-30 recompute (r10)") {
+    import org.apache.spark.sql.functions.{col, expr, sum, to_date}
+    val rows = TimeSeries.windowZscoreRolling(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.model.Tables.load(spark, sfDir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .collect().map(r => (r.getAs[Date]("day").toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val series = daily.map(_._2)
+    val expected = daily.indices.map { i =>
+      val w = series.slice(math.max(0, i - 29), i + 1)
+      val n = w.length
+      val mean = w.sum.toDouble / n
+      val variance = w.map(c => c.toDouble * c).sum / n - mean * mean
+      if (n >= 10 && variance > 0.0)
+        Some(BigDecimal((series(i) - mean) / math.sqrt(variance))
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }
+    rows.sortBy(_.getAs[Date]("day").getTime).zip(expected).foreach {
+      case (r, want) =>
+        val got = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        // recompute uses double c*c where the engine sums exact decimals;
+        // they agree to rounding at this magnitude
+        (got, want) match {
+          case (Some(g), Some(e)) => assert(math.abs(g - e) <= 2e-4,
+            s"${r.get(0)}: z $g vs recompute $e")
+          case (g, e) => assert(g == e, s"${r.get(0)}: null mismatch $g vs $e")
+        }
+    }
+  }
+
+  test("window_drawdown: peak monotone, drawdown = peak - cum, exact recompute (r10)") {
+    val rows = TimeSeries.windowDrawdown(spark, sfDir).collect()
+      .sortBy(_.getAs[Date]("day").getTime)
+    assert(rows.nonEmpty)
+    var cum = 0L
+    var peak = Long.MinValue
+    rows.foreach { r =>
+      cum += r.getAs[Long]("cents")
+      peak = math.max(peak, cum)
+      assert(r.getAs[Long]("cum_cents") == cum)
+      assert(r.getAs[Long]("peak_cents") == peak)
+      assert(r.getAs[Long]("drawdown_cents") == peak - cum)
+      assert(r.getAs[Long]("drawdown_cents") >= 0L)
+    }
+  }
+
   test("window_rolling_distinct: equals a driver-side 7-day recompute") {
     import org.apache.spark.sql.functions.{col, to_date}
     val rows = TimeSeries.windowRollingDistinct(spark, sfDir).collect()
