@@ -759,6 +759,77 @@ object Multimodal {
       |         i -> ((i // channels) * 37 + (i % channels) * 11) % 4096 - 2048)) AS BIGINT) AS pcm_sum
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---- mm_audio_features: signal features off the REAL decoded PCM ----------
+  // The audio analysis stage after decode (the spectral-lite features a
+  // curation pipeline thresholds: silence/clipping/energy): per doc,
+  // synthesize the genuine WAV (audioGeom), decode the PCM DATA through
+  // the platform codec, and fold the int16 samples into exact integer
+  // signal statistics — per-channel zero-crossing count (sign changes,
+  // zero counted non-negative), Σ|s|, and max|s|. Every number passes
+  // through the real JDK audio stack, yet the oracle replays the
+  // (37f + 11c) mod 4096 − 2048 generator over a flattened index and
+  // predicts all of them — a decoder that mis-deinterleaved channels
+  // would get the zero-crossing count wrong even with the right sample
+  // multiset. Same mapPartitions posture as every codec key.
+  def mmAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    load(s, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (rate, ch, frames) = audioGeom(id)
+          val wav = WavCodec.encodeWav(rate, ch, frames)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val data = try in.readAllBytes() finally in.close()
+          var sumAbs = 0L
+          var maxAbs = 0L
+          var zc = 0L
+          val prevSgn = new Array[Int](ch)
+          java.util.Arrays.fill(prevSgn, 2) // sentinel: no previous sample
+          var j = 0
+          val nSamples = data.length / 2
+          while (j < nSamples) {
+            val v = ((data(2 * j) & 0xff) | (data(2 * j + 1) << 8)).toShort.toInt
+            val a = math.abs(v).toLong
+            sumAbs += a
+            if (a > maxAbs) maxAbs = a
+            val c = j % ch
+            val sgn = if (v >= 0) 1 else -1
+            if (prevSgn(c) != 2 && prevSgn(c) != sgn) zc += 1
+            prevSgn(c) = sgn
+            j += 1
+          }
+          (id, rate, ch, frames, zc, sumAbs, maxAbs)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "n_frames",
+        "n_zero_cross", "sum_abs", "max_abs")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAudioFeaturesOracle =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         CAST(8000 + ((doc_id // 3) % 3) * 4000 AS INT) AS sample_rate,
+      |         CAST(1 + doc_id % 2 AS INT) AS channels,
+      |         CAST(200 + doc_id % 397 AS INT) AS n_frames
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, sample_rate, channels, n_frames,
+      |         list_transform(generate_series(0, n_frames * channels - 1),
+      |           i -> ((i // channels) * 37 + (i % channels) * 11) % 4096 - 2048) AS samples
+      |  FROM g)
+      |SELECT doc_id, sample_rate, channels, n_frames,
+      |       CAST(list_sum(list_transform(generate_series(channels, n_frames * channels - 1),
+      |         i -> CASE WHEN (CASE WHEN samples[i + 1] >= 0 THEN 1 ELSE -1 END)
+      |                     <> (CASE WHEN samples[i + 1 - channels] >= 0 THEN 1 ELSE -1 END)
+      |              THEN 1 ELSE 0 END)) AS BIGINT) AS n_zero_cross,
+      |       CAST(list_sum(list_transform(samples, x -> abs(x))) AS BIGINT) AS sum_abs,
+      |       CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS max_abs
+      |FROM v ORDER BY doc_id""".stripMargin
+
   // ---- mm_feature_extract: per-media feature vectors ------------------------
   // The feature-extraction stage of a multimodal pipeline (the step between
   // decode and embedding): a per-partition featurizer walks the payload
@@ -913,6 +984,7 @@ object Multimodal {
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_decode_audio" -> (mmDecodeAudio _),
     "mm_decode_video" -> (mmDecodeVideo _),
+    "mm_audio_features" -> (mmAudioFeatures _),
     "mm_resize_sample" -> (mmResizeSample _),
     "mm_feature_extract" -> (mmFeatureExtract _))
 
@@ -922,6 +994,7 @@ object Multimodal {
     "mm_decode_real" -> mmDecodeRealOracle,
     "mm_decode_audio" -> mmDecodeAudioOracle,
     "mm_decode_video" -> mmDecodeVideoOracle,
+    "mm_audio_features" -> mmAudioFeaturesOracle,
     "mm_resize_sample" -> mmResizeSampleOracle,
     "mm_feature_extract" -> mmFeatureExtractOracle)
 }

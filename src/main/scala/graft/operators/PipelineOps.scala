@@ -472,6 +472,69 @@ object PipelineOps {
       |       CAST(MAX(key) AS BIGINT) AS max_key
       |FROM diff GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- join_spatial_grid ----------------------------------------------------
+  // Grid-blocked SPATIAL distance self-join — "all pairs within radius r"
+  // without an all-pairs join, the blocking every geo pipeline uses
+  // before a distance predicate (geohash/S2 cells are this same idea on
+  // the sphere): points land in a uniform grid with CELL SIZE = r, so
+  // every pair within r is in the same or an adjacent cell — one side
+  // explodes to its 3×3 neighborhood and the join is pure equi on the
+  // cell, with the exact integer distance check post-match. Coordinates
+  // derive from md5 of the key (the proven 4-hex device), so both
+  // engines place every point identically and the oracle replays the
+  // whole thing. Candidate volume ∝ points × local density — never n²;
+  // at 100 TB both sides hash-partition on the cell key and skew is
+  // bounded by the densest cell (salt cells further if needed — the
+  // join_skew_salted device composes).
+  private val GridCell = 1024L // cell edge == radius, in 16-bit grid units
+  def joinSpatialGrid(s: SparkSession, dir: String): DataFrame = {
+    val pts = load(s, dir, "customer")
+      .select(col("c_custkey").as("id"))
+      .withColumn("x",
+        conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10).cast("long"))
+      .withColumn("y",
+        conv(substring(md5(col("id").cast("string")), 5, 4), 16, 10).cast("long"))
+      .withColumn("cx", expr(s"x div $GridCell"))
+      .withColumn("cy", expr(s"y div $GridCell"))
+    val nb = pts.select(col("id").as("id_b"), col("x").as("xb"),
+        col("y").as("yb"), col("cx").as("cbx"), col("cy").as("cby"))
+      .withColumn("d", explode(expr(
+        "transform(sequence(0, 8), i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy))")))
+      .select(col("id_b"), col("xb"), col("yb"),
+        (col("cbx") + col("d.dx")).as("cx"), (col("cby") + col("d.dy")).as("cy"))
+    pts.join(nb, Seq("cx", "cy"))
+      .filter(col("id") < col("id_b"))
+      .withColumn("dist2",
+        (col("x") - col("xb")) * (col("x") - col("xb")) +
+          (col("y") - col("yb")) * (col("y") - col("yb")))
+      .filter(col("dist2") <= GridCell * GridCell)
+      .select(col("id").as("id_a"), col("id_b"), col("dist2"))
+      .distinct() // a pair can match through up to 2 shared border cells
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val joinSpatialGridOracle =
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS id,
+       |         CAST((instr('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1) * 4096
+       |            + (instr('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 2, 1)) - 1) * 256
+       |            + (instr('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 3, 1)) - 1) * 16
+       |            + (instr('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 4, 1)) - 1) AS BIGINT) AS x,
+       |         CAST((instr('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 5, 1)) - 1) * 4096
+       |            + (instr('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 6, 1)) - 1) * 256
+       |            + (instr('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 7, 1)) - 1) * 16
+       |            + (instr('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 8, 1)) - 1) AS BIGINT) AS y
+       |  FROM customer)
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+       |FROM pts a JOIN pts b
+       |  ON a.id < b.id
+       | AND abs((a.x // $GridCell) - (b.x // $GridCell)) <= 1
+       | AND abs((a.y // $GridCell) - (b.y // $GridCell)) <= 1
+       | AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |       <= $GridCell * $GridCell
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- sample_time_split ----------------------------------------------------
   // TEMPORAL train/test split + leakage audit — the split an ML pipeline
   // must use when examples have timestamps (hash splits leak the future
@@ -529,6 +592,7 @@ object PipelineOps {
 
   val queries: Map[String, Q] = Map[String, Q](
     "sample_time_split" -> (sampleTimeSplit _),
+    "join_spatial_grid" -> (joinSpatialGrid _),
     "join_full_outer_diff" -> (joinFullOuterDiff _),
     "window_session" -> (windowSession _),
     "scd2_intervals" -> (scd2Intervals _),
@@ -542,6 +606,7 @@ object PipelineOps {
 
   val oracles: Map[String, String] = Map(
     "sample_time_split" -> sampleTimeSplitOracle,
+    "join_spatial_grid" -> joinSpatialGridOracle,
     "join_full_outer_diff" -> joinFullOuterDiffOracle,
     "window_session" -> windowSessionOracle,
     "scd2_intervals" -> scd2IntervalsOracle,

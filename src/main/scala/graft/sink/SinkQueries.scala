@@ -225,6 +225,45 @@ object SinkQueries {
       |       md5(string_agg(text, chr(1) ORDER BY doc_id)) AS shard_fp
       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- sink_csv_roundtrip ---------------------------------------------------
+  // CSV sink correctness under the payloads that break naive writers:
+  // every record carries an embedded delimiter, embedded double-quotes,
+  // AND an embedded newline (constructed deterministically from the doc
+  // text, so the oracle builds the identical strings without touching a
+  // CSV library). The frame writes through Spark's CSV sink (quoting +
+  // escaping engaged by content) and is read back with multiLine parsing;
+  // the aggregate fingerprints every recovered string in doc order — one
+  // mangled quote, lost newline, or split record anywhere in the corpus
+  // fails the hash. This is the interchange contract sink_shards' parquet
+  // path never has to prove; at 100 TB the same write is the export to
+  // CSV-consuming downstreams and scales as pure parse/format throughput.
+  def sinkCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("sink_csv_roundtrip")
+    graft.model.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), expr(
+        """concat('v,', substring(text, 1, 24), '"q"', chr(10),
+          |       'tail;', doc_id)""".stripMargin).as("tricky"))
+      .write.option("header", "true").csv(path)
+    s.read.option("header", "true").option("multiLine", "true")
+      .schema("doc_id LONG, tricky STRING").csv(path)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("tricky"))).as("sum_len"),
+        expr("""md5(concat_ws(chr(1),
+              |  transform(sort_array(collect_list(struct(doc_id, tricky))),
+              |            x -> x.tricky)))""".stripMargin).as("corpus_fp"))
+  }
+
+  private val sinkCsvRoundtripOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         concat('v,', substring(text, 1, 24), '"q"', chr(10),
+      |                'tail;', doc_id) AS tricky
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_docs,
+      |       CAST(SUM(len(tricky)) AS BIGINT) AS sum_len,
+      |       md5(string_agg(tricky, chr(1) ORDER BY doc_id)) AS corpus_fp
+      |FROM t""".stripMargin
+
   // ---- sink_dynamic_overwrite ----------------------------------------------
   // Dynamic partition overwrite — the vanilla-Spark daily-reload idiom
   // (partitionOverwriteMode=dynamic): an overwrite write replaces ONLY the
@@ -269,6 +308,7 @@ object SinkQueries {
 
   val queries: Map[String, Q] = Map[String, Q](
     "sink_dynamic_overwrite" -> (sinkDynamicOverwrite _),
+    "sink_csv_roundtrip" -> (sinkCsvRoundtrip _),
     "sink_shards" -> (sinkShards _),
     "sink_truncate" -> (sinkTruncate _),
     "sink_append_historical" -> (sinkAppendHistorical _),
@@ -279,6 +319,7 @@ object SinkQueries {
 
   val oracles: Map[String, String] = Map(
     "sink_dynamic_overwrite" -> sinkDynamicOverwriteOracle,
+    "sink_csv_roundtrip" -> sinkCsvRoundtripOracle,
     "sink_shards" -> sinkShardsOracle,
     "sink_truncate" -> fixtureCounts("personnel"),
     "sink_append_historical" -> fixtureCounts("personnel",

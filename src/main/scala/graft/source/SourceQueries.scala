@@ -192,6 +192,50 @@ object SourceQueries {
       |       md5(string_agg(text, chr(1) ORDER BY doc_id)) AS corpus_fp
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- src_fixed_width ------------------------------------------------------
+  // Fixed-width (positional) file ingest — the mainframe/EDI layout every
+  // enterprise loader eventually meets: no delimiters, fields live at
+  // byte offsets. Spark has no fixed-width reader, and the correct
+  // Spark-first answer is NOT a custom source but `spark.read.text` +
+  // codegen'd substring/trim/cast projections — the scan stays a plain
+  // text scan with column pruning and the parse is whole-stage-codegen
+  // scalar work. Round-trip contract: orders render to 30-byte records
+  // (orderkey lpad 10 · status rpad 4 · cents lpad 14 with a sign
+  // column), land as a real text file, parse back by OFFSET, and the
+  // per-status aggregate must equal the oracle computed from the base
+  // table — a wrong offset or a trim/pad asymmetry shifts every field
+  // and fails the hash.
+  def srcFixedWidth(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_src_fw" +
+      s"-${ProcessHandle.current().pid()}-${evoRunId.incrementAndGet()}"
+    graft.sink.Sinks.deleteDir(path)
+    graft.model.Tables.load(s, dir, "orders")
+      .select(expr(
+        """concat(lpad(CAST(o_orderkey AS STRING), 10, '0'),
+          |       rpad(o_orderstatus, 4, ' '),
+          |       lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
+          |            14, '0'))""".stripMargin).as("value"))
+      .write.text(s"$path/fw")
+    s.read.text(s"$path/fw")
+      .select(
+        expr("CAST(substring(value, 1, 10) AS BIGINT)").as("orderkey"),
+        expr("trim(substring(value, 11, 4))").as("status"),
+        expr("CAST(substring(value, 15, 14) AS BIGINT)").as("cents"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("orderkey")).as("min_key"),
+        max(col("orderkey")).as("max_key"))
+      .orderBy(col("status"))
+  }
+
+  private val srcFixedWidthOracle =
+    """SELECT o_orderstatus AS status, COUNT(*) AS n,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- src_csv_badrecords ---------------------------------------------------
   // Robust CSV ingest — the PERMISSIVE-mode contract production loaders
   // depend on: malformed rows (here every doc_id % 17 == 0 row is staged
@@ -255,6 +299,7 @@ object SourceQueries {
   val queries: Map[String, Q] = Map[String, Q](
     "src_csv_badrecords" -> (srcCsvBadRecords _),
     "src_jsonl" -> (srcJsonl _),
+    "src_fixed_width" -> (srcFixedWidth _),
     "src_http_graphql" -> (srcHttpGraphql _),
     "src_retry" -> (srcRetry _),
     "src_pagination" -> (srcPagination _),
@@ -265,6 +310,7 @@ object SourceQueries {
   val oracles: Map[String, String] = Map(
     "src_csv_badrecords" -> srcCsvBadRecordsOracle,
     "src_jsonl" -> srcJsonlOracle,
+    "src_fixed_width" -> srcFixedWidthOracle,
     "src_http_graphql" -> itemsOracle("personnel/2025-06-27.json"),
     "src_retry" -> srcRetryOracle,
     "src_pagination" -> itemsOracle("projects/2025-06-27_p*.json"),

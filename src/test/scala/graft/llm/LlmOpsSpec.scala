@@ -777,4 +777,37 @@ class LlmOpsSpec extends SparkSpec {
         s"doc ${r.get(0)}: flesch ${r.getAs[Double]("flesch")} != $want")
     }
   }
+
+  test("mm_audio_features: hand-walked fixture through the real PCM decode (r10)") {
+    import Multimodal.WavCodec
+    // tiny known signal: 2 channels, 6 frames of the (37f + 11c) generator
+    val wav = WavCodec.encodeWav(8000, 2, 6)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val data = try in.readAllBytes() finally in.close()
+    val samples = (0 until data.length / 2).map(j =>
+      ((data(2 * j) & 0xff) | (data(2 * j + 1) << 8)).toShort.toInt)
+    val expected = (0 until 6).flatMap(f => Seq(0, 1).map(c =>
+      (f * 37 + c * 11) % 4096 - 2048))
+    assert(samples == expected, "decoded PCM must equal the generator")
+    // the per-channel zero-crossing walk the key performs: channel c's
+    // series is samples at j % 2 == c
+    val zc = Seq(0, 1).map { c =>
+      val ser = samples.indices.filter(_ % 2 == c).map(samples)
+      ser.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+    }.sum
+    // generator starts at -2048 and climbs by 37/frame: no crossing in 6
+    // frames — the sign structure is part of the fixture's point
+    assert(zc == 0)
+    val out = Multimodal.mmAudioFeatures(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_abs") <= 2048)
+      assert(r.getAs[Long]("sum_abs") > 0)
+      // long signals (200+ frames at +37/frame) wrap mod 4096 repeatedly:
+      // real crossings must appear
+      assert(r.getAs[Long]("n_zero_cross") > 0,
+        s"doc ${r.get(0)}: no zero crossings in a wrapping signal")
+    }
+  }
 }

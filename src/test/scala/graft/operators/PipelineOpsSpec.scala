@@ -255,4 +255,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("train").getAs[Long]("n_leak_users") == leak)
     assert(out("test").getAs[Long]("n_leak_users") == leak)
   }
+
+  test("join_spatial_grid: equals brute force within radius, stays an equi-join (r10)") {
+    import org.apache.spark.sql.functions.col
+    val out = PipelineOps.joinSpatialGrid(spark, sfDir)
+    // blocking must not degrade to an all-pairs plan
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"spatial join must block on the cell, not cross:\n$plan")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same md5-derived coordinates
+    def hex4(h: String, off: Int): Long =
+      java.lang.Long.parseLong(h.substring(off, off + 4), 16)
+    val pts = graft.model.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .map { id =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (id, hex4(h, 0), hex4(h, 4))
+      }
+    val r2 = 1024L * 1024L
+    val want = (for {
+      (a, xa, ya) <- pts; (b, xb, yb) <- pts if a < b
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) if d2 <= r2
+    } yield (a, b, d2)).toSet
+    assert(got == want,
+      s"grid blocking missed/invented pairs: got ${got.size}, want ${want.size}")
+  }
 }
