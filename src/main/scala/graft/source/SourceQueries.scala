@@ -20,6 +20,30 @@ object SourceQueries {
 
   private val evoRunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** One staged fixture per (key, source dir, source mtime) — the
+    * joinDppPrune discipline (r9 ADVICE) applied to every source key that
+    * stages a derived copy of a testdata table: repeated invocations in
+    * one session (the bench runs each key 3-5×) reuse the staged files
+    * instead of accumulating a fresh copy per call; a shutdown hook on
+    * each staged root is the backstop. Staging is fixture PREP for these
+    * keys — the contract under test is the read/parse path, which runs
+    * fresh every invocation either way. */
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedOnce(key: String, dir: String, srcTable: String)(
+      stage: String => Unit): String = {
+    val src = java.nio.file.Paths.get(s"$dir/$srcTable.parquet")
+    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
+    stageCache.computeIfAbsent(s"$key@$dir@$mtime", { _ =>
+      val path = s"${sys.props("java.io.tmpdir")}/graft_$key" +
+        s"-${ProcessHandle.current().pid()}-${evoRunId.incrementAndGet()}"
+      graft.sink.Sinks.deleteDir(path)
+      sys.addShutdownHook(graft.sink.Sinks.deleteDir(path))
+      stage(path)
+      path
+    })
+  }
+
   private def root = Flatten.fixtureRoot
   private def readFile(p: String): String =
     new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
@@ -131,18 +155,16 @@ object SourceQueries {
   // metadata, not data); the oracle states the union + null-fill
   // relationally.
   def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    // per-invocation unique staging path (pid + counter, same isolation as
-    // StreamQueries.initRoot/runId) — concurrent sessions on one host must
-    // never delete each other's staged batches
-    val path = s"${sys.props("java.io.tmpdir")}/graft_src_evo" +
-      s"-${ProcessHandle.current().pid()}-${evoRunId.incrementAndGet()}"
-    graft.sink.Sinks.deleteDir(path)
+    // pid + counter path inside stagedOnce keeps concurrent sessions on
+    // one host from deleting each other's staged batches
     val docs = graft.model.Tables.load(s, dir, "documents")
-    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))
-      .write.parquet(s"$path/v1")
-    docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("source"), col("lang"))
-      .write.parquet(s"$path/v2")
+    val path = stagedOnce("src_evo", dir, "documents") { p =>
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))
+        .write.parquet(s"$p/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .write.parquet(s"$p/v2")
+    }
     s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -171,11 +193,10 @@ object SourceQueries {
   // round-trip changes the hash against the oracle, which reads the SAME
   // relation from the original parquet.
   def srcJsonl(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_src_jsonl" +
-      s"-${ProcessHandle.current().pid()}-${evoRunId.incrementAndGet()}"
-    graft.sink.Sinks.deleteDir(path)
     val docs = graft.model.Tables.load(s, dir, "documents")
-    docs.write.json(s"$path/docs")
+    val path = stagedOnce("src_jsonl", dir, "documents") { p =>
+      docs.write.json(s"$p/docs")
+    }
     s.read.schema(docs.schema).json(s"$path/docs")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -206,16 +227,15 @@ object SourceQueries {
   // table — a wrong offset or a trim/pad asymmetry shifts every field
   // and fails the hash.
   def srcFixedWidth(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_src_fw" +
-      s"-${ProcessHandle.current().pid()}-${evoRunId.incrementAndGet()}"
-    graft.sink.Sinks.deleteDir(path)
-    graft.model.Tables.load(s, dir, "orders")
-      .select(expr(
-        """concat(lpad(CAST(o_orderkey AS STRING), 10, '0'),
-          |       rpad(o_orderstatus, 4, ' '),
-          |       lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
-          |            14, '0'))""".stripMargin).as("value"))
-      .write.text(s"$path/fw")
+    val path = stagedOnce("src_fw", dir, "orders") { p =>
+      graft.model.Tables.load(s, dir, "orders")
+        .select(expr(
+          """concat(lpad(CAST(o_orderkey AS STRING), 10, '0'),
+            |       rpad(o_orderstatus, 4, ' '),
+            |       lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
+            |            14, '0'))""".stripMargin).as("value"))
+        .write.text(s"$p/fw")
+    }
     s.read.text(s"$path/fw")
       .select(
         expr("CAST(substring(value, 1, 10) AS BIGINT)").as("orderkey"),
