@@ -319,17 +319,41 @@ object BloomSupport {
 /** Session registration (the SparkSessionExtensions-style hook, applied via
   * the function registry so any query text can call the functions). */
 object GraftFunctions {
+
+  /** The ONE builder table both install paths bind — the in-process
+    * `register` below and the `spark.sql.extensions` hook
+    * (GraftExtensions) — so a query's plan is byte-identical whichever
+    * way a function arrived, including its arity errors. */
+  val builders: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash16", 1, exprs => SimHash16(exprs.head)),
+    ("graft_minhash16", 1, exprs => MinHash16(exprs.head)),
+    ("graft_dotq", 2, exprs => DotQ(exprs(0), exprs(1))),
+    ("graft_l2q", 2, exprs => L2Q(exprs(0), exprs(1))),
+    ("graft_shingle3", 1, exprs => Shingle3(exprs.head)))
+
+  /** Arity gate at analysis time (r10, both paths): a builder that
+    * blindly indexes `exprs` turns a missing argument into a raw
+    * IndexOutOfBoundsException and silently DROPS surplus arguments —
+    * both are analysis errors and must fail as such, naming the
+    * function. */
+  def arityChecked(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(exprs)
+    }
+
   def register(s: SparkSession): Unit = {
     val r = s.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("graft_simhash16",
-      exprs => SimHash16(exprs.head), "built-in")
-    r.createOrReplaceTempFunction("graft_minhash16",
-      exprs => MinHash16(exprs.head), "built-in")
-    r.createOrReplaceTempFunction("graft_dotq",
-      exprs => DotQ(exprs(0), exprs(1)), "built-in")
-    r.createOrReplaceTempFunction("graft_l2q",
-      exprs => L2Q(exprs(0), exprs(1)), "built-in")
-    r.createOrReplaceTempFunction("graft_shingle3",
-      exprs => Shingle3(exprs.head), "built-in")
+    builders.foreach { case (name, n, build) =>
+      r.createOrReplaceTempFunction(name, arityChecked(name, n)(build),
+        "built-in")
+    }
   }
 }

@@ -51,6 +51,13 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT graft_simhash16(graft_shingle3('a b c'), 2)")
         .contains("graft_simhash16"),
         "surplus-arg must be an analysis error, not silently dropped")
+      // the in-process register path shares the SAME gated builders
+      graft.expressions.GraftFunctions.register(spark)
+      val viaRegErr = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT graft_l2q(array(1.0f))").collect()
+      }.getMessage
+      assert(viaRegErr.contains("graft_l2q"),
+        "register path must raise the identical arity error")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
