@@ -458,9 +458,12 @@ object Dedup {
   // keys share the reattach tail AND the oracle (one recursive-CTE
   // relation, two engine algorithms; the stream_cdf_read precedent).
   // Both phases are one hash-agg + one equi-join over the live edge set;
-  // convergence is exact set-stability (two exceptAll probes per round —
-  // same cost class as the round itself), plus a one-parent-per-child
-  // functional check before labels are read off.
+  // convergence is exact set-stability, probed cheaply (r10 VERDICT): the
+  // edge sets are DISTINCT, so |next| == |e| plus next ⊆ e implies
+  // equality — one count per round (a scan of the freshly checkpointed
+  // blocks) gates the single exceptAll probe, which runs only once the
+  // count stops moving, instead of two round-sized probes every round.
+  // A one-parent-per-child functional check still guards the read-off.
   def dedupCcTwophase(s: SparkSession, dir: String): DataFrame = {
     val (repMap, sym) = clusterPrelude(s, load(s, dir, "documents"))
     reattachMembers(repMap, twophaseCc(sym))
@@ -474,6 +477,8 @@ object Dedup {
       .distinct().localCheckpoint()
     var converged = false
     var iter = 0
+    var eCnt = -1L // edge count of e, carried across rounds (one count job
+                   // per round instead of recounting both sides)
     while (!converged && iter < 48) {
       iter += 1
       // large-star over the symmetric view: (v, m(u)) for v > u.
@@ -494,8 +499,12 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mS.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      if (eCnt < 0) eCnt = e.count()
+      val nextCnt = next.count()
+      // both sets are distinct: equal cardinality + containment = equality
+      converged = nextCnt == eCnt && next.exceptAll(e).isEmpty
       e = next
+      eCnt = nextCnt
     }
     require(converged, s"large/small-star did not converge in $iter rounds")
     // at the fixpoint the edge set must be a star forest: one parent per

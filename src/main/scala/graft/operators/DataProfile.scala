@@ -695,7 +695,7 @@ object DataProfile {
     ns
   }
 
-  // one staged copy per (source dir, orders mtime) — repeated invocations
+  // one staged copy per (source dir, orders fingerprint) — repeated calls
   // in one session (the bench runs every key 3-5×) reuse the layout
   // instead of accumulating a full orders copy per call under fresh UUIDs
   // (r9 ADVICE); the shutdown hook on dppRoot stays as the backstop. The
@@ -706,9 +706,9 @@ object DataProfile {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def joinDppPrune(s: SparkSession, dir: String): DataFrame = {
-    val src = java.nio.file.Paths.get(s"$dir/orders.parquet")
-    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
-    val base = dppCache.computeIfAbsent(s"$dir@$mtime", { _ =>
+    // content fingerprint, not bare mtime (r10 ADVICE)
+    val fp = graft.sink.Sinks.fingerprint(s"$dir/orders.parquet")
+    val base = dppCache.computeIfAbsent(s"$dir@$fp", { _ =>
       val b = s"$dppRoot/${java.util.UUID.randomUUID()}"
       val orders = load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))

@@ -509,7 +509,11 @@ object PipelineOps {
           (col("y") - col("yb")) * (col("y") - col("yb")))
       .filter(col("dist2") <= GridCell * GridCell)
       .select(col("id").as("id_a"), col("id_b"), col("dist2"))
-      .distinct() // a pair can match through up to 2 shared border cells
+      // no distinct needed (r10 ADVICE): each point occupies exactly ONE
+      // grid cell, so a candidate pair meets through exactly one (dx,dy)
+      // offset — the 9 exploded neighbor cells of b are distinct, and
+      // a's single cell can equal at most one of them. A distinct here
+      // was a full extra shuffle of the matched pairs for nothing.
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -62,6 +62,29 @@ object Sinks {
     existed
   }
 
+  /** Content fingerprint for derived-artifact cache keys (r10 ADVICE):
+    * mtime alone has millisecond granularity and misses in-place rewrites
+    * of directory-backed parquet that preserve the root's mtime. Folds
+    * (relative name, mtime, size) over the file — or every regular file
+    * under a directory — so any regenerated source flips the key. */
+  def fingerprint(path: String): String = {
+    val p = Paths.get(path)
+    def one(f: java.nio.file.Path): Long = {
+      val rel = p.relativize(f).toString
+      (rel.hashCode.toLong * 1000003L) ^
+        Files.getLastModifiedTime(f).toMillis ^
+        java.lang.Long.rotateLeft(Files.size(f), 27)
+    }
+    if (Files.isDirectory(p)) {
+      val st = Files.walk(p)
+      try {
+        val acc = st.filter(Files.isRegularFile(_))
+          .mapToLong(one(_)).toArray
+        s"d${acc.length}-${acc.foldLeft(0L)(_ ^ _).toHexString}"
+      } finally st.close()
+    } else s"f${Files.size(p)}-${Files.getLastModifiedTime(p).toMillis}"
+  }
+
   /** Recursive delete for test/verify target dirs. */
   def deleteDir(dir: String): Unit = {
     val p = Paths.get(dir)

@@ -20,7 +20,7 @@ object SourceQueries {
 
   private val evoRunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** One staged fixture per (key, source dir, source mtime) — the
+  /** One staged fixture per (key, source dir, source fingerprint) — the
     * joinDppPrune discipline (r9 ADVICE) applied to every source key that
     * stages a derived copy of a testdata table: repeated invocations in
     * one session (the bench runs each key 3-5×) reuse the staged files
@@ -32,9 +32,10 @@ object SourceQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedOnce(key: String, dir: String, srcTable: String)(
       stage: String => Unit): String = {
-    val src = java.nio.file.Paths.get(s"$dir/$srcTable.parquet")
-    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
-    stageCache.computeIfAbsent(s"$key@$dir@$mtime", { _ =>
+    // content fingerprint, not bare mtime (r10 ADVICE): an in-place
+    // rewrite that preserves the path's mtime must still flip the key
+    val fp = graft.sink.Sinks.fingerprint(s"$dir/$srcTable.parquet")
+    stageCache.computeIfAbsent(s"$key@$dir@$fp", { _ =>
       val path = s"${sys.props("java.io.tmpdir")}/graft_$key" +
         s"-${ProcessHandle.current().pid()}-${evoRunId.incrementAndGet()}"
       graft.sink.Sinks.deleteDir(path)
@@ -220,27 +221,43 @@ object SourceQueries {
   // Spark-first answer is NOT a custom source but `spark.read.text` +
   // codegen'd substring/trim/cast projections — the scan stays a plain
   // text scan with column pruning and the parse is whole-stage-codegen
-  // scalar work. Round-trip contract: orders render to 30-byte records
-  // (orderkey lpad 10 · status rpad 4 · cents lpad 14 with a sign
-  // column), land as a real text file, parse back by OFFSET, and the
+  // scalar work. Round-trip contract: orders render to 28-byte records
+  // (orderkey lpad 10 · status rpad 4 · cents sign byte + lpad-13
+  // magnitude), land as a real text file, parse back by OFFSET, and the
   // per-status aggregate must equal the oracle computed from the base
   // table — a wrong offset or a trim/pad asymmetry shifts every field
   // and fails the hash.
+  //
+  // The cents field is sign-carrying (r10 ADVICE): byte 15 is '-' for
+  // negative amounts and '0' otherwise, followed by a 13-digit zero-padded
+  // magnitude — so CAST parses both polarities exactly and a negative
+  // amount can never silently render as an unparseable digit string. For
+  // non-negative cents the rendered record is byte-identical to the old
+  // 14-digit lpad, so the oracle and offsets are unchanged.
+
+  /** orders → 30-byte positional records (testable seam; FwSignSpec pins
+    * the negative-amount round trip the TPC-H data never exercises). */
+  private[source] def fixedWidthRecords(df: DataFrame): DataFrame =
+    df.select(expr(
+      """concat(lpad(CAST(o_orderkey AS STRING), 10, '0'),
+        |       rpad(o_orderstatus, 4, ' '),
+        |       CASE WHEN round(o_totalprice * 100) < 0 THEN '-' ELSE '0' END,
+        |       lpad(CAST(abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS STRING),
+        |            13, '0'))""".stripMargin).as("value"))
+
+  /** positional records → typed columns, by byte offset. */
+  private[source] def parseFixedWidth(df: DataFrame): DataFrame =
+    df.select(
+      expr("CAST(substring(value, 1, 10) AS BIGINT)").as("orderkey"),
+      expr("trim(substring(value, 11, 4))").as("status"),
+      expr("CAST(substring(value, 15, 14) AS BIGINT)").as("cents"))
+
   def srcFixedWidth(s: SparkSession, dir: String): DataFrame = {
     val path = stagedOnce("src_fw", dir, "orders") { p =>
-      graft.model.Tables.load(s, dir, "orders")
-        .select(expr(
-          """concat(lpad(CAST(o_orderkey AS STRING), 10, '0'),
-            |       rpad(o_orderstatus, 4, ' '),
-            |       lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
-            |            14, '0'))""".stripMargin).as("value"))
+      fixedWidthRecords(graft.model.Tables.load(s, dir, "orders"))
         .write.text(s"$p/fw")
     }
-    s.read.text(s"$path/fw")
-      .select(
-        expr("CAST(substring(value, 1, 10) AS BIGINT)").as("orderkey"),
-        expr("trim(substring(value, 11, 4))").as("status"),
-        expr("CAST(substring(value, 15, 14) AS BIGINT)").as("cents"))
+    parseFixedWidth(s.read.text(s"$path/fw"))
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"),
         sum(col("cents")).as("sum_cents"),
