@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes STRAIGHT to this process's stdout/stderr instead
+// of through sbt's logger, which prefixes every line with [info]/[error].
+// The driver's bench parser reads a bounded stdout tail and needs the
+// summary JSON as a BARE line (r10 VERDICT: BENCH_r10.json parsed null
+// because the line carried sbt's logger prefix); Spark's own logging is
+// on stderr and stays there.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -179,7 +179,7 @@ object FlattenQueries {
           .as("subitems_with_revenue"),
         round(sum(col("sub.revenue_amount").cast("decimal(18,4)")), 2)
           .as("rev_dec"))
-    val w = Window.orderBy(col("extraction_date"))
+    val w = Window.orderBy(col("extraction_date")) // lint:series-grain (day-grain snapshot series)
     daily.select(col("extraction_date"), col("total_projects"),
         col("total_subitems"), col("subitems_with_revenue"),
         col("rev_dec").cast("double").as("total_revenue"),

@@ -226,7 +226,7 @@ object ScalarQueries {
       .groupBy(to_date(col("l_shipdate")).as("d"))
       .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
         .as("rev_dec"))
-    val w = Window.orderBy(col("d"))
+    val w = Window.orderBy(col("d")) // lint:series-grain (day-grain)
     daily
       .withColumn("prev_dec", lag(col("rev_dec"), 1).over(w))
       .filter(col("prev_dec").isNotNull)

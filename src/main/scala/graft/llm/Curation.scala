@@ -424,7 +424,7 @@ object Curation {
     val hist = scores.groupBy(col("avg_millibits")).agg(count(lit(1)).as("c"))
     // window over the HISTOGRAM (≤ 64k rows by construction), not the corpus
     val cum = hist.withColumn("cum", sum(col("c")).over(
-      Window.orderBy(col("avg_millibits").desc)
+      Window.orderBy(col("avg_millibits").desc) // lint:series-grain (bucket-grain aggregate)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val cuts = cum.crossJoin(broadcast(
         scores.agg(count(lit(1)).as("n"))))

@@ -418,7 +418,7 @@ object PipelinePrep {
       .select(expr("least(255L, (c - minc) * 256 div (maxc - minc + 1))")
         .as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("bn"))
-    val wCum = Window.orderBy(col("bin"))
+    val wCum = Window.orderBy(col("bin")) // lint:series-grain (bin-grain aggregate)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("bn")).over(wCum))
     val qs = Seq(50L, 90L, 99L)

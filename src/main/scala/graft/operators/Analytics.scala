@@ -73,7 +73,7 @@ object Analytics {
         round(sumDec(col("l_extendedprice")), 2).as("rev_dec"),
         roundAvgDec(col("l_extendedprice")).as("avg_revenue"),
         round(max(col("o_totalprice")), 2).as("max_order_price"))
-    val w = Window.orderBy(col("extraction_date"))
+    val w = Window.orderBy(col("extraction_date")) // lint:series-grain (day-grain snapshot series)
     daily.select(
         col("extraction_date"), col("total_projects"), col("total_subitems"),
         col("subitems_with_revenue"),
@@ -1045,39 +1045,46 @@ object Analytics {
     * `percentile`/`median` aggregate. The built-in is an
     * ObjectHashAggregate whose buffer holds EVERY value of the group (an
     * OpenHashMap shipped to one reducer per group) — at 100 TB a large
-    * group OOMs the reducer, and it can't spill. This form is one window
-    * sort per group partition (SortExec spills to disk), then picks the
-    * two bracketing ranks per percentile and interpolates with the SAME
-    * `a + (b - a) * g` at `pos = p * (n - 1)` the built-in (and DuckDB
-    * QUANTILE_CONT) computes — operands are identical 2dp doubles, so the
-    * result is bit-identical (the key stays green against the unchanged
-    * DuckDB oracle). */
+    * group OOMs the reducer, and it can't spill. This form pre-collapses
+    * to VALUE grain (groupBy(flag, price) → count, a map-side-combining
+    * aggregate — the r11 weighted-median device: the flag-partitioned
+    * window then sorts |distinct prices per flag| rows, never the fact
+    * table), takes a running count over the collapsed series, and reads
+    * the value at rank k as the smallest value whose cumulative count
+    * reaches k. The two bracketing ranks per percentile interpolate with
+    * the SAME `a + (b - a) * g` at `pos = p * (n - 1)` the built-in (and
+    * DuckDB QUANTILE_CONT) computes — operands are identical 2dp doubles,
+    * so the result is bit-identical (the key stays green against the
+    * unchanged DuckDB oracle). */
   def aggMedian(s: SparkSession, dir: String): DataFrame = {
-    val ws = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-    val wf = Window.partitionBy(col("l_returnflag"))
-    val ranked = lineitem(s, dir)
+    val g = lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
       // percentile aggregates IGNORE nulls (both engines); unfiltered they
       // would rank first and inflate n, shifting every bracketing rank
       .filter(col("v").isNotNull)
-      .withColumn("rn", row_number().over(ws))
-      .withColumn("n", count(lit(1)).over(wf))
-    val withPos = ranked
+      .groupBy(col("l_returnflag"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val ws = Window.partitionBy(col("l_returnflag")).orderBy(col("v")) // lint:series-grain (value-grain collapsed input)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = g.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+    val withPos = g
+      .withColumn("cum", sum(col("c")).over(ws))
+      .join(t, Seq("l_returnflag"))
       .withColumn("pos50", lit(0.5) * (col("n") - 1).cast("double"))
       .withColumn("pos90", lit(0.9) * (col("n") - 1).cast("double"))
       .withColumn("l50", floor(col("pos50")).cast("long") + 1) // 1-based rank
       .withColumn("l90", floor(col("pos90")).cast("long") + 1)
     def interp(a: Column, b: Column, g: Column): Column =
       when(g === 0.0, a).otherwise(a + (b - a) * g)
+    // value at rank k == smallest value whose cumulative count >= k; when
+    // g != 0, rank l+1 <= n always exists (floor(p*(n-1)) <= n-2)
     withPos
-      .filter(col("rn") === col("l50") || col("rn") === col("l50") + 1 ||
-        col("rn") === col("l90") || col("rn") === col("l90") + 1)
       .groupBy(col("l_returnflag"))
       .agg(
-        max(when(col("rn") === col("l50"), col("v"))).as("a50"),
-        max(when(col("rn") === col("l50") + 1, col("v"))).as("b50"),
-        max(when(col("rn") === col("l90"), col("v"))).as("a90"),
-        max(when(col("rn") === col("l90") + 1, col("v"))).as("b90"),
+        min(when(col("cum") >= col("l50"), col("v"))).as("a50"),
+        min(when(col("cum") >= col("l50") + 1, col("v"))).as("b50"),
+        min(when(col("cum") >= col("l90"), col("v"))).as("a90"),
+        min(when(col("cum") >= col("l90") + 1, col("v"))).as("b90"),
         first(col("pos50") - floor(col("pos50"))).as("g50"),
         first(col("pos90") - floor(col("pos90"))).as("g90"))
       .select(col("l_returnflag"),

@@ -477,16 +477,16 @@ object DataProfile {
     val daily = load(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-    val all = Window.partitionBy()
+    val all = Window.partitionBy() // lint:series-grain (day-grain)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val byVal = Window.orderBy(col("cents"), col("day"))
+    val byVal = Window.orderBy(col("cents"), col("day")) // lint:series-grain (day-grain)
     val withMed = daily
       .withColumn("n", count(lit(1)).over(all))
       .withColumn("rn", row_number().over(byVal))
       .withColumn("med",
         max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).over(all))
       .withColumn("dev", abs(col("cents") - col("med")))
-    val byDev = Window.orderBy(col("dev"), col("day"))
+    val byDev = Window.orderBy(col("dev"), col("day")) // lint:series-grain (day-grain)
     withMed
       .withColumn("rn2", row_number().over(byDev))
       .withColumn("mad",
@@ -549,7 +549,7 @@ object DataProfile {
       expr("CAST(round(l_quantity) AS BIGINT)").as("qw"))
       .groupBy(col("l_returnflag"), col("yc"))
       .agg(sum(col("qw")).as("qw"))
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("yc"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("yc")) // lint:series-grain (value-grain collapsed input)
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val t = d.groupBy(col("l_returnflag")).agg(sum(col("qw")).as("totw"))
     d.withColumn("cumw", sum(col("qw")).over(w))
@@ -774,15 +774,21 @@ object DataProfile {
   // deterministic mixed-null population both engines derive identically)
   // is compared to its event-ordered predecessor under both semantics,
   // and the aggregate counts exactly where they diverge.
+  //
+  // Scale shape (r11): the predecessor used to come from an UNPARTITIONED
+  // lag over every event — the same single-task-sort class as the r10
+  // rank-window trio, just with lag instead of rank. Now it is
+  // RankedOver.withGlobalLag: quantile-bucketed lag windows plus a
+  // bucket-grain boundary stitch, identical prev chain, no global sort.
   def fnNullSafeEq(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("event_id"))
-    load(s, dir, "events")
+    val e = load(s, dir, "events")
       .select(col("event_id"),
         expr("""CASE WHEN CAST(get_json_object(props, '$.k') AS BIGINT) < 50
                |     THEN CAST(get_json_object(props, '$.k') AS BIGINT) div 10
                |     END""".stripMargin).as("src"))
-      .withColumn("prev_src", lag(col("src"), 1).over(w))
+    RankedOver.withGlobalLag(e, "event_id", "src",
+        buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .withColumn("prev_src", col("__plag"))
       .agg(
         count(when(col("src") === col("prev_src"), 1)).as("eq_matches"),
         count(when(col("src") <=> col("prev_src"), 1)).as("nse_matches"),

@@ -87,4 +87,37 @@ object RankedOver {
       .withColumn("__gcum", col("__off") + col("__lcum"))
       .drop("__bkt", "__lrank", "__lrn", "__lcum", "__off")
   }
+
+  /** Global-order lag without a single-partition window: adds `__plag` =
+    * lag(valueCol, 1) over the TOTAL order of `orderCol` (which must be
+    * unique — the same precondition any global lag has). Same bucket
+    * device as withGlobalRanks; the only cross-bucket traffic is one
+    * bucket-grain relation of per-bucket LAST values, whose lag supplies
+    * the predecessor for each bucket's first row (empty buckets simply
+    * don't appear, so the chain skips them correctly). The positional
+    * `row_number == 1` test — not a null check on the local lag — decides
+    * when to stitch, so genuinely-NULL lagged values pass through. */
+  def withGlobalLag(df: DataFrame, orderCol: String, valueCol: String,
+      buckets: Int = 64): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(orderCol, probs, 0.001)
+    val bucketCol: Column =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds),
+        b => b < col(orderCol).cast("double")))
+    val b = df.withColumn("__bkt", bucketCol)
+    val wB = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
+    // bucket-grain (≤ `buckets` rows): per-bucket last value, lagged by
+    // bucket id — whitelisted in the tools/ci.sh window lint
+    val prevB = b.groupBy(col("__bkt"))
+      .agg(expr(s"max_by($valueCol, $orderCol)").as("__last"))
+      .withColumn("__pl", lag(col("__last"), 1).over(Window.orderBy(col("__bkt")))) // lint:series-grain (bucket-grain, <= `buckets` rows)
+      .select(col("__bkt"), col("__pl"))
+    b.withColumn("__lagv", lag(col(valueCol), 1).over(wB))
+      .withColumn("__rnb", row_number().over(wB))
+      .join(broadcast(prevB), Seq("__bkt"))
+      .withColumn("__plag",
+        when(col("__rnb") === 1, col("__pl")).otherwise(col("__lagv")))
+      .drop("__bkt", "__lagv", "__rnb", "__pl")
+  }
 }

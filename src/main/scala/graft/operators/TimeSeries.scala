@@ -425,7 +425,7 @@ object TimeSeries {
     val daily = load(s, dir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-    val w = Window.orderBy(col("day")).rowsBetween(-29, 0)
+    val w = Window.orderBy(col("day")).rowsBetween(-29, 0) // lint:series-grain (day-grain)
     daily
       .withColumn("n_w", count(lit(1)).over(w))
       .withColumn("s1", sum(col("cents")).over(w))
@@ -477,7 +477,7 @@ object TimeSeries {
     val daily = load(s, dir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-    val run = Window.orderBy(col("day"))
+    val run = Window.orderBy(col("day")) // lint:series-grain (day-grain)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
       .withColumn("cum_cents", sum(col("cents")).over(run))

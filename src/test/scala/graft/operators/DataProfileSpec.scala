@@ -233,5 +233,22 @@ class DataProfileSpec extends SparkSpec {
       assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
         s"weighted-median window runs over raw fact rows:\n$w")
     }
+
+    // agg_median: same value-grain-collapse contract as weighted median
+    val med = graft.operators.Analytics.queries("agg_median")(spark, sfDir)
+    val medWs = windowsOf(med)
+    assert(medWs.nonEmpty)
+    medWs.foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        s"exact-percentile window runs over raw fact rows:\n$w")
+    }
+
+    // fn_null_safe_eq: the global lag must be the bucketed two-pass form
+    val nse = DataProfile.fnNullSafeEq(spark, sfDir)
+    val nseWs = windowsOf(nse)
+    assert(nseWs.nonEmpty)
+    nseWs.foreach(w => assert(bucketedOrCollapsed(w),
+      s"unpartitioned event-grain lag window survived:\n$w"))
+    assert(nseWs.exists(_.partitionSpec.exists(_.toString.contains("__bkt"))))
   }
 }

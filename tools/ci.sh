@@ -36,6 +36,24 @@ if grep -rniE '(artifactory|nexus)\.(infra|corp|internal)\.[a-z]|[a-z0-9-]+\.cor
   echo "LINT FAIL: internal-looking hostname/shortlink in working tree" >&2
   exit 1
 fi
+# Window-partition lint (r10 VERDICT item 8): a window partitioned by a
+# known low-cardinality column ALONE, or an unpartitioned Window.orderBy,
+# sorts a fact-sized partition in one task at 100x. Legitimate sites
+# (day-grain series, bucket-grain offset relations, value-grain collapsed
+# inputs) carry a same-line `// lint:series-grain (<why>)` marker; a new
+# unmarked site fails CI so the next accidental single-partition window
+# over fact-grain input is caught at commit time, not at round judging.
+LOWCARD='l_returnflag|o_orderpriority|o_orderstatus|l_linestatus|l_shipmode|o_orderdate'
+if grep -rnE "Window\.partitionBy\(col\(\"($LOWCARD)\"\)\)" \
+    src/main/scala --include='*.scala' | grep -v 'lint:series-grain'; then
+  echo "LINT FAIL: window partitioned by a low-cardinality key alone (add a value-grain collapse / RankedOver bucketing, or a lint:series-grain marker with justification)" >&2
+  exit 1
+fi
+if grep -rnE 'Window\.(orderBy\(|partitionBy\(\))' \
+    src/main/scala --include='*.scala' | grep -v 'lint:series-grain'; then
+  echo "LINT FAIL: unpartitioned window (use RankedOver two-pass rank/lag, or add a lint:series-grain marker with justification)" >&2
+  exit 1
+fi
 echo "lint ok"
 
 echo "== compile + test =="
