@@ -34,13 +34,15 @@ import org.apache.spark.sql.functions._
 object RankedOver {
 
   /** Adds to `df`:
-    *   `__grank` — rank() over (classCols) ORDER BY (valueCol, tieCols):
-    *               ties (equal order keys) share the smallest rank;
-    *   `__grn`   — row_number(); a total order when valueCol+tieCols are
-    *               unique per class (ties otherwise break by bucket-local
+    *   `__grank` — rank() over (classCols) ORDER BY valueCol: VALUE ties
+    *               share the smallest rank (tieCols play no part);
+    *   `__grn`   — row_number() over (classCols) ORDER BY (valueCol,
+    *               tieCols) — a total order when the composite is unique
+    *               per class (ties otherwise break by bucket-local
     *               position — don't use `__grn` with non-unique keys);
-    *   `__gcum`  — peers-inclusive cumulative count (rows whose order key
-    *               is <= the current row's — the cume_dist numerator);
+    *   `__gcum`  — VALUE-peers-inclusive cumulative count (rows whose
+    *               valueCol is <= the current row's — the cume_dist
+    *               numerator);
     *   `__gn`    — total row count of the class (the denominator).
     *
     * `buckets` bounds per-task sort size at n_rows / buckets: size it like
@@ -52,7 +54,11 @@ object RankedOver {
     // one extra scan (a QuantileSummaries aggregate). Casting the value to
     // double for BUCKETING only is safe: long->double is non-decreasing, so
     // boundaries stay monotone and ties stay co-bucketed even past 2^53.
-    val bounds = df.stat.approxQuantile(valueCol, probs, 0.001)
+    // buckets <= 1 degenerates to one bucket (approxQuantile rejects an
+    // empty probability list).
+    val bounds =
+      if (buckets <= 1) Array.empty[Double]
+      else df.stat.approxQuantile(valueCol, probs, 0.001)
     val bucketCol: Column =
       if (bounds.isEmpty) lit(0)
       else size(filter(typedLit(bounds),
@@ -74,13 +80,16 @@ object RankedOver {
         sum(col("__cnt")).over(Window.partitionBy(classC: _*)))
       .drop("__cnt")
 
-    // default window frame with ORDER BY = RANGE UNBOUNDED PRECEDING ..
-    // CURRENT ROW, which counts all PEERS of the current row — exactly the
-    // cume_dist numerator semantics
-    val wLoc = Window.partitionBy(grpC: _*).orderBy(ordC: _*)
-    b.withColumn("__lrank", rank().over(wLoc))
-      .withColumn("__lrn", row_number().over(wLoc))
-      .withColumn("__lcum", count(lit(1L)).over(wLoc))
+    // rank/cum order by the VALUE alone (peers = equal values, the
+    // rank/cume_dist contract; the default RANGE frame counts all peers);
+    // row_number orders by the full (value, tieCols) composite. The
+    // total-order sort satisfies the value window's required ordering by
+    // prefix, so both windows ride ONE exchange + sort.
+    val wVal = Window.partitionBy(grpC: _*).orderBy(col(valueCol))
+    val wTot = Window.partitionBy(grpC: _*).orderBy(ordC: _*)
+    b.withColumn("__lrank", rank().over(wVal))
+      .withColumn("__lrn", row_number().over(wTot))
+      .withColumn("__lcum", count(lit(1L)).over(wVal))
       .join(broadcast(offsets), "__bkt" +: classCols)
       .withColumn("__grank", col("__off") + col("__lrank"))
       .withColumn("__grn", col("__off") + col("__lrn"))
@@ -100,7 +109,9 @@ object RankedOver {
   def withGlobalLag(df: DataFrame, orderCol: String, valueCol: String,
       buckets: Int = 64): DataFrame = {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = df.stat.approxQuantile(orderCol, probs, 0.001)
+    val bounds =
+      if (buckets <= 1) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001)
     val bucketCol: Column =
       if (bounds.isEmpty) lit(0)
       else size(filter(typedLit(bounds),
