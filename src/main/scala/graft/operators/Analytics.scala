@@ -925,8 +925,32 @@ object Analytics {
       |  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS active_customers,
       |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS distinct_parts""".stripMargin
 
-  /** ROLLUP / CUBE — free Spark extensions (SURVEY.md §2.4 "absent"); shared
-    * ANSI text, GROUPING() flags disambiguate the null super-aggregate rows. */
+  /** ROLLUP / CUBE — free Spark extensions (SURVEY.md §2.4 "absent"); the
+    * ORACLE keeps the one-level ANSI text, GROUPING() flags disambiguate
+    * the null super-aggregate rows.
+    *
+    * The Spark side PRE-COLLAPSES first (r11): Spark executes super-
+    * aggregates as an Expand node that multiplies its INPUT by the number
+    * of grouping sets — over raw lineitem that is a 3-4x amplification of
+    * the full fact scan; over the (flag, status) partial aggregate it
+    * amplifies 6 rows. COUNT(*)/SUM are algebraic (count re-sums, the
+    * DECIMAL partial sums re-sum exactly), so the two-level form is
+    * bit-identical to the oracle's one-level text at any scale. */
+  private def superAgg(grouping: String): Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT l_returnflag, l_linestatus, COUNT(*) AS pn,
+         |         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS prev
+         |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+         |SELECT l_returnflag, l_linestatus, CAST(SUM(pn) AS BIGINT) AS n,
+         |       CAST(ROUND(SUM(prev), 2) AS DOUBLE) AS revenue,
+         |       GROUPING(l_returnflag) AS g_flag,
+         |       GROUPING(l_linestatus) AS g_status
+         |FROM base GROUP BY $grouping
+         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)
+  }
+
   private val aggRollupSql =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
@@ -1245,9 +1269,6 @@ object Analytics {
   private val sharedSql: Map[String, String] = Map(
     "filter_date_eq" -> filterDateEqSql,
     "agg_scalar_subqueries" -> aggScalarSubqueriesSql,
-    "agg_rollup" -> aggRollupSql,
-    "agg_cube" -> aggCubeSql,
-    "agg_grouping_sets" -> aggGroupingSetsSql,
     "window_ntile" -> windowNtileSql,
     "window_lag_manual" -> windowLagManualSql,
     "window_rank" -> windowRankSql,
@@ -1305,7 +1326,11 @@ object Analytics {
     "agg_ratio_pct" -> (aggRatioPct _),
     "stream_dod_compare" -> (streamDodCompare _),
     "stream_tumbling_day" -> (streamTumblingDay _),
-    "stream_freshness_watermark" -> (streamFreshnessWatermark _)
+    "stream_freshness_watermark" -> (streamFreshnessWatermark _),
+    "agg_rollup" -> superAgg("ROLLUP(l_returnflag, l_linestatus)"),
+    "agg_cube" -> superAgg("CUBE(l_returnflag, l_linestatus)"),
+    "agg_grouping_sets" -> superAgg(
+      "GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))")
   ) ++ sharedSql.map { case (k, sql) => k -> runSql(sql) }
 
   val oracles: Map[String, String] = Map(
@@ -1347,6 +1372,9 @@ object Analytics {
     "agg_ratio_pct" -> aggRatioPctOracle,
     "stream_dod_compare" -> streamDodCompareOracle,
     "stream_tumbling_day" -> streamTumblingDayOracle,
-    "stream_freshness_watermark" -> streamFreshnessWatermarkOracle
+    "stream_freshness_watermark" -> streamFreshnessWatermarkOracle,
+    "agg_rollup" -> aggRollupSql,
+    "agg_cube" -> aggCubeSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql
   ) ++ sharedSql
 }

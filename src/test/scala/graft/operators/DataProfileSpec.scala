@@ -243,6 +243,19 @@ class DataProfileSpec extends SparkSpec {
         s"exact-percentile window runs over raw fact rows:\n$w")
     }
 
+    // super-aggregates: the Expand (one input copy per grouping set) must
+    // multiply the PRE-COLLAPSED group grain, never the fact scan
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    Seq("agg_rollup", "agg_cube", "agg_grouping_sets").foreach { k =>
+      val df = graft.operators.Analytics.queries(k)(spark, sfDir)
+      val expands = df.queryExecution.optimizedPlan.collect { case e: Expand => e }
+      assert(expands.nonEmpty, s"$k: no Expand — not a super-aggregate plan?")
+      expands.foreach { e =>
+        assert(e.child.collect { case a: Aggregate => a }.nonEmpty,
+          s"$k: Expand multiplies the raw fact scan:\n$e")
+      }
+    }
+
     // fn_null_safe_eq: the global lag must be the bucketed two-pass form
     val nse = DataProfile.fnNullSafeEq(spark, sfDir)
     val nseWs = windowsOf(nse)
