@@ -180,11 +180,15 @@ object Curation {
   // compute identically, so the sample is reproducible run-to-run and
   // engine-to-engine (same property as sample_split_hash). Scale: counts are
   // a map-side-combining agg, the 20-row quota table broadcasts, and the
-  // per-source rank is one exchange on `source` — at 100 TB the rank's sort
-  // spills per source-partition; a skewed giant source salts into
-  // sub-ranked shards exactly like sample_stratified.
+  // per-source rank is RankedOver's two-pass distributed rank (r11
+  // de-weak — the old single window per source sorted a corpus-sized
+  // partition per source at 100x). Bucketing needs a NUMERIC monotone
+  // proxy of the md5 sort key: the first 15 hex digits as a bigint are
+  // non-decreasing in the full string's lexicographic order (equal-length
+  // hex), prefix ties co-bucket, and the in-bucket ORDER BY still uses
+  // the exact (md5, doc_id) composite — so ranks are identical to the
+  // oracle's single-window formulation.
   def curateMixDomains(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     val counts = docs.groupBy(col("source"))
@@ -198,9 +202,14 @@ object Curation {
       .withColumn("quota",
         least(col("cnt"), expr("(tot div 2) * w div sum_w")))
       .select(col("source"), col("quota"))
-    val ranked = docs.withColumn("rnk", row_number().over(
-      Window.partitionBy(col("source"))
-        .orderBy(md5(concat(col("text"), col("doc_id"))), col("doc_id"))))
+    val keyed = docs
+      .withColumn("__md", md5(concat(col("text"), col("doc_id"))))
+      .withColumn("__mdn",
+        expr("conv(substring(__md, 1, 15), 16, 10)").cast("long"))
+    val ranked = graft.operators.RankedOver.withGlobalRanks(keyed,
+        Seq("source"), "__mdn", tieCols = Seq("__md", "doc_id"),
+        buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .withColumn("rnk", col("__grn"))
     ranked.join(broadcast(quotas), Seq("source"))
       .filter(col("rnk") <= col("quota"))
       .select(col("source"), col("rnk").cast("int").as("rnk"), col("doc_id"))

@@ -535,14 +535,19 @@ object PipelinePrep {
   // by integer division. The whole operator is one exchange on the bucket
   // key: the window and both aggregations share it.
   def packLengthBuckets(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = load(s, dir, "documents")
       .select(col("doc_id"), expr(s"size($toksE)").as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumn("bucket", expr("length(bin(n_tokens)) - 1"))
-    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-    val batched = d
-      .withColumn("rn", row_number().over(w))
+    // r11 de-weak: the per-length-bucket sequence used to be a row_number
+    // window over ~12 log2 buckets — corpus-sized partitions in a dozen
+    // tasks at 100x. RankedOver's two-pass rank gives the identical
+    // doc_id-order sequence (doc_id is unique) with per-task input
+    // bounded by n/quantile-buckets.
+    val batched = graft.operators.RankedOver.withGlobalRanks(d,
+        Seq("bucket"), "doc_id",
+        buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .withColumn("rn", col("__grn"))
       .withColumn("batch_id", expr("(rn - 1) div 32"))
     val perBatch = batched.groupBy(col("bucket"), col("batch_id"))
       .agg(count(lit(1)).as("bn"), sum(col("n_tokens")).as("bsum"),

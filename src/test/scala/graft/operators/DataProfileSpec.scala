@@ -263,5 +263,18 @@ class DataProfileSpec extends SparkSpec {
     nseWs.foreach(w => assert(bucketedOrCollapsed(w),
       s"unpartitioned event-grain lag window survived:\n$w"))
     assert(nseWs.exists(_.partitionSpec.exists(_.toString.contains("__bkt"))))
+
+    // corpus rank keys: per-source / per-length-bucket sequences must ride
+    // the bucketed two-pass rank, never a low-card single window
+    Seq(
+      graft.llm.Curation.queries("curate_mix_domains"),
+      graft.llm.PipelinePrep.queries("pack_length_buckets")
+    ).foreach { q =>
+      val ws = windowsOf(q(spark, sfDir))
+      assert(ws.nonEmpty)
+      ws.foreach(w => assert(bucketedOrCollapsed(w),
+        s"corpus-grain window on a low-card key survived:\n$w"))
+      assert(ws.exists(_.partitionSpec.exists(_.toString.contains("__bkt"))))
+    }
   }
 }
