@@ -63,4 +63,26 @@ object Scalars {
   /** Empty-string-is-missing: '' → null so `coalesce(default)` applies
     * (ref truthy check `monday_etl_automated.py:259-261`). */
   def nonEmpty(c: Column): Column = when(length(c) > 0, c)
+
+  /** Mergeable corpus fingerprint for the round-trip keys: SUM of per-row
+    * 60-bit md5 prefixes (id ␁ payload) in DECIMAL(38,0), rendered as a
+    * string. The old formulation — md5 over collect_list of every text in
+    * the group — carried the WHOLE group's corpus as aggregation state,
+    * which is exactly the per-group-state-proportional-to-data pattern
+    * that dies at 100 TB. The sum is commutative and map-side combining
+    * (constant state per group); binding the row id into each hash keeps
+    * any single-row corruption, loss, duplication, or id swap detectable,
+    * which is the property the round-trip keys actually assert. 60-bit
+    * terms in a 38-digit decimal leave ~2^66 rows of headroom before
+    * overflow. Oracle twin: [[corpusFpSql]]. */
+  def corpusFp(id: Column, payload: Column): Column =
+    sum(conv(substring(md5(concat(id.cast("string"), lit("\u0001"), payload)),
+        1, 15), 16, 10).cast("decimal(38,0)"))
+      .cast("string")
+
+  /** DuckDB formulation of [[corpusFp]]: same per-row hash (md5 agrees
+    * across engines on UTF-8), same exact DECIMAL(38,0) sum, same plain
+    * integer string rendering. */
+  def corpusFpSql(id: String, payload: String): String =
+    s"CAST(CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat(CAST($id AS VARCHAR), chr(1), $payload)), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)"
 }

@@ -183,17 +183,16 @@ object SinkQueries {
   // any cluster shape emits byte-identical shard membership), the shards
   // land as a partitioned parquet layout, and the key returns the shard
   // MANIFEST read back FROM THE WRITTEN FILES — shard sizes, token totals
-  // (what trainers budget by), and a doc_id-ordered full-text checksum, so
-  // a routing or write error fails the hash. The oracle derives the same
-  // manifest from the raw table.
+  // (what trainers budget by), and a full-corpus checksum, so a routing
+  // or write error fails the hash. The oracle derives the same manifest
+  // from the raw table.
   //
   // Scale: the write is one hash-partitioned shuffle (partitionBy over 8
   // values; at 100 TB shards number in the thousands and the same plan
-  // holds); the manifest is one per-shard hash-agg over the readback. The
-  // checksum's per-shard sort is bounded by shard size — at real scale the
-  // checksum becomes a sum of per-doc hashes (order-independent) instead;
-  // the manifest columns trainers consume (counts, token totals) are
-  // already order-free.
+  // holds); the manifest is one per-shard hash-agg over the readback,
+  // with the checksum the mergeable per-doc-hash sum (Scalars.corpusFp:
+  // constant state per shard, map-side combining — not a
+  // collect-the-shard md5 chain).
   def sinkShards(s: SparkSession, dir: String): DataFrame = {
     val path = tmp("shards")
     val docs = graft.model.Tables.load(s, dir, "documents")
@@ -207,14 +206,13 @@ object SinkQueries {
       .groupBy(col("shard").cast("int").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks").cast("long")).as("n_tokens"),
-        expr("""md5(concat_ws(chr(1),
-              |  transform(sort_array(collect_list(struct(doc_id, text))),
-              |            x -> x.text)))""".stripMargin).as("shard_fp"))
+        graft.functions.Scalars.corpusFp(col("doc_id"), col("text"))
+          .as("shard_fp"))
       .orderBy(col("shard"))
   }
 
   private val sinkShardsOracle =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT *,
       |         ((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
       |          + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS shard,
@@ -222,7 +220,7 @@ object SinkQueries {
       |  FROM documents)
       |SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
       |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-      |       md5(string_agg(text, chr(1) ORDER BY doc_id)) AS shard_fp
+      |       ${graft.functions.Scalars.corpusFpSql("doc_id", "text")} AS shard_fp
       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
 
   // ---- sink_csv_roundtrip ---------------------------------------------------
@@ -232,9 +230,9 @@ object SinkQueries {
   // text, so the oracle builds the identical strings without touching a
   // CSV library). The frame writes through Spark's CSV sink (quoting +
   // escaping engaged by content) and is read back with multiLine parsing;
-  // the aggregate fingerprints every recovered string in doc order — one
-  // mangled quote, lost newline, or split record anywhere in the corpus
-  // fails the hash. This is the interchange contract sink_shards' parquet
+  // the aggregate fingerprints every recovered (doc_id, string) pair via
+  // the mergeable per-doc-hash sum — one mangled quote, lost newline, or
+  // split record anywhere in the corpus fails the hash. This is the interchange contract sink_shards' parquet
   // path never has to prove; at 100 TB the same write is the export to
   // CSV-consuming downstreams and scales as pure parse/format throughput.
   def sinkCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -248,20 +246,19 @@ object SinkQueries {
       .schema("doc_id LONG, tricky STRING").csv(path)
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("tricky"))).as("sum_len"),
-        expr("""md5(concat_ws(chr(1),
-              |  transform(sort_array(collect_list(struct(doc_id, tricky))),
-              |            x -> x.tricky)))""".stripMargin).as("corpus_fp"))
+        graft.functions.Scalars.corpusFp(col("doc_id"), col("tricky"))
+          .as("corpus_fp"))
   }
 
   private val sinkCsvRoundtripOracle =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
       |         concat('v,', substring(text, 1, 24), '"q"', chr(10),
       |                'tail;', doc_id) AS tricky
       |  FROM documents)
       |SELECT COUNT(*) AS n_docs,
       |       CAST(SUM(len(tricky)) AS BIGINT) AS sum_len,
-      |       md5(string_agg(tricky, chr(1) ORDER BY doc_id)) AS corpus_fp
+      |       ${graft.functions.Scalars.corpusFpSql("doc_id", "tricky")} AS corpus_fp
       |FROM t""".stripMargin
 
   // ---- sink_dynamic_overwrite ----------------------------------------------

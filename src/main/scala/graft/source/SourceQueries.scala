@@ -189,10 +189,12 @@ object SourceQueries {
   // line-delimited JSON Spark itself can re-ingest, and (b) the read path
   // takes an EXPLICIT schema — at 100 TB, schema inference is a full extra
   // pass over the corpus, so production reads must never pay it. The
-  // readback aggregates per source with a full-text checksum (md5 over the
-  // doc_id-ordered concatenation), so any escaping/encoding loss in the
-  // round-trip changes the hash against the oracle, which reads the SAME
-  // relation from the original parquet.
+  // readback aggregates per source with a full-text checksum (the
+  // mergeable per-doc-hash sum of Scalars.corpusFp — constant aggregation
+  // state per group, unlike a collect-the-corpus md5 chain), so any
+  // escaping/encoding loss in the round-trip changes the fingerprint
+  // against the oracle, which reads the SAME relation from the original
+  // parquet.
   def srcJsonl(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.model.Tables.load(s, dir, "documents")
     val path = stagedOnce("src_jsonl", dir, "documents") { p =>
@@ -202,16 +204,15 @@ object SourceQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        expr("""md5(concat_ws(chr(1),
-              |  transform(sort_array(collect_list(struct(doc_id, text))),
-              |            x -> x.text)))""".stripMargin).as("corpus_fp"))
+        graft.functions.Scalars.corpusFp(col("doc_id"), col("text"))
+          .as("corpus_fp"))
       .orderBy(col("source"))
   }
 
   private val srcJsonlOracle =
-    """SELECT source, COUNT(*) AS n_docs,
+    s"""SELECT source, COUNT(*) AS n_docs,
       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-      |       md5(string_agg(text, chr(1) ORDER BY doc_id)) AS corpus_fp
+      |       ${graft.functions.Scalars.corpusFpSql("doc_id", "text")} AS corpus_fp
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ---- src_fixed_width ------------------------------------------------------
@@ -308,9 +309,8 @@ object SourceQueries {
     val ok = back.filter(col("_corrupt").isNull)
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_chars")).as("sum_chars"),
-        expr("""md5(concat_ws(chr(1),
-              |  transform(sort_array(collect_list(struct(doc_id, text))),
-              |            x -> x.text)))""".stripMargin).as("corpus_fp"))
+        graft.functions.Scalars.corpusFp(col("doc_id"), col("text"))
+          .as("corpus_fp"))
       .select(lit("ok").as("side"), col("n_rows"), col("sum_chars"),
         col("corpus_fp"))
     val bad = back.filter(col("_corrupt").isNotNull)
@@ -322,14 +322,14 @@ object SourceQueries {
   }
 
   private val srcCsvBadRecordsOracle =
-    """WITH flag AS (SELECT *, doc_id % 17 = 0 AS bad FROM documents)
+    s"""WITH flag AS (SELECT *, doc_id % 17 = 0 AS bad FROM documents)
       |SELECT 'corrupt' AS side, COUNT(*) AS n_rows,
       |       CAST(NULL AS BIGINT) AS sum_chars,
       |       CAST(NULL AS VARCHAR) AS corpus_fp
       |FROM flag WHERE bad
       |UNION ALL
       |SELECT 'ok', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
-      |       md5(string_agg(text, chr(1) ORDER BY doc_id))
+      |       ${graft.functions.Scalars.corpusFpSql("doc_id", "text")}
       |FROM flag WHERE NOT bad
       |ORDER BY side""".stripMargin
 

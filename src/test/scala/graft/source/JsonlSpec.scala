@@ -32,6 +32,32 @@ class JsonlSpec extends SparkSpec {
     assert(fps.distinct.length == fps.length)
   }
 
+  test("corpusFp: mergeable fingerprint detects corruption/loss/dup/id-swap; " +
+      "no collect-the-corpus aggregate in the plan (r11)") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+    def fp(rows: Seq[(Long, String)]): String =
+      rows.toDF("doc_id", "text")
+        .agg(graft.functions.Scalars.corpusFp(col("doc_id"), col("text"))
+          .as("fp")).head.getString(0)
+    val ref = fp(base)
+    // order-independent (the mergeability property)...
+    assert(fp(base.reverse) == ref)
+    // ...but any single-row corruption, loss, duplication, or id swap flips it
+    assert(fp(Seq((1L, "alpha"), (2L, "betX"), (3L, "gamma"))) != ref)
+    assert(fp(base.take(2)) != ref)
+    assert(fp(base :+ base.head) != ref)
+    assert(fp(Seq((2L, "alpha"), (1L, "beta"), (3L, "gamma"))) != ref)
+    // the round-trip keys must aggregate with constant per-group state:
+    // a collect_list/sort_array corpus chain may not reappear in the plan
+    val plan = SourceQueries.queries("src_jsonl")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
+      s"corpus-sized aggregation state returned to src_jsonl:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      "fingerprint sum should be a partial+final hash aggregate")
+  }
+
   test("csv bad records: malformed rows quarantine whole, good rows parse whole") {
     val out = SourceQueries.queries("src_csv_badrecords")(spark, sfDir).collect()
       .map(r => r.getAs[String]("side") -> r.getAs[Long]("n_rows")).toMap
