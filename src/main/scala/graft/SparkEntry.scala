@@ -6,6 +6,7 @@ import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
 import graft.llm.{Curation, Dedup, DedupStress, MinHashAgg, Multimodal, PipelinePrep, Retrieval, Similarity, TextAnalysis, Tokenize}
 import graft.operators.{Analytics, DataProfile, GraphOps, PipelineOps, TimeSeries}
+import graft.scale.ScaleQueries
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
 import graft.streaming.{SessionStream, StreamQueries}
@@ -33,7 +34,8 @@ object SparkEntry {
       StreamQueries.queries ++ MinHashAgg.queries ++ Curation.queries ++
       PipelineOps.queries ++ PipelinePrep.queries ++ GraphOps.queries ++
       SessionStream.queries ++ Tokenize.queries ++ TableQueries.queries ++
-      Retrieval.queries ++ TimeSeries.queries ++ DataProfile.queries
+      Retrieval.queries ++ TimeSeries.queries ++ DataProfile.queries ++
+      ScaleQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -45,5 +47,6 @@ object SparkEntry {
       StreamQueries.oracles ++ MinHashAgg.oracles ++ Curation.oracles ++
       PipelineOps.oracles ++ PipelinePrep.oracles ++ GraphOps.oracles ++
       SessionStream.oracles ++ Tokenize.oracles ++ TableQueries.oracles ++
-      Retrieval.oracles ++ TimeSeries.oracles ++ DataProfile.oracles
+      Retrieval.oracles ++ TimeSeries.oracles ++ DataProfile.oracles ++
+      ScaleQueries.oracles
 }

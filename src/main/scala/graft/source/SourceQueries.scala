@@ -215,6 +215,37 @@ object SourceQueries {
       |       ${graft.functions.Scalars.corpusFpSql("doc_id", "text")} AS corpus_fp
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- src_orc_roundtrip ----------------------------------------------------
+  // ORC round-trip — the second columnar interchange format (Hive/Trino
+  // estates ship ORC the way lakehouses ship parquet; a user switching
+  // engines needs both read AND write). Spark's ORC source is native and
+  // vectorized, so the Spark-first answer is the built-in format with the
+  // same production read contract as src_jsonl: explicit schema (no
+  // inference pass) and the mergeable per-doc-hash corpus fingerprint, so
+  // a type-mapping or encoding loss anywhere in the ORC writer/reader
+  // pair fails the hash against the oracle reading the ORIGINAL parquet.
+  // Scale: both legs are single columnar scans; ORC stripes split like
+  // parquet row groups, so the read parallelizes identically.
+  def srcOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.model.Tables.load(s, dir, "documents")
+    val path = stagedOnce("src_orc", dir, "documents") { p =>
+      docs.write.orc(s"$p/docs")
+    }
+    s.read.schema(docs.schema).orc(s"$path/docs")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        graft.functions.Scalars.corpusFp(col("doc_id"), col("text"))
+          .as("corpus_fp"))
+      .orderBy(col("lang"))
+  }
+
+  private val srcOrcRoundtripOracle =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |       ${graft.functions.Scalars.corpusFpSql("doc_id", "text")} AS corpus_fp
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- src_fixed_width ------------------------------------------------------
   // Fixed-width (positional) file ingest — the mainframe/EDI layout every
   // enterprise loader eventually meets: no delimiters, fields live at
@@ -336,6 +367,7 @@ object SourceQueries {
   val queries: Map[String, Q] = Map[String, Q](
     "src_csv_badrecords" -> (srcCsvBadRecords _),
     "src_jsonl" -> (srcJsonl _),
+    "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "src_fixed_width" -> (srcFixedWidth _),
     "src_http_graphql" -> (srcHttpGraphql _),
     "src_retry" -> (srcRetry _),
@@ -347,6 +379,7 @@ object SourceQueries {
   val oracles: Map[String, String] = Map(
     "src_csv_badrecords" -> srcCsvBadRecordsOracle,
     "src_jsonl" -> srcJsonlOracle,
+    "src_orc_roundtrip" -> srcOrcRoundtripOracle,
     "src_fixed_width" -> srcFixedWidthOracle,
     "src_http_graphql" -> itemsOracle("personnel/2025-06-27.json"),
     "src_retry" -> srcRetryOracle,

@@ -109,4 +109,23 @@ class ScaleSpec extends SparkSpec {
       case (key, None) => spark.conf.unset(key)
     }
   }
+
+  test("join_bucketed_colocated: zipper SMJ with zero exchanges (r11)") {
+    val join = ScaleQueries.colocatedJoin(spark, sfDir)
+    assert(join.count() > 0)
+    val plan = join.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"co-located fact join must be a sort-merge zipper:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"co-bucketed join stage must not shuffle or broadcast:\n$plan")
+  }
+
+  test("agg_bucketed_colocated: keyed aggregate in the scan stage, no " +
+      "exchange (r11)") {
+    val agg = ScaleQueries.colocatedAgg(spark, sfDir)
+    assert(agg.count() > 0)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"groupBy on the bucket key must run in the scan's own stage:\n$plan")
+  }
 }

@@ -20,6 +20,22 @@ class JsonlSpec extends SparkSpec {
     graft.sink.Sinks.deleteDir(path)
   }
 
+  test("orc round-trip preserves every row of the documents table (r11)") {
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_orc_spec"
+    graft.sink.Sinks.deleteDir(path)
+    docs.write.orc(path)
+    val back = spark.read.schema(docs.schema).orc(path)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty,
+      "ORC round-trip altered at least one row")
+    // per-lang report is non-degenerate and conserves the corpus
+    val rows = SourceQueries.queries("src_orc_roundtrip")(spark, sfDir).collect()
+    assert(rows.length > 1)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    graft.sink.Sinks.deleteDir(path)
+  }
+
   test("src_jsonl reads with an explicit schema — no inference scan in the plan") {
     val out = SourceQueries.queries("src_jsonl")(spark, sfDir)
     val rows = out.collect()
