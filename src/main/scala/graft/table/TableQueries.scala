@@ -182,6 +182,87 @@ object TableQueries {
       |FROM base WHERE key % 10 = 0 AND key % 13 <> 0
       |ORDER BY key, change""".stripMargin
 
+  // ---- table_mv_incremental -------------------------------------------------
+  // Incremental materialized-view maintenance from the change feed (r11)
+  // — the DBSP/Materialize/DLT pattern: the MV is the per-status
+  // (n_orders, revenue) aggregate; after the MERGE commits with its
+  // recorded CDF, the refresh applies ONLY the deltas — insert and
+  // update-postimage rows count +1 in their group, delete and
+  // update-preimage rows −1 — onto the stored MV state. Group migration
+  // (updates move rows into status 'X') falls out for free because each
+  // image row carries its own group. The refresh never opens either
+  // version's data files (spec pins every input file of the delta path
+  // under changes/); the oracle recomputes the v2 aggregate from scratch
+  // — incremental must be indistinguishable from recompute.
+  //
+  // Scale: a nightly recompute reads the full 100 TB base; this refresh
+  // reads |changeset| rows plus the |groups|-row MV — cost tracks the
+  // WRITE RATE, not the table size. Sums live in exact DECIMAL so the
+  // +Δ/−Δ arithmetic is associative: no fp drift accumulates across
+  // arbitrarily many refresh cycles (the failure mode that forces
+  // periodic full recomputes of double-summed MVs).
+  def tableMvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("mv")
+    VersionedTable.commit(ordersBase(s, dir), root) // v1
+    // MV build — the ONE full scan, at v1; the refresh must not redo it
+    val mv1 = VersionedTable.readVersion(s, root, 1)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("total").cast("decimal(18,4)")).as("rev"))
+    VersionedTable.commit(PipelineOps.mergeUpsert(s, dir).drop("last_op"),
+      root, changes = Some(PipelineOps.mergeChangeFeed(s, dir)),
+      statsColumns = Nil) // v2 + its CDF
+    mvRefresh(s, root, mv1, 1, 2).orderBy(col("status"))
+  }
+
+  /** Delta application only — exposed so the spec can pin that the
+    * refresh path's input files all live under changes/ and that its
+    * result equals the full v2 recompute. */
+  private[table] def mvRefresh(s: SparkSession, root: String, mv: DataFrame,
+      vFrom: Int, vTo: Int): DataFrame = {
+    val cdf = VersionedTable.readChanges(s, root, vFrom, vTo)
+      .getOrElse(sys.error(s"no change feed recorded in $vFrom..$vTo"))
+    val sgn = when(col("change").isin("insert", "update_post"), lit(1))
+      .otherwise(lit(-1))
+    val deltas = cdf.groupBy(col("status"))
+      .agg(sum(sgn).as("dn"),
+        sum(col("total").cast("decimal(18,4)") * sgn).as("drev"))
+    mv.join(deltas, Seq("status"), "full_outer")
+      .select(col("status"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("rev"), lit(0).cast("decimal(18,4)")) +
+          coalesce(col("drev"), lit(0).cast("decimal(18,4)"))).as("rev"))
+      .filter(col("n_orders") > 0)
+      .select(col("status"), col("n_orders"),
+        round(col("rev"), 2).cast("double").as("revenue"))
+  }
+
+  private val tableMvIncrementalOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders),
+      |changes AS (
+      |  SELECT key, 'D' AS op, CAST(NULL AS VARCHAR) AS new_status,
+      |         CAST(NULL AS DOUBLE) AS new_total
+      |  FROM base WHERE key % 13 = 0
+      |  UNION ALL
+      |  SELECT key, 'U', 'X',
+      |         CAST(ROUND(CAST(total * 1.1 AS DECIMAL(18,4)), 2) AS DOUBLE)
+      |  FROM base WHERE key % 10 = 0 AND key % 13 <> 0
+      |  UNION ALL
+      |  SELECT -key, 'I', 'N', total
+      |  FROM base WHERE key % 97 = 0 AND key > 0),
+      |merged AS (
+      |  SELECT COALESCE(b.key, c.key) AS key,
+      |         CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END AS status,
+      |         CASE WHEN c.op IS NOT NULL THEN c.new_total ELSE b.total END AS total
+      |  FROM base b FULL OUTER JOIN changes c ON c.key = b.key
+      |  WHERE c.op IS NULL OR c.op <> 'D')
+      |SELECT status, COUNT(*) AS n_orders,
+      |       CAST(ROUND(SUM(CAST(total AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM merged GROUP BY status ORDER BY status""".stripMargin
+
   // ---- table_skipping_read --------------------------------------------------
   // File-level data skipping (r7): commit the snapshot range-partitioned
   // on the key with footer min/max stats recorded per file in the
@@ -681,6 +762,7 @@ object TableQueries {
     "table_time_travel" -> (tableTimeTravel _),
     "sink_compact" -> (sinkCompact _),
     "table_incremental_read" -> (tableIncrementalRead _),
+    "table_mv_incremental" -> (tableMvIncremental _),
     "table_skipping_read" -> (tableSkippingRead _),
     "table_skipping_multi" -> (tableSkippingMulti _),
     "table_zorder" -> (tableZorder _),
@@ -701,6 +783,7 @@ object TableQueries {
     "table_time_travel" -> tableTimeTravelOracle,
     "sink_compact" -> sinkCompactOracle,
     "table_incremental_read" -> tableIncrementalReadOracle,
+    "table_mv_incremental" -> tableMvIncrementalOracle,
     "table_skipping_read" -> tableSkippingReadOracle,
     "table_skipping_multi" -> tableSkippingMultiOracle,
     "table_zorder" -> tableSkippingMultiOracle, // same rows; clustering changes I/O only

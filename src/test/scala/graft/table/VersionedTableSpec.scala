@@ -162,6 +162,55 @@ class VersionedTableSpec extends SparkSpec {
       || VersionedTable.changeFiles(root, 1).nonEmpty)
   }
 
+  test("incremental MV refresh == full recompute; reads ONLY the change " +
+      "feed (r11)") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.commit(base(), root)
+    // v2: drop odd keys, double even totals, insert 10 rows in a NEW
+    // group — deletes shrink groups, updates keep their group, inserts
+    // create one (the group-migration edge rides the status column)
+    val merged = base().filter(col("key") % 2 === 0)
+      .withColumn("total", col("total") * 2)
+      .unionAll((2000L to 2009L).map(k => (k, "new", 1.0))
+        .toDF("key", "status", "total"))
+    val feed = base().filter(col("key") % 2 === 1)
+      .select(col("key"), col("status"), col("total"), lit("delete").as("change"))
+      .unionAll((2000L to 2009L).map(k => (k, "new", 1.0))
+        .toDF("key", "status", "total").withColumn("change", lit("insert")))
+      .unionAll(base().filter(col("key") % 2 === 0)
+        .select(col("key"), col("status"), col("total"),
+          lit("update_pre").as("change")))
+      .unionAll(base().filter(col("key") % 2 === 0)
+        .select(col("key"), col("status"), (col("total") * 2).as("total"),
+          lit("update_post").as("change")))
+    VersionedTable.commit(merged, root, changes = Some(feed),
+      statsColumns = Nil)
+    // stored MV state at v1 (an in-memory relation standing in for the
+    // MV's own table — the refresh must not rebuild it from v1's data)
+    val mv1 = base().groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("total").cast("decimal(18,4)")).as("rev"))
+    val refreshed = TableQueries.mvRefresh(spark, root, mv1, 1, 2)
+    // the delta path opens changeset files ONLY — neither version's data
+    val inputs = refreshed.inputFiles
+    assert(inputs.nonEmpty && inputs.forall(_.contains("/changes/")),
+      s"MV refresh touched non-changeset files: " +
+        s"${inputs.filterNot(_.contains("/changes/")).take(3).mkString(",")}")
+    // indistinguishable from the full recompute of v2
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = VersionedTable.readVersion(spark, root, 2)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("total").cast("decimal(18,4)")), 2).cast("double")
+          .as("revenue"))
+    assert(rows(refreshed) == rows(full),
+      "incremental refresh diverges from full recompute")
+    // the new group appeared through pure +deltas
+    assert(rows(refreshed).exists(_._1 == "new"))
+  }
+
   test("footer-stats skipping prunes files before the scan (r7)") {
     val root = freshRoot()
     VersionedTable.commit(base().repartitionByRange(8, col("key")), root,
