@@ -46,6 +46,10 @@ object ScaleQueries {
       for (t <- Seq(ot, lt)) {
         s.sql(s"DROP TABLE IF EXISTS $t")
         graft.sink.Sinks.deleteDir(s"$wh/$t")
+        // names are pid-unique, so leftovers from a crashed JVM would pile
+        // up forever — sweep this session's staged layouts on exit (the
+        // stagedOnce discipline; the catalog dies with the session anyway)
+        sys.addShutdownHook(graft.sink.Sinks.deleteDir(s"$wh/$t"))
       }
       Scale.writeBucketed(Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),

@@ -263,6 +263,41 @@ object TableQueries {
       |       CAST(ROUND(SUM(CAST(total AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
       |FROM merged GROUP BY status ORDER BY status""".stripMargin
 
+  // ---- table_partition_evolution --------------------------------------------
+  // Partition-spec EVOLUTION with hidden partitioning (r11) — the Iceberg
+  // partitioning model: the table starts life Hive-style
+  // (identity(status): the column lives in the directory value, dropped
+  // from data files), then the spec evolves and NEW data lands under
+  // trunc[2048](key) — a range transform of the key, where the partition
+  // value never appears in a query. Old files keep their old tuples (no
+  // rewrite — the evolution is pure metadata); one version holds files of
+  // BOTH specs, and a read with predicates on the SOURCE columns
+  // (status = 'F' AND key BETWEEN 1000 AND 5000) prunes each file
+  // through its OWN transform: identity files to the one matching status
+  // group, truncate files to the covered key buckets. The oracle is the
+  // plain two-predicate filter — partitioning must change I/O, never
+  // rows. At 100 TB spec evolution is THE escape hatch when yesterday's
+  // layout stops matching today's queries: re-partitioning petabytes is
+  // off the table, appending under a better spec is free.
+  def tablePartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("pevo")
+    val base = ordersBase(s, dir)
+    VersionedTable.commitPartitioned(base.filter(col("key") % 2 === 1),
+      root, VersionedTable.PartSpec("status"), append = false)
+    VersionedTable.commitPartitioned(base.filter(col("key") % 2 === 0),
+      root, VersionedTable.PartSpec("key", Some(2048L)), append = true)
+    VersionedTable.readVersionPart(s, root, 2,
+      eqPreds = Seq(("status", "F")),
+      rangePreds = Seq(("key", 1000L, 5000L)))
+      .orderBy(col("key"))
+  }
+
+  private val tablePartitionEvolutionOracle =
+    """SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 5000
+      |ORDER BY key""".stripMargin
+
   // ---- table_skipping_read --------------------------------------------------
   // File-level data skipping (r7): commit the snapshot range-partitioned
   // on the key with footer min/max stats recorded per file in the
@@ -763,6 +798,7 @@ object TableQueries {
     "sink_compact" -> (sinkCompact _),
     "table_incremental_read" -> (tableIncrementalRead _),
     "table_mv_incremental" -> (tableMvIncremental _),
+    "table_partition_evolution" -> (tablePartitionEvolution _),
     "table_skipping_read" -> (tableSkippingRead _),
     "table_skipping_multi" -> (tableSkippingMulti _),
     "table_zorder" -> (tableZorder _),
@@ -784,6 +820,7 @@ object TableQueries {
     "sink_compact" -> sinkCompactOracle,
     "table_incremental_read" -> tableIncrementalReadOracle,
     "table_mv_incremental" -> tableMvIncrementalOracle,
+    "table_partition_evolution" -> tablePartitionEvolutionOracle,
     "table_skipping_read" -> tableSkippingReadOracle,
     "table_skipping_multi" -> tableSkippingMultiOracle,
     "table_zorder" -> tableSkippingMultiOracle, // same rows; clustering changes I/O only

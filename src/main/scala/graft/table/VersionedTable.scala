@@ -393,11 +393,12 @@ object VersionedTable {
   }
 
   /** All FILE records of version v (data + changeset files; the `S`
-    * schema and `B` bloom records are metadata, read via [[tableSchema]]
-    * resp. [[blooms]]). */
+    * schema, `B` bloom and `P` partition records are metadata, read via
+    * [[tableSchema]] resp. [[blooms]] resp. [[partitionRecords]]). */
   def entries(root: String, v: Int): Seq[ManifestEntry] =
     rawLines(root, v)
-      .filterNot(l => l.startsWith("S\t") || l.startsWith("B\t"))
+      .filterNot(l => l.startsWith("S\t") || l.startsWith("B\t") ||
+        l.startsWith("P\t"))
       .map { line =>
         line.split('\t') match {
           case Array(path) => ManifestEntry(path, change = false, Nil) // legacy
@@ -818,5 +819,163 @@ object VersionedTable {
       }
     }
     pruned
+  }
+
+  // ---------------------------------------------------------------------------
+  // Partition specs + spec EVOLUTION (r11) — the Iceberg partitioning
+  // model on this manifest format: a file's partition tuple is a
+  // metadata record (`P <path> <srcCol> <transform> <value>`), never a
+  // directory-naming convention the reader must re-discover, and the
+  // TRANSFORM rides with it, so predicates on the SOURCE column prune
+  // files through the transform ("hidden partitioning" — the query never
+  // mentions a partition column). Because pruning is per-file metadata,
+  // one version can hold files written under DIFFERENT specs — spec
+  // evolution is just appending files whose P records carry the new
+  // transform; old files keep their old tuples and never rewrite.
+  //
+  //  - identity(src): the Hive layout — the column is dropped from the
+  //    data files (the directory value carries it) and re-attached at
+  //    read from the P record; an equality predicate prunes exactly.
+  //  - trunc[N](src): value = src div N (Iceberg's truncate/range
+  //    transform) — the source column STAYS in the file; a range
+  //    predicate [lo, hi] on src prunes to buckets [lo div N, hi div N].
+
+  /** A partition spec: identity when `truncateTo` is None, else the
+    * truncate-N transform of an integer source column. */
+  final case class PartSpec(srcCol: String, truncateTo: Option[Long] = None) {
+    def transformTag: String = truncateTo.map(n => s"trunc:$n").getOrElse("id")
+  }
+
+  /** One file's recorded partition value under some spec. */
+  final case class PartValue(srcCol: String, transform: String, value: String)
+
+  private def listParquetRecursive(dir: String): Seq[String] =
+    Using.resource(Files.walk(Paths.get(dir))) { st =>
+      st.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString)
+        .toSeq.sorted
+    }
+
+  /** The `<dir>=<value>` partition segment of a written file's path. */
+  private def partValueFromPath(f: String): String = {
+    val seg = f.split('/').reverse.drop(1).find(_.contains('='))
+      .getOrElse(throw new IllegalStateException(
+        s"partitioned write produced no partition segment: $f"))
+    java.net.URLDecoder.decode(seg.substring(seg.indexOf('=') + 1), "UTF-8")
+  }
+
+  /** Commit `df` under a partition spec. `append = true` carries the
+    * previous version's data-side records (D/P/B/E) forward — the
+    * spec-evolution append: the new files' P records carry THIS spec's
+    * transform while every carried file keeps its own. The recorded
+    * schema is `df`'s (the physical `__part` working column for a
+    * truncate spec never reaches the manifest). */
+  def commitPartitioned(df: DataFrame, root: String, spec: PartSpec,
+      append: Boolean): Int = {
+    val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
+    val (out, physCol) = spec.truncateTo match {
+      case Some(n) =>
+        (df.withColumn("__part",
+          expr(s"CAST(`${spec.srcCol}` AS BIGINT) div $n")), "__part")
+      case None => (df, spec.srcCol)
+    }
+    out.write.partitionBy(physCol).parquet(dataDir)
+    val files = listParquetRecursive(dataDir)
+    val newLines = files.flatMap { f =>
+      val v = partValueFromPath(f)
+      Seq(s"D\t$f", s"P\t$f\t${spec.srcCol}\t${spec.transformTag}\t$v")
+    }
+    // carry data-side records only: C (changeset) lines belong to the
+    // commit that recorded them — readChanges must not re-see them here
+    val carried =
+      if (append && latestVersion(root) > 0)
+        rawLines(root, latestVersion(root))
+          .filterNot(l => l.startsWith("S\t") || l.startsWith("C\t"))
+      else Nil
+    val lines = carried ++ newLines :+ s"S\t${df.schema.json}"
+    var v = latestVersion(root) + 1
+    while (!publish(root, v, lines)) v = latestVersion(root) + 1
+    v
+  }
+
+  /** Version v's per-file partition records (files without one — e.g.
+    * committed pre-evolution by the unpartitioned writer — are absent). */
+  def partitionRecords(root: String, v: Int): Map[String, Seq[PartValue]] =
+    rawLines(root, v).filter(_.startsWith("P\t"))
+      .map(_.split('\t'))
+      .collect { case Array("P", path, c, t, value) =>
+        path -> PartValue(c, t, value) }
+      .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2)) }
+
+  /** The data files of version v surviving every SOURCE-column predicate
+    * through each file's own partition transform — equality predicates
+    * prune identity and truncate tuples exactly; range predicates prune
+    * truncate tuples to the covered bucket span and identity integer
+    * tuples to the range. A file with no tuple for a predicate's column
+    * is conservatively kept (the row filter still applies). */
+  def prunedFilesPart(root: String, v: Int,
+      eqPreds: Seq[(String, String)],
+      rangePreds: Seq[(String, Long, Long)]): Seq[String] = {
+    val pmap = partitionRecords(root, v)
+    def bucketOf(tag: String): Option[Long] =
+      if (tag.startsWith("trunc:")) Some(tag.drop(6).toLong) else None
+    manifest(root, v).filter { f =>
+      val pvs = pmap.getOrElse(f, Nil)
+      val eqOk = eqPreds.forall { case (c, want) =>
+        pvs.find(_.srcCol == c).forall { pv =>
+          bucketOf(pv.transform) match {
+            case None => pv.value == want
+            case Some(n) =>
+              pv.value.toLong == Math.floorDiv(want.toLong, n)
+          }
+        }
+      }
+      val rgOk = rangePreds.forall { case (c, lo, hi) =>
+        pvs.find(_.srcCol == c).forall { pv =>
+          bucketOf(pv.transform) match {
+            case None =>
+              val x = pv.value.toLong; x >= lo && x <= hi
+            case Some(n) =>
+              val b = pv.value.toLong
+              b >= Math.floorDiv(lo, n) && b <= Math.floorDiv(hi, n)
+          }
+        }
+      }
+      eqOk && rgOk
+    }
+  }
+
+  /** Partition-pruned read across MIXED specs: files prune per their own
+    * P records, identity-dropped columns re-attach from their recorded
+    * values (cast via the manifest schema), and the row-level filters
+    * apply to every surviving row — hidden partitioning must change I/O,
+    * never rows. */
+  def readVersionPart(s: SparkSession, root: String, v: Int,
+      eqPreds: Seq[(String, String)],
+      rangePreds: Seq[(String, Long, Long)]): DataFrame = {
+    val schema = tableSchema(root, v).getOrElse(throw new IllegalStateException(
+      s"partition-aware read needs the manifest schema at $root v$v"))
+    val kept0 = prunedFilesPart(root, v, eqPreds, rangePreds)
+    val kept = if (kept0.nonEmpty) kept0 else manifest(root, v) // schema carry
+    val pmap = partitionRecords(root, v)
+    // group by the identity-attach tuple so each group is one scan
+    val groups = kept.groupBy { f =>
+      pmap.getOrElse(f, Nil).filter(_.transform == "id")
+        .map(pv => (pv.srcCol, pv.value)).sortBy(_._1)
+    }
+    val parts = groups.toSeq.sortBy(_._1.mkString(",")).map { case (attach, fs) =>
+      val attached = attach.foldLeft(s.read.parquet(fs: _*)) {
+        case (d, (c, value)) => d.withColumn(c, lit(value).cast(schema(c).dataType))
+      }
+      attached.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+    val all = parts.reduce(_ unionAll _)
+    val eqFiltered = eqPreds.foldLeft(all) { case (d, (c, value)) =>
+      d.filter(col(c) === lit(value).cast(schema(c).dataType))
+    }
+    rangePreds.foldLeft(eqFiltered) { case (d, (c, lo, hi)) =>
+      d.filter(col(c).between(lo, hi))
+    }
   }
 }

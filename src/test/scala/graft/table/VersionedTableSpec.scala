@@ -211,6 +211,55 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(refreshed).exists(_._1 == "new"))
   }
 
+  test("partition-spec evolution: mixed specs prune per-file through " +
+      "their own transforms; rows unchanged (r11)") {
+    val root = freshRoot()
+    // v1: Hive-style identity(status) over odd keys — status lives in the
+    // directory value, NOT in the data files
+    VersionedTable.commitPartitioned(base().filter(col("key") % 2 === 1),
+      root, VersionedTable.PartSpec("status"), append = false)
+    // v2: spec evolves — even keys append under trunc[256](key), a hidden
+    // range transform; v1's files carry over untouched
+    VersionedTable.commitPartitioned(base().filter(col("key") % 2 === 0),
+      root, VersionedTable.PartSpec("key", Some(256L)), append = true)
+    assert(VersionedTable.manifest(root, 2).toSet
+      .intersect(VersionedTable.manifest(root, 1).toSet)
+      == VersionedTable.manifest(root, 1).toSet,
+      "append must carry v1's files forward without rewrite")
+    val pvs = VersionedTable.partitionRecords(root, 2).values.flatten.toSeq
+    assert(pvs.exists(_.transform == "id") &&
+      pvs.exists(_.transform == "trunc:256"),
+      "one version must hold files under BOTH specs")
+    // the mixed-spec read: status eq + key range, predicates on SOURCE
+    // columns only
+    val got = VersionedTable.readVersionPart(spark, root, 2,
+      eqPreds = Seq(("status", "s2")),
+      rangePreds = Seq(("key", 100L, 400L)))
+    // pruning: strictly fewer files opened than the manifest lists, every
+    // identity file opened is the s2 group, every truncate file opened is
+    // a covered bucket (100/256=0 .. 400/256=1)
+    val opened = got.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+    val all = VersionedTable.manifest(root, 2)
+    assert(opened.size < all.size,
+      s"no partition pruning: opened ${opened.size} of ${all.size}")
+    val pmap = VersionedTable.partitionRecords(root, 2)
+    opened.foreach { f =>
+      pmap.get(f).foreach(_.foreach { pv =>
+        if (pv.transform == "id") assert(pv.value == "s2",
+          s"opened identity file of group ${pv.value}: $f")
+        else assert(pv.value.toLong >= 0L && pv.value.toLong <= 1L,
+          s"opened truncate bucket ${pv.value} outside [0,1]: $f")
+      })
+    }
+    // rows: identical to the plain filter over the full relation
+    val want = base().filter(col("status") === "s2" &&
+      col("key").between(100L, 400L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == want, "hidden partitioning changed the answer")
+  }
+
   test("footer-stats skipping prunes files before the scan (r7)") {
     val root = freshRoot()
     VersionedTable.commit(base().repartitionByRange(8, col("key")), root,
