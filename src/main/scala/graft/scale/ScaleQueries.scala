@@ -37,7 +37,12 @@ object ScaleQueries {
   private[scale] def bucketedPair(s: SparkSession, dir: String): (String, String) = {
     val fp = graft.sink.Sinks.fingerprint(s"$dir/orders.parquet") + "|" +
       graft.sink.Sinks.fingerprint(s"$dir/lineitem.parquet")
-    stageCache.computeIfAbsent(s"$dir@$fp", { _ =>
+    // unlike the file-staging caches, this one stages CATALOG tables,
+    // which die with their session — key on the session identity too so
+    // a second session in the same JVM restages instead of resolving a
+    // table name the first session registered
+    stageCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}@$dir@$fp", { _ =>
       val n = runId.incrementAndGet()
       val pid = ProcessHandle.current().pid()
       val ot = s"graft_orders_b_${pid}_$n"

@@ -950,7 +950,15 @@ object VersionedTable {
     * P records, identity-dropped columns re-attach from their recorded
     * values (cast via the manifest schema), and the row-level filters
     * apply to every surviving row — hidden partitioning must change I/O,
-    * never rows. */
+    * never rows.
+    *
+    * The surviving files group by their identity-attach tuple and each
+    * group is one scan relation — after equality pruning that is
+    * typically ONE group. An unpruned read of a many-thousand-partition
+    * identity layout would plan one scan per group; a production reader
+    * hands that case to Spark's own partition discovery (basePath) in a
+    * single scan — the manifest records are a superset of what discovery
+    * infers, so nothing in the format prevents it. */
   def readVersionPart(s: SparkSession, root: String, v: Int,
       eqPreds: Seq[(String, String)],
       rangePreds: Seq[(String, Long, Long)]): DataFrame = {
