@@ -701,6 +701,39 @@ object TableQueries {
       |SELECT 'v2' AS version, key, status, total FROM base WHERE key % 7 <> 0
       |ORDER BY version, key""".stripMargin
 
+  // ---- table_delete_vectors -------------------------------------------------
+  // DELETE via POSITIONAL deletion vectors (r11) — the second
+  // merge-on-read delete mode beside table_merge_on_read's equality
+  // records, and the one a located `DELETE WHERE` compiles to (Delta
+  // deletion vectors / Iceberg positional deletes): the predicate scan
+  // runs ONCE carrying the parquet _metadata (file, row ordinal) columns,
+  // the victims land as (file, pos) pairs in a `V` manifest record, the
+  // data files are untouched, and every read subtracts by POSITION
+  // through a broadcast anti-join — works for any predicate, no key
+  // column required, zero cost on files with no deleted rows. v1 still
+  // serves every row (copy-on-write history); v2 serves the deleted
+  // view. The oracle restates both relations from the raw table.
+  def tableDeleteVectors(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("dvec")
+    val base = ordersBase(s, dir)
+    VersionedTable.commit(base.repartition(8), root) // v1: the snapshot
+    VersionedTable.commitDeleteVectors(s, root, "key % 11 = 0") // v2
+    val v1 = VersionedTable.readVersion(s, root, 1)
+      .select(lit("v1").as("version"), col("key"), col("status"), col("total"))
+    val v2 = VersionedTable.readVersion(s, root, 2)
+      .select(lit("v2").as("version"), col("key"), col("status"), col("total"))
+    v1.unionAll(v2).orderBy(col("version"), col("key"))
+  }
+
+  private val tableDeleteVectorsOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders)
+      |SELECT 'v1' AS version, key, status, total FROM base
+      |UNION ALL
+      |SELECT 'v2' AS version, key, status, total FROM base WHERE key % 11 <> 0
+      |ORDER BY version, key""".stripMargin
+
   // ---- table_replace_where --------------------------------------------------
   // REPLACE WHERE — the daily-partition reload: v1 commits the orders
   // snapshot RANGE-CLUSTERED on key with stats (each file owns a disjoint
@@ -794,6 +827,7 @@ object TableQueries {
     "table_shallow_clone" -> (tableShallowClone _),
     "table_replace_where" -> (tableReplaceWhere _),
     "table_merge_on_read" -> (tableMergeOnRead _),
+    "table_delete_vectors" -> (tableDeleteVectors _),
     "table_time_travel" -> (tableTimeTravel _),
     "sink_compact" -> (sinkCompact _),
     "table_incremental_read" -> (tableIncrementalRead _),
@@ -816,6 +850,7 @@ object TableQueries {
     "table_shallow_clone" -> tableShallowCloneOracle,
     "table_replace_where" -> tableReplaceWhereOracle,
     "table_merge_on_read" -> tableMergeOnReadOracle,
+    "table_delete_vectors" -> tableDeleteVectorsOracle,
     "table_time_travel" -> tableTimeTravelOracle,
     "sink_compact" -> sinkCompactOracle,
     "table_incremental_read" -> tableIncrementalReadOracle,

@@ -254,6 +254,57 @@ object VersionedTable {
     v
   }
 
+  /** Positional DELETE — deletion vectors (r11): the other merge-on-read
+    * delete beside [[commitDeletes]]' equality records. A `DELETE WHERE`
+    * locates its victims ONCE (one predicate scan carrying the parquet
+    * `_metadata` file/row-index columns) and records them as
+    * (file, row ordinal) pairs in `V`-record parquet files; the data
+    * files are untouched and the read side subtracts by POSITION, so the
+    * mechanism composes with any predicate — no key column needed, and a
+    * file with no deleted rows pays nothing. Equality deletes remain the
+    * right tool when the writer knows keys but not locations (streaming
+    * upserts); DVs are what a located DELETE compiles to — the Delta
+    * deletion-vector / Iceberg positional-delete design. At 100 TB the
+    * DV set is KBs-to-MBs riding a broadcast anti-join; deleting 0.1% of
+    * rows rewrites nothing. */
+  def commitDeleteVectors(s: SparkSession, root: String,
+      predicate: String): Int = {
+    val base = latestVersion(root)
+    require(base >= 1, s"cannot DELETE from an empty table at $root")
+    val dvDir = s"$root/dvs/${java.util.UUID.randomUUID()}"
+    s.read.parquet(manifest(root, base): _*)
+      .select(col("*"), col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__pos"))
+      .filter(expr(predicate))
+      .select(col("__file"), col("__pos"))
+      .write.parquet(dvDir)
+    val vLines = listParquet(dvDir).map(f => s"V\t$f")
+    val carried = rawLines(root, base).filterNot(_.startsWith("C\t"))
+    var v = base + 1
+    while (!publish(root, v, carried ++ vLines)) v = latestVersion(root) + 1
+    v
+  }
+
+  /** Version v's deletion-vector files ([] when none committed). */
+  def dvFiles(root: String, v: Int): Seq[String] =
+    rawLines(root, v).filter(_.startsWith("V\t")).map(_.split('\t')(1))
+
+  /** Subtract version v's deletion vectors from a parquet SCAN relation
+    * (the `_metadata` columns must still be resolvable — apply before
+    * any projection). The DV set broadcasts; a pruned read that scans a
+    * file subset simply leaves the other files' DV rows unmatched. */
+  private def applyDvs(s: SparkSession, root: String, v: Int,
+      scan: DataFrame): DataFrame = {
+    val dvs = dvFiles(root, v)
+    if (dvs.isEmpty) scan
+    else scan
+      .select(col("*"), col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__pos"))
+      .join(broadcast(s.read.parquet(dvs: _*)), Seq("__file", "__pos"),
+        "left_anti")
+      .drop("__file", "__pos")
+  }
+
   /** Directory listing of the parquet files just written. The stream is
     * closed eagerly (Using) — commit() runs per micro-batch in
     * streamMergeUpsert, and an unclosed Files.list leaks a directory fd
@@ -398,7 +449,7 @@ object VersionedTable {
   def entries(root: String, v: Int): Seq[ManifestEntry] =
     rawLines(root, v)
       .filterNot(l => l.startsWith("S\t") || l.startsWith("B\t") ||
-        l.startsWith("P\t"))
+        l.startsWith("P\t") || l.startsWith("V\t"))
       .map { line =>
         line.split('\t') match {
           case Array(path) => ManifestEntry(path, change = false, Nil) // legacy
@@ -459,7 +510,8 @@ object VersionedTable {
     * merge-on-read contract: the data files still contain the rows; the
     * read subtracts them). */
   def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
-    applyDeletes(s, root, v, s.read.parquet(manifest(root, v): _*))
+    applyDeletes(s, root, v,
+      applyDvs(s, root, v, s.read.parquet(manifest(root, v): _*)))
 
   /** Latest-version read (what an unpinned reader sees). */
   def readLatest(s: SparkSession, root: String): DataFrame =
@@ -475,7 +527,8 @@ object VersionedTable {
   def readVersionEvolved(s: SparkSession, root: String, v: Int): DataFrame = {
     val target = tableSchema(root, latestVersion(root))
       .getOrElse(readLatest(s, root).schema) // pre-r8 table: infer once
-    applyDeletes(s, root, v, s.read.schema(target).parquet(manifest(root, v): _*))
+    applyDeletes(s, root, v,
+      applyDvs(s, root, v, s.read.schema(target).parquet(manifest(root, v): _*)))
   }
 
   /** The data files of version v that survive EVERY predicate's stats
@@ -510,8 +563,8 @@ object VersionedTable {
     val files = prunedFiles(root, v, preds)
     val src = if (files.nonEmpty) files else manifest(root, v)
     applyDeletes(s, root, v,
-      preds.foldLeft(s.read.parquet(src: _*)) { case (df, (c, lo, hi)) =>
-        df.filter(col(c).between(lo, hi))
+      preds.foldLeft(applyDvs(s, root, v, s.read.parquet(src: _*))) {
+        case (df, (c, lo, hi)) => df.filter(col(c).between(lo, hi))
       })
   }
 
@@ -562,7 +615,8 @@ object VersionedTable {
     val files = prunedFilesPoint(root, v, column, value)
     val src = if (files.nonEmpty) files else manifest(root, v)
     applyDeletes(s, root, v,
-      s.read.parquet(src: _*).filter(col(column) === value))
+      applyDvs(s, root, v, s.read.parquet(src: _*))
+        .filter(col(column) === value))
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF v (the Delta RESTORE contract):

@@ -211,6 +211,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(refreshed).exists(_._1 == "new"))
   }
 
+  test("deletion vectors: positional delete rewrites nothing, composes " +
+      "with equality deletes (r11)") {
+    val root = freshRoot()
+    VersionedTable.commit(base().repartition(4), root) // v1
+    val v2 = VersionedTable.commitDeleteVectors(spark, root, "key % 3 = 0")
+    // no rewrite: v2's data file list IS v1's
+    assert(VersionedTable.manifest(root, v2) == VersionedTable.manifest(root, 1),
+      "DV commit must not touch data files")
+    // the DV stores positions, not keys: (file, pos) schema, one row per
+    // deleted row
+    val dv = spark.read.parquet(VersionedTable.dvFiles(root, v2): _*)
+    assert(dv.columns.toSeq == Seq("__file", "__pos"))
+    assert(dv.count() == base().filter(col("key") % 3 === 0).count())
+    // v2 read == the predicate's complement; v1 still serves every row
+    assert(VersionedTable.readVersion(spark, root, v2).count() ==
+      base().filter(col("key") % 3 =!= 0).count())
+    assert(VersionedTable.readVersion(spark, root, 1).count() == base().count())
+    // an equality delete on TOP of the DV composes: v3 removes key%5 by
+    // value, read subtracts both
+    val v3 = VersionedTable.commitDeletes(
+      base().filter(col("key") % 5 === 0).select(col("key")), root, "key")
+    val got = VersionedTable.readVersion(spark, root, v3)
+      .collect().map(_.getLong(0)).toSet
+    val want = (1L to 1000L).filter(k => k % 3 != 0 && k % 5 != 0).toSet
+    assert(got == want, "stacked DV + equality delete diverged")
+  }
+
   test("partition-spec evolution: mixed specs prune per-file through " +
       "their own transforms; rows unchanged (r11)") {
     val root = freshRoot()
