@@ -650,9 +650,10 @@ object VersionedTable {
   def metaAgg(s: SparkSession, root: String, v: Int,
       column: String): DataFrame = {
     // footer counts/stats describe the data FILES; under merge-on-read
-    // deletes the version's logical rows are a subset, so a metadata-only
-    // answer would overcount — fail fast instead of answering wrong
-    require(deleteFiles(root, v).isEmpty,
+    // deletes (equality records OR deletion vectors) the version's
+    // logical rows are a subset, so a metadata-only answer would
+    // overcount — fail fast instead of answering wrong
+    require(deleteFiles(root, v).isEmpty && dvFiles(root, v).isEmpty,
       s"metadata-only aggregate undefined under merge-on-read deletes at $root v$v")
     val files = dataEntries(root, v)
     val nRows = files.map(e => footerRowCount(e.path)).sum
