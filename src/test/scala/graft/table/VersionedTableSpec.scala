@@ -236,6 +236,18 @@ class VersionedTableSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val want = (1L to 1000L).filter(k => k % 3 != 0 && k % 5 != 0).toSet
     assert(got == want, "stacked DV + equality delete diverged")
+    // OPTIMIZE materializes the deletes: compact reads the logical view
+    // (DVs + equality records subtracted) and commits a fresh manifest,
+    // so the rewritten version carries no delete metadata at all and
+    // serves the same rows — the DV-debt cleanup a table runs when the
+    // deleted fraction grows past the read-amplification threshold
+    val v4 = VersionedTable.compact(spark, root, targetBytes = 8L << 20)
+    assert(VersionedTable.dvFiles(root, v4).isEmpty &&
+      VersionedTable.deleteFiles(root, v4).isEmpty,
+      "compaction must materialize deletes, not carry them")
+    assert(VersionedTable.readVersion(spark, root, v4)
+      .collect().map(_.getLong(0)).toSet == want,
+      "compaction changed the logical rows")
   }
 
   test("partition-spec evolution: mixed specs prune per-file through " +
