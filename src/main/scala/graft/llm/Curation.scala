@@ -519,7 +519,67 @@ object Curation {
        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- pipeline_pretrain_export ---------------------------------------------
+  // The END-TO-END daily export (r11) — the composite job a pretraining
+  // data team actually schedules, chaining the engine's own operators:
+  // curate_keep_drop's full decision battery (length floor, langid vote,
+  // quality score, MinHash-LSH near-dup suppression — first failing rule
+  // wins) selects the survivors, which route to 4 training shards by the
+  // deterministic md5 device, land as a shard-partitioned parquet layout,
+  // and the key returns the shard MANIFEST read back FROM THE WRITTEN
+  // FILES (doc counts, whitespace-token totals, mergeable corpus
+  // fingerprint per shard). The oracle replays the ENTIRE pipeline —
+  // curation CTEs composed with the shard/manifest CTEs — so a wrong
+  // decision anywhere upstream (one extra or missing survivor) shifts a
+  // shard's count/tokens/fingerprint and fails the hash. This is the
+  // composition proof: the operators don't just pass in isolation, they
+  // agree with the oracle when chained the way a user chains them.
+  //
+  // Scale: the decision plan is curate_keep_drop's (bucketed LSH, no
+  // all-pairs), the export is sink_shards' one hash-partitioned shuffle;
+  // chaining adds one equi-join of the corpus against the keep set —
+  // at 100 TB the whole job is the sum of its parts, no new topology.
+  def pipelinePretrainExport(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_pretrain_export" +
+      s"-${ProcessHandle.current().pid()}"
+    graft.sink.Sinks.deleteDir(path)
+    val keep = curateKeepDrop(s, dir).filter(col("keep")).select(col("doc_id"))
+    load(s, dir, "documents")
+      .join(keep, Seq("doc_id"))
+      .withColumn("shard",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") % 4).cast("int"))
+      .write.partitionBy("shard").parquet(path)
+    s.read.parquet(path)
+      .withColumn("n_toks", size(expr(toksE)))
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        graft.functions.Scalars.corpusFp(col("doc_id"), col("text"))
+          .as("shard_fp"))
+      .orderBy(col("shard"))
+  }
+
+  /** Oracle: the whole pipeline replayed relationally — the composed
+    * keep/drop decision feeding the shard-manifest derivation. */
+  private def pipelinePretrainExportOracle(keepDropOracle: String): String =
+    s"""WITH kd AS ($keepDropOracle),
+       |surv AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN kd ON kd.doc_id = d.doc_id AND kd.keep),
+       |sh AS (
+       |  SELECT *,
+       |         ((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       |          + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 4 AS shard,
+       |         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_toks
+       |  FROM surv)
+       |SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |       ${graft.functions.Scalars.corpusFpSql("doc_id", "text")} AS shard_fp
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "pipeline_pretrain_export" -> (pipelinePretrainExport _),
     "curate_classifier_score" -> (curateClassifierScore _),
     "text_pii_scrub" -> (textPiiScrub _),
     "curate_keep_drop" -> (curateKeepDrop _),
@@ -530,6 +590,11 @@ object Curation {
     "curate_ppl_buckets" -> (curatePplBuckets _))
 
   def oracles: Map[String, String] = Map(
+    "pipeline_pretrain_export" -> pipelinePretrainExportOracle(
+      curateKeepDropOracle(
+        TextAnalysis.oracles("text_quality"),
+        TextAnalysis.oracles("text_langid"),
+        Dedup.oracles("dedup_minhash_lsh"))),
     "curate_classifier_score" -> curateClassifierScoreOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "curate_keep_drop" -> curateKeepDropOracle(

@@ -406,6 +406,24 @@ class LlmOpsSpec extends SparkSpec {
       s"substring dedup must stay linear:\n$plan")
   }
 
+  test("pretrain export pipeline: manifest conserves exactly the keep set, " +
+      "bit-reproducibly (r11)") {
+    val manifest = Curation.pipelinePretrainExport(spark, sfDir).collect()
+    assert(manifest.nonEmpty && manifest.length <= 4)
+    val keepCount = Curation.curateKeepDrop(spark, sfDir)
+      .filter(col("keep")).count()
+    assert(keepCount > 0, "fixture must keep at least one doc")
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == keepCount,
+      "shard manifest lost or invented survivors vs the keep decision")
+    // every shard is non-degenerate and fingerprinted
+    assert(manifest.forall(r => r.getAs[Long]("n_tokens") > 0 &&
+      r.getAs[String]("shard_fp") != null))
+    // re-running the whole pipeline reproduces the manifest byte-for-byte
+    val again = Curation.pipelinePretrainExport(spark, sfDir).collect()
+    assert(manifest.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "export pipeline is not reproducible across runs")
+  }
+
   test("gopher rules fire in published order; keeps satisfy every rule (r9)") {
     val rows = Curation.curateGopherRules(spark, sfDir).collect()
     val reasons = rows.map(_.getAs[String]("reason")).toSet
