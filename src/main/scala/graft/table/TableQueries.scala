@@ -734,6 +734,39 @@ object TableQueries {
       |SELECT 'v2' AS version, key, status, total FROM base WHERE key % 11 <> 0
       |ORDER BY version, key""".stripMargin
 
+  // ---- table_column_rename --------------------------------------------------
+  // Column RENAME without rewrite (r11) — the other half of schema
+  // evolution beside table_schema_evolution's widening: renaming a column
+  // on a 100 TB table is a pure-metadata commit (`R physical logical`
+  // mapping records + the renamed `S` schema; zero data files touched).
+  // The key renames total → amount (v2) then amount → order_amount (v3 —
+  // the CHAINED case, which must stay one mapping hop, not a chain walk),
+  // reads v3 under the final logical names, and unions the v1 time-travel
+  // read which still serves the ORIGINAL names — every version's manifest
+  // froze its own schema and mapping. A NULL-filled column or a dropped
+  // value anywhere fails the oracle hash.
+  def tableColumnRename(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("ren")
+    VersionedTable.commit(ordersBase(s, dir), root) // v1: (key,status,total)
+    VersionedTable.commitRename(root, Map("total" -> "amount")) // v2
+    VersionedTable.commitRename(root, Map("amount" -> "order_amount")) // v3
+    val v3 = VersionedTable.readVersionRenamed(s, root, 3)
+      .select(lit("v3").as("version"), col("key"), col("status"),
+        col("order_amount"))
+    val v1 = VersionedTable.readVersion(s, root, 1)
+      .select(lit("v1").as("version"), col("key"), col("status"),
+        col("total").as("order_amount"))
+    v1.unionAll(v3).orderBy(col("version"), col("key"))
+  }
+
+  private val tableColumnRenameOracle =
+    """SELECT 'v1' AS version, o_orderkey AS key, o_orderstatus AS status,
+      |       o_totalprice AS order_amount
+      |FROM orders
+      |UNION ALL
+      |SELECT 'v3', o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |ORDER BY version, key""".stripMargin
+
   // ---- table_replace_where --------------------------------------------------
   // REPLACE WHERE — the daily-partition reload: v1 commits the orders
   // snapshot RANGE-CLUSTERED on key with stats (each file owns a disjoint
@@ -828,6 +861,7 @@ object TableQueries {
     "table_replace_where" -> (tableReplaceWhere _),
     "table_merge_on_read" -> (tableMergeOnRead _),
     "table_delete_vectors" -> (tableDeleteVectors _),
+    "table_column_rename" -> (tableColumnRename _),
     "table_time_travel" -> (tableTimeTravel _),
     "sink_compact" -> (sinkCompact _),
     "table_incremental_read" -> (tableIncrementalRead _),
@@ -851,6 +885,7 @@ object TableQueries {
     "table_replace_where" -> tableReplaceWhereOracle,
     "table_merge_on_read" -> tableMergeOnReadOracle,
     "table_delete_vectors" -> tableDeleteVectorsOracle,
+    "table_column_rename" -> tableColumnRenameOracle,
     "table_time_travel" -> tableTimeTravelOracle,
     "sink_compact" -> sinkCompactOracle,
     "table_incremental_read" -> tableIncrementalReadOracle,

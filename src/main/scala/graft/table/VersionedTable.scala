@@ -305,6 +305,57 @@ object VersionedTable {
       .drop("__file", "__pos")
   }
 
+  /** Column RENAME without rewrite (r11) — the Delta column-mapping /
+    * Iceberg rename contract: renaming a column on a 100 TB table is a
+    * PURE METADATA commit. The manifest carries `R <physical> <logical>`
+    * mapping records (physical = the name actually inside the immutable
+    * parquet files); a rename updates the logical side of an existing
+    * mapping (so chained renames stay one hop) or adds a new record, and
+    * publishes the renamed schema as the new `S`. Data files are never
+    * touched; time travel to pre-rename versions still serves the old
+    * names, because each version's manifest froze its own S/R records. */
+  def commitRename(root: String, renames: Map[String, String]): Int = {
+    val base = latestVersion(root)
+    require(base >= 1, s"cannot RENAME on an empty table at $root")
+    val schema = tableSchema(root, base).getOrElse(throw new
+      IllegalStateException(s"rename needs the manifest schema at $root"))
+    renames.keys.foreach { o => require(schema.fieldNames.contains(o),
+      s"rename source '$o' not in the current schema") }
+    val renamed = types.StructType(schema.map(f =>
+      renames.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
+    val prior = renameMap(root, base) // physical -> logical
+    // update chained mappings in place; first-time renames map from the
+    // physical name (their current logical IS the physical)
+    val updated = prior.map { case (phys, logical) =>
+      (phys, renames.getOrElse(logical, logical)) }
+    val fresh = renames.filterNot { case (o, _) => prior.values.exists(_ == o) }
+    val mapping = (updated ++ fresh).filter { case (p, l) => p != l }
+    val carried = rawLines(root, base).filterNot(l =>
+      l.startsWith("S\t") || l.startsWith("C\t") || l.startsWith("R\t"))
+    val lines = carried ++
+      mapping.map { case (p, l) => s"R\t$p\t$l" } :+ s"S\t${renamed.json}"
+    var v = base + 1
+    while (!publish(root, v, lines)) v = latestVersion(root) + 1
+    v
+  }
+
+  /** Version v's physical→logical column mapping ([] when no renames). */
+  def renameMap(root: String, v: Int): Map[String, String] =
+    rawLines(root, v).filter(_.startsWith("R\t")).map(_.split('\t'))
+      .collect { case Array("R", phys, logical) => (phys, logical) }.toMap
+
+  /** Read version v under its LOGICAL schema: old files' physical column
+    * names resolve through the mapping (one aliasing projection — free),
+    * unmapped columns pass through. */
+  def readVersionRenamed(s: SparkSession, root: String, v: Int): DataFrame = {
+    val schema = tableSchema(root, v).getOrElse(throw new
+      IllegalStateException(s"mapped read needs the manifest schema at $root"))
+    val logicalToPhys = renameMap(root, v).map(_.swap)
+    val raw = applyDvs(s, root, v, s.read.parquet(manifest(root, v): _*))
+    applyDeletes(s, root, v, raw.select(schema.fieldNames.toSeq.map { n =>
+      col(logicalToPhys.getOrElse(n, n)).as(n) }: _*))
+  }
+
   /** Directory listing of the parquet files just written. The stream is
     * closed eagerly (Using) — commit() runs per micro-batch in
     * streamMergeUpsert, and an unclosed Files.list leaks a directory fd
@@ -449,7 +500,7 @@ object VersionedTable {
   def entries(root: String, v: Int): Seq[ManifestEntry] =
     rawLines(root, v)
       .filterNot(l => l.startsWith("S\t") || l.startsWith("B\t") ||
-        l.startsWith("P\t") || l.startsWith("V\t"))
+        l.startsWith("P\t") || l.startsWith("V\t") || l.startsWith("R\t"))
       .map { line =>
         line.split('\t') match {
           case Array(path) => ManifestEntry(path, change = false, Nil) // legacy

@@ -250,6 +250,36 @@ class VersionedTableSpec extends SparkSpec {
       "compaction changed the logical rows")
   }
 
+  test("column rename is pure metadata: chained renames stay one hop, " +
+      "history keeps old names (r11)") {
+    val root = freshRoot()
+    VersionedTable.commit(base(), root) // (key, status, total)
+    val v2 = VersionedTable.commitRename(root, Map("total" -> "amount"))
+    val v3 = VersionedTable.commitRename(root, Map("amount" -> "amt"))
+    // zero rewrite across both renames
+    assert(VersionedTable.manifest(root, v3) == VersionedTable.manifest(root, 1),
+      "rename touched data files")
+    // the chained mapping is ONE hop from the physical name
+    assert(VersionedTable.renameMap(root, v3) == Map("total" -> "amt"))
+    assert(VersionedTable.renameMap(root, v2) == Map("total" -> "amount"))
+    // reads resolve each version's own logical schema
+    assert(VersionedTable.readVersionRenamed(spark, root, v3).columns.toSeq
+      == Seq("key", "status", "amt"))
+    assert(VersionedTable.readVersionRenamed(spark, root, v2).columns.toSeq
+      == Seq("key", "status", "amount"))
+    assert(VersionedTable.readVersion(spark, root, 1).columns.toSeq
+      == Seq("key", "status", "total"))
+    // values ride along untouched
+    val sum3 = VersionedTable.readVersionRenamed(spark, root, v3)
+      .agg(sum(col("amt"))).collect()(0).getDouble(0)
+    val sum1 = base().agg(sum(col("total"))).collect()(0).getDouble(0)
+    assert(sum3 == sum1, "rename changed data")
+    // renaming a column that never existed fails loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitRename(root, Map("nope" -> "x"))
+    }
+  }
+
   test("partition-spec evolution: mixed specs prune per-file through " +
       "their own transforms; rows unchanged (r11)") {
     val root = freshRoot()
