@@ -316,7 +316,7 @@ object PipelineOps {
     * rules verbatim in two places). Six columns: (key, op, old_status,
     * old_total, new_status, new_total) — preimages for the feed, op +
     * postimages for the merge. */
-  private def mergeChangeset(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mergeChangeset(s: SparkSession, dir: String): DataFrame = {
     val base = load(s, dir, "orders")
       .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
         col("o_totalprice").as("total"))

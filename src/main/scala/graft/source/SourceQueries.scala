@@ -246,6 +246,83 @@ object SourceQueries {
       |       ${graft.functions.Scalars.corpusFpSql("doc_id", "text")} AS corpus_fp
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- src_cdc_envelope -----------------------------------------------------
+  // CDC ENVELOPE ingest (r11) — consuming another system's change feed:
+  // the Debezium/Kafka-Connect envelope shape (op c/u/d with nested
+  // before/after row images, one JSON object per event) is how CDC
+  // arrives from an operational database. The key stages the
+  // deterministic merge changeset AS that envelope (op D→d carries only
+  // `before`, U→u carries both images, I→c only `after` — to_json drops
+  // the null side, exactly like the real feed), re-ingests it with an
+  // EXPLICIT nested schema (no inference pass), folds each event to the
+  // net change, and applies it onto the orders snapshot with the same
+  // full-outer MERGE the native changeset uses. The oracle replays the
+  // merge relationally — a mis-parsed image, a dropped event, or a
+  // before/after mixup anywhere changes the merged table and fails the
+  // hash.
+  //
+  // Scale: parse is schema'd scan-local JSON decode; the apply is
+  // merge_upsert's one-shuffle-per-side full-outer join (zero
+  // co-bucketed). The envelope's value is interop — the feed an
+  // operational DB emits lands in this engine without a custom parser.
+  def srcCdcEnvelope(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("src_cdc", dir, "orders") { p =>
+      graft.operators.PipelineOps.mergeChangeset(s, dir)
+        .select(to_json(struct(
+          when(col("op") === "D", lit("d"))
+            .when(col("op") === "U", lit("u"))
+            .otherwise(lit("c")).as("op"),
+          when(col("op").isin("D", "U"),
+            struct(col("key"), col("old_status").as("status"),
+              col("old_total").as("total"))).as("before"),
+          when(col("op").isin("U", "I"),
+            struct(col("key"), col("new_status").as("status"),
+              col("new_total").as("total"))).as("after")))
+          .as("value"))
+        .write.text(s"$p/cdc")
+    }
+    val envSchema = "op STRING, " +
+      "before STRUCT<key: BIGINT, status: STRING, total: DOUBLE>, " +
+      "after STRUCT<key: BIGINT, status: STRING, total: DOUBLE>"
+    val changes = s.read.schema(envSchema).json(s"$path/cdc")
+      .select(coalesce(col("after.key"), col("before.key")).as("key"),
+        col("op"), col("after.status").as("new_status"),
+        col("after.total").as("new_total"))
+    val base = graft.model.Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("total"))
+    base.join(changes, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "d")
+      .select(col("key"),
+        when(col("op").isNotNull, col("new_status")).otherwise(col("status"))
+          .as("status"),
+        when(col("op").isNotNull, col("new_total")).otherwise(col("total"))
+          .as("total"))
+      .orderBy(col("key"))
+  }
+
+  private val srcCdcEnvelopeOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders),
+      |changes AS (
+      |  SELECT key, 'D' AS op, CAST(NULL AS VARCHAR) AS new_status,
+      |         CAST(NULL AS DOUBLE) AS new_total
+      |  FROM base WHERE key % 13 = 0
+      |  UNION ALL
+      |  SELECT key, 'U', 'X',
+      |         CAST(ROUND(CAST(total * 1.1 AS DECIMAL(18,4)), 2) AS DOUBLE)
+      |  FROM base WHERE key % 10 = 0 AND key % 13 <> 0
+      |  UNION ALL
+      |  SELECT -key, 'I', 'N', total
+      |  FROM base WHERE key % 97 = 0 AND key > 0)
+      |SELECT COALESCE(b.key, c.key) AS key,
+      |       CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END AS status,
+      |       CASE WHEN c.op IS NOT NULL THEN c.new_total ELSE b.total END AS total
+      |FROM base b FULL OUTER JOIN changes c ON c.key = b.key
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY key""".stripMargin
+
   // ---- src_fixed_width ------------------------------------------------------
   // Fixed-width (positional) file ingest — the mainframe/EDI layout every
   // enterprise loader eventually meets: no delimiters, fields live at
@@ -368,6 +445,7 @@ object SourceQueries {
     "src_csv_badrecords" -> (srcCsvBadRecords _),
     "src_jsonl" -> (srcJsonl _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
+    "src_cdc_envelope" -> (srcCdcEnvelope _),
     "src_fixed_width" -> (srcFixedWidth _),
     "src_http_graphql" -> (srcHttpGraphql _),
     "src_retry" -> (srcRetry _),
@@ -380,6 +458,7 @@ object SourceQueries {
     "src_csv_badrecords" -> srcCsvBadRecordsOracle,
     "src_jsonl" -> srcJsonlOracle,
     "src_orc_roundtrip" -> srcOrcRoundtripOracle,
+    "src_cdc_envelope" -> srcCdcEnvelopeOracle,
     "src_fixed_width" -> srcFixedWidthOracle,
     "src_http_graphql" -> itemsOracle("personnel/2025-06-27.json"),
     "src_retry" -> srcRetryOracle,

@@ -36,6 +36,34 @@ class JsonlSpec extends SparkSpec {
     graft.sink.Sinks.deleteDir(path)
   }
 
+  test("cdc envelope: op-dependent image presence survives the JSON " +
+      "round-trip (r11)") {
+    val out = SourceQueries.queries("src_cdc_envelope")(spark, sfDir)
+    // the applied table: deletes gone, updates rewritten, inserts present
+    val byKey = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // deletes hit positive base keys only — an inserted NEGATED key may
+    // itself be ≡0 mod 13 (e.g. −1261 = −97·13) and must survive
+    assert(byKey.keys.forall(k => !(k > 0 && k % 13 == 0)),
+      "a deleted key survived the apply")
+    assert(byKey.exists(_._1 < 0), "no insert arrived (negated keys)")
+    byKey.foreach { case (k, (st, _)) =>
+      if (k > 0 && k % 10 == 0 && k % 13 != 0)
+        assert(st == "X", s"update lost on key $k")
+    }
+    // envelope shape: d-events carry only before, c-events only after
+    val path = s"${sys.props("java.io.tmpdir")}"
+    val staged = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("graft_src_cdc-")).maxBy(_.lastModified)
+    val lines = spark.read.textFile(s"$staged/cdc").collect()
+    assert(lines.exists(l => l.contains("\"op\":\"d\"") &&
+      l.contains("before") && !l.contains("after")))
+    assert(lines.exists(l => l.contains("\"op\":\"c\"") &&
+      l.contains("after") && !l.contains("before")))
+    assert(lines.exists(l => l.contains("\"op\":\"u\"") &&
+      l.contains("before") && l.contains("after")))
+  }
+
   test("src_jsonl reads with an explicit schema — no inference scan in the plan") {
     val out = SourceQueries.queries("src_jsonl")(spark, sfDir)
     val rows = out.collect()
