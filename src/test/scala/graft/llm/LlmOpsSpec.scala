@@ -422,6 +422,14 @@ class LlmOpsSpec extends SparkSpec {
     val again = Curation.pipelinePretrainExport(spark, sfDir).collect()
     assert(manifest.map(_.toString).toSeq == again.map(_.toString).toSeq,
       "export pipeline is not reproducible across runs")
+    // the decision subtree (which runs inside the export's write job)
+    // stays the sum of its parts: no quadratic join sneaks in when the
+    // curation operators chain
+    val plan = Curation.curateKeepDrop(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"composition introduced an all-pairs join:\n$plan")
   }
 
   test("gopher rules fire in published order; keeps satisfy every rule (r9)") {
