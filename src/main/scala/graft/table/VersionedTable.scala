@@ -279,9 +279,11 @@ object VersionedTable {
       .select(col("__file"), col("__pos"))
       .write.parquet(dvDir)
     val vLines = listParquet(dvDir).map(f => s"V\t$f")
-    val carried = rawLines(root, base).filterNot(_.startsWith("C\t"))
-    var v = base + 1
-    while (!publish(root, v, carried ++ vLines)) v = latestVersion(root) + 1
+    // carried lines re-derive per CAS attempt (see commitPartitioned)
+    var v = latestVersion(root) + 1
+    def lines() = rawLines(root, latestVersion(root))
+      .filterNot(_.startsWith("C\t")) ++ vLines
+    while (!publish(root, v, lines())) v = latestVersion(root) + 1
     v
   }
 
@@ -330,12 +332,12 @@ object VersionedTable {
       (phys, renames.getOrElse(logical, logical)) }
     val fresh = renames.filterNot { case (o, _) => prior.values.exists(_ == o) }
     val mapping = (updated ++ fresh).filter { case (p, l) => p != l }
-    val carried = rawLines(root, base).filterNot(l =>
-      l.startsWith("S\t") || l.startsWith("C\t") || l.startsWith("R\t"))
-    val lines = carried ++
+    // carried lines re-derive per CAS attempt (see commitPartitioned)
+    var v = latestVersion(root) + 1
+    def lines() = rawLines(root, latestVersion(root)).filterNot(l =>
+      l.startsWith("S\t") || l.startsWith("C\t") || l.startsWith("R\t")) ++
       mapping.map { case (p, l) => s"R\t$p\t$l" } :+ s"S\t${renamed.json}"
-    var v = base + 1
-    while (!publish(root, v, lines)) v = latestVersion(root) + 1
+    while (!publish(root, v, lines())) v = latestVersion(root) + 1
     v
   }
 
@@ -993,15 +995,20 @@ object VersionedTable {
       Seq(s"D\t$f", s"P\t$f\t${spec.srcCol}\t${spec.transformTag}\t$v")
     }
     // carry data-side records only: C (changeset) lines belong to the
-    // commit that recorded them — readChanges must not re-see them here
-    val carried =
-      if (append && latestVersion(root) > 0)
-        rawLines(root, latestVersion(root))
-          .filterNot(l => l.startsWith("S\t") || l.startsWith("C\t"))
-      else Nil
-    val lines = carried ++ newLines :+ s"S\t${df.schema.json}"
+    // commit that recorded them — readChanges must not re-see them here.
+    // Carried lines re-derive on every CAS attempt (a lost publish race
+    // means a concurrent commit landed; carrying its pre-race manifest
+    // would silently drop that writer's records).
     var v = latestVersion(root) + 1
-    while (!publish(root, v, lines)) v = latestVersion(root) + 1
+    def lines() = {
+      val carried =
+        if (append && latestVersion(root) > 0)
+          rawLines(root, latestVersion(root))
+            .filterNot(l => l.startsWith("S\t") || l.startsWith("C\t"))
+        else Nil
+      carried ++ newLines :+ s"S\t${df.schema.json}"
+    }
+    while (!publish(root, v, lines())) v = latestVersion(root) + 1
     v
   }
 
