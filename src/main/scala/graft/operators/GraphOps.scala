@@ -350,20 +350,20 @@ object GraphOps {
     *  - MEMORY: 2 longs/edge is ~16 raw bytes and a broadcast
     *    HashedRelation carries ~4× build overhead, so even 16M edges
     *    (~1 GB resident per executor) sits under typical headroom;
-    *  - SPEED, which binds first (r11 measurements): at 12M edges (sf1)
-    *    the broadcast wedge plan measured 45.6s against 16.6s for the
-    *    shuffled-hash plan on the same quiet box — probing one giant
-    *    shared HashedRelation from every wedge row loses to routing the
-    *    streams into 32 cache-sized tables long before memory does; at
-    *    ~1.2M edges (sf0.1) broadcast still wins the small-graph case
-    *    (no exchange at all on the wedge stream).
-    * The gate therefore sits at 4M edges — comfortably above every SF
-    * where broadcast measures faster, an order of magnitude under the
-    * memory ceiling. Past it the SAME wedge plan runs as shuffled hash
-    * joins (hint below); the hardcoded `broadcast()` this replaces was
-    * the one data-proportional broadcast in the suite that nothing ever
-    * de-selected (r9 VERDICT). */
-  private val BroadcastEdgeLimit = 4L * 1000 * 1000
+    *  - SPEED, which binds first (r11 isolated min-of-3 measurements,
+    *    one box, 32 threads): probing one giant shared HashedRelation
+    *    from every wedge row loses to routing the streams into 32
+    *    cache-sized hash tables long before memory does. Measured
+    *    crossover: broadcast wins at ~120k edges (0.90s vs 1.86s,
+    *    sf0.01 — exchange latency dominates tiny graphs), loses from
+    *    ~1.2M edges up (5.14s vs 2.76s at sf0.1; 45.6s vs 16.6s at 12M
+    *    edges, sf1).
+    * The gate sits at 400k edges — inside the measured crossover band,
+    * two orders of magnitude under the memory ceiling. Past it the SAME
+    * wedge plan runs as shuffled hash joins (hint below); the hardcoded
+    * `broadcast()` this replaces was the one data-proportional broadcast
+    * in the suite that nothing ever de-selected (r9 VERDICT). */
+  private val BroadcastEdgeLimit = 400L * 1000
 
   private def trianglesFromOriented(
       o: DataFrame, forcePartitioned: Boolean = false,
