@@ -161,6 +161,47 @@ object PipelinePrep {
        |FROM t LEFT JOIN k ON k.lang = t.lang
        |ORDER BY t.lang""".stripMargin
 
+  // ---- sample_reservoir -----------------------------------------------------
+  // Fixed-size uniform sample per group (k = 20 docs per language) — the
+  // "show me 20 random docs from every slice" primitive behind eval-set
+  // construction and manual quality audits, where sample_stratified's
+  // RATE-based draw can't promise an exact per-group size. The classic
+  // single-pass distributed reservoir IS "keep the k smallest uniform
+  // keys"; here the key is md5('rsv:' || doc_id) — a pure function of the
+  // stable id, so the SAMPLE ITSELF reproduces across engines, reruns and
+  // partitionings (the sample_split_hash contract), not just its size.
+  // Plan shape: row_number over (lang / hash order) + rank filter, which
+  // Spark 4 rewrites to WindowGroupLimit — each map task pre-truncates its
+  // slice to k rows per group BEFORE the exchange (partial mode), so the
+  // shuffle carries ≤ k·P rows per group and the final sort is over k·P,
+  // never the group's full fact grain. That rewrite is what makes a
+  // low-cardinality partitionBy(lang) safe at 100 TB — without it this
+  // exact query is the single-task-sort class the window lint flags; the
+  // spec pins WindowGroupLimit into the physical plan.
+  private val ReservoirK = 20
+
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit("rsv:"), col("doc_id").cast("string"))).as("h"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id")) // lint:series-grain (rank<=k compiles to WindowGroupLimit: each map task pre-truncates to k rows/group BEFORE the exchange, so the final sort sees k·P rows, never the group's fact grain — spec-pinned)
+    docs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= ReservoirK)
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  private val sampleReservoirOracle =
+    s"""SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id
+       |FROM (
+       |  SELECT lang, doc_id,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY lang
+       |           ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+       |  FROM documents) t
+       |WHERE rnk <= $ReservoirK
+       |ORDER BY lang, rnk""".stripMargin
+
   // ---- embed_quantize -------------------------------------------------------
   // Symmetric int8 quantization of the embedding column — the storage/ANN
   // compression step (4x smaller vectors, SIMD int8 dots downstream). All
@@ -592,6 +633,7 @@ object PipelinePrep {
     "pack_length_buckets" -> (packLengthBuckets _),
     "pack_sequences" -> (packSequences _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_reservoir" -> (sampleReservoir _),
     "embed_quantize" -> (embedQuantize _),
     "embed_random_proj" -> (embedRandomProj _),
     "text_chunk" -> (textChunk _),
@@ -604,6 +646,7 @@ object PipelinePrep {
     "pack_length_buckets" -> packLengthBucketsOracle,
     "pack_sequences" -> packSequencesOracle,
     "sample_stratified" -> sampleStratifiedOracle,
+    "sample_reservoir" -> sampleReservoirOracle,
     "embed_quantize" -> embedQuantizeOracle,
     "embed_random_proj" -> embedRandomProjOracle,
     "text_chunk" -> textChunkOracle,

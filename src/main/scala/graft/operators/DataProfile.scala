@@ -377,6 +377,55 @@ object DataProfile {
       |       m4 / (m2 * m2) - 3.0 AS kurtosis
       |FROM c ORDER BY l_returnflag""".stripMargin
 
+  // ---- agg_diversity --------------------------------------------------------
+  // Source-mix diversity per language over the document corpus — the
+  // data-recipe monitor that catches one source silently swallowing a
+  // language slice (the mix drifting toward a single crawl) before the
+  // trained model does. The index is SIMPSON's λ (the probability two
+  // docs drawn without replacement share a source), its Gini-Simpson
+  // complement 1−λ, and the effective source count 1/λ — chosen over
+  // Shannon entropy DELIBERATELY: λ = Σ nᵢ(nᵢ−1) / (N(N−1)) is exactly
+  // rational (integer numerator and denominator, ONE correctly-rounded
+  // IEEE division each at the end), while entropy needs ln(), which is
+  // libm-dependent and not bit-reproducible across engines (the
+  // sqrt-not-pow portability contract, agg_skew_kurt). Power sums ride
+  // DECIMAL(38,0) so nᵢ ~ 1e12 per-source counts at 100 TB can't
+  // overflow. Scale: one (lang, source)-grain map-side-combining hash
+  // agg, then a |langs|·|sources|-row rollup — no second corpus scan.
+  def aggDiversity(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    c.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("n")).as("n_docs"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1)")).as("num"))
+      .withColumn("den", expr("CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        expr("cast(num as double) / cast(den as double)").as("simpson"),
+        expr("1.0 - cast(num as double) / cast(den as double)")
+          .as("gini_simpson"),
+        expr("cast(den as double) / cast(num as double)")
+          .as("effective_sources"))
+      .orderBy(col("lang"))
+  }
+
+  private val aggDiversityOracle =
+    """WITH c AS (
+      |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+      |g AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |         CAST(SUM(n) AS BIGINT) AS n_docs,
+      |         SUM(CAST(n AS HUGEINT) * (n - 1)) AS num
+      |  FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT lang, n_docs, n_sources, num,
+      |         CAST(n_docs AS HUGEINT) * (n_docs - 1) AS den
+      |  FROM g)
+      |SELECT lang, n_docs, n_sources,
+      |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS simpson,
+      |       1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS gini_simpson,
+      |       CAST(den AS DOUBLE) / CAST(num AS DOUBLE) AS effective_sources
+      |FROM d ORDER BY lang""".stripMargin
+
   // ---- agg_corr_regr --------------------------------------------------------
   // Pearson correlation + OLS slope/intercept of extendedprice on quantity
   // per returnflag. Built-in corr()/regr_slope() accumulate doubles in
@@ -822,6 +871,7 @@ object DataProfile {
     "join_dpp_prune" -> (joinDppPrune _),
     "profile_columns" -> (profileColumns _),
     "profile_columns_approx" -> (profileColumnsApprox _),
+    "agg_diversity" -> (aggDiversity _),
     "agg_corr_regr" -> (aggCorrRegr _),
     "agg_skew_kurt" -> (aggSkewKurt _),
     "agg_gini" -> (aggGini _),
@@ -838,6 +888,7 @@ object DataProfile {
     "join_dpp_prune" -> joinDppPruneOracle,
     "profile_columns" -> profileColumnsOracle,
     "profile_columns_approx" -> profileColumnsApproxOracle,
+    "agg_diversity" -> aggDiversityOracle,
     "agg_corr_regr" -> aggCorrRegrOracle,
     "agg_skew_kurt" -> aggSkewKurtOracle,
     "agg_gini" -> aggGiniOracle,

@@ -557,13 +557,77 @@ object GraphOps {
        |SELECT node AS suppkey, MIN(dist) AS dist
        |FROM bfs GROUP BY node ORDER BY suppkey""".stripMargin
 
+  // ---- graph_degree_hist ------------------------------------------------
+  // Degree distribution in log2 buckets over the parts CO-PURCHASE graph
+  // (the triangles graph — the co-supply graph is near-regular at every
+  // SF, so its histogram collapses to one bucket) — the graph-shape
+  // profile a pipeline watches to catch hub formation BEFORE a quadratic
+  // operator (wedge join, clique expansion) blows up on it: a fattening
+  // tail bucket is the early warning that the clique guard / orientation
+  // bounds are about to become load-bearing. Bucket = floor(log2(deg))
+  // computed INTEGER-EXACTLY as length(bin(deg)) - 1 — no libm log2,
+  // whose last-ulp behavior at exact powers of two differs by platform
+  // (the portability contract sqrt-not-pow note, skew_kurt). Isolated
+  // vertices (parts never co-bought, or whose every order the clique
+  // guard dropped) land in bucket -1. Scale: undirected degree = one
+  // hash agg over both endpoint columns of the cached oriented artifact
+  // (orientation only permutes endpoints, so u∪v is the undirected
+  // incidence multiset); the histogram is a second map-side-combining
+  // agg at node grain — no edge-grain join anywhere.
+  def graphDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    val (o, _) = orientedArtifact(s, dir)
+    val deg = o.select(col("u").as("node"))
+      .unionAll(o.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val nodes = load(s, dir, "lineitem")
+      .select(col("l_partkey").as("node")).distinct()
+    nodes.join(deg, Seq("node"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"))
+      .withColumn("bucket", expr(
+        "CASE WHEN deg = 0 THEN CAST(-1 AS BIGINT) " +
+          "ELSE CAST(length(bin(deg)) - 1 AS BIGINT) END"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"), sum(col("deg")).as("sum_deg"))
+      .orderBy(col("bucket"))
+  }
+
+  private val graphDegreeHistOracle =
+    s"""WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |capped AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS k FROM pr) t
+       |  WHERE k <= $maxSuppliersPerOrder),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+       |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk),
+       |deg AS (
+       |  SELECT p AS node, COUNT(*) AS deg
+       |  FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e)
+       |  GROUP BY p),
+       |nodes AS (SELECT DISTINCT pk AS node FROM pr),
+       |dd AS (
+       |  SELECT n.node, COALESCE(d.deg, 0) AS deg
+       |  FROM nodes n LEFT JOIN deg d ON d.node = n.node),
+       |db AS (
+       |  SELECT CASE WHEN deg = 0 THEN CAST(-1 AS BIGINT)
+       |              ELSE CAST(length(bin(deg)) - 1 AS BIGINT) END AS bucket,
+       |         deg
+       |  FROM dd)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |       CAST(MIN(deg) AS BIGINT) AS min_deg,
+       |       CAST(MAX(deg) AS BIGINT) AS max_deg,
+       |       CAST(SUM(deg) AS BIGINT) AS sum_deg
+       |FROM db GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "graph_pagerank" -> (graphPagerank _),
     "graph_pagerank_conv" -> (graphPagerankConv _),
     "graph_triangles" -> (graphTriangles _),
     "graph_triangles_partitioned" -> (graphTrianglesPartitioned _),
     "graph_jaccard_sim" -> (graphJaccardSim _),
-    "graph_bfs_distance" -> (graphBfsDistance _))
+    "graph_bfs_distance" -> (graphBfsDistance _),
+    "graph_degree_hist" -> (graphDegreeHist _))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankOracle,
@@ -571,5 +635,6 @@ object GraphOps {
     "graph_triangles" -> graphTrianglesOracle,
     "graph_triangles_partitioned" -> graphTrianglesOracle,
     "graph_jaccard_sim" -> graphJaccardSimOracle,
-    "graph_bfs_distance" -> graphBfsDistanceOracle)
+    "graph_bfs_distance" -> graphBfsDistanceOracle,
+    "graph_degree_hist" -> graphDegreeHistOracle)
 }

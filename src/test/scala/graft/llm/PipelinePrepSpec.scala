@@ -240,4 +240,35 @@ class PipelinePrepSpec extends SparkSpec {
       }
     }
   }
+
+  test("sample_reservoir: exact k per group, pure-function reproducibility, group-limit below the exchange (r11)") {
+    val df = PipelinePrep.queries("sample_reservoir")(spark, sfDir)
+    val rows = df.collect()
+    val groupSizes = graft.model.Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.keySet == groupSizes.keySet,
+      "every language group must be sampled")
+    byLang.foreach { case (lang, rs) =>
+      val want = math.min(20L, groupSizes(lang))
+      assert(rs.length.toLong == want,
+        s"$lang: expected $want sampled rows, got ${rs.length}")
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to want),
+        s"$lang: ranks must be dense 1..k")
+    }
+    // the sample is a pure function of doc_id — byte-identical on rerun
+    val again = PipelinePrep.queries("sample_reservoir")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet == again, "reservoir must reproduce exactly across invocations")
+    // scale shape: the rank<=k filter must compile to WindowGroupLimit in
+    // partial mode (map-side pre-truncation BEFORE the exchange) AND final
+    // mode — without the rewrite this is a single-task fact-grain sort per
+    // language at 100x (the window-lint failure class)
+    val phys = df.queryExecution.sparkPlan.toString
+    val hits = "WindowGroupLimit".r.findAllIn(phys).length
+    assert(hits >= 2,
+      s"expected partial+final WindowGroupLimit, found $hits:\n$phys")
+  }
 }

@@ -277,4 +277,34 @@ class DataProfileSpec extends SparkSpec {
       assert(ws.exists(_.partitionSpec.exists(_.toString.contains("__bkt"))))
     }
   }
+
+  test("agg_diversity: simpson identities + exact driver recompute (r11)") {
+    val out = DataProfile.queries("agg_diversity")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val simpson = r.getDouble(3)
+      val gini = r.getDouble(4)
+      val eff = r.getDouble(5)
+      assert(simpson > 0.0 && simpson <= 1.0, s"simpson out of range: $simpson")
+      assert(gini == 1.0 - simpson, "gini-simpson must be the exact complement")
+      assert(eff == 1.0 / simpson || math.abs(eff * simpson - 1.0) < 1e-12,
+        s"effective sources must invert simpson: $eff * $simpson")
+      assert(eff >= 1.0, s"effective source count below 1: $eff")
+    }
+    // exact recompute for every lang from raw (lang, source) counts —
+    // integer numerator/denominator, one division, same as the engine
+    val counts = graft.model.Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang"), col("source")).count().collect()
+      .groupBy(_.getString(0))
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val ns = counts(lang).map(_.getLong(2))
+      val n = ns.sum
+      val num = ns.map(c => BigInt(c) * (c - 1)).sum
+      val den = BigInt(n) * (n - 1)
+      assert(r.getLong(1) == n && r.getLong(2) == ns.length.toLong)
+      assert(r.getDouble(3) == num.toDouble / den.toDouble,
+        s"$lang: simpson mismatch vs exact recompute")
+    }
+  }
 }

@@ -159,4 +159,23 @@ class GraphOpsSpec extends SparkSpec {
       s"query adjacency must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("degree histogram: log2 bucket bounds, node conservation, handshake parity (r11)") {
+    val out = GraphOps.queries("graph_degree_hist")(spark, sfDir).collect()
+    assert(out.length >= 2, "co-purchase fixture must spread over several buckets")
+    out.foreach { r =>
+      val b = r.getLong(0); val mn = r.getLong(2); val mx = r.getLong(3)
+      if (b >= 0)
+        assert(mn >= (1L << b) && mx < (1L << (b + 1)),
+          s"bucket $b holds degrees outside [2^$b, 2^${b + 1}): [$mn, $mx]")
+      else assert(mn == 0L && mx == 0L, "bucket -1 is the isolated-vertex bin")
+    }
+    // every distinct part lands in exactly one bucket
+    val nParts = graft.model.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey")).distinct().count()
+    assert(out.map(_.getLong(1)).sum == nParts,
+      "bucket populations must partition the vertex set")
+    // handshake lemma: the undirected degree total is twice the edge count
+    assert(out.map(_.getLong(4)).sum % 2 == 0, "sum of degrees must be even")
+  }
 }

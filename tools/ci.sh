@@ -43,7 +43,7 @@ fi
 # inputs) carry a same-line `// lint:series-grain (<why>)` marker; a new
 # unmarked site fails CI so the next accidental single-partition window
 # over fact-grain input is caught at commit time, not at round judging.
-LOWCARD='l_returnflag|o_orderpriority|o_orderstatus|l_linestatus|l_shipmode|o_orderdate'
+LOWCARD='l_returnflag|o_orderpriority|o_orderstatus|l_linestatus|l_shipmode|o_orderdate|lang|source|event_type'
 if grep -rnE "Window\.partitionBy\(col\(\"($LOWCARD)\"\)\)" \
     src/main/scala --include='*.scala' | grep -v 'lint:series-grain'; then
   echo "LINT FAIL: window partitioned by a low-cardinality key alone (add a value-grain collapse / RankedOver bucketing, or a lint:series-grain marker with justification)" >&2
