@@ -282,13 +282,72 @@ object Retrieval {
       |SELECT qdoc AS query_doc, rank, doc, maxsim
       |FROM ranked WHERE rank <= 3 ORDER BY query_doc, rank""".stripMargin
 
+  // ---- retrieval_mrr --------------------------------------------------------
+  // Ranking-quality evaluation of the BM25 retriever WITHOUT human labels —
+  // the weak-supervision eval every production search/RAG pipeline runs on
+  // refresh: relevance = "retrieved doc shares the query doc's source"
+  // (metadata-as-label), and the metric is MRR over the top-10. Per query:
+  // the rank of the first relevant hit (0 = none in 10), the relevant
+  // count in the window, and the reciprocal rank ×2520 — LCM(1..10), so
+  // 2520/rank is an EXACT integer for every possible rank and the metric
+  // never touches a float (MRR itself = avg(rr_x2520)/2520, derivable).
+  // Scale: the ranked top-10 is ≤ 10·|queries| rows — it BROADCASTS into
+  // one pass over the doc-source projection (the corpus never reshuffles
+  // to be judged); the eval is then a |queries|-grain hash agg. The
+  // expensive part is the retriever itself, which is the point: the eval
+  // rides the retrieval plan it measures.
+  def retrievalMrr(s: SparkSession, dir: String): DataFrame = {
+    val ranked = bm25Ranked(s, dir, topN = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val src = load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val qsrc = src.filter(col("doc_id") < QueryDocCount)
+      .select(col("doc_id").as("query_id"), col("source").as("qsrc"))
+    src.join(broadcast(ranked), Seq("doc_id"))
+      .join(broadcast(qsrc), Seq("query_id"))
+      .withColumn("rel", col("source") === col("qsrc"))
+      .groupBy(col("query_id"))
+      .agg(
+        coalesce(min(when(col("rel"), col("rank"))), lit(0)).cast("long")
+          .as("first_rel_rank"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel_top10"))
+      .withColumn("rr_x2520", expr(
+        "CASE WHEN first_rel_rank > 0 THEN 2520 div first_rel_rank " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .orderBy(col("query_id"))
+  }
+
+  private val retrievalMrrOracle =
+    s"""WITH $bm25Sql,
+       |top10 AS (SELECT query_id, doc_id, rank FROM branked WHERE rank <= 10),
+       |q AS (
+       |  SELECT doc_id AS query_id, source AS qsrc
+       |  FROM documents WHERE doc_id < $QueryDocCount),
+       |h AS (
+       |  SELECT t.query_id, t.rank, (d.source = q.qsrc) AS rel
+       |  FROM top10 t
+       |  JOIN documents d ON d.doc_id = t.doc_id
+       |  JOIN q ON q.query_id = t.query_id),
+       |agg AS (
+       |  SELECT query_id,
+       |         CAST(COALESCE(MIN(CASE WHEN rel THEN rank END), 0) AS BIGINT)
+       |           AS first_rel_rank,
+       |         CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_rel_top10
+       |  FROM h GROUP BY query_id)
+       |SELECT query_id, first_rel_rank, n_rel_top10,
+       |       CASE WHEN first_rel_rank > 0 THEN 2520 // first_rel_rank
+       |            ELSE CAST(0 AS BIGINT) END AS rr_x2520
+       |FROM agg ORDER BY query_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "text_bm25" -> (textBm25 _),
     "hybrid_rrf" -> (hybridRrf _),
-    "retrieval_maxsim" -> (retrievalMaxsim _))
+    "retrieval_maxsim" -> (retrievalMaxsim _),
+    "retrieval_mrr" -> (retrievalMrr _))
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Oracle,
     "hybrid_rrf" -> hybridRrfOracle,
-    "retrieval_maxsim" -> retrievalMaxsimOracle)
+    "retrieval_maxsim" -> retrievalMaxsimOracle,
+    "retrieval_mrr" -> retrievalMrrOracle)
 }

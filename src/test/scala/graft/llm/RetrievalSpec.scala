@@ -2,6 +2,8 @@ package graft.llm
 
 import scala.math.BigDecimal.RoundingMode
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Behavior checks for the retrieval stack: an independent plain-Scala
@@ -126,5 +128,34 @@ class RetrievalSpec extends SparkSpec {
     val actual = out.map(r => (r.getAs[Long]("query_doc"), r.getAs[Int]("rank"),
       r.getAs[Long]("doc"), r.getAs[Long]("maxsim"))).toSet
     assert(actual == expected, "MaxSim top-3 must equal the exact recompute")
+  }
+
+  test("retrieval_mrr: exact reciprocal ranks, agreement with the bm25 top-10 (r11)") {
+    val out = Retrieval.queries("retrieval_mrr")(spark, sfDir).collect()
+    assert(out.length == 10, "one eval row per query")
+    assert(out.exists(_.getLong(1) > 0) && out.exists(_.getLong(1) == 0),
+      "fixture must produce both hits and misses or the metric is vacuous")
+    out.foreach { r =>
+      val rank = r.getLong(1); val n = r.getLong(2); val rr = r.getLong(3)
+      assert(n >= 0 && n <= 10)
+      if (rank == 0) assert(n == 0 && rr == 0)
+      else {
+        assert(rank >= 1 && rank <= 10 && n >= 1)
+        assert(rr == 2520L / rank, s"rr_x2520 must be exact: $rr vs 2520/$rank")
+        assert(2520L % rank == 0, "2520 is divisible by every rank in 1..10")
+      }
+    }
+    // cross-check one hit against the independent bm25 key + raw sources
+    val hit = out.find(_.getLong(1) > 0).get
+    val qid = hit.getLong(0)
+    val srcOf = graft.model.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val top = Retrieval.queries("text_bm25")(spark, sfDir).collect()
+      .filter(_.getLong(0) == qid).sortBy(_.getInt(1))
+    val firstRel = top.find(r => srcOf(r.getLong(2)) == srcOf(qid))
+      .map(_.getInt(1).toLong).getOrElse(0L)
+    assert(firstRel == hit.getLong(1),
+      s"query $qid: first relevant rank disagrees with the bm25 key")
   }
 }
