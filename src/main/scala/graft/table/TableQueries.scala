@@ -856,7 +856,103 @@ object TableQueries {
       |SELECT 'source' AS "table", key, status, total FROM base
       |ORDER BY "table", key""".stripMargin
 
+  // ---- table_wap_publish ------------------------------------------------
+  // WRITE-AUDIT-PUBLISH — the staging discipline for writes that must be
+  // validated BEFORE readers can see them (Iceberg's WAP, the audit
+  // branch pattern): (1) WRITE the incoming batch onto a shallow-cloned
+  // staging branch (main's readers see nothing), (2) AUDIT the staged
+  // snapshot — one aggregate scan folding every declared check, here
+  // non-negative totals + key uniqueness, (3) PUBLISH by fast-forwarding
+  // main onto the audited staged manifest — a metadata-only CAS that
+  // references the staged files (VersionedTable.fastForward), guarded by
+  // the version main was cloned at so a concurrent main commit can never
+  // be silently erased. The key runs BOTH waves deterministically: a
+  // batch carrying planted violations is written+audited and main stays
+  // at v1 (the staging branch absorbs the bad data and is abandoned);
+  // the clean batch then stages, audits green, and fast-forwards main
+  // to v2. Scale: staging is one batch write (clone = KB manifest);
+  // audit is one scan of the staged table; publish is a KB CAS — no
+  // data file is ever written twice, which is the entire point of WAP
+  // over write-then-delete repair.
+  def tableWapPublish(s: SparkSession, dir: String): DataFrame = {
+    val main = freshRoot("wap-main")
+    val base = ordersBase(s, dir)
+    val v1 = VersionedTable.commit(base, main) // main v1: readers live here
+    // the incoming batch: the %97 insert slice re-keyed negative; the bad
+    // wave flips every third one's total negative (the planted violation)
+    def batch(bad: Boolean): DataFrame = base
+      .filter(col("key") % 97 === 0 && col("key") > 0) // -0 would collide
+      .select((-col("key")).as("key"), lit("N").as("status"),
+        (if (bad) when(col("key") % 3 === 0, -col("total"))
+          .otherwise(col("total"))
+        else col("total")).as("total"))
+    def audit(root: String): Long = {
+      val staged = VersionedTable.readLatest(s, root)
+      val r = staged.agg(
+        sum(when(col("total") < 0, 1L).otherwise(0L)).as("neg"),
+        (count(lit(1)) - countDistinct(col("key"))).as("dupkeys")).head()
+      r.getLong(0) + r.getLong(1)
+    }
+    def stageAuditPublish(bad: Boolean): (Long, Int) = {
+      val stage = freshRoot(if (bad) "wap-stage-bad" else "wap-stage-ok")
+      VersionedTable.shallowClone(main, v1, stage)
+      VersionedTable.commitAppend(batch(bad), stage) // stage v2 = base ∪ batch
+      val violations = audit(stage)
+      val version =
+        if (violations > 0) VersionedTable.latestVersion(main) // abandon
+        else VersionedTable.fastForward(stage, 2, main, v1)
+          .fold(identity, identity)
+      (violations, version)
+    }
+    val (badViol, badVer) = stageAuditPublish(bad = true)
+    val (okViol, okVer) = stageAuditPublish(bad = false)
+    // the final main table, read back THROUGH the fast-forwarded manifest
+    val fin = VersionedTable.readLatest(s, main).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("key") < 0, 1L).otherwise(0L)).as("nnew"),
+      sum(expr("CAST(round(total * 100) AS BIGINT)")).as("cents")).head()
+    import s.implicits._
+    Seq(
+      ("wave_bad", "n_violations", badViol),
+      ("wave_bad", "main_version", badVer.toLong),
+      ("wave_good", "n_violations", okViol),
+      ("wave_good", "main_version", okVer.toLong),
+      ("final", "n_rows", fin.getLong(0)),
+      ("final", "n_new_rows", fin.getLong(1)),
+      ("final", "sum_cents", fin.getLong(2)))
+      .toDF("step", "metric", "value")
+      .orderBy(col("step"), col("metric"))
+  }
+
+  private val tableWapPublishOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders),
+      |slice AS (SELECT key, total FROM base WHERE key % 97 = 0 AND key > 0),
+      |badv AS (
+      |  SELECT COUNT(*) AS v FROM slice WHERE (-key) % 3 = 0 AND total > 0),
+      |fin AS (
+      |  SELECT key, total FROM base
+      |  UNION ALL SELECT -key, total FROM slice)
+      |SELECT 'final' AS step, 'n_new_rows' AS metric,
+      |       CAST((SELECT COUNT(*) FROM slice) AS BIGINT) AS value
+      |UNION ALL
+      |SELECT 'final', 'n_rows', CAST(COUNT(*) AS BIGINT) FROM fin
+      |UNION ALL
+      |SELECT 'final', 'sum_cents',
+      |       CAST(SUM(CAST(round(total * 100) AS BIGINT)) AS BIGINT) FROM fin
+      |UNION ALL
+      |SELECT 'wave_bad', 'main_version', CAST(1 AS BIGINT)
+      |UNION ALL
+      |SELECT 'wave_bad', 'n_violations', CAST(v AS BIGINT) FROM badv
+      |UNION ALL
+      |SELECT 'wave_good', 'main_version', CAST(2 AS BIGINT)
+      |UNION ALL
+      |SELECT 'wave_good', 'n_violations', CAST(0 AS BIGINT)
+      |ORDER BY step, metric""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "table_wap_publish" -> (tableWapPublish _),
     "table_shallow_clone" -> (tableShallowClone _),
     "table_replace_where" -> (tableReplaceWhere _),
     "table_merge_on_read" -> (tableMergeOnRead _),
@@ -881,6 +977,7 @@ object TableQueries {
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
+    "table_wap_publish" -> tableWapPublishOracle,
     "table_shallow_clone" -> tableShallowCloneOracle,
     "table_replace_where" -> tableReplaceWhereOracle,
     "table_merge_on_read" -> tableMergeOnReadOracle,

@@ -184,6 +184,58 @@ object VersionedTable {
     v
   }
 
+  /** APPEND commit (r11) — add `df`'s rows WITHOUT rewriting the table:
+    * the new files' `D` records join the previous version's data/bloom/
+    * delete/schema records, carried forward verbatim (`commit`'s contract
+    * is "df IS the new table"; this one is INSERT INTO). The carried
+    * lines are re-derived on every CAS retry — a concurrent commit may
+    * have changed what must be carried (the commitTransform rebase rule
+    * applied to the append path). Prior `C` records are not carried (the
+    * restore/clone convention). At 100 TB this is the only sane batch
+    * ingest: cost = the new files + a KB manifest, independent of table
+    * size. */
+  def commitAppend(df: DataFrame, root: String): Int = {
+    require(latestVersion(root) >= 1, s"cannot APPEND to an empty table at $root")
+    val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
+    df.write.parquet(dataDir)
+    val newLines = listParquet(dataDir).map(f => s"D\t$f")
+    var v = 0
+    var done = false
+    while (!done) {
+      val base = latestVersion(root)
+      val carried = rawLines(root, base).filterNot(_.startsWith("C\t"))
+      val (sLines, rest) = carried.partition(_.startsWith("S\t"))
+      val schemaLine =
+        if (sLines.nonEmpty) sLines.last else s"S\t${df.schema.json}"
+      v = base + 1
+      done = publish(root, v, rest ++ newLines :+ schemaLine)
+    }
+    v
+  }
+
+  /** FAST-FORWARD publish (r11) — the publish step of WRITE-AUDIT-PUBLISH
+    * (Iceberg's WAP / Delta's branch merge): re-point `dstRoot` at the
+    * audited staged snapshot (`srcRoot`@`srcVersion`, typically a shallow
+    * clone that absorbed the new batch) as dst's next version. Manifest-
+    * only — the staged DATA FILES are referenced, never copied or
+    * rewritten, so publishing a 100 TB audit result is a KB-sized
+    * metadata CAS. Safe only while dst hasn't moved since the clone
+    * point: the caller states the version it cloned from and the publish
+    * is rejected (Left of the current version) if dst advanced — the
+    * audited snapshot would silently erase the concurrent commits
+    * otherwise (the lost-update rule table_concurrent_commit pins on the
+    * data path, applied to the branch path). `C` records are not carried
+    * (the restore/clone convention: the fast-forward is one logical
+    * commit on dst; its change history stays on the staging branch). */
+  def fastForward(srcRoot: String, srcVersion: Int, dstRoot: String,
+      expectedDstVersion: Int): Either[Int, Int] = {
+    val lines = rawLines(srcRoot, srcVersion).filterNot(_.startsWith("C\t"))
+    val cur = latestVersion(dstRoot)
+    if (cur != expectedDstVersion) Left(cur)
+    else if (publish(dstRoot, cur + 1, lines)) Right(cur + 1)
+    else Left(latestVersion(dstRoot))
+  }
+
   /** REPLACE WHERE (r9) — Delta's `replaceWhere` / dynamic-partition-
     * overwrite: commit a new version where ONLY rows with `column` in
     * [lo, hi] are replaced by `df`'s rows in that range. File-granular

@@ -834,4 +834,43 @@ class VersionedTableSpec extends SparkSpec {
     assert(drifted == 0,
       s"$drifted cancelled orders carry the stale surcharge — lost update")
   }
+
+  test("WAP: append carries the manifest, fast-forward publishes audited files, races reject (r11)") {
+    import spark.implicits._
+    val main = freshRoot()
+    assert(VersionedTable.commit(base(), main) == 1)
+    // stage on a shallow clone; APPEND must carry v1's files forward
+    val stage = freshRoot() + "-stage"
+    VersionedTable.shallowClone(main, 1, stage)
+    val batch = (1001L to 1050L).map(k => (k, "N", k * 2.0))
+      .toDF("key", "status", "total")
+    assert(VersionedTable.commitAppend(batch, stage) == 2)
+    assert(VersionedTable.readVersion(spark, stage, 2).count() == 1050,
+      "append must be INSERT INTO, not replace")
+    assert(VersionedTable.readVersion(spark, stage, 1).count() == 1000,
+      "the pre-append staged version stays readable")
+    // main is untouched while staging + audit run
+    assert(VersionedTable.latestVersion(main) == 1)
+    // publish = metadata fast-forward; main serves base ∪ batch afterwards
+    assert(VersionedTable.fastForward(stage, 2, main, 1) == Right(2))
+    val served = VersionedTable.readLatest(spark, main)
+    assert(served.count() == 1050)
+    assert(served.filter(col("key") > 1000L).count() == 50)
+    // the publish wrote NO data files under main — every served file is
+    // referenced from the staging root (the KB-sized-CAS claim)
+    val mainFiles = VersionedTable.manifest(main, 2)
+    assert(mainFiles.nonEmpty && mainFiles.exists(_.startsWith(stage)),
+      "fast-forward must reference staged files, not copy them")
+    // a concurrent main commit after the clone point must reject the
+    // fast-forward (lost-update guard): expected version is stale
+    val stage2 = freshRoot() + "-stale"
+    VersionedTable.shallowClone(main, 2, stage2)
+    VersionedTable.commitAppend(
+      Seq((2001L, "N", 1.0)).toDF("key", "status", "total"), stage2)
+    assert(VersionedTable.commit(base(), main) == 3,
+      "a concurrent writer moves main past the clone point")
+    assert(VersionedTable.fastForward(stage2, 2, main, 2) == Left(3),
+      "a stale fast-forward must be rejected, not erase the concurrent commit")
+    assert(VersionedTable.latestVersion(main) == 3)
+  }
 }
