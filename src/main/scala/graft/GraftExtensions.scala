@@ -14,7 +14,7 @@ import graft.expressions.GraftFunctions
   * and every session (including ones created by notebooks, Thrift server
   * connections, or structured-streaming jobs the operator doesn't control)
   * has `graft_simhash16`, `graft_minhash16`, `graft_dotq`, `graft_l2q`,
-  * and `graft_shingle3` available in SQL text — no per-session
+  * `graft_shingle3`, and `graft_nfc` available in SQL text — no per-session
   * `GraftFunctions.register` call required. Injection happens at session
   * BUILD time through the extensions hook, the same mechanism Delta/
   * Iceberg use to install their parsers and rules; the in-process

@@ -329,7 +329,8 @@ object GraftFunctions {
     ("graft_minhash16", 1, exprs => MinHash16(exprs.head)),
     ("graft_dotq", 2, exprs => DotQ(exprs(0), exprs(1))),
     ("graft_l2q", 2, exprs => L2Q(exprs(0), exprs(1))),
-    ("graft_shingle3", 1, exprs => Shingle3(exprs.head)))
+    ("graft_shingle3", 1, exprs => Shingle3(exprs.head)),
+    ("graft_nfc", 1, exprs => NfcNormalize(exprs.head)))
 
   /** Arity gate at analysis time (r10, both paths): a builder that
     * blindly indexes `exprs` turns a missing argument into a raw

@@ -448,7 +448,63 @@ object ScalarQueries {
       |       COALESCE(array_to_string(regexp_extract_all(text, '@\w+'), '|'), '') AS mentions_joined
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- fn_unicode_nfc -------------------------------------------------------
+  // Unicode canonical composition (NFC) through the native graft_nfc
+  // expression — the normalization every multilingual pipeline applies
+  // BEFORE hashing text (dedup/minhash/fingerprint treat 'é' (U+00E9)
+  // and 'e'+COMBINING ACUTE as different documents otherwise). The
+  // fixture corpus is ASCII, so decomposed sequences are PLANTED
+  // deterministically: every doc gains a 'Cafe' suffix and, unless
+  // doc_id % 4 == 0 (the already-normalized control slice), one
+  // combining mark chosen by doc_id % 3 (U+0301/U+0300/U+0308 — all
+  // compose with 'e' under stable, ancient Unicode rules, so the JDK
+  // normalizer and DuckDB's utf8proc agree byte-for-byte). The per-lang
+  // report pins the composed-row count, the exact one-codepoint-per-
+  // composition shrink, and the corpus fingerprint OVER THE NORMALIZED
+  // text — a normalizer that mangled any row fails the hash. Scale:
+  // graft_nfc runs inside whole-stage codegen with an isNormalized
+  // fast path (a UDF here would break the stage around the corpus
+  // scan); the rest is one map-side-combining hash agg.
+  def fnUnicodeNfc(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        concat(substring(col("text"), 1, 16), lit("Cafe"),
+          when(col("doc_id") % 4 === 0, lit(""))
+            .when(col("doc_id") % 3 === 0, lit("\u0301"))
+            .when(col("doc_id") % 3 === 1, lit("\u0300"))
+            .otherwise(lit("\u0308"))).as("raw"))
+      .withColumn("norm", expr("graft_nfc(raw)"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("raw"), 1L).otherwise(0L))
+          .as("n_composed"),
+        sum(length(col("raw"))).as("chars_raw"),
+        sum(length(col("norm"))).as("chars_nfc"),
+        Scalars.corpusFp(col("doc_id"), col("norm")).as("corpus_fp"))
+      .orderBy(col("lang"))
+  }
+
+  private val fnUnicodeNfcOracle =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |         substring(text, 1, 16) || 'Cafe' ||
+       |         CASE WHEN doc_id % 4 = 0 THEN ''
+       |              WHEN doc_id % 3 = 0 THEN chr(769)
+       |              WHEN doc_id % 3 = 1 THEN chr(768)
+       |              ELSE chr(776) END AS raw
+       |  FROM documents),
+       |n AS (SELECT doc_id, lang, raw, nfc_normalize(raw) AS norm FROM r)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_composed,
+       |       CAST(SUM(length(raw)) AS BIGINT) AS chars_raw,
+       |       CAST(SUM(length(norm)) AS BIGINT) AS chars_nfc,
+       |       ${Scalars.corpusFpSql("doc_id", "norm")} AS corpus_fp
+       |FROM n GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "fn_unicode_nfc" -> (fnUnicodeNfc _),
     "fn_regex_extract_all" -> (fnRegexExtractAll _),
     "fn_url_parse" -> (fnUrlParse _),
     "fn_time_bucket" -> (fnTimeBucket _),
@@ -469,6 +525,7 @@ object ScalarQueries {
   ) ++ sharedSql.map { case (k, sql) => k -> runSql(sql) }
 
   val oracles: Map[String, String] = Map(
+    "fn_unicode_nfc" -> fnUnicodeNfcOracle,
     "fn_regex_extract_all" -> fnRegexExtractAllOracle,
     "fn_url_parse" -> fnUrlParseOracle,
     "fn_time_bucket" -> fnTimeBucketOracle,

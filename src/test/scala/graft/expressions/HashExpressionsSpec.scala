@@ -104,4 +104,45 @@ class HashExpressionsSpec extends SparkSpec {
       s"projection not in a WholeStageCodegen stage:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("graft_nfc: Unicode NFC composition, idempotence, codegen participation (r11)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      "Cafe\u0301",          // e + COMBINING ACUTE -> precomposed U+00E9
+      "e\u0300",             // -> U+00E8
+      "u\u0308",             // -> U+00FC
+      "Caf\u00e9",           // already NFC: unchanged
+      "plain ascii",          // fast path: unchanged
+      "a\u0301\u0327")      // multiple marks: canonical reorder + compose
+      .toDF("raw")
+      .select(col("raw"), expr("graft_nfc(raw)").as("norm"))
+      .collect()
+    val byRaw = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byRaw("Cafe\u0301") == "Caf\u00e9")
+    assert(byRaw("e\u0300") == "\u00e8")
+    assert(byRaw("u\u0308") == "\u00fc")
+    assert(byRaw("Caf\u00e9") == "Caf\u00e9")
+    assert(byRaw("plain ascii") == "plain ascii")
+    // independent truth + idempotence: NFC(NFC(x)) == NFC(x) == JDK NFC(x)
+    rows.foreach { r =>
+      val want = java.text.Normalizer.normalize(
+        r.getString(0), java.text.Normalizer.Form.NFC)
+      assert(r.getString(1) == want)
+      assert(UnicodeSupport.nfc(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+        .toString == r.getString(1), "NFC must be idempotent")
+    }
+    // null propagates (UnaryExpression null-safety), and the projection
+    // stays inside whole-stage codegen — the reason this is a native
+    // expression instead of a UDF
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(expr("graft_nfc(concat(text, 'e\u0301'))").as("n"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("*(1)"),
+      s"graft_nfc projection not in a WholeStageCodegen stage:\n$plan")
+    assert(df.count() > 0)
+    assert(spark.sql("SELECT graft_nfc(CAST(NULL AS STRING)) AS n")
+      .collect().head.isNullAt(0))
+  }
 }
