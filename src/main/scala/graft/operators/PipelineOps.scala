@@ -594,7 +594,59 @@ object PipelineOps {
       |       (SELECT n_leak_users FROM leak) AS n_leak_users
       |FROM tagged GROUP BY split ORDER BY split""".stripMargin
 
+  // ---- sample_group_holdout ---------------------------------------------
+  // GROUP-wise holdout — the third split beside the row-hash
+  // (sample_split_hash) and temporal (sample_time_split) modes: every
+  // event of a user lands on ONE side, decided by md5(user_id) (the
+  // pure-function coin, ~90/10 at the 230/256 threshold). This is the
+  // leakage-free eval split when examples CORRELATE within a group —
+  // a row-wise split trains on half a user's history and evaluates on
+  // the rest, inflating metrics exactly like the future-leak
+  // sample_time_split audits. The report carries n_leaked_users (users
+  // seen on both sides) as an ORACLE-CHECKED column, not a comment
+  // claim — it is 0 by construction because the coin is a function of
+  // the group key alone. Scale: the side tag is a per-row projection
+  // (shuffle-free); the side totals are one map-side-combining agg with
+  // a user-grain distinct; the leak audit re-uses the same (user, split)
+  // distinct frame.
+  def sampleGroupHoldout(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("split",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") < 230, "train").otherwise("holdout"))
+    val sides = ev.groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    val leaks = ev.select(col("user_id"), col("split")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("n_leaked_users"))
+    sides.crossJoin(broadcast(leaks)).orderBy(col("split"))
+  }
+
+  private val sampleGroupHoldoutOracle =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         CASE WHEN (instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |                 + (instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) < 230
+      |              THEN 'train' ELSE 'holdout' END AS split
+      |  FROM events),
+      |sides AS (
+      |  SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events,
+      |         CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM ev GROUP BY split),
+      |leaks AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked_users FROM (
+      |    SELECT user_id FROM (SELECT DISTINCT user_id, split FROM ev) t
+      |    GROUP BY user_id HAVING COUNT(*) > 1) u)
+      |SELECT s.split, s.n_users, s.n_events, s.cents, l.n_leaked_users
+      |FROM sides s, leaks l ORDER BY s.split""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "sample_group_holdout" -> (sampleGroupHoldout _),
     "sample_time_split" -> (sampleTimeSplit _),
     "join_spatial_grid" -> (joinSpatialGrid _),
     "join_full_outer_diff" -> (joinFullOuterDiff _),
@@ -609,6 +661,7 @@ object PipelineOps {
     "merge_upsert" -> (mergeUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "sample_group_holdout" -> sampleGroupHoldoutOracle,
     "sample_time_split" -> sampleTimeSplitOracle,
     "join_spatial_grid" -> joinSpatialGridOracle,
     "join_full_outer_diff" -> joinFullOuterDiffOracle,

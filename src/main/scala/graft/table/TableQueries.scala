@@ -856,6 +856,49 @@ object TableQueries {
       |SELECT 'source' AS "table", key, status, total FROM base
       |ORDER BY "table", key""".stripMargin
 
+  // ---- table_describe_history ---------------------------------------------
+  // DESCRIBE HISTORY — the operational audit trail (Delta's DESCRIBE
+  // HISTORY / Iceberg's snapshots table): per version, the exact row
+  // count read from parquet FOOTERS through the manifest — pure metadata,
+  // no data pages touched, so auditing a 100 TB table's commit history
+  // costs KBs of footer reads. The staged history exercises all three
+  // commit modes: v1 snapshot, v2 MERGE (copy-on-write rewrite), v3
+  // APPEND (carried manifest + new files). The referenced FILE count is
+  // deliberately excluded from the oracle-compared output — it depends
+  // on write parallelism, not on table content — and is spec-checked
+  // structurally instead (monotone under append, reset under rewrite).
+  def tableDescribeHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("hist")
+    VersionedTable.commit(ordersBase(s, dir), root) // v1: snapshot
+    VersionedTable.commit(
+      PipelineOps.mergeUpsert(s, dir).drop("last_op"), root) // v2: MERGE
+    VersionedTable.commitAppend(ordersBase(s, dir)
+      .filter(col("key") % 97 === 0 && col("key") > 0)
+      .select((-col("key") * 1000).as("key"), lit("H").as("status"),
+        col("total")), root) // v3: APPEND (keys disjoint from the merge's)
+    import s.implicits._
+    VersionedTable.describeHistory(root)
+      .map { case (v, _, nRows) => (v.toLong, nRows) }
+      .toDF("version", "n_rows").orderBy(col("version"))
+  }
+
+  private val tableDescribeHistoryOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_totalprice AS total FROM orders),
+      |merged AS (
+      |  SELECT key FROM base WHERE key % 13 <> 0
+      |  UNION ALL
+      |  SELECT -key FROM base WHERE key % 97 = 0 AND key > 0),
+      |slice AS (SELECT key FROM base WHERE key % 97 = 0 AND key > 0)
+      |SELECT CAST(1 AS BIGINT) AS version,
+      |       CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows
+      |UNION ALL
+      |SELECT 2, CAST((SELECT COUNT(*) FROM merged) AS BIGINT)
+      |UNION ALL
+      |SELECT 3, CAST((SELECT COUNT(*) FROM merged) AS BIGINT)
+      |        + CAST((SELECT COUNT(*) FROM slice) AS BIGINT)
+      |ORDER BY version""".stripMargin
+
   // ---- table_wap_publish ------------------------------------------------
   // WRITE-AUDIT-PUBLISH — the staging discipline for writes that must be
   // validated BEFORE readers can see them (Iceberg's WAP, the audit
@@ -952,6 +995,7 @@ object TableQueries {
       |ORDER BY step, metric""".stripMargin
 
   val queries: Map[String, Q] = Map[String, Q](
+    "table_describe_history" -> (tableDescribeHistory _),
     "table_wap_publish" -> (tableWapPublish _),
     "table_shallow_clone" -> (tableShallowClone _),
     "table_replace_where" -> (tableReplaceWhere _),
@@ -977,6 +1021,7 @@ object TableQueries {
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
+    "table_describe_history" -> tableDescribeHistoryOracle,
     "table_wap_publish" -> tableWapPublishOracle,
     "table_shallow_clone" -> tableShallowCloneOracle,
     "table_replace_where" -> tableReplaceWhereOracle,

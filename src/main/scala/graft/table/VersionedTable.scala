@@ -752,6 +752,20 @@ object VersionedTable {
     * exactly: footer row counts include null rows (COUNT(*)), footer
     * min/max exclude nulls (MIN/MAX). Version-pinned like any other read
     * — aggregating v1 after later commits sees v1's files only. */
+  /** DESCRIBE HISTORY (r11) — the operational audit trail every table
+    * format exposes: per version, the referenced data-file count and the
+    * exact row count from parquet FOOTERS (pure metadata — no data pages
+    * are read at any table size). Same merge-on-read guard as metaAgg:
+    * under equality-delete/DV records footer counts describe files, not
+    * live rows, so a metadata answer would overcount — fail fast. */
+  def describeHistory(root: String): Seq[(Int, Int, Long)] =
+    (1 to latestVersion(root)).map { v =>
+      require(deleteFiles(root, v).isEmpty && dvFiles(root, v).isEmpty,
+        s"metadata-only history undefined under merge-on-read deletes at $root v$v")
+      val files = manifest(root, v)
+      (v, files.length, files.map(footerRowCount).sum)
+    }
+
   def metaAgg(s: SparkSession, root: String, v: Int,
       column: String): DataFrame = {
     // footer counts/stats describe the data FILES; under merge-on-read

@@ -285,4 +285,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == want,
       s"grid blocking missed/invented pairs: got ${got.size}, want ${want.size}")
   }
+
+  test("sample_group_holdout: sides partition users exactly, zero leakage, corpus conserved (r11)") {
+    val out = PipelineOps.queries("sample_group_holdout")(spark, sfDir).collect()
+    assert(out.length == 2, "both sides must be non-empty on the fixture")
+    assert(out.forall(_.getLong(4) == 0L), "leak audit must report zero users on both sides")
+    val ev = graft.model.Tables.load(spark, sfDir, "events").collect()
+    assert(out.map(_.getLong(2)).sum == ev.length, "every event lands on exactly one side")
+    // driver recompute of the per-user coin: the engine's side assignment
+    // must equal the md5-of-group-key rule for every user
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def side(u: Long): String = {
+      val h = md.digest(u.toString.getBytes("UTF-8"))
+      if (((h(0) & 0xff)) < 230) "train" else "holdout"
+    }
+    val users = ev.map(_.getAs[Long]("user_id")).distinct
+    val wantUsers = users.groupBy(side).map { case (k, v) => k -> v.length.toLong }
+    out.foreach { r =>
+      assert(r.getLong(1) == wantUsers(r.getString(0)),
+        s"${r.getString(0)}: user count disagrees with the driver-side coin")
+    }
+  }
 }

@@ -873,4 +873,26 @@ class VersionedTableSpec extends SparkSpec {
       "a stale fast-forward must be rejected, not erase the concurrent commit")
     assert(VersionedTable.latestVersion(main) == 3)
   }
+
+  test("describe history: footer row counts per version, file counts monotone under append (r11)") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.commit(base(), root)                         // v1 snapshot
+    VersionedTable.commitAppend(
+      (1001L to 1100L).map(k => (k, "N", 1.0)).toDF("key", "status", "total"),
+      root)                                                     // v2 append
+    VersionedTable.commit(base().filter(col("key") <= 10L), root) // v3 rewrite
+    val hist = VersionedTable.describeHistory(root)
+    assert(hist.map(_._1) == Seq(1, 2, 3))
+    assert(hist.map(_._3) == Seq(1000L, 1100L, 10L),
+      "footer row counts must equal the logical counts when no deletes exist")
+    // append references MORE files than its base; a rewrite starts over
+    assert(hist(1)._2 > hist(0)._2, "append must carry + extend the file list")
+    assert(hist(2)._2 < hist(1)._2, "copy-on-write rewrite resets the file list")
+    // metadata guard: merge-on-read deletes make footer counts wrong — refuse
+    VersionedTable.commitDeletes(Seq(1L).toDF("key"), root, "key")
+    intercept[IllegalArgumentException] {
+      VersionedTable.describeHistory(root)
+    }
+  }
 }
