@@ -594,6 +594,70 @@ object PipelineOps {
       |       (SELECT n_leak_users FROM leak) AS n_leak_users
       |FROM tagged GROUP BY split ORDER BY split""".stripMargin
 
+  // ---- join_interval_overlap ----------------------------------------------
+  // INTERVAL × INTERVAL overlap join — both sides are ranges (order
+  // validity windows here; IP blocks, sessions, sensor epochs in the
+  // wild), pairs match when [sa,ea] ∩ [sb,eb] ≠ ∅. The point-in-range
+  // key (join_range_bucketed) explodes the POINT side; with two interval
+  // sides the standard scale plan is BUCKET-AND-CREDIT: each interval
+  // explodes into the 7-day buckets it spans, the join is pure equi on
+  // (user, bucket), and a candidate pair is EMITTED ONLY FROM its first
+  // shared bucket — bucket = max(start-bucket_a, start-bucket_b), which
+  // every overlapping pair shares exactly once — so no distinct() ever
+  // reshuffles the matched pairs (the r10 spatial-grid lesson, applied
+  // to 1-D ranges). The exact overlap predicate runs as a residual
+  // filter after the equi-match. Scale: candidate volume ∝ intervals ×
+  // local density per bucket, never |A|×|B|; both sides hash-partition
+  // on (user, bucket), so a dense user composes with the salting device.
+  def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01")
+    def side(par: Int, len: Int, ka: String) =
+      load(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === par)
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderkey").as(ka),
+          to_date(col("o_orderdate")).as(s"s_$ka"),
+          date_add(to_date(col("o_orderdate")), len).as(s"e_$ka"))
+        .withColumn(s"bs_$ka",
+          floor(datediff(col(s"s_$ka"), epoch) / 7))
+        .withColumn(s"be_$ka",
+          floor(datediff(col(s"e_$ka"), epoch) / 7))
+    val a = side(0, 3, "a")
+      .withColumn("bucket",
+        explode(expr("sequence(bs_a, be_a)")))
+    val b = side(1, 4, "b")
+      .withColumn("bucket",
+        explode(expr("sequence(bs_b, be_b)")))
+    a.join(b, Seq("user_id", "bucket"))
+      // credit to the FIRST shared bucket: exactly one emission per pair
+      .filter(col("bucket") === greatest(col("bs_a"), col("bs_b")))
+      // residual: the exact overlap test
+      .filter(col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(col("user_id"), col("a"), col("b"),
+        col("s_a"), col("e_a"), col("s_b"), col("e_b"),
+        (datediff(least(col("e_a"), col("e_b")),
+          greatest(col("s_a"), col("s_b"))) + 1).as("overlap_days"))
+      .orderBy(col("user_id"), col("a"), col("b"))
+  }
+
+  private val joinIntervalOverlapOracle =
+    """WITH sa AS (
+      |  SELECT o_custkey AS user_id, o_orderkey AS a,
+      |         CAST(o_orderdate AS DATE) AS s_a,
+      |         CAST(o_orderdate AS DATE) + 3 AS e_a
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |sb AS (
+      |  SELECT o_custkey AS user_id, o_orderkey AS b,
+      |         CAST(o_orderdate AS DATE) AS s_b,
+      |         CAST(o_orderdate AS DATE) + 4 AS e_b
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT sa.user_id, sa.a, sb.b, s_a, e_a, s_b, e_b,
+      |       CAST(date_diff('day', greatest(s_a, s_b), least(e_a, e_b)) + 1 AS INT)
+      |         AS overlap_days
+      |FROM sa JOIN sb ON sa.user_id = sb.user_id
+      |  AND s_a <= e_b AND s_b <= e_a
+      |ORDER BY sa.user_id, sa.a, sb.b""".stripMargin
+
   // ---- sample_group_holdout ---------------------------------------------
   // GROUP-wise holdout — the third split beside the row-hash
   // (sample_split_hash) and temporal (sample_time_split) modes: every
@@ -647,6 +711,7 @@ object PipelineOps {
 
   val queries: Map[String, Q] = Map[String, Q](
     "sample_group_holdout" -> (sampleGroupHoldout _),
+    "join_interval_overlap" -> (joinIntervalOverlap _),
     "sample_time_split" -> (sampleTimeSplit _),
     "join_spatial_grid" -> (joinSpatialGrid _),
     "join_full_outer_diff" -> (joinFullOuterDiff _),
@@ -662,6 +727,7 @@ object PipelineOps {
 
   val oracles: Map[String, String] = Map(
     "sample_group_holdout" -> sampleGroupHoldoutOracle,
+    "join_interval_overlap" -> joinIntervalOverlapOracle,
     "sample_time_split" -> sampleTimeSplitOracle,
     "join_spatial_grid" -> joinSpatialGridOracle,
     "join_full_outer_diff" -> joinFullOuterDiffOracle,

@@ -306,4 +306,47 @@ class PipelineOpsSpec extends SparkSpec {
         s"${r.getString(0)}: user count disagrees with the driver-side coin")
     }
   }
+
+  test("join_interval_overlap: set-equal to brute force, one emission per pair, equi-join plan (r11)") {
+    val df = PipelineOps.queries("join_interval_overlap")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // structural: parity split, genuine overlap, bounded overlap length
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") % 2 == 0 && r.getAs[Long]("b") % 2 == 1)
+      val sa = r.getAs[java.sql.Date]("s_a").toLocalDate
+      val ea = r.getAs[java.sql.Date]("e_a").toLocalDate
+      val sb = r.getAs[java.sql.Date]("s_b").toLocalDate
+      val eb = r.getAs[java.sql.Date]("e_b").toLocalDate
+      assert(!sa.isAfter(eb) && !sb.isAfter(ea), "emitted pair must overlap")
+      val od = r.getAs[Int]("overlap_days")
+      assert(od >= 1 && od <= 4, s"overlap of a 4-day and a 5-day window is 1..4, got $od")
+    }
+    // the first-shared-bucket credit must emit each pair EXACTLY once
+    val pairs = rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.length == pairs.distinct.length, "duplicate pair emissions")
+    // exact set equality with an independent driver brute force
+    val os = graft.model.Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.sql.Date](2).toLocalDate))
+    val byUser = os.groupBy(_._1)
+    val want = byUser.values.flatMap { us =>
+      val as = us.filter(_._2 % 2 == 0)
+      val bs = us.filter(_._2 % 2 == 1)
+      as.flatMap { case (_, ka, da) =>
+        bs.collect { case (_, kb, dbb)
+          if !da.isAfter(dbb.plusDays(4)) && !dbb.isAfter(da.plusDays(3)) =>
+          (ka, kb)
+        }
+      }
+    }.toSet
+    assert(pairs.toSet == want, "pair set must equal the brute-force overlap join")
+    // plan: bucket-and-credit compiles to an EQUI join — never a
+    // cartesian/nested-loop over the interval sides
+    val phys = df.queryExecution.sparkPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap must stay an equi join:\n$phys")
+  }
 }
