@@ -684,6 +684,110 @@ object StreamQueries {
       |WHERE c.op IS NULL OR c.op <> 'D'
       |ORDER BY key""".stripMargin
 
+  /** Streaming WRITE-AUDIT-PUBLISH ingest (r11) — table_wap_publish's
+    * staging discipline applied per micro-batch, the shape a production
+    * ingest takes when a bad upstream batch must NEVER reach readers:
+    * each batch (maxFilesPerTrigger=1) shallow-clones main at its current
+    * version, APPENDS onto the staging branch (commitAppend — carried
+    * manifest + the batch's files), audits the staged snapshot (one
+    * folded aggregate: non-negative totals + key uniqueness), and only a
+    * green audit fast-forwards main (a KB metadata CAS guarded by the
+    * cloned-from version). The fixture streams two waves: a clean insert
+    * batch (publishes — main v2) then a batch of planted negative totals
+    * (audit red — the staging branch absorbs it, main still v2, readers
+    * never saw a bad row). The batch-audit trail and the final published
+    * table are the compared output. Scale: per batch, cost = the batch
+    * write + ONE audit scan + a KB CAS — main's files are never
+    * rewritten; the quarantined branch is dropped by the orphan sweep. */
+  def streamWapIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.VersionedTable
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val tableRoot = s"$base/table"
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("total"))
+    VersionedTable.commit(orders, tableRoot) // v1: what readers see
+    val good = orders.filter(col("key") % 97 === 0 && col("key") > 0)
+      .select((-col("key")).as("key"), lit("N").as("status"), col("total"))
+    val bad = orders.filter(col("key") % 89 === 0 && col("key") > 0)
+      .select((-col("key") * 1000).as("key"), lit("B").as("status"),
+        (-col("total")).as("total")) // every row violates total >= 0
+    timedStaging {
+      good.coalesce(1).write.parquet(s"$base/src")
+      bad.coalesce(1).write.mode("append").parquet(s"$base/src")
+    }
+    val audits =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = withFewStatePartitions(s) {
+      s.readStream.schema(s.read.parquet(s"$base/src").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val clonedAt = VersionedTable.latestVersion(tableRoot)
+          val stage = s"$base/stage-$bid"
+          VersionedTable.shallowClone(tableRoot, clonedAt, stage)
+          VersionedTable.commitAppend(batch, stage)
+          val r = VersionedTable.readLatest(s, stage).agg(
+            sum(when(col("total") < 0, 1L).otherwise(0L)).as("neg"),
+            (count(lit(1)) - countDistinct(col("key"))).as("dup")).head()
+          val violations = r.getLong(0) + r.getLong(1)
+          if (violations == 0)
+            VersionedTable.fastForward(stage,
+              VersionedTable.latestVersion(stage), tableRoot, clonedAt)
+          audits.add((bid, violations,
+            VersionedTable.latestVersion(tableRoot).toLong))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    val fin = VersionedTable.readLatest(s, tableRoot).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("key") < 0, 1L).otherwise(0L)).as("nnew"),
+      sum(expr("CAST(round(total * 100) AS BIGINT)")).as("cents")).head()
+    import s.implicits._
+    val auditRows = audits.toArray(Array.empty[(Long, Long, Long)])
+      .sortBy(_._1)
+      .flatMap { case (bid, viol, ver) =>
+        Seq((s"batch_$bid", "n_violations", viol),
+          (s"batch_$bid", "main_version", ver))
+      }.toSeq
+    (auditRows ++ Seq(
+      ("final", "n_rows", fin.getLong(0)),
+      ("final", "n_new_rows", fin.getLong(1)),
+      ("final", "sum_cents", fin.getLong(2))))
+      .toDF("step", "metric", "value")
+      .orderBy(col("step"), col("metric"))
+  }
+
+  private val streamWapIngestOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_totalprice AS total FROM orders),
+      |good AS (SELECT key, total FROM base WHERE key % 97 = 0 AND key > 0),
+      |bad AS (SELECT key FROM base WHERE key % 89 = 0 AND key > 0),
+      |fin AS (
+      |  SELECT key, total FROM base
+      |  UNION ALL SELECT -key, total FROM good)
+      |SELECT 'batch_0' AS step, 'main_version' AS metric,
+      |       CAST(2 AS BIGINT) AS value
+      |UNION ALL
+      |SELECT 'batch_0', 'n_violations', CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'batch_1', 'main_version', CAST(2 AS BIGINT)
+      |UNION ALL
+      |SELECT 'batch_1', 'n_violations', CAST(COUNT(*) AS BIGINT) FROM bad
+      |UNION ALL
+      |SELECT 'final', 'n_rows', CAST(COUNT(*) AS BIGINT) FROM fin
+      |UNION ALL
+      |SELECT 'final', 'n_new_rows', CAST((SELECT COUNT(*) FROM good) AS BIGINT)
+      |UNION ALL
+      |SELECT 'final', 'sum_cents',
+      |       CAST(SUM(CAST(round(total * 100) AS BIGINT)) AS BIGINT) FROM fin
+      |ORDER BY step, metric""".stripMargin
+
   /** Streaming CDF READ (r8) — the consumer side of the CDC loop
     * stream_merge_upsert writes: the versioned table's commit log is
     * tailed as a Structured Streaming source (`graft-cdf`, offsets =
@@ -1090,7 +1194,8 @@ object StreamQueries {
     "stream_full_outer_join" -> (streamFullOuterJoin _),
     "stream_semi_join" -> (streamSemiJoin _),
     "stream_drop_dup_watermark" -> (streamDropDupWatermark _),
-    "stream_merge_upsert" -> (streamMergeUpsert _))
+    "stream_merge_upsert" -> (streamMergeUpsert _),
+    "stream_wap_ingest" -> (streamWapIngest _))
 
   val oracles: Map[String, String] = Map(
     "stream_quarantine" -> streamQuarantineOracle,
@@ -1109,5 +1214,6 @@ object StreamQueries {
     "stream_full_outer_join" -> streamFullOuterJoinOracle,
     "stream_semi_join" -> streamSemiJoinOracle,
     "stream_drop_dup_watermark" -> streamDropDupWatermarkOracle,
-    "stream_merge_upsert" -> streamMergeUpsertOracle)
+    "stream_merge_upsert" -> streamMergeUpsertOracle,
+    "stream_wap_ingest" -> streamWapIngestOracle)
 }

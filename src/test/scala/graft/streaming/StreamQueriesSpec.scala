@@ -247,4 +247,28 @@ class StreamQueriesSpec extends SparkSpec {
     assert((unmatchedIds.length + matchedIds.size) == evens,
       "left side not conserved through the outer join")
   }
+
+  test("stream_wap_ingest: red audit quarantines the batch, green publishes, readers never regress (r11)") {
+    val out = StreamQueries.queries("stream_wap_ingest")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the clean batch audits green and fast-forwards main to v2
+    assert(out(("batch_0", "n_violations")) == 0L)
+    assert(out(("batch_0", "main_version")) == 2L)
+    // the poisoned batch audits red and main DOES NOT move — the bad rows
+    // lived only on the abandoned staging branch
+    assert(out(("batch_1", "n_violations")) > 0L)
+    assert(out(("batch_1", "main_version")) == 2L)
+    // the published table = base plus exactly the clean batch
+    val orders = graft.model.Tables.load(spark, sfDir, "orders")
+    val nBase = orders.count()
+    val nGood = orders
+      .filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") > 0).count()
+    assert(out(("final", "n_rows")) == nBase + nGood)
+    assert(out(("final", "n_new_rows")) == nGood)
+    // violation count equals the poisoned slice exactly (all its totals
+    // were flipped negative; no duplicate keys anywhere)
+    val nBad = orders
+      .filter(col("o_orderkey") % 89 === 0 && col("o_orderkey") > 0).count()
+    assert(out(("batch_1", "n_violations")) == nBad)
+  }
 }
