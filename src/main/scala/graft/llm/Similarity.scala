@@ -1346,7 +1346,128 @@ object Similarity {
        |       n_label = true_label AS correct
        |FROM pick WHERE vr = 1 ORDER BY vec_id""".stripMargin
 
+  // ---- sim_mmr_rerank -------------------------------------------------------
+  // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+  // the DIVERSIFICATION pass a RAG pipeline runs between retrieval and
+  // the context window: plain top-k returns near-duplicates of the best
+  // hit; MMR greedily picks argmax of λ·rel(q,d) − (1−λ)·max sim(d, S)
+  // over the already-selected set S, trading relevance against redundancy.
+  // Here λ = 1/2 (the classic default), so the doubled objective is the
+  // all-integer rel − maxsim over exact quantized micro-dots — no float
+  // ever enters the ordering. Argmax ties break toward the smaller id
+  // via the composite key score·1e9 − cand (DECIMAL(38,0) / HUGEINT on
+  // the two engines — same total order; 1e9 exceeds every vec_id the
+  // rehearsal corpus can mint). The oracle replays the greedy loop as
+  // four explicitly unrolled selection CTEs. Scale: candidates come from
+  // the broadcast-query brute-force pass (an ANN prefilter at 100 TB —
+  // same contract as retrieval_maxsim's reranker); everything after is
+  // per-query work over ≤8 rows (≤56 sim pairs), so the greedy loop's
+  // 4 tiny joins cost nothing against the retrieval that feeds them.
+  private val MmrCandidates = 8
+  private val MmrK = 4
+  private val MmrComposite = 1000000000L
+
+  def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val queries = corpus.filter(col("vec_id") < AnnQueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand"),
+        col("embedding").as("c_emb"),
+        expr("graft_dotq(q_emb, embedding)").as("rel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand"))
+    val cands = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MmrCandidates)
+      .select(col("query_id"), col("cand"), col("c_emb"), col("rel"))
+      .localCheckpoint()
+    val sims = cands.as("x").join(cands.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.cand") =!= col("y.cand"))
+      .select(col("x.query_id").as("query_id"), col("x.cand").as("cand"),
+        col("y.cand").as("other"),
+        expr("graft_dotq(x.c_emb, y.c_emb)").as("sim"))
+      .localCheckpoint()
+    // pick 1: pure relevance (S is empty, the redundancy term is 0)
+    var selected = cands.groupBy(col("query_id"))
+      .agg(expr(s"max_by(cand, CAST(rel AS DECIMAL(38,0)) * $MmrComposite - cand)")
+        .as("cand"))
+      .withColumn("pick", lit(1))
+    for (t <- 2 to MmrK) {
+      val sel = selected.select(col("query_id"), col("cand"))
+      val rem = cands.join(sel, Seq("query_id", "cand"), "left_anti")
+      val next = rem
+        .join(sims, Seq("query_id", "cand"))
+        .join(sel.withColumnRenamed("cand", "other"), Seq("query_id", "other"))
+        .groupBy(col("query_id"), col("cand"))
+        .agg(max(col("rel")).as("rel"), max(col("sim")).as("maxsim"))
+        .groupBy(col("query_id"))
+        .agg(expr(
+          s"max_by(cand, CAST(rel - maxsim AS DECIMAL(38,0)) * $MmrComposite - cand)")
+          .as("cand"))
+        .withColumn("pick", lit(t))
+      selected = selected.unionAll(next).localCheckpoint()
+    }
+    selected.join(cands.select(col("query_id"), col("cand"), col("rel")),
+        Seq("query_id", "cand"))
+      .select(col("query_id"), col("pick"), col("cand").as("cand_id"),
+        col("rel"))
+      .orderBy(col("query_id"), col("pick"))
+  }
+
+  private val simMmrRerankOracle = {
+    val dot = "CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT)"
+    def step(t: Int) =
+      s"""r$t AS (
+         |  SELECT c.* FROM cands c
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |                    WHERE s.query_id = c.query_id AND s.cand = c.cand)),
+         |m$t AS (
+         |  SELECT r.query_id, r.cand, r.rel, MAX(si.sim) AS maxsim
+         |  FROM r$t r
+         |  JOIN sims si ON si.query_id = r.query_id AND si.cand = r.cand
+         |  JOIN sel${t - 1} s ON s.query_id = si.query_id AND s.cand = si.other
+         |  GROUP BY 1, 2, 3),
+         |s$t AS (
+         |  SELECT query_id,
+         |         arg_max(cand, CAST(rel - maxsim AS HUGEINT) * $MmrComposite - cand) AS cand,
+         |         $t AS pick
+         |  FROM m$t GROUP BY query_id),
+         |sel$t AS (SELECT query_id, cand FROM sel${t - 1}
+         |          UNION ALL SELECT query_id, cand FROM s$t)""".stripMargin
+    s"""WITH $quantizedSql,
+       |queries AS (SELECT vec_id AS query_id, qv AS q_qv FROM qn WHERE vec_id < $AnnQueryCount),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS cand, c.qv,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q_qv)), i -> q_qv[i] * c.qv[i])) AS BIGINT) AS rel
+       |  FROM qn c JOIN queries ON c.vec_id <> query_id),
+       |cands AS (
+       |  SELECT query_id, cand, qv, rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY rel DESC, cand) AS rk
+       |    FROM scored) t
+       |  WHERE rk <= $MmrCandidates),
+       |sims AS (
+       |  SELECT a.query_id, a.cand, b.cand AS other, $dot AS sim
+       |  FROM cands a JOIN cands b
+       |    ON a.query_id = b.query_id AND a.cand <> b.cand),
+       |s1 AS (
+       |  SELECT query_id,
+       |         arg_max(cand, CAST(rel AS HUGEINT) * $MmrComposite - cand) AS cand,
+       |         1 AS pick
+       |  FROM cands GROUP BY query_id),
+       |sel1 AS (SELECT query_id, cand FROM s1),
+       |${(2 to MmrK).map(step).mkString(",\n")},
+       |picks AS (${(1 to MmrK).map(t => s"SELECT query_id, cand, pick FROM s$t")
+           .mkString("\n  UNION ALL ")})
+       |SELECT p.query_id, p.pick, p.cand AS cand_id, c.rel
+       |FROM picks p JOIN cands c
+       |  ON c.query_id = p.query_id AND c.cand = p.cand
+       |ORDER BY p.query_id, p.pick""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
+    "sim_mmr_rerank" -> (simMmrRerank _),
     "sim_knn_classify" -> (simKnnClassify _),
     "sim_matryoshka" -> (simMatryoshka _),
     "sim_knn_join" -> (simKnnJoin _),
@@ -1366,6 +1487,7 @@ object Similarity {
     "sim_matryoshka" -> simMatryoshkaOracle,
     "sim_knn_join" -> simKnnJoinOracle,
     "sim_range_search" -> simRangeSearchOracle,
+    "sim_mmr_rerank" -> simMmrRerankOracle,
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_lsh_ann" -> simLshAnnOracle,
     "sim_lsh_multitable" -> simLshMultitableOracle,

@@ -880,4 +880,43 @@ class LlmOpsSpec extends SparkSpec {
         s"doc ${r.get(0)}: no zero crossings in a wrapping signal")
     }
   }
+
+  test("sim_mmr_rerank: driver-side greedy replay matches, diversification is non-vacuous (r11)") {
+    val out = Similarity.queries("sim_mmr_rerank")(spark, sfDir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 4))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).distinct.length == 4, "picks must be distinct docs")
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 4), "dense pick order")
+    }
+    // independent replay: quantize embeddings, rank top-8 by integer dot,
+    // then run the greedy MMR loop in plain Scala
+    val em = graft.model.Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1e6).toLong).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    var diversified = 0
+    byQ.foreach { case (q, rs) =>
+      val qv = em(q)
+      val rel = em.view.filterKeys(_ != q)
+        .map { case (id, v) => id -> dot(qv, v) }.toMap
+      val cands = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(8)
+      val candIds = cands.map(_._1)
+      val topByRel = candIds.take(4)
+      var sel = List(candIds.head) // pick 1 = argmax rel (sorted head)
+      (2 to 4).foreach { _ =>
+        val pick = candIds.filterNot(sel.contains).maxBy { c =>
+          val ms = sel.map(sid => dot(em(c), em(sid))).max
+          (rel(c) - ms, -c)
+        }
+        sel = sel :+ pick
+      }
+      val got = rs.sortBy(_.getInt(1)).map(_.getLong(2)).toList
+      assert(got == sel, s"query $q: engine picked $got, replay says $sel")
+      if (got != topByRel.toList) diversified += 1
+    }
+    // if MMR never re-orders the pure relevance top-4, the key is vacuous
+    assert(diversified > 0, "MMR never diversified — fixture degenerate")
+  }
 }
