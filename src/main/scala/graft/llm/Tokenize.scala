@@ -283,13 +283,68 @@ object Tokenize {
        |       md5(array_to_string(list_slice(toks, chunk_seq * 48 + 1, chunk_seq * 48 + 64), ' ')) AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_seq""".stripMargin
 
+  // ---- curate_tokenizer_fertility -------------------------------------------
+  // Tokenizer FERTILITY per language — tokens/word and chars/token, the
+  // monitor that catches a tokenizer mis-serving a language slice (a
+  // vocabulary trained corpus-wide over-fragments minority languages:
+  // fertility climbs, effective context shrinks, training cost per
+  // useful character rises — the metric multilingual tokenizer papers
+  // report). Rides the SAME trained merges + per-word token counts as
+  // text_tokenize_bpe (the wtok word-grain join — tokenization cost is
+  // vocabulary-grain, not corpus-grain); ratios are frozen as integer
+  // PER-MILLE via truncating division, so both engines compare exact
+  // integers. One (doc→lang)-grain agg after the word join — no second
+  // corpus scan.
+  def curateTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val merges = trainMerges(s, docs)
+    docs
+      .select(col("lang"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long")
+          .as("n_ws"),
+        length(col("text")).cast("long").as("n_chars"),
+        bpeCol(col("text"), merges).as("tok"))
+      .select(col("lang"), col("n_ws"), col("n_chars"),
+        nTokens(col("tok")).as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("sum_words"),
+        sum(col("n_chars")).as("sum_chars"), sum(col("n_bpe")).as("sum_bpe"))
+      .withColumn("toks_per_word_pm",
+        expr("sum_bpe * 1000 div sum_words"))
+      .withColumn("chars_per_tok_pm",
+        expr("sum_chars * 1000 div sum_bpe"))
+      .orderBy(col("lang"))
+  }
+
+  private val curateTokenizerFertilityOracle =
+    s"""$bpeCte,
+       |perdoc AS (
+       |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws,
+       |         CAST(SUM(t.ntok) AS BIGINT) AS n_bpe
+       |  FROM words d JOIN wtok t ON t.w = d.w
+       |  GROUP BY 1),
+       |base AS (
+       |  SELECT doc.lang, COALESCE(p.n_ws, 0) AS n_ws,
+       |         COALESCE(p.n_bpe, 0) AS n_bpe,
+       |         CAST(length(doc.text) AS BIGINT) AS n_chars
+       |  FROM documents doc LEFT JOIN perdoc p ON p.doc_id = doc.doc_id)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_ws) AS BIGINT) AS sum_words,
+       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+       |       CAST(SUM(n_bpe) * 1000 // SUM(n_ws) AS BIGINT) AS toks_per_word_pm,
+       |       CAST(SUM(n_chars) * 1000 // SUM(n_bpe) AS BIGINT) AS chars_per_tok_pm
+       |FROM base GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "text_tokenize_bpe" -> (textTokenizeBpe _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
-    "text_chunk_bpe" -> (textChunkBpe _))
+    "text_chunk_bpe" -> (textChunkBpe _),
+    "curate_tokenizer_fertility" -> (curateTokenizerFertility _))
 
   val oracles: Map[String, String] = Map(
     "text_tokenize_bpe" -> textTokenizeBpeOracle,
     "pack_sequences_bpe" -> packSequencesBpeOracle,
-    "text_chunk_bpe" -> textChunkBpeOracle)
+    "text_chunk_bpe" -> textChunkBpeOracle,
+    "curate_tokenizer_fertility" -> curateTokenizerFertilityOracle)
 }

@@ -105,4 +105,30 @@ class TokenizeSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 1, s"tokenization must not shuffle the corpus:\n$plan")
   }
+
+  test("tokenizer fertility: identities vs the per-doc tokenize key, sane ranges (r11)") {
+    val fert = Tokenize.queries("curate_tokenizer_fertility")(spark, sfDir).collect()
+    assert(fert.nonEmpty)
+    // cross-foot against the independent per-doc key joined to langs
+    val perDoc = Tokenize.queries("text_tokenize_bpe")(spark, sfDir)
+      .join(graft.model.Tables.load(spark, sfDir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang")), Seq("doc_id"))
+      .collect().groupBy(_.getAs[String]("lang"))
+    fert.foreach { r =>
+      val lang = r.getString(0)
+      val docs = perDoc(lang)
+      assert(r.getLong(1) == docs.length.toLong)
+      val sumWs = docs.map(_.getAs[Long]("n_ws")).sum
+      val sumBpe = docs.map(_.getAs[Long]("n_bpe")).sum
+      assert(r.getLong(2) == sumWs && r.getLong(4) == sumBpe)
+      // exact truncating per-mille identities
+      assert(r.getLong(5) == sumBpe * 1000 / sumWs)
+      assert(r.getLong(6) == r.getLong(3) * 1000 / sumBpe)
+      // BPE merges can only FUSE characters: 1 <= tokens/word (>=1000pm)
+      // and chars/token >= 1000pm on a lowercase-word corpus
+      assert(r.getLong(5) >= 1000L, s"$lang: a word tokenizes to >= 1 token")
+      assert(r.getLong(6) >= 1000L, s"$lang: a token spans >= 1 char")
+    }
+  }
 }
