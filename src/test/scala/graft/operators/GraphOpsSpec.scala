@@ -178,4 +178,41 @@ class GraphOpsSpec extends SparkSpec {
     // handshake lemma: the undirected degree total is twice the edge count
     assert(out.map(_.getLong(4)).sum % 2 == 0, "sum of degrees must be even")
   }
+
+  test("k-core: within-core degree floor, real peeling, driver-side peel replay (r11)") {
+    val out = GraphOps.queries("graph_kcore")(spark, sfDir).collect()
+    assert(out.nonEmpty, "the 0.6-avg k must keep a non-empty core")
+    val k = out.head.getLong(2)
+    assert(out.forall(_.getLong(1) >= k), "every core member meets the bar IN-CORE")
+    // rebuild the undirected co-purchase graph driver-side and replay the peel
+    val li = graft.model.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).filter(_._2.length <= GraphOps.maxSuppliersPerOrder)
+    val edges = byOrder.values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val und = edges.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg0 = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg0.size; val sd = deg0.values.sum
+    val wantK = (3L * sd + 5L * n - 1) / (5L * n)
+    assert(k == wantK, s"k disagrees: engine $k, replay $wantK")
+    var live = deg0.filter(_._2 >= k).keySet
+    var stable = false
+    while (!stable) {
+      val d = und.filter { case (p, q) => live(p) && live(q) }
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nxt = d.filter(_._2 >= k).keySet
+      stable = nxt == live
+      live = nxt
+    }
+    assert(out.map(_.getLong(0)).toSet == live, "core set must equal the replayed peel")
+    assert(live.size < n, "nothing peeled — k choice degenerate on this fixture")
+    val finalDeg = und.filter { case (p, q) => live(p) && live(q) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    out.foreach(r => assert(r.getLong(1) == finalDeg(r.getLong(0)),
+      s"core_deg mismatch at node ${r.getLong(0)}"))
+  }
 }
