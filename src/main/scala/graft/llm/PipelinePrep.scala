@@ -628,7 +628,94 @@ object PipelinePrep {
        |         // CAST(SUM(bmax * bn) AS BIGINT) AS waste_permille
        |FROM pb GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---- sketch_kmv_intersect -------------------------------------------------
+  // K-MINIMUM-VALUES set-operation sketch (Beyer et al. 2007; the theta-
+  // sketch family) — the FOURTH mergeable sketch beside CMS (frequency),
+  // HLL (cardinality) and the histogram (quantiles), adding what none of
+  // them can: the cardinality of a set INTERSECTION without ever joining
+  // the sets. Audience-overlap at 100 TB: each side keeps its k smallest
+  // md5 hashes (a uniform sample of the distinct domain; k rows total,
+  // built by one TakeOrdered over a distinct — mergeable by min-union),
+  // the union sketch is the k smallest of the merged samples, theta = its
+  // k-th value, D̂_union = (k−1)·2^52 div theta, and the intersection
+  // estimate scales D̂_union by the fraction of union-sample hashes seen
+  // in BOTH sides. Hashes truncate to 52 bits so every estimator step
+  // stays inside exact BIGINT division — both engines replay the SAME
+  // sample, so the ESTIMATE ITSELF hash-matches (the sketch_hll_distinct
+  // contract); exact |A|, |B|, |A∩B| ride along as reference columns.
+  private val KmvK = 64
+  private val KmvScale = 4503599627370496L // 2^52
+
+  def sketchKmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+    def side(status: String): DataFrame = orders
+      .filter(col("o_orderstatus") === status)
+      .select(col("o_custkey").as("id")).distinct()
+      .select(col("id"),
+        conv(substring(md5(concat(lit("kmv:"), col("id").cast("string"))),
+          1, 13), 16, 10).cast("long").as("h"))
+    val a = side("F")
+    val b = side("O")
+    def sketch(x: DataFrame): DataFrame =
+      x.select(col("h")).orderBy(col("h")).limit(KmvK)
+    val skA = sketch(a).withColumnRenamed("h", "ha")
+    val skB = sketch(b).withColumnRenamed("h", "hb")
+    val union = sketch(skA.select(col("ha").as("h"))
+      .unionAll(skB.select(col("hb").as("h"))).distinct())
+    val theta = union.agg(max(col("h")).as("theta"))
+    val nBoth = union
+      .join(skA, col("h") === col("ha"), "left_semi")
+      .join(skB, col("h") === col("hb"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val exact = orders.filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_custkey"), col("o_orderstatus")).distinct()
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("ns"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("ns") === 2, 1L).otherwise(0L)).as("exact_intersect"))
+    theta.crossJoin(nBoth).crossJoin(exact)
+      .select(lit(KmvK.toLong).as("k"), col("n_both"),
+        expr(s"${KmvK - 1} * ${KmvScale}L div theta").as("d_union_est"),
+        expr(s"(n_both * (${KmvK - 1} * ${KmvScale}L div theta)) div $KmvK")
+          .as("d_intersect_est"),
+        col("exact_union"), col("exact_intersect"))
+  }
+
+  private val sketchKmvIntersectOracle = {
+    val h = (c: String) => s"CAST(concat('0x', substr(md5(concat('kmv:', CAST($c AS VARCHAR))), 1, 13)) AS BIGINT)"
+    s"""WITH a AS (
+       |  SELECT ${h("id")} AS h FROM (
+       |    SELECT DISTINCT o_custkey AS id FROM orders WHERE o_orderstatus = 'F')
+       |  ORDER BY h LIMIT $KmvK),
+       |b AS (
+       |  SELECT ${h("id")} AS h FROM (
+       |    SELECT DISTINCT o_custkey AS id FROM orders WHERE o_orderstatus = 'O')
+       |  ORDER BY h LIMIT $KmvK),
+       |u AS (
+       |  SELECT h FROM (SELECT DISTINCT h FROM (
+       |    SELECT h FROM a UNION ALL SELECT h FROM b) t) d
+       |  ORDER BY h LIMIT $KmvK),
+       |th AS (SELECT MAX(h) AS theta FROM u),
+       |nb AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM u
+       |  WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+       |ex AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+       |         CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS exact_intersect
+       |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderstatus) AS ns
+       |        FROM orders WHERE o_orderstatus IN ('F', 'O')
+       |        GROUP BY o_custkey) t)
+       |SELECT CAST($KmvK AS BIGINT) AS k, nb.n_both,
+       |       CAST(${KmvK - 1} * $KmvScale // theta AS BIGINT) AS d_union_est,
+       |       CAST((nb.n_both * (${KmvK - 1} * $KmvScale // theta)) // $KmvK AS BIGINT)
+       |         AS d_intersect_est,
+       |       ex.exact_union, ex.exact_intersect
+       |FROM th, nb, ex""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
+    "sketch_kmv_intersect" -> (sketchKmvIntersect _),
     "curate_decontaminate" -> (curateDecontaminate _),
     "pack_length_buckets" -> (packLengthBuckets _),
     "pack_sequences" -> (packSequences _),
@@ -642,6 +729,7 @@ object PipelinePrep {
     "sketch_quantile" -> (sketchQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_kmv_intersect" -> sketchKmvIntersectOracle,
     "curate_decontaminate" -> curateDecontaminateOracle,
     "pack_length_buckets" -> packLengthBucketsOracle,
     "pack_sequences" -> packSequencesOracle,

@@ -271,4 +271,38 @@ class PipelinePrepSpec extends SparkSpec {
     assert(hits >= 2,
       s"expected partial+final WindowGroupLimit, found $hits:\n$phys")
   }
+
+  test("sketch_kmv_intersect: driver replay of the sketch, merge theorem, estimate bands (r11)") {
+    val r = PipelinePrep.queries("sketch_kmv_intersect")(spark, sfDir).collect().head
+    val (k, nBoth, dU, dI, exU, exI) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(k == 64L)
+    // full driver replay: same md5-52-bit hashes, same k-min sampling
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = {
+      val hex = md.digest(s"kmv:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val orders = graft.model.Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus")).collect()
+      .map(row => (row.getLong(0), row.getString(1)))
+    val fa = orders.filter(_._2 == "F").map(_._1).distinct.map(h).sorted.take(64)
+    val ob = orders.filter(_._2 == "O").map(_._1).distinct.map(h).sorted.take(64)
+    val union = (fa ++ ob).distinct.sorted.take(64)
+    val theta = union.max
+    val wantBoth = union.count(x => fa.contains(x) && ob.contains(x)).toLong
+    val wantDU = 63L * 4503599627370496L / theta
+    assert(nBoth == wantBoth && dU == wantDU && dI == wantBoth * wantDU / 64,
+      s"estimator replay mismatch: got ($nBoth,$dU,$dI), want ($wantBoth,$wantDU,${wantBoth * wantDU / 64})")
+    // the KMV merge theorem: merging the two k-min SAMPLES equals sketching
+    // the union of the full sets — the property that makes the sketch a
+    // mergeable aggregate at any fan-in
+    val fullUnion = (orders.filter(_._2 == "F") ++ orders.filter(_._2 == "O"))
+      .map(_._1).distinct.map(h).sorted.take(64).toSeq
+    assert(union.toSeq == fullUnion, "k-min merge must equal the union sketch")
+    // accuracy band: k=64 gives ~12.6% relative std; 3 sigma on this fixture
+    assert(math.abs(dU - exU).toDouble / exU < 0.38, s"union est $dU vs exact $exU")
+    assert(math.abs(dI - exI).toDouble / exI < 0.38, s"intersect est $dI vs exact $exI")
+  }
 }
