@@ -377,6 +377,58 @@ object DataProfile {
       |       m4 / (m2 * m2) - 3.0 AS kurtosis
       |FROM c ORDER BY l_returnflag""".stripMargin
 
+  // ---- agg_benford_check ----------------------------------------------------
+  // Benford's-law first-digit audit on order totals — the forensic
+  // data-quality screen for fabricated or truncated monetary columns
+  // (real multiplicative amounts follow log10(1+1/d); synthetic uniform
+  // generators, capped fields, or copy-paste batches do not — a large
+  // deviation is the FLAG, which is exactly what this fixture's uniform
+  // totals trip, and the spec pins that non-conformance as the expected
+  // outcome). Exactness: the observed share is n_d·1000 div N (truncating
+  // integer per-mille) against the PRECOMPUTED integer Benford table —
+  // floor(log10(1+1/d)·1000) = 301,176,124,96,79,66,57,51,45 — so no
+  // log10 ever runs at query time. One map-side-combining hash agg over
+  // a first-character projection; 9 output rows at any scale.
+  private val BenfordPm = Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L, 51L, 45L)
+
+  def aggBenfordCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exp = BenfordPm.zipWithIndex
+      .map { case (pm, i) => (i + 1L, pm) }.toDF("digit", "benford_pm")
+    val counts = load(s, dir, "orders")
+      .select(expr(
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    exp.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("benford_pm"))
+      .crossJoin(broadcast(tot))
+      .withColumn("observed_pm", expr("n * 1000 div total"))
+      .withColumn("dev_pm", abs(col("observed_pm") - col("benford_pm")))
+      .select(col("digit"), col("n"), col("observed_pm"), col("benford_pm"),
+        col("dev_pm"))
+      .orderBy(col("digit"))
+  }
+
+  private val aggBenfordCheckOracle = {
+    val expected = BenfordPm.zipWithIndex
+      .map { case (pm, i) => s"(${i + 1}, $pm)" }.mkString(", ")
+    s"""WITH expected(digit, benford_pm) AS (VALUES $expected),
+       |c AS (
+       |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+       |SELECT CAST(e.digit AS BIGINT) AS digit, COALESCE(c.n, 0) AS n,
+       |       CAST(COALESCE(c.n, 0) * 1000 // total AS BIGINT) AS observed_pm,
+       |       CAST(e.benford_pm AS BIGINT) AS benford_pm,
+       |       CAST(ABS(COALESCE(c.n, 0) * 1000 // total - e.benford_pm) AS BIGINT) AS dev_pm
+       |FROM expected e LEFT JOIN c ON c.digit = e.digit, t
+       |ORDER BY e.digit""".stripMargin
+  }
+
   // ---- agg_diversity --------------------------------------------------------
   // Source-mix diversity per language over the document corpus — the
   // data-recipe monitor that catches one source silently swallowing a
@@ -871,6 +923,7 @@ object DataProfile {
     "join_dpp_prune" -> (joinDppPrune _),
     "profile_columns" -> (profileColumns _),
     "profile_columns_approx" -> (profileColumnsApprox _),
+    "agg_benford_check" -> (aggBenfordCheck _),
     "agg_diversity" -> (aggDiversity _),
     "agg_corr_regr" -> (aggCorrRegr _),
     "agg_skew_kurt" -> (aggSkewKurt _),
@@ -888,6 +941,7 @@ object DataProfile {
     "join_dpp_prune" -> joinDppPruneOracle,
     "profile_columns" -> profileColumnsOracle,
     "profile_columns_approx" -> profileColumnsApproxOracle,
+    "agg_benford_check" -> aggBenfordCheckOracle,
     "agg_diversity" -> aggDiversityOracle,
     "agg_corr_regr" -> aggCorrRegrOracle,
     "agg_skew_kurt" -> aggSkewKurtOracle,

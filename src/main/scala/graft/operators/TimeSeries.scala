@@ -503,7 +503,62 @@ object TimeSeries {
       |         AND CURRENT ROW) - cum_cents AS BIGINT) AS drawdown_cents
       |FROM c ORDER BY day""".stripMargin
 
+  // ---- ts_changepoint_cusum -------------------------------------------------
+  // CUSUM changepoint detection on the daily revenue series (Page 1954)
+  // — the "did the level shift, and WHEN" monitor behind regression
+  // alerts: the cumulative sum of deviations from the series mean peaks
+  // exactly where the level changes. Exactness device: the mean is the
+  // rational S/N, so the day-d statistic is kept SCALED BY N —
+  // C_d·N = N·Σ_{i≤d} cents_i − d·S, pure BIGINT (DECIMAL at petabyte
+  // cents) — and both engines compare identical integers; the flagged
+  // changepoint is argmax |C_d·N| with the earlier day on ties. Scale:
+  // one fact-grain agg to day grain, then day-grain windows
+  // (lint:series-grain — bounded by the calendar, not the corpus).
+  def tsChangepointCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val run = Window.orderBy(col("day")) // lint:series-grain (day-grain)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seq = Window.orderBy(col("day")) // lint:series-grain (day-grain)
+    val withC = daily
+      .withColumn("cum_cents", sum(col("cents")).over(run))
+      .withColumn("d", row_number().over(seq).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cusum_n", col("cum_cents") * col("n") - col("d") * col("s"))
+    val peak = withC.agg(max(abs(col("cusum_n"))).as("peak"))
+    val flagged = withC.crossJoin(broadcast(peak))
+    val cp = flagged.filter(abs(col("cusum_n")) === col("peak"))
+      .agg(min(col("day")).as("cp_day"))
+    flagged.crossJoin(broadcast(cp))
+      .withColumn("is_changepoint", col("day") === col("cp_day"))
+      .select(col("day"), col("cents"), col("cusum_n"), col("is_changepoint"))
+      .orderBy(col("day"))
+  }
+
+  private val tsChangepointCusumOracle =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s FROM daily),
+      |c AS (
+      |  SELECT day, cents,
+      |         CAST(SUM(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND CURRENT ROW) AS BIGINT) AS cum_cents,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS d
+      |  FROM daily),
+      |k AS (
+      |  SELECT day, cents, cum_cents * n - d * s AS cusum_n FROM c, tot),
+      |p AS (SELECT MAX(ABS(cusum_n)) AS peak FROM k),
+      |cp AS (SELECT MIN(day) AS cp_day FROM k, p WHERE ABS(cusum_n) = peak)
+      |SELECT day, cents, CAST(cusum_n AS BIGINT) AS cusum_n,
+      |       day = (SELECT cp_day FROM cp) AS is_changepoint
+      |FROM k ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "ts_changepoint_cusum" -> (tsChangepointCusum _),
     "window_zscore_rolling" -> (windowZscoreRolling _),
     "window_drawdown" -> (windowDrawdown _),
     "window_streaks" -> (windowStreaks _),
@@ -516,6 +571,7 @@ object TimeSeries {
     "window_rolling_distinct" -> (windowRollingDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "ts_changepoint_cusum" -> tsChangepointCusumOracle,
     "window_zscore_rolling" -> windowZscoreRollingOracle,
     "window_drawdown" -> windowDrawdownOracle,
     "window_streaks" -> windowStreaksOracle,

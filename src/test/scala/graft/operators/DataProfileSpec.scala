@@ -307,4 +307,26 @@ class DataProfileSpec extends SparkSpec {
         s"$lang: simpson mismatch vs exact recompute")
     }
   }
+
+  test("Benford audit: exact per-mille table, conservation, the uniform fixture flags (r11)") {
+    val out = DataProfile.queries("agg_benford_check")(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 9L))
+    val total = out.map(_.getLong(1)).sum
+    // every order lands in exactly one digit bucket
+    val nOrders = graft.model.Tables.load(spark, sfDir, "orders").count()
+    assert(total == nOrders)
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 1000 / total, "observed_pm identity")
+      assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3)), "dev_pm identity")
+    }
+    // the Benford table itself: floor(log10(1+1/d)*1000)
+    out.foreach { r =>
+      val d = r.getLong(0).toDouble
+      assert(r.getLong(3) == math.floor(math.log10(1.0 + 1.0 / d) * 1000).toLong)
+    }
+    // the fixture's uniform totals MUST flag: that non-conformance is the
+    // audit's purpose, and it proves the key can't silently pass anything
+    assert(out.map(_.getLong(4)).max >= 30L,
+      "uniform synthetic totals should deviate visibly from Benford")
+  }
 }

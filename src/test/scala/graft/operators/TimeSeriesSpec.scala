@@ -344,4 +344,28 @@ class TimeSeriesSpec extends SparkSpec {
         s"slope ${r.getDouble(2)} vs builtin $bSlope")
     }
   }
+
+  test("CUSUM changepoint: exact scaled statistic, one flagged day, telescoping to zero (r11)") {
+    val out = TimeSeries.queries("ts_changepoint_cusum")(spark, sfDir).collect()
+    assert(out.length > 10)
+    // exactly one changepoint, at the global |CUSUM| peak
+    val flagged = out.filter(_.getBoolean(3))
+    assert(flagged.length == 1)
+    val peak = out.map(r => math.abs(r.getLong(2))).max
+    assert(math.abs(flagged.head.getLong(2)) == peak)
+    // the LAST scaled CUSUM telescopes to exactly zero:
+    // C_N*N = N*S - N*S (the exactness device working as designed)
+    assert(out.maxBy(_.getAs[java.sql.Date](0).getTime).getLong(2) == 0L,
+      "final scaled CUSUM must telescope to zero")
+    // driver recompute of the whole statistic from the day series
+    val days = out.sortBy(_.getAs[java.sql.Date](0).getTime)
+    val n = days.length.toLong
+    val s0 = days.map(_.getLong(1)).sum
+    var cum = 0L
+    days.zipWithIndex.foreach { case (r, i) =>
+      cum += r.getLong(1)
+      assert(r.getLong(2) == cum * n - (i + 1) * s0,
+        s"scaled CUSUM mismatch on day ${r.get(0)}")
+    }
+  }
 }
