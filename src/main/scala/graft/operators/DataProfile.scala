@@ -377,6 +377,80 @@ object DataProfile {
       |       m4 / (m2 * m2) - 3.0 AS kurtosis
       |FROM c ORDER BY l_returnflag""".stripMargin
 
+  // ---- agg_ab_ztest ----------------------------------------------------------
+  // Two-proportion A/B significance — the experiment readout: arms split
+  // by the md5-of-user coin (sample_split_hash's contract, ~50/50 at the
+  // 128/256 threshold), conversion = the user's purchase total exceeds
+  // the per-user AVERAGE (an exact integer compare, cents·N > S — every
+  // fixture user purchases at least once, so a did-purchase flag would
+  // be degenerate x = N and the z-statistic undefined). The two-
+  // proportion z statistic is algebraically a RATIO OF INTEGERS:
+  //   z² = (x₁n₂ − x₂n₁)² · N / (n₁ n₂ x (N−x)),  x = x₁+x₂, N = n₁+n₂
+  // so the key reports z²·10⁶ by exact truncating division (numerator in
+  // DECIMAL(38,0)/HUGEINT — (x₁n₂)²·N overflows BIGINT at sf0.01
+  // already) and the significance verdict compares that integer against
+  // the χ²₁ 95% critical value as the integer constant 3_841_459 — no
+  // normal CDF, no libm, no float anywhere. Scale: one scan to user
+  // grain (map-side-combining agg), then a 2-row arm rollup.
+  def aggAbZtest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val tot = perUser.agg(count(lit(1)).as("n_users"),
+      sum(col("cents")).as("s_cents"))
+    val users = perUser.crossJoin(broadcast(tot))
+      .withColumn("converted",
+        when(col("cents") * col("n_users") > col("s_cents"), 1L).otherwise(0L))
+      .withColumn("arm",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") < 128, "A").otherwise("B"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val wide = arms.groupBy()
+      .agg(max(when(col("arm") === "A", col("n"))).as("n_a"),
+        max(when(col("arm") === "A", col("x"))).as("x_a"),
+        max(when(col("arm") === "B", col("n"))).as("n_b"),
+        max(when(col("arm") === "B", col("x"))).as("x_b"))
+    wide.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        expr("""CAST((x_a * n_b - x_b * n_a) AS DECIMAL(38,0))
+               | * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 1000000
+               |div (CAST(n_a AS DECIMAL(38,0)) * n_b * (x_a + x_b)
+               |     * (n_a + n_b - x_a - x_b))""".stripMargin).as("z2_micro"))
+      .withColumn("significant_95", col("z2_micro") > 3841459L)
+  }
+
+  private val aggAbZtestOracle =
+    """WITH u AS (
+      |  SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(cents) AS BIGINT) AS s_cents FROM u),
+      |uc AS (
+      |  SELECT user_id,
+      |         CASE WHEN cents * n_users > s_cents THEN 1 ELSE 0 END AS converted,
+      |         CASE WHEN (instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |                 + (instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) < 128
+      |              THEN 'A' ELSE 'B' END AS arm
+      |  FROM u, t),
+      |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS x
+      |      FROM uc GROUP BY arm),
+      |w AS (
+      |  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+      |         MAX(CASE WHEN arm = 'A' THEN x END) AS x_a,
+      |         MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+      |         MAX(CASE WHEN arm = 'B' THEN x END) AS x_b
+      |  FROM a)
+      |SELECT n_a, x_a, n_b, x_b,
+      |       CAST(CAST((x_a * n_b - x_b * n_a) AS HUGEINT)
+      |              * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 1000000
+      |            // (CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+      |               * (n_a + n_b - x_a - x_b)) AS BIGINT) AS z2_micro,
+      |       CAST(CAST((x_a * n_b - x_b * n_a) AS HUGEINT)
+      |              * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 1000000
+      |            // (CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+      |               * (n_a + n_b - x_a - x_b)) AS BIGINT) > 3841459 AS significant_95
+      |FROM w""".stripMargin
+
   // ---- agg_benford_check ----------------------------------------------------
   // Benford's-law first-digit audit on order totals — the forensic
   // data-quality screen for fabricated or truncated monetary columns
@@ -923,6 +997,7 @@ object DataProfile {
     "join_dpp_prune" -> (joinDppPrune _),
     "profile_columns" -> (profileColumns _),
     "profile_columns_approx" -> (profileColumnsApprox _),
+    "agg_ab_ztest" -> (aggAbZtest _),
     "agg_benford_check" -> (aggBenfordCheck _),
     "agg_diversity" -> (aggDiversity _),
     "agg_corr_regr" -> (aggCorrRegr _),
@@ -941,6 +1016,7 @@ object DataProfile {
     "join_dpp_prune" -> joinDppPruneOracle,
     "profile_columns" -> profileColumnsOracle,
     "profile_columns_approx" -> profileColumnsApproxOracle,
+    "agg_ab_ztest" -> aggAbZtestOracle,
     "agg_benford_check" -> aggBenfordCheckOracle,
     "agg_diversity" -> aggDiversityOracle,
     "agg_corr_regr" -> aggCorrRegrOracle,

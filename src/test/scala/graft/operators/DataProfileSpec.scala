@@ -329,4 +329,22 @@ class DataProfileSpec extends SparkSpec {
     assert(out.map(_.getLong(4)).max >= 30L,
       "uniform synthetic totals should deviate visibly from Benford")
   }
+
+  test("A/B z-test: exact rational z2 identity, arm conservation (r11)") {
+    val r = DataProfile.queries("agg_ab_ztest")(spark, sfDir).collect().head
+    val (na, xa, nb, xb, z2, sig) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+    // arms partition the purchaser universe
+    val nUsers = graft.model.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(na + nb == nUsers)
+    assert(xa <= na && xb <= nb && xa + xb > 0 && xa + xb < na + nb,
+      "conversion must vary (the above-average definition guarantees it)")
+    // exact identity: z2_micro = (x1 n2 - x2 n1)^2 N 1e6 / (n1 n2 x (N-x))
+    val num = BigInt(xa * nb - xb * na).pow(2) * (na + nb) * 1000000
+    val den = BigInt(na) * nb * (xa + xb) * (na + nb - xa - xb)
+    assert(BigInt(z2) == num / den, s"z2_micro $z2 != ${num / den}")
+    assert(sig == (z2 > 3841459L), "the 95% verdict must follow chi2(1)")
+  }
 }
