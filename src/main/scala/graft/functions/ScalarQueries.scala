@@ -503,7 +503,67 @@ object ScalarQueries {
        |       ${Scalars.corpusFpSql("doc_id", "norm")} AS corpus_fp
        |FROM n GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- fn_ip_cidr -------------------------------------------------------
+  // IPv4 parse + CIDR classification — the scalar every web-crawl
+  // curation pass runs on access logs before text ever enters the
+  // corpus: dotted-quad → uint32, RFC 1918 / loopback membership (the
+  // rows a PII/safety filter drops), and the /24 network aggregate key
+  // (the grain abuse- and rate-analyses group on). Addresses are
+  // CONSTRUCTED from user_id arithmetic so both engines know the exact
+  // truth, with the first octet cycling through private (10/8,
+  // 172.16/12 — including 172.x octets on BOTH sides of the /12
+  // boundary), loopback (127/8) and public space; parsing is
+  // split+cast, pure codegen over the scan. User grain (one distinct
+  // hash-agg) keeps the output stable and the classification exercise
+  // per-address, not per-event.
+  def fnIpCidr(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(col("user_id")).distinct()
+      .select(col("user_id"),
+        expr("""concat(
+               |  CASE user_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 172
+               |                   WHEN 2 THEN 192 WHEN 3 THEN 127 ELSE 203 END,
+               |  '.', (user_id * 3) % 32, '.', (user_id * 7) % 256,
+               |  '.', (user_id * 13) % 256)""".stripMargin).as("ip"))
+      .withColumn("oct", expr("transform(split(ip, '\\\\.'), x -> CAST(x AS BIGINT))"))
+      .select(col("user_id"), col("ip"),
+        expr("oct[0] * 16777216 + oct[1] * 65536 + oct[2] * 256 + oct[3]")
+          .as("ip_u32"),
+        expr("""CASE WHEN oct[0] = 10
+               |       OR (oct[0] = 172 AND oct[1] BETWEEN 16 AND 31)
+               |       OR (oct[0] = 192 AND oct[1] = 168) THEN 'private'
+               |     WHEN oct[0] = 127 THEN 'loopback'
+               |     ELSE 'public' END""".stripMargin).as("ip_class"),
+        expr("concat(oct[0], '.', oct[1], '.', oct[2], '.0/24')").as("net24"))
+      .orderBy(col("user_id"))
+
+  private val fnIpCidrOracle =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |ip AS (
+      |  SELECT user_id,
+      |         concat(CASE user_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 172
+      |                                 WHEN 2 THEN 192 WHEN 3 THEN 127 ELSE 203 END,
+      |                '.', (user_id * 3) % 32, '.', (user_id * 7) % 256,
+      |                '.', (user_id * 13) % 256) AS ip
+      |  FROM u),
+      |o AS (
+      |  SELECT user_id, ip,
+      |         CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
+      |         CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+      |         CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
+      |         CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
+      |  FROM ip)
+      |SELECT user_id, ip,
+      |       o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_u32,
+      |       CASE WHEN o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+      |                 OR (o1 = 192 AND o2 = 168) THEN 'private'
+      |            WHEN o1 = 127 THEN 'loopback'
+      |            ELSE 'public' END AS ip_class,
+      |       concat(o1, '.', o2, '.', o3, '.0/24') AS net24
+      |FROM o ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "fn_ip_cidr" -> (fnIpCidr _),
     "fn_unicode_nfc" -> (fnUnicodeNfc _),
     "fn_regex_extract_all" -> (fnRegexExtractAll _),
     "fn_url_parse" -> (fnUrlParse _),
@@ -525,6 +585,7 @@ object ScalarQueries {
   ) ++ sharedSql.map { case (k, sql) => k -> runSql(sql) }
 
   val oracles: Map[String, String] = Map(
+    "fn_ip_cidr" -> fnIpCidrOracle,
     "fn_unicode_nfc" -> fnUnicodeNfcOracle,
     "fn_regex_extract_all" -> fnRegexExtractAllOracle,
     "fn_url_parse" -> fnUrlParseOracle,

@@ -714,7 +714,101 @@ object PipelinePrep {
        |FROM th, nb, ex""".stripMargin
   }
 
+  // ---- sample_temperature -----------------------------------------------
+  // Epoch-aware temperature RESAMPLING (alpha = 0.5) — the other half of
+  // the multilingual rebalance that sample_stratified's downsampling
+  // cannot express: the corpus-size budget B = Σn is redistributed as
+  // quota_g ∝ isqrt(n_g), so LOW-resource languages get repeat factors
+  // ABOVE 1 (upsampling — the mT5/XLM recipe repeats minority-language
+  // documents across epochs) while high-resource ones shrink. All mixture
+  // math is exact integers: isqrt is floor(sqrt) with a ±1 correction (so
+  // a last-ulp sqrt rounding can never disagree between engines), quotas
+  // are truncating div, and the FRACTIONAL epoch (quota mod n extra
+  // copies) is hash-thresholded against the first 16 md5 bits of doc_id —
+  // membership in the extra epoch is a pure function of the stable key,
+  // reproducible across engines/partitionings/reruns. Emission is
+  // explode(sequence(1, copies)) — scan-local row generation, no shuffle;
+  // the per-lang report re-aggregates with a map-side-combining hash agg,
+  // and the emitted MULTISET is pinned by the mergeable corpusFp over
+  // (doc_id:copy_idx) so a dropped or doubled replica anywhere fails the
+  // hash. 100 TB: quota math is |langs| rows; the corpus is read once.
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val weights = counts
+      .withColumn("w0", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      .withColumn("w", expr(
+        """CASE WHEN (w0 + 1) * (w0 + 1) <= n_docs THEN w0 + 1
+          |     WHEN w0 * w0 > n_docs THEN w0 - 1 ELSE w0 END""".stripMargin))
+    val tot = weights.agg(sum(col("w")).as("tw"), sum(col("n_docs")).as("b"))
+    val quotas = weights.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("w"),
+        expr("b * w div tw").as("quota"))
+      .select(col("lang"), col("n_docs"), col("w"), col("quota"),
+        expr("quota div n_docs").as("epochs"),
+        expr("(quota % n_docs) * 65536 div n_docs").as("thr"))
+    val emitted = docs
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .join(broadcast(quotas.select(col("lang"), col("epochs"), col("thr"))),
+        Seq("lang"))
+      .withColumn("copies",
+        col("epochs") + when(col("bucket") < col("thr"), 1L).otherwise(0L))
+      .filter(col("copies") > 0)
+      .select(col("lang"), col("doc_id"),
+        explode(expr("sequence(1L, copies)")).as("copy_idx"))
+    val report = emitted.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_emitted"),
+        graft.functions.Scalars.corpusFp(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("copy_idx").cast("string")),
+          col("lang")).as("fp"))
+    quotas.join(broadcast(report), Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("w"), col("quota"),
+        col("epochs"), coalesce(col("n_emitted"), lit(0L)).as("n_emitted"),
+        col("fp"))
+      .orderBy(col("lang"))
+  }
+
+  private val sampleTemperatureOracle =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |wt AS (
+       |  SELECT lang, n_docs,
+       |         CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w0
+       |  FROM c),
+       |w AS (
+       |  SELECT lang, n_docs,
+       |         CASE WHEN (w0 + 1) * (w0 + 1) <= n_docs THEN w0 + 1
+       |              WHEN w0 * w0 > n_docs THEN w0 - 1 ELSE w0 END AS w
+       |  FROM wt),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+       |               CAST(SUM(n_docs) AS BIGINT) AS b FROM w),
+       |q AS (
+       |  SELECT lang, n_docs, w,
+       |         CAST((b * w) // tw AS BIGINT) AS quota FROM w, tot),
+       |q2 AS (
+       |  SELECT lang, n_docs, w, quota,
+       |         CAST(quota // n_docs AS BIGINT) AS epochs,
+       |         CAST(((quota % n_docs) * 65536) // n_docs AS BIGINT) AS thr
+       |  FROM q),
+       |e AS (
+       |  SELECT d.lang, d.doc_id,
+       |         unnest(generate_series(1, CAST(q2.epochs +
+       |           CASE WHEN (${hex16("d.doc_id")}) < q2.thr THEN 1 ELSE 0 END
+       |           AS BIGINT))) AS copy_idx
+       |  FROM documents d JOIN q2 ON q2.lang = d.lang),
+       |r AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_emitted,
+       |         ${graft.functions.Scalars.corpusFpSql("concat(CAST(doc_id AS VARCHAR), ':', CAST(copy_idx AS VARCHAR))", "lang")} AS fp
+       |  FROM e GROUP BY lang)
+       |SELECT q2.lang, q2.n_docs, q2.w, q2.quota, q2.epochs,
+       |       COALESCE(r.n_emitted, 0) AS n_emitted, r.fp
+       |FROM q2 LEFT JOIN r ON r.lang = q2.lang
+       |ORDER BY q2.lang""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "sample_temperature" -> (sampleTemperature _),
     "sketch_kmv_intersect" -> (sketchKmvIntersect _),
     "curate_decontaminate" -> (curateDecontaminate _),
     "pack_length_buckets" -> (packLengthBuckets _),
@@ -729,6 +823,7 @@ object PipelinePrep {
     "sketch_quantile" -> (sketchQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "sample_temperature" -> sampleTemperatureOracle,
     "sketch_kmv_intersect" -> sketchKmvIntersectOracle,
     "curate_decontaminate" -> curateDecontaminateOracle,
     "pack_length_buckets" -> packLengthBucketsOracle,

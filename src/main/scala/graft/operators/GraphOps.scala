@@ -160,6 +160,44 @@ object GraphOps {
       .orderBy(col("suppkey"))
   }
 
+  // ---- graph_ppr --------------------------------------------------------
+  // PERSONALIZED PageRank: restart mass concentrated on a seed set
+  // (suppkey % 10 == 0) instead of uniform — the trust/relevance
+  // propagation query behind "similar to these known-good suppliers"
+  // recommendations and seed-expansion labeling (find nodes near a
+  // hand-labeled set). Same exact integer-micros power method as
+  // graph_pagerank (contributions in truncating div, damping 0.85), but
+  // the teleport term is the per-node seed indicator scaled to 1e6, and
+  // the iteration STARTS at the teleport distribution — so after the two
+  // fixed rounds the rank is exactly the ≤2-hop personalized mass and
+  // the oracle stays a finite CTE chain. Topology per superstep is the
+  // pagerank one: rank ⋈ edges by src (node-grain equi-join), hash-agg by
+  // dst with map-side combine, node-grain teleport join — nothing is
+  // seed-cardinality-dependent, so a 10-seed and a 10M-seed
+  // personalization cost the same.
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val (edges, deg, nodes) = buildGraph(s, dir)
+    val tele = nodes.select(col("node"),
+      when(col("node") % 10 === 0, 1000000L).otherwise(0L).as("tele"))
+    def stepT(rank: DataFrame): DataFrame = {
+      val contrib = edges
+        .join(rank.select(col("node").as("src"), col("r").as("rs")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("rs div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      tele.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (col("tele") +
+            expr("850000 * coalesce(contrib, 0L) div 1000000")).as("r"))
+    }
+    val r2 = stepT(stepT(tele.select(col("node"), col("tele").as("r"))))
+    r2.join(tele, Seq("node"))
+      .select(col("node").as("suppkey"), col("r").as("rank_micros"),
+        (col("tele") > 0).as("is_seed"))
+      .orderBy(col("suppkey"))
+  }
+
+
   // ---- graph_pagerank_conv --------------------------------------------------
   // The operator a user actually runs: iterate until max |Δrank| ≤ 1000
   // micros (0.001). The per-round delta is a driver scalar; every round's
@@ -217,6 +255,32 @@ object GraphOps {
       |  FROM nodes n LEFT JOIN c2 ON c2.dst = n.node)
       |SELECT node AS suppkey, r AS rank_micros
       |FROM r2 ORDER BY suppkey""".stripMargin
+
+  private val graphPprOracle =
+    s"""WITH $graphCtes,
+      |t AS (SELECT node, CAST(CASE WHEN node % 10 = 0 THEN 1000000 ELSE 0 END
+      |                        AS BIGINT) AS tele FROM nodes),
+      |r0 AS (SELECT node, tele AS r FROM t),
+      |c1 AS (
+      |  SELECT e.dst, CAST(SUM(r0.r // d.deg) AS BIGINT) AS contrib
+      |  FROM edges e JOIN r0 ON r0.node = e.src JOIN deg d ON d.src = e.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT t.node,
+      |         CAST(t.tele + (850000 * COALESCE(c1.contrib, 0)) // 1000000
+      |              AS BIGINT) AS r
+      |  FROM t LEFT JOIN c1 ON c1.dst = t.node),
+      |c2 AS (
+      |  SELECT e.dst, CAST(SUM(r1.r // d.deg) AS BIGINT) AS contrib
+      |  FROM edges e JOIN r1 ON r1.node = e.src JOIN deg d ON d.src = e.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT t.node,
+      |         CAST(t.tele + (850000 * COALESCE(c2.contrib, 0)) // 1000000
+      |              AS BIGINT) AS r
+      |  FROM t LEFT JOIN c2 ON c2.dst = t.node)
+      |SELECT r2.node AS suppkey, r2.r AS rank_micros, t.tele > 0 AS is_seed
+      |FROM r2 JOIN t ON t.node = r2.node ORDER BY suppkey""".stripMargin
 
   private val graphPagerankConvOracle =
     s"""WITH RECURSIVE $graphCtes,
@@ -718,6 +782,7 @@ object GraphOps {
   val queries: Map[String, Q] = Map[String, Q](
     "graph_kcore" -> (graphKcore _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_ppr" -> (graphPpr _),
     "graph_pagerank_conv" -> (graphPagerankConv _),
     "graph_triangles" -> (graphTriangles _),
     "graph_triangles_partitioned" -> (graphTrianglesPartitioned _),
@@ -728,6 +793,7 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> graphKcoreOracle,
     "graph_pagerank" -> graphPagerankOracle,
+    "graph_ppr" -> graphPprOracle,
     "graph_pagerank_conv" -> graphPagerankConvOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "graph_triangles_partitioned" -> graphTrianglesOracle,

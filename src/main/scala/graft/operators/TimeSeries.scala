@@ -557,7 +557,75 @@ object TimeSeries {
       |       day = (SELECT cp_day FROM cp) AS is_changepoint
       |FROM k ORDER BY day""".stripMargin
 
+  // ---- ts_autocorr ----------------------------------------------------------
+  // Lag-1..7 autocorrelation of the daily revenue series — the
+  // seasonality probe run before any forecasting/anomaly model is
+  // trusted (a weekly cycle shows as a lag-7 peak; a near-zero ACF says
+  // the daily series is noise and a day-grain model is pointless).
+  // Exactness: with n days, total S and x_t integer cents, the n²-scaled
+  // deviation is dev_t = n·x_t − S (exact BIGINT), and the lag-k
+  // numerator Σ dev_t·dev_{t+k} is exact in DECIMAL(38,0) (Spark) /
+  // HUGEINT (DuckDB) — the n² factor cancels in the ratio, which is
+  // frozen as sign·(|num_k|·10⁶ div num_0) so both engines report the
+  // identical integer PPM (truncating division on nonnegative operands —
+  // the floor-vs-trunc divergence on negatives never arises). Topology:
+  // one fact→day hash agg (map-side combine), then everything runs at
+  // day grain: the t-index window is series-grain, the lag join is a
+  // 7-way self-equi-join of the tiny day relation, and num_0 broadcasts
+  // as a 1-row aggregate. 100 TB adds fact rows, not days.
+  def tsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val seq = Window.orderBy(col("day")) // lint:series-grain (day-grain)
+    val dev = daily
+      .withColumn("t", row_number().over(seq).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), (col("n") * col("cents") - col("s")).as("dev"))
+    val num0 = dev
+      .agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("n0"))
+    val shifted = dev
+      .select(explode(expr("sequence(1, 7)")).as("lag_k"),
+        col("t"), col("dev").as("dev_a"))
+      .select(col("lag_k"), (col("t") + col("lag_k")).as("t"), col("dev_a"))
+    shifted.join(dev, Seq("t"))
+      .groupBy(col("lag_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(dev_a AS DECIMAL(38,0)) * dev")).as("nk"))
+      .crossJoin(broadcast(num0))
+      .select(col("lag_k").cast("int").as("lag_k"), col("n_pairs"),
+        (when(col("nk") < 0, -1L).otherwise(1L) *
+          expr("(abs(nk) * 1000000) div n0")).as("acf_ppm"))
+      .orderBy(col("lag_k"))
+  }
+
+  private val tsAutocorrOracle =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |               CAST(SUM(cents) AS BIGINT) AS s FROM daily),
+      |b AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, cents FROM daily),
+      |d AS (SELECT t, CAST(n AS HUGEINT) * cents - s AS dev FROM b, tot),
+      |n0 AS (SELECT SUM(dev * dev) AS n0 FROM d),
+      |p AS (
+      |  SELECT k.lag_k, a.dev AS dev_a, c.dev AS dev_b
+      |  FROM (SELECT unnest(generate_series(1, 7)) AS lag_k) k
+      |  JOIN d a ON true
+      |  JOIN d c ON c.t = a.t + k.lag_k),
+      |num AS (
+      |  SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |         SUM(dev_a * dev_b) AS nk
+      |  FROM p GROUP BY 1)
+      |SELECT CAST(lag_k AS INT) AS lag_k, n_pairs,
+      |       CAST(CASE WHEN nk < 0 THEN -1 ELSE 1 END
+      |            * ((abs(nk) * 1000000) // n0) AS BIGINT) AS acf_ppm
+      |FROM num, n0 ORDER BY lag_k""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "ts_autocorr" -> (tsAutocorr _),
     "ts_changepoint_cusum" -> (tsChangepointCusum _),
     "window_zscore_rolling" -> (windowZscoreRolling _),
     "window_drawdown" -> (windowDrawdown _),
@@ -571,6 +639,7 @@ object TimeSeries {
     "window_rolling_distinct" -> (windowRollingDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "ts_autocorr" -> tsAutocorrOracle,
     "ts_changepoint_cusum" -> tsChangepointCusumOracle,
     "window_zscore_rolling" -> windowZscoreRollingOracle,
     "window_drawdown" -> windowDrawdownOracle,

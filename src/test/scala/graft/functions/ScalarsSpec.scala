@@ -95,4 +95,30 @@ class ScalarsSpec extends SparkSpec {
     assert(part("parse_url(url, 'QUERY', 'q')") == "7")
     assert(part("parse_url(url, 'QUERY', 'utm_source')") == "news")
   }
+
+  test("fn_ip_cidr: parse + RFC 1918 classification replayed from the dotted string (r11)") {
+    val out = graft.functions.ScalarQueries.queries("fn_ip_cidr")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val classes = out.map(_.getString(3)).toSet
+    assert(classes == Set("private", "loopback", "public"),
+      s"fixture must exercise all three classes, got $classes")
+    out.foreach { r =>
+      val o = r.getString(1).split("\\.").map(_.toLong)
+      assert(o.length == 4 && o.forall(x => x >= 0 && x <= 255))
+      assert(r.getLong(2) == ((o(0) << 24) | (o(1) << 16) | (o(2) << 8) | o(3)),
+        s"ip_u32 for ${r.getString(1)}")
+      val want =
+        if (o(0) == 10 || (o(0) == 172 && o(1) >= 16 && o(1) <= 31) ||
+          (o(0) == 192 && o(1) == 168)) "private"
+        else if (o(0) == 127) "loopback" else "public"
+      assert(r.getString(3) == want, s"class of ${r.getString(1)}")
+      assert(r.getString(4) == s"${o(0)}.${o(1)}.${o(2)}.0/24")
+    }
+    // the 172 band must land addresses on BOTH sides of the /12 boundary
+    val o172 = out.filter(_.getString(1).startsWith("172."))
+      .map(_.getString(3)).toSet
+    assert(o172 == Set("private", "public"),
+      "172.x fixture must straddle the /12 boundary")
+  }
 }

@@ -305,4 +305,34 @@ class PipelinePrepSpec extends SparkSpec {
     assert(math.abs(dU - exU).toDouble / exU < 0.38, s"union est $dU vs exact $exU")
     assert(math.abs(dI - exI).toDouble / exI < 0.38, s"intersect est $dI vs exact $exI")
   }
+
+  test("sample_temperature: sqrt-quota redistribution upsamples minority langs (r11)") {
+    val out = graft.llm.PipelinePrep.queries("sample_temperature")(spark, sfDir)
+      .collect()
+    assert(out.length >= 3)
+    val nDocs = out.map(_.getLong(1)); val b = nDocs.sum
+    val w = out.map(_.getLong(2)); val tw = w.sum
+    val quota = out.map(_.getLong(3))
+    out.indices.foreach { i =>
+      // exact integer sqrt (the +-1 corrected floor)
+      assert(w(i) * w(i) <= nDocs(i) && (w(i) + 1) * (w(i) + 1) > nDocs(i),
+        s"isqrt at ${out(i).getString(0)}")
+      assert(quota(i) == b * w(i) / tw, s"quota at ${out(i).getString(0)}")
+      // emission stays inside [epochs*n, (epochs+1)*n] by construction
+      val e = out(i).getLong(4); val m = out(i).getLong(5)
+      assert(m >= e * nDocs(i) && m <= (e + 1) * nDocs(i),
+        s"emitted count out of the epoch envelope at ${out(i).getString(0)}")
+    }
+    // floored quotas can drop at most one doc per lang from the budget
+    assert(quota.sum <= b && b - quota.sum < out.length)
+    // the property that distinguishes this key from sample_stratified:
+    // at least one lang is UPSAMPLED past its corpus count (epochs >= 1
+    // with a fractional extra) and at least one is downsampled
+    assert(out.exists(r => r.getLong(5) > r.getLong(1)),
+      "no lang was upsampled — fixture or quota math degenerate")
+    assert(out.exists(r => r.getLong(5) < r.getLong(1)),
+      "no lang was downsampled")
+    // multiset fingerprint present for every emitting lang
+    out.filter(_.getLong(5) > 0).foreach(r => assert(r.getString(6) != null))
+  }
 }

@@ -215,4 +215,47 @@ class GraphOpsSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(1) == finalDeg(r.getLong(0)),
       s"core_deg mismatch at node ${r.getLong(0)}"))
   }
+
+  test("graph_ppr: seeded teleport, exact two-superstep driver replay (r11)") {
+    import org.apache.spark.sql.functions.col
+    val out = GraphOps.queries("graph_ppr")(spark, sfDir).collect()
+    val seeds = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(seeds.nonEmpty && seeds.size < out.length, "seed split degenerate")
+    assert(seeds.forall(_ % 10 == 0), "seed predicate")
+    // driver replay of the co-supply graph + two personalized supersteps
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1)
+      .filter(_._2.length <= GraphOps.maxSuppliersPerOrder)
+    val edges = byOrder.values.flatMap { ps =>
+      val sks = ps.map(_._2).distinct.toSeq
+      for (a <- sks; b <- sks if a != b) yield (a, b)
+    }.toSet
+    val deg = edges.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = li.map(_._2).distinct
+    def tele(n: Long): Long = if (n % 10 == 0) 1000000L else 0L
+    def step(r: Map[Long, Long]): Map[Long, Long] = {
+      val contrib = edges.toSeq
+        .map { case (s0, d0) => d0 -> r(s0) / deg(s0) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      nodes.map(n =>
+        n -> (tele(n) + 850000L * contrib.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    val r0 = nodes.map(n => n -> tele(n)).toMap
+    val want = step(step(r0))
+    assert(out.length == nodes.length)
+    out.foreach(r => assert(r.getLong(1) == want(r.getLong(0)),
+      s"rank mismatch at node ${r.getLong(0)}"))
+    // personalization is real: some non-seed holds mass, and the seeded
+    // restart makes seed-adjacent nodes strictly richer than the global
+    // uniform-teleport ranking would (at least one rank differs from
+    // graph_pagerank's on the same graph)
+    val pr = GraphOps.queries("graph_pagerank")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.exists(r => !r.getBoolean(2) && r.getLong(1) > 0),
+      "no mass reached any non-seed in two hops")
+    assert(out.exists(r => pr(r.getLong(0)) != r.getLong(1)),
+      "PPR degenerated to uniform PageRank")
+  }
 }

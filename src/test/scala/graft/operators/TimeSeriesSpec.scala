@@ -368,4 +368,31 @@ class TimeSeriesSpec extends SparkSpec {
         s"scaled CUSUM mismatch on day ${r.get(0)}")
     }
   }
+
+  test("ts_autocorr: exact integer PPM, |r_k| <= 1, driver replay bit-for-bit (r11)") {
+    import org.apache.spark.sql.functions._
+    val out = TimeSeries.queries("ts_autocorr")(spark, sfDir).collect()
+    assert(out.length == 7)
+    // rebuild the daily cents series and replay the n^2-scaled estimator
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val n = daily.length.toLong
+    val s0 = daily.sum
+    val dev = daily.map(x => BigInt(n * x - s0))
+    val num0 = dev.map(d => d * d).sum
+    out.foreach { r =>
+      val k = r.getInt(0)
+      val numK = (0 until (daily.length - k))
+        .map(t => dev(t) * dev(t + k)).sum
+      val ppm = (if (numK < 0) -1 else 1) * ((numK.abs * 1000000) / num0)
+      assert(r.getLong(1) == daily.length - k, s"n_pairs at lag $k")
+      assert(BigInt(r.getLong(2)) == ppm, s"acf_ppm at lag $k")
+      // |r_k| <= 1 by Cauchy-Schwarz over the truncated overlap... not
+      // guaranteed for the raw truncated estimator, but ppm must at least
+      // stay inside the numerically sane band
+      assert(math.abs(r.getLong(2)) <= 1200000L, s"acf_ppm magnitude at lag $k")
+    }
+  }
 }
