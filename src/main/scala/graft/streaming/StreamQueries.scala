@@ -121,6 +121,60 @@ object StreamQueries {
       |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** The most recent backfill-catchup run's StreamingQuery — lets the spec
+    * assert the bounded-batch contract (recentProgress) of the run it
+    * made through the production code path. */
+  @volatile private[streaming] var lastBackfillQuery
+      : org.apache.spark.sql.streaming.StreamingQuery = _
+
+  // ---- stream_backfill_catchup ------------------------------------------
+  // Bounded-backlog BACKFILL: a stream that comes up behind a large
+  // backlog (8 staged files here; months of files in production) must
+  // not swallow it in one giant micro-batch — `maxFilesPerTrigger`
+  // bounds every batch's input so state updates, checkpoints and memory
+  // stay trigger-sized, and `Trigger.AvailableNow` drains the WHOLE
+  // backlog in those bounded steps and then terminates (the
+  // catch-up-then-stop contract; a plain Once trigger would ignore the
+  // rate limit and take everything at once). The running per-type
+  // aggregate accumulates across ≥4 micro-batches and must equal the
+  // one-shot batch aggregate — exactly-once accumulation across a
+  // rate-limited drain. The spec pins the mechanism: >= 4 batches
+  // observed, every batch's input strictly smaller than the backlog.
+  def streamBackfillCatchup(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val src = s"$base/src"
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    timedStaging { events.repartition(8).write.parquet(src) }
+
+    val streamed = s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2") // the backlog drains 2 files/batch
+      .parquet(src)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
+
+    val table = s"stream_backfill_catchup_$id"
+    val q = withFewStatePartitions(s) {
+      streamed.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    lastBackfillQuery = q
+    q.awaitTermination()
+    s.table(table).orderBy(col("event_type"))
+  }
+
+  private val streamBackfillCatchupOracle =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Streaming INGEST DEDUP — the stateful op a training pipeline runs on
     * arrival: documents stream in waves, and a running groupBy on the
     * content fingerprint (md5) keeps the min doc_id + copy count per
@@ -1186,6 +1240,7 @@ object StreamQueries {
     "stream_incremental_agg" -> (streamIncrementalAgg _),
     "stream_index_ingest" -> (streamIndexIngest _),
     "stream_micro_batch" -> (streamMicroBatch _),
+    "stream_backfill_catchup" -> (streamBackfillCatchup _),
     "stream_dedup_ingest" -> (streamDedupIngest _),
     "stream_join_enrich" -> (streamJoinEnrich _),
     "stream_stream_join" -> (streamStreamJoin _),
@@ -1206,6 +1261,7 @@ object StreamQueries {
     "stream_incremental_agg" -> streamIncrementalAggOracle,
     "stream_index_ingest" -> streamIndexIngestOracle,
     "stream_micro_batch" -> streamMicroBatchOracle,
+    "stream_backfill_catchup" -> streamBackfillCatchupOracle,
     "stream_dedup_ingest" -> streamDedupIngestOracle,
     "stream_join_enrich" -> streamJoinEnrichOracle,
     "stream_stream_join" -> streamStreamJoinOracle,

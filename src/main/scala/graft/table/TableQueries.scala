@@ -669,6 +669,53 @@ object TableQueries {
     VersionedTable.readVersion(s, root, v2).orderBy(col("key"))
   }
 
+  // ---- table_tag_retention ----------------------------------------------
+  // Named TAGS pin snapshots against retention (Iceberg tag semantics):
+  // v1 = the orders snapshot, v2 = a curated rewrite (drop key % 13,
+  // double totals) tagged 'baseline', v3 = the latest append. VACUUM
+  // keep-1 must then prune exactly v1 — v3 is the latest and v2 is
+  // pinned by name — so the blessed snapshot a training run was built
+  // from stays readable BY NAME while ordinary history ages out around
+  // it. The key reads the tag and the latest through the log after the
+  // sweep; the spec additionally pins that v1's manifest is gone, that
+  // dropping the tag makes v2 vacuum-eligible, and that the age sweep
+  // honors pins too. All tag machinery is O(1) metadata — nothing here
+  // scales with table size except the two commits the fixture stages.
+  def tableTagRetention(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("tag")
+    val base = ordersBase(s, dir)
+    VersionedTable.commit(base, root) // v1
+    VersionedTable.commit(base.filter(col("key") % 13 =!= 0)
+      .withColumn("total", col("total") * 2), root) // v2: the blessed curate
+    VersionedTable.tagVersion(root, "baseline", 2)
+    VersionedTable.commit(
+      VersionedTable.readLatest(s, root).unionAll(
+        base.filter(col("key") % 13 === 0)), root) // v3: backfill append
+    VersionedTable.vacuum(root, keepVersions = 1)  // prunes v1 only
+    VersionedTable.readTagged(s, root, "baseline")
+      .select(lit("baseline").as("ref"), col("key"), col("status"),
+        col("total"))
+      .unionAll(VersionedTable.readLatest(s, root)
+        .select(lit("latest").as("ref"), col("key"), col("status"),
+          col("total")))
+      .orderBy(col("ref"), col("key"))
+  }
+
+  private val tableTagRetentionOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         o_totalprice AS total FROM orders),
+      |v2 AS (
+      |  SELECT key, status, total * 2 AS total FROM base WHERE key % 13 <> 0),
+      |v3 AS (
+      |  SELECT * FROM v2
+      |  UNION ALL
+      |  SELECT key, status, total FROM base WHERE key % 13 = 0)
+      |SELECT 'baseline' AS ref, key, status, total FROM v2
+      |UNION ALL
+      |SELECT 'latest' AS ref, key, status, total FROM v3
+      |ORDER BY ref, key""".stripMargin
+
   // ---- table_merge_on_read --------------------------------------------------
   // DELETE without rewriting data: v1 is the orders snapshot; v2 is
   // commitDeletes(key % 7 = 0) — an equality-delete `E` record carried
@@ -1018,6 +1065,7 @@ object TableQueries {
     "table_constraint_check" -> (tableConstraintCheck _),
     "table_concurrent_commit" -> (tableConcurrentCommit _),
     "table_vacuum" -> (tableVacuum _),
+    "table_tag_retention" -> (tableTagRetention _),
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
@@ -1044,5 +1092,6 @@ object TableQueries {
     "table_constraint_check" -> tableConstraintCheckOracle,
     "table_concurrent_commit" -> tableConcurrentCommitOracle,
     "table_vacuum" -> sinkCompactOracle,
+    "table_tag_retention" -> tableTagRetentionOracle,
     "table_vacuum_age" -> sinkCompactOracle)
 }

@@ -903,8 +903,56 @@ object VersionedTable {
     // only versions whose manifest still exists — a rerun after an earlier
     // vacuum already pruned part of the range must be a no-op for those,
     // not an entries() failure (same `present` discipline as the age sweep)
-    val doomed = (1 to cutoff).filter(v => Files.exists(manifestPath(root, v)))
-    prune(root, doomed, retained = (cutoff + 1) to latest)
+    // — and TAGGED versions are pinned: a named ref is the durable lease
+    // no retention window may break (Iceberg tags behave identically)
+    val pinned = tags(root).values.toSet
+    val doomed = (1 to cutoff)
+      .filter(v => !pinned(v) && Files.exists(manifestPath(root, v)))
+    prune(root, doomed,
+      retained = ((cutoff + 1) to latest) ++ (1 to cutoff).filter(pinned))
+  }
+
+  // ---- named tags -----------------------------------------------------------
+
+  /** Create/replace a named TAG pointing at version `v` — the Iceberg-style
+    * immutable snapshot reference (`baseline`, `audit-2026q3`). O(1)
+    * metadata (one tiny file under `_tags/`), and both VACUUM sweeps
+    * retain tagged versions regardless of their windows, so a tag is the
+    * durable pin a reproducible training run or a compliance audit reads
+    * through while ordinary history ages out around it. */
+  def tagVersion(root: String, name: String, v: Int): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name: $name")
+    require(Files.exists(manifestPath(root, v)),
+      s"cannot tag missing version $v")
+    val dir = Paths.get(root, "_tags")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(name),
+      v.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** All named tags: tag name → pinned version. O(tags) metadata. */
+  def tags(root: String): Map[String, Int] = {
+    val dir = Paths.get(root, "_tags")
+    if (!Files.isDirectory(dir)) Map.empty
+    else Using.resource(Files.list(dir)) { files =>
+      files.iterator().asScala.map(p =>
+        p.getFileName.toString ->
+          new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+            .trim.toInt).toMap
+    }
+  }
+
+  /** Drop a tag — the pinned version becomes vacuum-eligible again. */
+  def dropTag(root: String, name: String): Boolean =
+    Files.deleteIfExists(Paths.get(root, "_tags", name))
+
+  /** Read the snapshot a named tag pins — time travel by name instead of
+    * version number (the interface deployments actually use: nobody
+    * remembers that the blessed snapshot was v17). */
+  def readTagged(s: SparkSession, root: String, name: String): DataFrame = {
+    val v = tags(root).getOrElse(name,
+      throw new NoSuchElementException(s"no tag '$name' on $root"))
+    readVersion(s, root, v)
   }
 
   /** Age-based VACUUM (the `RETAIN n HOURS` form): prune every version
@@ -919,7 +967,8 @@ object VersionedTable {
     val cut = System.currentTimeMillis() - maxAgeMillis
     val present = (1 to latest)
       .filter(v => Files.exists(manifestPath(root, v)))
-    val doomed = present.filter(v => v != latest &&
+    val pinned = tags(root).values.toSet // tags outlive any age window
+    val doomed = present.filter(v => v != latest && !pinned(v) &&
       Files.getLastModifiedTime(manifestPath(root, v)).toMillis < cut)
     prune(root, doomed, present.filterNot(doomed.contains))
   }

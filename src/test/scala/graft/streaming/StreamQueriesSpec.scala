@@ -271,4 +271,35 @@ class StreamQueriesSpec extends SparkSpec {
       .filter(col("o_orderkey") % 89 === 0 && col("o_orderkey") > 0).count()
     assert(out(("batch_1", "n_violations")) == nBad)
   }
+
+  test("stream_backfill_catchup: rate-limited drain in >=4 bounded batches, exactly-once totals (r11)") {
+    import org.apache.spark.sql.functions.{count, lit, round, sum}
+    val rows = StreamQueries.queries("stream_backfill_catchup")(spark, sfDir)
+      .collect()
+    // the accumulated state equals the one-shot batch aggregate
+    val events = graft.model.Tables.load(spark, sfDir, "events")
+    val want = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (n, t) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == t,
+        s"catchup total diverged for ${r.getString(0)}")
+    }
+    // the mechanism: the 8-file backlog drained under maxFilesPerTrigger=2
+    // — at least 4 data batches, and NO batch saw the whole backlog
+    val total = events.count()
+    val progress = StreamQueries.lastBackfillQuery.recentProgress
+      .filter(_.numInputRows > 0)
+    assert(progress.length >= 4,
+      s"expected >= 4 bounded micro-batches, saw ${progress.length}")
+    progress.foreach(p => assert(p.numInputRows < total,
+      "a single batch swallowed the whole backlog — rate limit ignored"))
+    assert(progress.map(_.numInputRows).sum == total,
+      "drain must cover the backlog exactly once")
+  }
 }

@@ -895,4 +895,35 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.describeHistory(root)
     }
   }
+
+  test("tags pin versions against both vacuum sweeps; drop re-exposes them (r11)") {
+    val root = freshRoot()
+    VersionedTable.commit(base(), root)                           // v1
+    VersionedTable.commit(base().filter(col("key") <= 500L), root) // v2
+    VersionedTable.tagVersion(root, "baseline", 2)
+    VersionedTable.commit(base().filter(col("key") <= 100L), root) // v3
+    // keep-1 must prune exactly v1: v3 is latest, v2 is pinned by name
+    VersionedTable.vacuum(root, keepVersions = 1)
+    intercept[Exception] { VersionedTable.readVersion(spark, root, 1).count() }
+    assert(VersionedTable.readTagged(spark, root, "baseline").count() == 500L,
+      "tagged snapshot must survive the retention sweep, readable by name")
+    assert(VersionedTable.readLatest(spark, root).count() == 100L)
+    // age sweep with a zero window: latest + pinned survive, nothing else
+    VersionedTable.vacuumOlderThan(root, maxAgeMillis = 0L)
+    assert(VersionedTable.readTagged(spark, root, "baseline").count() == 500L,
+      "tags must outlive any age window")
+    // dropping the tag makes v2 ordinary history again
+    assert(VersionedTable.dropTag(root, "baseline"))
+    VersionedTable.vacuum(root, keepVersions = 1)
+    intercept[Exception] { VersionedTable.readVersion(spark, root, 2).count() }
+    assert(VersionedTable.readLatest(spark, root).count() == 100L,
+      "latest must be untouched by the post-drop sweep")
+    // tagging a pruned version fails loudly; bad names are rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.tagVersion(root, "late", 2)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.tagVersion(root, "bad/name", 3)
+    }
+  }
 }
