@@ -1466,7 +1466,90 @@ object Similarity {
        |ORDER BY p.query_id, p.pick""".stripMargin
   }
 
+  // ---- sim_nearest_centroid -----------------------------------------------
+  // Rocchio / nearest-centroid classification — the cheapest embedding
+  // classifier that actually deploys: one centroid per label from the
+  // TRAINING split (vec_id % 5 != 0), held-out vectors assigned to the
+  // max-cosine centroid. Where sim_knn_classify pays a bucketed
+  // candidate join per query, this pays |labels| dot products — the
+  // right trade when labels are few and the model must score billions
+  // of rows (quality-classifier serving at corpus scale). Exactness:
+  // centroids are integer-quantized means (sum div count per dimension
+  // — the cluster_kmeans device), norms and dots exact BIGINT, the
+  // cosine ONE IEEE division both engines compute identically; ties
+  // break on the smaller label. Topology: training pass is one
+  // (label,pos)-grain map-side-combining agg; serving is a broadcast of
+  // the |labels|-row centroid table into a scan-local projection — the
+  // corpus never shuffles, which is the whole point.
+  def simNearestCentroid(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val base = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("qv",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+      .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
+    val train = base.filter(col("vec_id") % 5 =!= 0)
+    val cent = train
+      .select(col("label").as("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("cd"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), x -> x.cd)")
+        .as("cvec"))
+      .withColumn("cnrm",
+        expr("aggregate(zip_with(cvec, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    base.filter(col("vec_id") % 5 === 0).filter(col("nrm") > 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("cdot",
+        expr("aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell").as("pred_label"),
+        col("label").as("true_label"),
+        (col("cell") === col("label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val simNearestCentroidOracle =
+    s"""WITH $quantizedSql,
+       |b AS (
+       |  SELECT qn.vec_id, e.label, qn.qv, qn.nrm
+       |  FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id),
+       |tr AS (
+       |  SELECT label AS cell, unnest(qv) AS v,
+       |         unnest(generate_series(1, len(qv))) AS pos
+       |  FROM b WHERE vec_id % 5 <> 0),
+       |cent AS (
+       |  SELECT cell, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd
+       |  FROM tr GROUP BY cell, pos),
+       |cn AS (SELECT cell, CAST(SUM(cd * cd) AS BIGINT) AS cnrm
+       |       FROM cent GROUP BY cell),
+       |te AS (
+       |  SELECT vec_id, label AS true_label, nrm, unnest(qv) AS v,
+       |         unnest(generate_series(1, len(qv))) AS pos
+       |  FROM b WHERE vec_id % 5 = 0 AND nrm > 0),
+       |scored AS (
+       |  SELECT t.vec_id, t.true_label, c.cell, ANY_VALUE(t.nrm) AS nrm,
+       |         CAST(SUM(t.v * c.cd) AS BIGINT) AS cdot
+       |  FROM te t JOIN cent c ON c.pos = t.pos
+       |  GROUP BY t.vec_id, t.true_label, c.cell),
+       |ranked AS (
+       |  SELECT vec_id, true_label, cell,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+       |           CAST(cdot AS DOUBLE) /
+       |             (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cn.cnrm AS DOUBLE)))
+       |           DESC, cell) AS rk
+       |  FROM scored JOIN cn USING (cell))
+       |SELECT vec_id, cell AS pred_label, true_label,
+       |       cell = true_label AS correct
+       |FROM ranked WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "sim_nearest_centroid" -> (simNearestCentroid _),
     "sim_mmr_rerank" -> (simMmrRerank _),
     "sim_knn_classify" -> (simKnnClassify _),
     "sim_matryoshka" -> (simMatryoshka _),
@@ -1484,6 +1567,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_knn_classify" -> simKnnClassifyOracle,
+    "sim_nearest_centroid" -> simNearestCentroidOracle,
     "sim_matryoshka" -> simMatryoshkaOracle,
     "sim_knn_join" -> simKnnJoinOracle,
     "sim_range_search" -> simRangeSearchOracle,

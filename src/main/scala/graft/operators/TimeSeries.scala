@@ -624,7 +624,67 @@ object TimeSeries {
       |            * ((abs(nk) * 1000000) // n0) AS BIGINT) AS acf_ppm
       |FROM num, n0 ORDER BY lag_k""".stripMargin
 
+  // ---- ts_seasonal_decompose ---------------------------------------------
+  // Classical additive decomposition of the daily revenue series:
+  // trend = centered 7-day moving average (defined only where the full
+  // window exists — edges stay null rather than fabricating a shorter
+  // average), seasonal = per-ISO-weekday mean of the detrended values,
+  // residual = observed − trend − seasonal. The trend/seasonal split is
+  // what turns "revenue moved" into "revenue moved beyond its weekly
+  // rhythm" — the input anomaly models and capacity forecasts actually
+  // want. Exact integers throughout: cents, truncating div for both
+  // means (Spark `div` and DuckDB `//` both truncate toward zero, so
+  // NEGATIVE detrended values agree too — pinned in the spec), and ISO
+  // weekday (1=Mon..7) on both engines so the join key can't be off by
+  // the Sunday-origin disagreement of the default dow functions.
+  // Topology: one fact→day agg, a series-grain centered window, a 7-row
+  // weekday agg broadcast back. 100 TB adds fact rows, not days.
+  def tsSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3) // lint:series-grain (day-grain)
+    val detr = daily
+      .withColumn("w_sum", sum(col("cents")).over(w7))
+      .withColumn("w_n", count(lit(1)).over(w7))
+      .withColumn("trend",
+        when(col("w_n") === 7, expr("w_sum div 7")))
+      .withColumn("dow", expr("extract(dayofweek_iso FROM day)").cast("int"))
+      .withColumn("detrended", col("cents") - col("trend"))
+    val seasonal = detr
+      .groupBy(col("dow"))
+      .agg(expr("sum(detrended) div count(detrended)").as("seasonal"))
+    detr.join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("cents"), col("trend"), col("dow"),
+        col("seasonal"),
+        (col("cents") - col("trend") - col("seasonal")).as("resid"))
+      .orderBy(col("day"))
+  }
+
+  private val tsSeasonalDecomposeOracle =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |tr AS (
+      |  SELECT day, cents,
+      |         CASE WHEN COUNT(*) OVER w = 7
+      |              THEN CAST(SUM(cents) OVER w AS BIGINT) // 7 END AS trend,
+      |         CAST(date_part('isodow', day) AS INT) AS dow
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |se AS (
+      |  SELECT dow,
+      |         CAST(SUM(cents - trend) AS BIGINT)
+      |           // COUNT(CASE WHEN trend IS NOT NULL THEN 1 END) AS seasonal
+      |  FROM tr WHERE trend IS NOT NULL GROUP BY dow)
+      |SELECT t.day, t.cents, t.trend, t.dow, s.seasonal,
+      |       t.cents - t.trend - s.seasonal AS resid
+      |FROM tr t JOIN se s ON s.dow = t.dow
+      |ORDER BY t.day""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "ts_seasonal_decompose" -> (tsSeasonalDecompose _),
     "ts_autocorr" -> (tsAutocorr _),
     "ts_changepoint_cusum" -> (tsChangepointCusum _),
     "window_zscore_rolling" -> (windowZscoreRolling _),
@@ -640,6 +700,7 @@ object TimeSeries {
 
   val oracles: Map[String, String] = Map(
     "ts_autocorr" -> tsAutocorrOracle,
+    "ts_seasonal_decompose" -> tsSeasonalDecomposeOracle,
     "ts_changepoint_cusum" -> tsChangepointCusumOracle,
     "window_zscore_rolling" -> windowZscoreRollingOracle,
     "window_drawdown" -> windowDrawdownOracle,

@@ -797,6 +797,39 @@ class LlmOpsSpec extends SparkSpec {
     } finally graft.sink.Sinks.deleteDir(tmp)
   }
 
+  test("nearest-centroid classifier: >=0.9 accuracy on separable clusters, sane on testdata (r11)") {
+    import spark.implicits._
+    // the same geometric 10-cluster fixture the ANN floors use: Rocchio
+    // must be near-perfect when classes are linearly separable spheres
+    val dim = 64
+    val vecs = (0L until 600L).map { i =>
+      val c = ((i / 10) % 10).toInt
+      val emb = Array.tabulate(dim) { d =>
+        val center = if ((c * 13 + d * 7) % 10 < 5) 0.5f else -0.5f
+        center + ((i * 31 + d * 17) % 21 - 10) / 100.0f
+      }
+      (i, emb, c)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ncfix_").toString
+    try {
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$tmp/embeddings.parquet")
+      val out = Similarity.queries("sim_nearest_centroid")(spark, tmp).collect()
+      assert(out.length == 120, "held-out split must be vec_id % 5 == 0")
+      val acc = out.count(_.getBoolean(3)).toDouble / out.length
+      info(f"nearest-centroid accuracy on separable clusters: $acc%.3f")
+      assert(acc >= 0.9, f"accuracy $acc%.3f below 0.9 vs 0.10 chance")
+      // every label serves as a centroid: predictions must span all classes
+      assert(out.map(_.getInt(1)).distinct.length == 10)
+    } finally graft.sink.Sinks.deleteDir(tmp)
+    // on the isotropic driver testdata the classifier still runs end to
+    // end and emits exactly the held-out rows
+    val td = Similarity.queries("sim_nearest_centroid")(spark, sfDir).collect()
+    val nTest = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(td.length == nTest)
+  }
+
   test("knn classify on a label-correlated fixture: accuracy far above the 1/10 chance baseline (r10)") {
     import spark.implicits._
     // The testdata embeddings assign labels independently of the isotropic

@@ -369,6 +369,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_seasonal_decompose: additive identity, null edges, ISO weekday join (r11)") {
+    val out = TimeSeries.queries("ts_seasonal_decompose")(spark, sfDir)
+      .orderBy(org.apache.spark.sql.functions.col("day")).collect()
+    assert(out.length > 20)
+    // exactly the 3 leading + 3 trailing days lack a full centered window
+    val nullTrend = out.zipWithIndex.filter(_._1.isNullAt(2)).map(_._2)
+    assert(nullTrend.toSeq == Seq(0, 1, 2, out.length - 3, out.length - 2,
+      out.length - 1), "trend must be null exactly at the 3-day edges")
+    out.filter(!_.isNullAt(2)).foreach { r =>
+      // the additive identity holds exactly: cents = trend + seasonal + resid
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(4) + r.getLong(5),
+        s"decomposition identity broken on ${r.get(0)}")
+      // ISO weekday range
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 7)
+    }
+    // seasonal is constant per weekday and sums detrended to ~zero per dow:
+    // mean via truncating div => per-dow residual sums lie in (-n, n)
+    val byDow = out.filter(!_.isNullAt(2)).groupBy(_.getInt(3))
+    byDow.foreach { case (dow, rows) =>
+      assert(rows.map(_.getLong(4)).distinct.length == 1,
+        s"seasonal not constant for dow $dow")
+      val residSum = rows.map(_.getLong(5)).sum
+      assert(math.abs(residSum) < rows.length,
+        s"per-dow residuals don't center: sum $residSum over ${rows.length}")
+    }
+    // trend replay on a sample: centered 7-day truncating mean
+    val cents = out.map(_.getLong(1))
+    (3 until out.length - 3 by 7).foreach { i =>
+      val want = (i - 3 to i + 3).map(cents).sum / 7
+      assert(out(i).getLong(2) == want, s"trend at index $i")
+    }
+  }
+
   test("ts_autocorr: exact integer PPM, |r_k| <= 1, driver replay bit-for-bit (r11)") {
     import org.apache.spark.sql.functions._
     val out = TimeSeries.queries("ts_autocorr")(spark, sfDir).collect()
