@@ -714,6 +714,102 @@ object PipelinePrep {
        |FROM th, nb, ex""".stripMargin
   }
 
+  // ---- embed_pca_power ------------------------------------------------------
+  // Leading principal component by POWER ITERATION, exact integers end to
+  // end — the data-dependent counterpart of embed_random_proj's oblivious
+  // sketch (PCA is what you run when one learned axis should carry the
+  // most variance: whitening before quantization, drift monitoring,
+  // 1-D visual ordering). Covariance comes from raw moments so no
+  // centering pass touches the data: C = n·M − S·Sᵀ (the n²-scaled
+  // covariance; M = Σ x_{d1}x_{d2} is ONE map-side-combining agg over a
+  // scan-local 64×64 outer-product explode — compute-heavy, shuffle-tiny:
+  // only 4096 (d1,d2) cells ever cross the wire, exactly how a
+  // 1000-executor covariance runs). Three power-iteration rounds run on
+  // the 4096-row C relation (metadata-sized joins); between rounds the
+  // vector renormalizes by L∞ via truncating div (v ← mv div (max|mv|
+  // div 1e6)) so every intermediate stays inside DECIMAL(38)/HUGEINT and
+  // both engines compute the identical integer vector — no sqrt, no
+  // float, no convergence ambiguity. Output: every vector's exact integer
+  // projection onto the learned axis (the broadcast apply pass).
+  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+          .as("qv"))
+    val dims = base.select(col("vec_id"), posexplode(col("qv")).as(Seq("d", "x")))
+    val sums = dims.groupBy(col("d"))
+      .agg(sum(col("x")).as("s_"), count(lit(1)).as("n"))
+    val pairs = base
+      .select(posexplode(col("qv")).as(Seq("d1", "x1")), col("qv"))
+      .select(col("d1"), col("x1"), posexplode(col("qv")).as(Seq("d2", "x2")))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(expr("CAST(x1 AS DECIMAL(38,0)) * x2")).as("m"))
+    val c = pairs
+      .join(broadcast(sums.select(col("d").as("d1"), col("s_").as("s1"),
+        col("n"))), Seq("d1"))
+      .join(broadcast(sums.select(col("d").as("d2"), col("s_").as("s2"))),
+        Seq("d2"))
+      .select(col("d1"), col("d2"),
+        expr("n * m - CAST(s1 AS DECIMAL(38,0)) * s2").as("c"))
+      .localCheckpoint() // read by all three rounds + nothing else
+    var v = sums.select(col("d"), lit(1000000L).as("v"))
+    (1 to 3).foreach { _ =>
+      val mv = c.join(broadcast(v.select(col("d").as("d2"), col("v"))), Seq("d2"))
+        .groupBy(col("d1"))
+        .agg(sum(expr("c * v")).as("mv"))
+      val mx = mv.agg(max(abs(col("mv"))).as("mx"))
+      v = mv.crossJoin(broadcast(mx))
+        .select(col("d1").as("d"),
+          expr("mv div greatest(CAST(1 AS DECIMAL(38,0)), mx div 1000000)")
+            .as("v"))
+    }
+    dims.join(broadcast(v), Seq("d"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("v")).as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val embedPcaPowerOracle = {
+    def round(i: Int, prev: String): String =
+      s"""r$i AS (
+         |  SELECT c.d1 AS d, SUM(c.c * p.v) AS mv
+         |  FROM c JOIN $prev p ON p.d = c.d2 GROUP BY 1),
+         |x$i AS (SELECT MAX(ABS(mv)) AS mx FROM r$i),
+         |v$i AS (
+         |  SELECT d, mv // GREATEST(CAST(1 AS HUGEINT), (SELECT mx FROM x$i) // 1000000) AS v
+         |  FROM r$i)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, unnest(generate_series(0, len(qv) - 1)) AS d,
+       |         unnest(qv) AS x
+       |  FROM q),
+       |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM q),
+       |sums AS (SELECT d, CAST(SUM(x) AS HUGEINT) AS s FROM dims GROUP BY d),
+       |e1 AS (
+       |  SELECT vec_id, unnest(generate_series(0, len(qv) - 1)) AS d1,
+       |         unnest(qv) AS x1, qv
+       |  FROM q),
+       |pr AS (
+       |  SELECT d1, x1, unnest(generate_series(0, len(qv) - 1)) AS d2,
+       |         unnest(qv) AS x2
+       |  FROM e1),
+       |m AS (SELECT d1, d2, SUM(CAST(x1 AS HUGEINT) * x2) AS m
+       |      FROM pr GROUP BY 1, 2),
+       |c AS (
+       |  SELECT m.d1, m.d2, (SELECT n FROM nn) * m.m - s1.s * s2.s AS c
+       |  FROM m JOIN sums s1 ON s1.d = m.d1 JOIN sums s2 ON s2.d = m.d2),
+       |v0 AS (SELECT d, CAST(1000000 AS HUGEINT) AS v FROM sums),
+       |${round(1, "v0")},
+       |${round(2, "v1")},
+       |${round(3, "v2")}
+       |SELECT dims.vec_id, CAST(SUM(dims.x * v3.v) AS BIGINT) AS proj
+       |FROM dims JOIN v3 ON v3.d = dims.d
+       |GROUP BY dims.vec_id ORDER BY dims.vec_id""".stripMargin
+  }
+
   // ---- sample_temperature -----------------------------------------------
   // Epoch-aware temperature RESAMPLING (alpha = 0.5) — the other half of
   // the multilingual rebalance that sample_stratified's downsampling
@@ -809,6 +905,7 @@ object PipelinePrep {
 
   val queries: Map[String, Q] = Map[String, Q](
     "sample_temperature" -> (sampleTemperature _),
+    "embed_pca_power" -> (embedPcaPower _),
     "sketch_kmv_intersect" -> (sketchKmvIntersect _),
     "curate_decontaminate" -> (curateDecontaminate _),
     "pack_length_buckets" -> (packLengthBuckets _),
@@ -824,6 +921,7 @@ object PipelinePrep {
 
   val oracles: Map[String, String] = Map(
     "sample_temperature" -> sampleTemperatureOracle,
+    "embed_pca_power" -> embedPcaPowerOracle,
     "sketch_kmv_intersect" -> sketchKmvIntersectOracle,
     "curate_decontaminate" -> curateDecontaminateOracle,
     "pack_length_buckets" -> packLengthBucketsOracle,

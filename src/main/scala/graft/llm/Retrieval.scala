@@ -339,7 +339,94 @@ object Retrieval {
        |            ELSE CAST(0 AS BIGINT) END AS rr_x2520
        |FROM agg ORDER BY query_id""".stripMargin
 
+  // ---- retrieval_hard_negatives ---------------------------------------------
+  // HARD-NEGATIVE MINING for contrastive retriever training (the
+  // DPR/ANCE recipe): per query, positives are the dense-cosine top-3
+  // (semantic agreement — vec_id ≡ doc_id as in hybrid_rrf), and hard
+  // negatives are the best BM25 hits that are NOT among those positives —
+  // documents that look lexically right but are semantically wrong, the
+  // examples that actually move a bi-encoder (random negatives are too
+  // easy). Emits per query: the dense top-1 as 'pos' and the 4
+  // best-ranked lexical non-positives as 'neg' slots 1..4 — the training
+  // triple layout a contrastive data loader consumes. Topology: both
+  // rankers' plans are the proven text_bm25 / hybrid_rrf subtrees; the
+  // exclusion is a broadcast anti-join of two ≤(10×k)-row rank relations,
+  // and the slot numbering is a query-grain window over ≤10 rows/query.
+  def retrievalHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val b = bm25Ranked(s, dir, topN = 10)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val emb = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
+    val vq = emb.filter(col("vec_id") < Similarity.AnnQueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wV = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val dense = emb.join(broadcast(vq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        expr("graft_dotq(q_emb, embedding)").as("dot"), col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+      .withColumn("vec_rank", row_number().over(wV))
+      .filter(col("vec_rank") <= 3)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    val pos = dense.filter(col("vec_rank") === 1)
+      .select(col("query_id"), lit("pos").as("role"), lit(1).as("slot"),
+        col("doc_id"))
+    val wN = Window.partitionBy(col("query_id")).orderBy(col("bm25_rank"))
+    val negs = b.join(broadcast(dense.select(col("query_id"), col("doc_id"))),
+        Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("slot", row_number().over(wN))
+      .filter(col("slot") <= 4)
+      .select(col("query_id"), lit("neg").as("role"), col("slot"),
+        col("doc_id"))
+    pos.unionAll(negs)
+      .orderBy(col("query_id"), col("role").desc, col("slot"))
+  }
+
+  private val retrievalHardNegativesOracle =
+    s"""WITH $bm25Sql,
+       |qe AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |qen AS (
+       |  SELECT vec_id, qv,
+       |         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS nrm
+       |  FROM qe),
+       |vqueries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm
+       |             FROM qen WHERE vec_id < ${Similarity.AnnQueryCount}),
+       |vscored AS (
+       |  SELECT query_id, c.vec_id AS doc_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q_qv)), i -> q_qv[i] * c.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+       |  FROM qen c JOIN vqueries ON c.vec_id <> query_id),
+       |dense AS (
+       |  SELECT query_id, doc_id, vec_rank FROM (
+       |    SELECT query_id, doc_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS vec_rank
+       |    FROM vscored) r WHERE vec_rank <= 3),
+       |pos AS (
+       |  SELECT query_id, 'pos' AS role, 1 AS slot, doc_id
+       |  FROM dense WHERE vec_rank = 1),
+       |negs AS (
+       |  SELECT query_id, 'neg' AS role, slot, doc_id FROM (
+       |    SELECT b.query_id, b.doc_id,
+       |           ROW_NUMBER() OVER (PARTITION BY b.query_id ORDER BY b.rank) AS slot
+       |    FROM branked b
+       |    WHERE b.rank <= 10 AND NOT EXISTS (
+       |      SELECT 1 FROM dense d
+       |      WHERE d.query_id = b.query_id AND d.doc_id = b.doc_id)) t
+       |  WHERE slot <= 4)
+       |SELECT * FROM (SELECT query_id, role, CAST(slot AS INT) AS slot, doc_id FROM pos
+       |               UNION ALL
+       |               SELECT query_id, role, CAST(slot AS INT) AS slot, doc_id FROM negs) u
+       |ORDER BY query_id, role DESC, slot""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "retrieval_hard_negatives" -> (retrievalHardNegatives _),
     "text_bm25" -> (textBm25 _),
     "hybrid_rrf" -> (hybridRrf _),
     "retrieval_maxsim" -> (retrievalMaxsim _),
@@ -347,6 +434,7 @@ object Retrieval {
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Oracle,
+    "retrieval_hard_negatives" -> retrievalHardNegativesOracle,
     "hybrid_rrf" -> hybridRrfOracle,
     "retrieval_maxsim" -> retrievalMaxsimOracle,
     "retrieval_mrr" -> retrievalMrrOracle)

@@ -306,6 +306,48 @@ class PipelinePrepSpec extends SparkSpec {
     assert(math.abs(dI - exI).toDouble / exI < 0.38, s"intersect est $dI vs exact $exI")
   }
 
+  test("embed_pca_power: exact driver replay, PSD Rayleigh quotient monotone over rounds (r11)") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.llm.PipelinePrep.queries("embed_pca_power")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+    // replay everything in BigInt from the raw embeddings
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => BigInt(math.floor(x.toDouble * 1e6).toLong)).toArray)
+    val dim = vecs.head._2.length
+    val n = BigInt(vecs.length)
+    val sums = Array.tabulate(dim)(d => vecs.map(_._2(d)).sum)
+    val cMat = Array.tabulate(dim, dim) { (a, b) =>
+      n * vecs.map(v => v._2(a) * v._2(b)).sum - sums(a) * sums(b)
+    }
+    def step(v: Array[BigInt]): Array[BigInt] = {
+      val mv = Array.tabulate(dim)(a => (0 until dim).map(b => cMat(a)(b) * v(b)).sum)
+      val mx = mv.map(_.abs).max
+      val denom = (mx / 1000000).max(BigInt(1))
+      mv.map(_ / denom)
+    }
+    def rayleigh(v: Array[BigInt]): (BigInt, BigInt) = {
+      val num = (0 until dim).flatMap(a => (0 until dim).map(b => v(a) * cMat(a)(b) * v(b))).sum
+      (num, v.map(x => x * x).sum)
+    }
+    val v1 = step(Array.fill(dim)(BigInt(1000000)))
+    val v2 = step(v1); val v3 = step(v2)
+    vecs.foreach { case (id, qv) =>
+      val want = (0 until dim).map(d => qv(d) * v3(d)).sum
+      assert(out(id) == want, s"projection mismatch at vec $id")
+    }
+    // power iteration on a PSD matrix: the Rayleigh quotient never
+    // decreases round over round (exact rational compare via cross-mult)
+    val (r1n, r1d) = rayleigh(v1); val (r2n, r2d) = rayleigh(v2)
+    val (r3n, r3d) = rayleigh(v3)
+    assert(r2n * r1d >= r1n * r2d, "Rayleigh quotient fell from round 1 to 2")
+    assert(r3n * r2d >= r2n * r3d, "Rayleigh quotient fell from round 2 to 3")
+    // the learned axis explains at least as much variance as the best
+    // single coordinate's share along v3's direction would suggest > 0
+    assert(r3n > 0, "degenerate principal axis")
+  }
+
   test("sample_temperature: sqrt-quota redistribution upsamples minority langs (r11)") {
     val out = graft.llm.PipelinePrep.queries("sample_temperature")(spark, sfDir)
       .collect()

@@ -158,4 +158,29 @@ class RetrievalSpec extends SparkSpec {
     assert(firstRel == hit.getLong(1),
       s"query $qid: first relevant rank disagrees with the bm25 key")
   }
+
+  test("retrieval_hard_negatives: 1 pos + 4 negs per query, negs = best lexical non-positives (r11)") {
+    val out = Retrieval.queries("retrieval_hard_negatives")(spark, sfDir)
+      .collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 10, "one triple set per query")
+    val bm25 = Retrieval.queries("text_bm25")(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    byQ.foreach { case (q, rows) =>
+      val pos = rows.filter(_.getString(1) == "pos").map(_.getLong(3))
+      val negs = rows.filter(_.getString(1) == "neg")
+        .sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(pos.length == 1, s"query $q: exactly one positive")
+      assert(negs.length == 4 && negs.distinct.length == 4,
+        s"query $q: exactly four distinct negatives")
+      assert(!negs.contains(pos.head),
+        s"query $q: the positive leaked into the negatives")
+      assert(!negs.contains(q), s"query $q: self-match as negative")
+      // negatives preserve BM25 order and are drawn from its top-10
+      val ranks = negs.map(bm25(q).indexOf).toSeq
+      assert(ranks.forall(_ >= 0), s"query $q: negative outside the bm25 top-10")
+      assert(ranks == ranks.sorted, s"query $q: negatives out of lexical order")
+    }
+  }
 }
