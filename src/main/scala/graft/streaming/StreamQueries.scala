@@ -121,6 +121,89 @@ object StreamQueries {
       |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** The most recent late-metrics run's StreamingQuery + its staged late-copy
+    * count — lets the spec assert numRowsDroppedByWatermark of the run it
+    * made equals the planted late rows exactly. */
+  @volatile private[streaming] var lastLateQuery
+      : org.apache.spark.sql.streaming.StreamingQuery = _
+  @volatile private[streaming] var lastLatePlanted: Long = _
+
+  // ---- stream_late_metrics ------------------------------------------------
+  // LATE-DATA ADMISSION under a watermark — the observability contract of
+  // every event-time pipeline: rows arriving behind the watermark are
+  // REJECTED at the stateful operator (not silently merged) and the
+  // rejection is measurable (numRowsDroppedByWatermark). The operator is
+  // dropDuplicatesWithinWatermark — the stateful ingest-dedup, which is
+  // where Spark actually enforces input-side late filtering (MEASURED,
+  // this repo: windowed AGGREGATION never input-filters late rows — its
+  // watermark only drives state eviction, so a late row re-opens an old
+  // window; the admission guarantee lives in the dedup/join operators).
+  // Three arrival waves, one file per micro-batch: wave 1 = all but the
+  // last two days (establishes the watermark), wave 2 = day max−1 (the
+  // filter applies the watermark with ONE BATCH of lag — also measured —
+  // so a middle wave is what arms it), wave 3 = id-shifted copies of the
+  // oldest 5 days (genuinely late → must be rejected) mixed with the
+  // real final-day events (ahead of the watermark → admitted). The
+  // admitted stream aggregated per day must equal the batch aggregate
+  // over the ORIGINAL events alone — one late copy leaking through
+  // corrupts a day's count and fails the hash. The spec pins the
+  // mechanism: dropped-row metric == planted copies, 3 data batches.
+  def streamLateMetrics(s: SparkSession, dir: String): DataFrame = {
+    val id = runId.incrementAndGet()
+    val base = s"$qRoot/$id"
+    val src = s"$base/src"
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+    val planted = timedStaging {
+      val b = events.agg(max(to_date(col("ts"))).as("mx"),
+        min(to_date(col("ts"))).as("mn")).head()
+      val (mxDay, mnDay) = (b.getDate(0), b.getDate(1))
+      val lateCopies = events
+        .filter(to_date(col("ts")) < date_add(lit(mnDay), 5))
+        .select((col("event_id") + 1000000000L).as("event_id"), col("ts"),
+          col("value"))
+      events.filter(to_date(col("ts")) < date_sub(lit(mxDay), 1))
+        .coalesce(1).write.parquet(src)
+      events.filter(to_date(col("ts")) === date_sub(lit(mxDay), 1))
+        .coalesce(1).write.mode("append").parquet(src)
+      lateCopies
+        .unionAll(events.filter(to_date(col("ts")) === lit(mxDay)))
+        .coalesce(1).write.mode("append").parquet(src)
+      lateCopies.count()
+    }
+    lastLatePlanted = planted
+
+    val streamed = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val table = s"stream_late_metrics_$id"
+    val q = withFewStatePartitions(s) {
+      streamed.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    lastLateQuery = q
+    q.awaitTermination()
+    // summarize the ADMITTED stream at day grain (batch post-processing of
+    // the sink table — the stream itself emits admitted rows)
+    s.table(table)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
+      .orderBy(col("day"))
+  }
+
+  private val streamLateMetricsOracle =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |       COUNT(*) AS n_events,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   /** The most recent backfill-catchup run's StreamingQuery — lets the spec
     * assert the bounded-batch contract (recentProgress) of the run it
     * made through the production code path. */
@@ -1241,6 +1324,7 @@ object StreamQueries {
     "stream_index_ingest" -> (streamIndexIngest _),
     "stream_micro_batch" -> (streamMicroBatch _),
     "stream_backfill_catchup" -> (streamBackfillCatchup _),
+    "stream_late_metrics" -> (streamLateMetrics _),
     "stream_dedup_ingest" -> (streamDedupIngest _),
     "stream_join_enrich" -> (streamJoinEnrich _),
     "stream_stream_join" -> (streamStreamJoin _),
@@ -1262,6 +1346,7 @@ object StreamQueries {
     "stream_index_ingest" -> streamIndexIngestOracle,
     "stream_micro_batch" -> streamMicroBatchOracle,
     "stream_backfill_catchup" -> streamBackfillCatchupOracle,
+    "stream_late_metrics" -> streamLateMetricsOracle,
     "stream_dedup_ingest" -> streamDedupIngestOracle,
     "stream_join_enrich" -> streamJoinEnrichOracle,
     "stream_stream_join" -> streamStreamJoinOracle,

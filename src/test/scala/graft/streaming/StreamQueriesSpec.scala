@@ -272,6 +272,32 @@ class StreamQueriesSpec extends SparkSpec {
     assert(out(("batch_1", "n_violations")) == nBad)
   }
 
+  test("stream_late_metrics: planted late rows rejected and counted, admitted rows exact (r11)") {
+    val rows = StreamQueries.queries("stream_late_metrics")(spark, sfDir)
+      .collect()
+    // admitted stream == original events, at day grain (oracle semantics)
+    val want = graft.model.Tables.load(spark, sfDir, "events")
+      .groupBy(org.apache.spark.sql.functions.to_date(col("ts")).as("day"))
+      .count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(rows.length == want.size)
+    rows.foreach(r => assert(r.getLong(1) == want(r.getDate(0).toString),
+      s"admitted count diverged on ${r.get(0)}"))
+    // the mechanism: every planted late copy was rejected AT ADMISSION and
+    // the rejection is visible in the stream's own metrics — the
+    // observability contract this key exists for
+    assert(StreamQueries.lastLatePlanted > 0, "fixture planted nothing")
+    val progress = StreamQueries.lastLateQuery.recentProgress
+    val dropped = progress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped == StreamQueries.lastLatePlanted,
+      s"dropped $dropped != planted ${StreamQueries.lastLatePlanted}")
+    // three data batches: establish -> arm (the one-batch watermark lag,
+    // measured in this repo) -> reject
+    assert(progress.count(_.numInputRows > 0) == 3,
+      "expected exactly three data micro-batches")
+  }
+
   test("stream_backfill_catchup: rate-limited drain in >=4 bounded batches, exactly-once totals (r11)") {
     import org.apache.spark.sql.functions.{count, lit, round, sum}
     val rows = StreamQueries.queries("stream_backfill_catchup")(spark, sfDir)
