@@ -503,6 +503,86 @@ object ScalarQueries {
        |       ${Scalars.corpusFpSql("doc_id", "norm")} AS corpus_fp
        |FROM n GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- fn_useragent_parse -------------------------------------------------
+  // User-agent decomposition — the other web-log scalar a crawl-curation
+  // pass runs beside fn_ip_cidr: browser family, major version, and OS
+  // from the raw UA string (bot filtering keys on family='curl'/'bot';
+  // per-OS slice counts feed crawl-quality dashboards). UAs are
+  // CONSTRUCTED from user_id arithmetic over four real-world template
+  // shapes (Chrome/Win, Safari/Mac, Firefox/Linux, curl) so both engines
+  // know the truth; parsing is regexp_extract + a CASE chain — the same
+  // tools a production UDF-free parse uses, entirely inside whole-stage
+  // codegen over the user-grain distinct.
+  def fnUseragentParse(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(col("user_id")).distinct()
+      .select(col("user_id"),
+        expr("""CASE user_id % 4
+               |  WHEN 0 THEN concat('Mozilla/5.0 (Windows NT 10.0; Win64; x64) ',
+               |    'AppleWebKit/537.36 (KHTML, like Gecko) Chrome/',
+               |    100 + user_id % 30, '.0.0.0 Safari/537.36')
+               |  WHEN 1 THEN concat('Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) ',
+               |    'AppleWebKit/605.1.15 (KHTML, like Gecko) Version/',
+               |    14 + user_id % 6, '.1 Safari/605.1.15')
+               |  WHEN 2 THEN concat('Mozilla/5.0 (X11; Linux x86_64; rv:',
+               |    90 + user_id % 40, '.0) Gecko/20100101 Firefox/',
+               |    90 + user_id % 40, '.0')
+               |  ELSE concat('curl/8.', user_id % 12, '.0')
+               |END""".stripMargin).as("ua"))
+      .select(col("user_id"), col("ua"),
+        expr("""CASE WHEN ua LIKE 'curl/%' THEN 'curl'
+               |     WHEN ua LIKE '%Firefox/%' THEN 'firefox'
+               |     WHEN ua LIKE '%Chrome/%' THEN 'chrome'
+               |     WHEN ua LIKE '%Version/%Safari/%' THEN 'safari'
+               |     ELSE 'other' END""".stripMargin).as("family"),
+        expr("""CAST(CASE WHEN ua LIKE 'curl/%'
+               |         THEN regexp_extract(ua, 'curl/([0-9]+)', 1)
+               |     WHEN ua LIKE '%Firefox/%'
+               |         THEN regexp_extract(ua, 'Firefox/([0-9]+)', 1)
+               |     WHEN ua LIKE '%Chrome/%'
+               |         THEN regexp_extract(ua, 'Chrome/([0-9]+)', 1)
+               |     ELSE regexp_extract(ua, 'Version/([0-9]+)', 1)
+               |END AS INT)""".stripMargin).as("major"),
+        expr("""CASE WHEN ua LIKE '%Windows%' THEN 'windows'
+               |     WHEN ua LIKE '%Mac OS X%' THEN 'macos'
+               |     WHEN ua LIKE '%Linux%' THEN 'linux'
+               |     ELSE 'none' END""".stripMargin).as("os"))
+      .orderBy(col("user_id"))
+
+  private val fnUseragentParseOracle =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |ua AS (
+      |  SELECT user_id,
+      |         CASE user_id % 4
+      |           WHEN 0 THEN concat('Mozilla/5.0 (Windows NT 10.0; Win64; x64) ',
+      |             'AppleWebKit/537.36 (KHTML, like Gecko) Chrome/',
+      |             100 + user_id % 30, '.0.0.0 Safari/537.36')
+      |           WHEN 1 THEN concat('Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) ',
+      |             'AppleWebKit/605.1.15 (KHTML, like Gecko) Version/',
+      |             14 + user_id % 6, '.1 Safari/605.1.15')
+      |           WHEN 2 THEN concat('Mozilla/5.0 (X11; Linux x86_64; rv:',
+      |             90 + user_id % 40, '.0) Gecko/20100101 Firefox/',
+      |             90 + user_id % 40, '.0')
+      |           ELSE concat('curl/8.', user_id % 12, '.0')
+      |         END AS ua
+      |  FROM u)
+      |SELECT user_id, ua,
+      |       CASE WHEN ua LIKE 'curl/%' THEN 'curl'
+      |            WHEN ua LIKE '%Firefox/%' THEN 'firefox'
+      |            WHEN ua LIKE '%Chrome/%' THEN 'chrome'
+      |            WHEN ua LIKE '%Version/%Safari/%' THEN 'safari'
+      |            ELSE 'other' END AS family,
+      |       CAST(CASE WHEN ua LIKE 'curl/%' THEN regexp_extract(ua, 'curl/([0-9]+)', 1)
+      |            WHEN ua LIKE '%Firefox/%' THEN regexp_extract(ua, 'Firefox/([0-9]+)', 1)
+      |            WHEN ua LIKE '%Chrome/%' THEN regexp_extract(ua, 'Chrome/([0-9]+)', 1)
+      |            ELSE regexp_extract(ua, 'Version/([0-9]+)', 1)
+      |       END AS INT) AS major,
+      |       CASE WHEN ua LIKE '%Windows%' THEN 'windows'
+      |            WHEN ua LIKE '%Mac OS X%' THEN 'macos'
+      |            WHEN ua LIKE '%Linux%' THEN 'linux'
+      |            ELSE 'none' END AS os
+      |FROM ua ORDER BY user_id""".stripMargin
+
   // ---- fn_ip_cidr -------------------------------------------------------
   // IPv4 parse + CIDR classification — the scalar every web-crawl
   // curation pass runs on access logs before text ever enters the
@@ -564,6 +644,7 @@ object ScalarQueries {
 
   val queries: Map[String, Q] = Map[String, Q](
     "fn_ip_cidr" -> (fnIpCidr _),
+    "fn_useragent_parse" -> (fnUseragentParse _),
     "fn_unicode_nfc" -> (fnUnicodeNfc _),
     "fn_regex_extract_all" -> (fnRegexExtractAll _),
     "fn_url_parse" -> (fnUrlParse _),
@@ -586,6 +667,7 @@ object ScalarQueries {
 
   val oracles: Map[String, String] = Map(
     "fn_ip_cidr" -> fnIpCidrOracle,
+    "fn_useragent_parse" -> fnUseragentParseOracle,
     "fn_unicode_nfc" -> fnUnicodeNfcOracle,
     "fn_regex_extract_all" -> fnRegexExtractAllOracle,
     "fn_url_parse" -> fnUrlParseOracle,

@@ -73,6 +73,52 @@ object Dedup {
     """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  // ---- dedup_source_overlap ---------------------------------------------
+  // Cross-source duplication PROVENANCE — after near-dup detection finds
+  // the pairs, the curation question becomes "WHICH sources copy from
+  // each other" (mirror detection, license-laundering screens,
+  // crawl-overlap budgeting): per unordered source pair, how many
+  // verified near-duplicate doc pairs span it and how many distinct
+  // documents are implicated. Rides the PROVEN dedup_minhash_lsh
+  // pipeline verbatim (banded LSH candidates + exact-Jaccard verify at
+  // the 0.5 threshold), so pair volume is bounded by true-duplicate
+  // density — the report adds only two broadcast-sized id→source lookups
+  // and a |source-pairs|-row aggregate on top. The distinct-doc count
+  // uses the mergeable exact bitmap trick in miniature: collect each
+  // side's ids once per group via a size-bounded set union.
+  def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val pairs = dedupMinhashLshOver(s, load(s, dir, "documents"))
+      .select(col("id_a"), col("id_b"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        size(array_union(collect_set(col("id_a")), collect_set(col("id_b"))))
+          .cast("long").as("n_docs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val dedupSourceOverlapOracle =
+    s"""WITH ${lshCtesFrom("documents")},
+       |pp AS (
+       |  SELECT v.id_a, v.id_b,
+       |         LEAST(da.source, db.source) AS src_a,
+       |         GREATEST(da.source, db.source) AS src_b
+       |  FROM verified v
+       |  JOIN documents da ON da.doc_id = v.id_a
+       |  JOIN documents db ON db.doc_id = v.id_b
+       |  WHERE v.inter * 2 >= v.uni)
+       |SELECT src_a, src_b, COUNT(*) AS n_pairs,
+       |       CAST(len(list_distinct(flatten([list(id_a), list(id_b)]))) AS BIGINT) AS n_docs
+       |FROM pp GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   // ---- dedup_minhash_lsh ----------------------------------------------------
   // 16 md5-minhashes → 4 bands × 4 rows → join within band buckets →
   // exact-Jaccard verify of candidates only. Deterministic: candidates are a
@@ -949,6 +995,7 @@ object Dedup {
   val queries: Map[String, Q] = Map[String, Q](
     "dedup_url_canonical" -> (dedupUrlCanonical _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_source_overlap" -> (dedupSourceOverlap _),
     "dedup_prefix_join" -> (dedupPrefixJoin _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -963,6 +1010,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_url_canonical" -> dedupUrlCanonicalOracle,
     "dedup_exact" -> dedupExactOracle,
+    "dedup_source_overlap" -> dedupSourceOverlapOracle,
     "dedup_prefix_join" -> dedupPrefixJoinOracle,
     "dedup_containment" -> dedupContainmentOracle,
     "dedup_minhash_lsh" -> dedupMinhashLshOracle,

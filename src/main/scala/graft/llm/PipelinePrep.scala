@@ -714,6 +714,52 @@ object PipelinePrep {
        |FROM th, nb, ex""".stripMargin
   }
 
+  // ---- pack_epoch_shuffle ---------------------------------------------------
+  // Deterministic EPOCH-WISE shuffle schedule — data order is part of the
+  // training recipe (a rerun must see the same batches, an epoch must be
+  // a fresh permutation, and two engines must agree on both): within each
+  // of 8 loader shards, epoch e orders documents by md5(e ':' doc_id), so
+  // the permutation is a pure function of (epoch, doc_id) — reproducible
+  // across engines, partitionings and reruns, different every epoch, and
+  // requiring NO stored shuffle state. Shard count is the parallelism
+  // knob (pack_sequences' convention: 8 here, thousands at 100 TB). The
+  // key emits each (epoch, shard)'s first 3 schedule slots; the rank<=3
+  // filter compiles to WindowGroupLimit (the sample_reservoir pattern),
+  // so map tasks pre-truncate to 3 rows/group BEFORE the exchange — the
+  // schedule head costs k·shards rows, never a fact-grain sort.
+  def packEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("coin"), col("doc_id")) // lint:series-grain (WindowGroupLimit pre-truncates to k rows/group)
+    docs
+      .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("epoch"))
+      .select(col("doc_id"), col("epoch"),
+        (col("doc_id") % 8).as("shard"),
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))).as("coin"))
+      .withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= 3)
+      .select(col("epoch").cast("int").as("epoch"), col("shard"),
+        col("slot"), col("doc_id"), col("coin"))
+      .orderBy(col("epoch"), col("shard"), col("slot"))
+  }
+
+  private val packEpochShuffleOracle =
+    """WITH e AS (
+      |  SELECT doc_id, unnest(generate_series(0, 2)) AS epoch FROM documents),
+      |c AS (
+      |  SELECT doc_id, epoch, doc_id % 8 AS shard,
+      |         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS coin
+      |  FROM e),
+      |r AS (
+      |  SELECT CAST(epoch AS INT) AS epoch, shard, doc_id, coin,
+      |         ROW_NUMBER() OVER (PARTITION BY epoch, shard
+      |                            ORDER BY coin, doc_id) AS slot
+      |  FROM c)
+      |SELECT epoch, shard, CAST(slot AS INT) AS slot, doc_id, coin
+      |FROM r WHERE slot <= 3
+      |ORDER BY epoch, shard, slot""".stripMargin
+
   // ---- embed_pca_power ------------------------------------------------------
   // Leading principal component by POWER ITERATION, exact integers end to
   // end — the data-dependent counterpart of embed_random_proj's oblivious
@@ -906,6 +952,7 @@ object PipelinePrep {
   val queries: Map[String, Q] = Map[String, Q](
     "sample_temperature" -> (sampleTemperature _),
     "embed_pca_power" -> (embedPcaPower _),
+    "pack_epoch_shuffle" -> (packEpochShuffle _),
     "sketch_kmv_intersect" -> (sketchKmvIntersect _),
     "curate_decontaminate" -> (curateDecontaminate _),
     "pack_length_buckets" -> (packLengthBuckets _),
@@ -922,6 +969,7 @@ object PipelinePrep {
   val oracles: Map[String, String] = Map(
     "sample_temperature" -> sampleTemperatureOracle,
     "embed_pca_power" -> embedPcaPowerOracle,
+    "pack_epoch_shuffle" -> packEpochShuffleOracle,
     "sketch_kmv_intersect" -> sketchKmvIntersectOracle,
     "curate_decontaminate" -> curateDecontaminateOracle,
     "pack_length_buckets" -> packLengthBucketsOracle,

@@ -121,4 +121,33 @@ class ScalarsSpec extends SparkSpec {
     assert(o172 == Set("private", "public"),
       "172.x fixture must straddle the /12 boundary")
   }
+
+  test("fn_useragent_parse: family/major/os replayed from the raw UA string (r11)") {
+    val out = graft.functions.ScalarQueries.queries("fn_useragent_parse")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getString(2)).toSet ==
+      Set("chrome", "safari", "firefox", "curl"),
+      "fixture must exercise all four template families")
+    out.foreach { r =>
+      val ua = r.getString(1)
+      val wantFam =
+        if (ua.startsWith("curl/")) "curl"
+        else if (ua.contains("Firefox/")) "firefox"
+        else if (ua.contains("Chrome/")) "chrome"
+        else "safari"
+      assert(r.getString(2) == wantFam, s"family of $ua")
+      val tok = wantFam match {
+        case "curl" => "curl/"; case "firefox" => "Firefox/"
+        case "chrome" => "Chrome/"; case _ => "Version/"
+      }
+      val major = ua.substring(ua.indexOf(tok) + tok.length)
+        .takeWhile(_.isDigit).toInt
+      assert(r.getInt(3) == major, s"major of $ua")
+      val wantOs =
+        if (ua.contains("Windows")) "windows"
+        else if (ua.contains("Mac OS X")) "macos"
+        else if (ua.contains("Linux")) "linux" else "none"
+      assert(r.getString(4) == wantOs, s"os of $ua")
+    }
+  }
 }

@@ -797,6 +797,33 @@ class LlmOpsSpec extends SparkSpec {
     } finally graft.sink.Sinks.deleteDir(tmp)
   }
 
+  test("dedup_source_overlap: pair conservation against the LSH key, normalized pairs (r11)") {
+    import org.apache.spark.sql.functions.col
+    val overlap = Dedup.queries("dedup_source_overlap")(spark, sfDir).collect()
+    val pairs = Dedup.queries("dedup_minhash_lsh")(spark, sfDir).collect()
+    assert(overlap.nonEmpty && pairs.nonEmpty)
+    // every verified near-dup pair is counted exactly once, somewhere
+    assert(overlap.map(_.getLong(2)).sum == pairs.length,
+      "pair totals must conserve against the LSH key's verified pairs")
+    val srcOf = graft.model.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // full driver replay of the report from the pair list
+    val want = pairs.map { p =>
+      val (sa, sb) = (srcOf(p.getLong(0)), srcOf(p.getLong(1)))
+      (if (sa <= sb) (sa, sb) else (sb, sa), (p.getLong(0), p.getLong(1)))
+    }.groupBy(_._1)
+    assert(overlap.length == want.size)
+    overlap.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getString(0) <= r.getString(1), "pair not normalized")
+      val ps = want(k)
+      assert(r.getLong(2) == ps.length, s"pair count at $k")
+      val docs = ps.flatMap(p => Seq(p._2._1, p._2._2)).distinct.length
+      assert(r.getLong(3) == docs, s"distinct-doc count at $k")
+    }
+  }
+
   test("nearest-centroid classifier: >=0.9 accuracy on separable clusters, sane on testdata (r11)") {
     import spark.implicits._
     // the same geometric 10-cluster fixture the ANN floors use: Rocchio

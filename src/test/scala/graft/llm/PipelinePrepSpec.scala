@@ -306,6 +306,38 @@ class PipelinePrepSpec extends SparkSpec {
     assert(math.abs(dI - exI).toDouble / exI < 0.38, s"intersect est $dI vs exact $exI")
   }
 
+  test("pack_epoch_shuffle: fresh permutation per epoch, WindowGroupLimit pre-truncation (r11)") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.llm.PipelinePrep.queries("pack_epoch_shuffle")(spark, sfDir)
+    val hits = "WindowGroupLimit".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(hits >= 2,
+      s"slot<=k must lower to partial+final WindowGroupLimit, found $hits")
+    val out = df.collect()
+    assert(out.length == 3 * 8 * 3, "3 epochs x 8 shards x 3 slots")
+    // driver replay: the schedule head is the md5 order exactly
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def h(e: Int, id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$e:$id".getBytes("UTF-8"))
+      md.map("%02x".format(_)).mkString
+    }
+    for (e <- 0 to 2; sh <- 0 to 7) {
+      val want = docs.filter(_ % 8 == sh).map(id => (h(e, id), id))
+        .sorted.take(3).map(_._2).toSeq
+      val got = out.filter(r => r.getInt(0) == e && r.getLong(1) == sh)
+        .sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+      assert(got == want, s"schedule head diverged at epoch $e shard $sh")
+    }
+    // epochs are genuinely different permutations
+    val heads = (0 to 2).map(e =>
+      out.filter(_.getInt(0) == e).sortBy(r => (r.getLong(1), r.getInt(2)))
+        .map(_.getLong(3)).toSeq)
+    assert(heads.distinct.length == 3,
+      "two epochs produced the identical schedule head")
+  }
+
   test("embed_pca_power: exact driver replay, PSD Rayleigh quotient monotone over rounds (r11)") {
     import org.apache.spark.sql.functions.col
     val out = graft.llm.PipelinePrep.queries("embed_pca_power")(spark, sfDir)
