@@ -804,10 +804,19 @@ object PipelinePrep {
         .groupBy(col("d1"))
         .agg(sum(expr("c * v")).as("mv"))
       val mx = mv.agg(max(abs(col("mv"))).as("mx"))
+      // denom stays in the DECIMAL domain: `mx div 1e6` is an
+      // IntegralDivide that returns LONG, and at n≈20k vectors the
+      // quotient (~1e19) overflows it (measured at the sf1 rehearsal —
+      // sf0.1's ~1e17 fit, masking the bug). (mx - mx % 1e6) / 1e6 is
+      // the same floor, computed exactly (the subtraction makes the
+      // division exact, so the scale-6 decimal quotient carries no
+      // rounding), and only the FINAL per-component ratio — bounded by
+      // 1e6 — ever lands in a LONG.
       v = mv.crossJoin(broadcast(mx))
         .select(col("d1").as("d"),
-          expr("mv div greatest(CAST(1 AS DECIMAL(38,0)), mx div 1000000)")
-            .as("v"))
+          expr("""mv div greatest(CAST(1 AS DECIMAL(38,0)),
+                 |  CAST((mx - mx % 1000000) / 1000000 AS DECIMAL(38,0)))"""
+            .stripMargin).as("v"))
     }
     dims.join(broadcast(v), Seq("d"))
       .groupBy(col("vec_id"))
