@@ -669,6 +669,83 @@ object TableQueries {
     VersionedTable.readVersion(s, root, v2).orderBy(col("key"))
   }
 
+  // ---- table_ndv_stats ----------------------------------------------------
+  // Distinct-count from MANIFEST SKETCHES, no scan: the commit records a
+  // 64-register md5-HLL per data file per stats column (`H` records — the
+  // Iceberg puffin/theta-sketch idea), and the read path answers "how many
+  // distinct customers does this table have" by merging registers with a
+  // per-bucket MAX — O(files·64) driver metadata against a table whose
+  // data pages are never opened. Merge-independence (merged per-file
+  // registers == whole-table registers, for ANY file split) is what makes
+  // the stat maintainable incrementally: appends contribute their own H
+  // records and the merge stays exact. The estimate arithmetic is the
+  // proven sketch_hll_distinct formula bit-for-bit (same buckets, same
+  // rho, same small-range correction), so the oracle replays it
+  // corpus-wide — a register lost or mis-merged anywhere fails the hash.
+  // The exact distinct rides along from one reference scan (what the
+  // sketch saves at 100 TB) so the artifact also documents the error.
+  def tableNdvStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = freshRoot("ndv")
+    VersionedTable.commit(ordersBase(s, dir).repartition(8), root,
+      changes = None, statsColumns = Nil, bloomColumns = Nil,
+      ndvColumns = Seq("key"))
+    val regs = VersionedTable.ndvRegisters(root, 1, "key")
+    val sketch = regs.zipWithIndex
+      .map { case (m, b) => (b.toLong, m.toLong) }.toDF("bucket", "m")
+    val est = sketch.agg(
+      sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_buckets_hit"),
+      sum(col("m")).as("reg_sum"),
+      expr("sum(shiftleft(1L, 33 - m))").as("s_scaled"))
+      .withColumn("hll_estimate", expr(
+        """cast(round(cast(
+          |  case when 64 - n_buckets_hit > 0
+          |        and 0.709 * 64 * 64 * 8589934592.0 / cast(s_scaled as double) < 160.0
+          |       then 64.0 * ln(64.0 / cast(64 - n_buckets_hit as double))
+          |       else 0.709 * 64 * 64 * 8589934592.0 / cast(s_scaled as double) end
+          |as decimal(28,6)), 2) as double)""".stripMargin))
+      .select(col("n_buckets_hit"), col("reg_sum"), col("hll_estimate"))
+    val truth = VersionedTable.readVersion(s, root, 1)
+      .agg(countDistinct(col("key")).as("true_distinct"))
+    est.crossJoin(broadcast(truth))
+  }
+
+  private val tableNdvStatsOracle =
+    """WITH regs AS (
+      |  SELECT ((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+      |          + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 64 AS bucket,
+      |         CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rho
+      |  FROM (
+      |    SELECT h,
+      |           CAST((instr('0123456789abcdef', substring(h, 3, 1)) - 1) AS BIGINT) * 268435456
+      |           + (instr('0123456789abcdef', substring(h, 4, 1)) - 1) * 16777216
+      |           + (instr('0123456789abcdef', substring(h, 5, 1)) - 1) * 1048576
+      |           + (instr('0123456789abcdef', substring(h, 6, 1)) - 1) * 65536
+      |           + (instr('0123456789abcdef', substring(h, 7, 1)) - 1) * 4096
+      |           + (instr('0123456789abcdef', substring(h, 8, 1)) - 1) * 256
+      |           + (instr('0123456789abcdef', substring(h, 9, 1)) - 1) * 16
+      |           + (instr('0123456789abcdef', substring(h, 10, 1)) - 1) AS w
+      |    FROM (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders) t0) t),
+      |mreg AS (SELECT bucket, MAX(rho) AS m FROM regs GROUP BY bucket),
+      |spine AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+      |sketch AS (
+      |  SELECT s.bucket, COALESCE(m.m, 0) AS m
+      |  FROM spine s LEFT JOIN mreg m ON m.bucket = s.bucket),
+      |agg AS (
+      |  SELECT CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_hit,
+      |         CAST(SUM(m) AS BIGINT) AS reg_sum,
+      |         CAST(SUM(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT) AS s_scaled
+      |  FROM sketch)
+      |SELECT n_buckets_hit, reg_sum,
+      |       CAST(ROUND(CAST(
+      |         CASE WHEN 64 - n_buckets_hit > 0
+      |               AND 0.709 * 64 * 64 * 8589934592.0 / CAST(s_scaled AS DOUBLE) < 160.0
+      |              THEN 64.0 * ln(64.0 / CAST(64 - n_buckets_hit AS DOUBLE))
+      |              ELSE 0.709 * 64 * 64 * 8589934592.0 / CAST(s_scaled AS DOUBLE) END
+      |       AS DECIMAL(28,6)), 2) AS DOUBLE) AS hll_estimate,
+      |       (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS true_distinct
+      |FROM agg""".stripMargin
+
   // ---- table_tag_retention ----------------------------------------------
   // Named TAGS pin snapshots against retention (Iceberg tag semantics):
   // v1 = the orders snapshot, v2 = a curated rewrite (drop key % 13,
@@ -1066,6 +1143,7 @@ object TableQueries {
     "table_concurrent_commit" -> (tableConcurrentCommit _),
     "table_vacuum" -> (tableVacuum _),
     "table_tag_retention" -> (tableTagRetention _),
+    "table_ndv_stats" -> (tableNdvStats _),
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
@@ -1093,5 +1171,6 @@ object TableQueries {
     "table_concurrent_commit" -> tableConcurrentCommitOracle,
     "table_vacuum" -> sinkCompactOracle,
     "table_tag_retention" -> tableTagRetentionOracle,
+    "table_ndv_stats" -> tableNdvStatsOracle,
     "table_vacuum_age" -> sinkCompactOracle)
 }

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{types, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, max, min, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, length, lit, max, md5, min, sum, when, bin}
 
 /** Minimal copy-on-write table format with a commit log — the transactional
   * read surface the merge_upsert family's "version swap" stands in for
@@ -90,7 +90,8 @@ object VersionedTable {
     * metadata-side: the change feed is written exactly once, and stats
     * come from parquet footers — the data files are never re-scanned. */
   def commit(df: DataFrame, root: String, changes: Option[DataFrame],
-      statsColumns: Seq[String], bloomColumns: Seq[String] = Nil): Int = {
+      statsColumns: Seq[String], bloomColumns: Seq[String] = Nil,
+      ndvColumns: Seq[String] = Nil): Int = {
     val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
     df.write.parquet(dataDir)
     val dataFiles = listParquet(dataDir)
@@ -126,9 +127,34 @@ object VersionedTable {
       val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
       s"B\t$f\t$c\t$b64"
     }
+    // `H` records: per-file HLL REGISTERS (m=64, md5-based — the same
+    // sketch sketch_hll_distinct proves) over a column — the NDV
+    // statistic min/max/bloom can't provide, and the one a planner needs
+    // for join-strategy and distinct-count questions WITHOUT scanning
+    // (Iceberg ships the same idea as theta sketches in puffin files).
+    // Registers are mergeable by per-bucket MAX, so any file subset's
+    // union NDV is O(files·64) driver metadata at read time.
+    val ndvLines = for {
+      c <- ndvColumns
+      f <- dataFiles
+    } yield {
+      val regs = df.sparkSession.read.parquet(f)
+        .select(md5(col(c).cast("string")).as("h"))
+        .select(
+          (expr("conv(substring(h, 1, 2), 16, 10)").cast("long") % 64)
+            .as("bucket"),
+          expr("conv(substring(h, 3, 8), 16, 10)").cast("long").as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(33))
+          .otherwise(lit(33) - length(bin(col("w")))))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+        .collect().map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+      val packed = (0 until 64).map(b => regs.getOrElse(b, 0)).mkString(",")
+      s"H\t$f\t$c\t$packed"
+    }
     // schema.json is single-line compact JSON (escapes control chars), so
     // it can never break the line-oriented, tab-separated manifest format
-    val lines = dataLines ++ changeLines ++ bloomLines :+ s"S\t${df.schema.json}"
+    val lines = dataLines ++ changeLines ++ bloomLines ++ ndvLines :+
+      s"S\t${df.schema.json}"
     var v = latestVersion(root) + 1
     while (!publish(root, v, lines)) v = latestVersion(root) + 1
     v
@@ -554,7 +580,8 @@ object VersionedTable {
   def entries(root: String, v: Int): Seq[ManifestEntry] =
     rawLines(root, v)
       .filterNot(l => l.startsWith("S\t") || l.startsWith("B\t") ||
-        l.startsWith("P\t") || l.startsWith("V\t") || l.startsWith("R\t"))
+        l.startsWith("P\t") || l.startsWith("V\t") || l.startsWith("R\t") ||
+        l.startsWith("H\t"))
       .map { line =>
         line.split('\t') match {
           case Array(path) => ManifestEntry(path, change = false, Nil) // legacy
@@ -945,6 +972,29 @@ object VersionedTable {
   /** Drop a tag — the pinned version becomes vacuum-eligible again. */
   def dropTag(root: String, name: String): Boolean =
     Files.deleteIfExists(Paths.get(root, "_tags", name))
+
+  /** Merged HLL registers for `column` at version `v`: per-bucket MAX over
+    * every data file's `H` record — O(files·64) driver metadata, no data
+    * pages touched. Merge-independence is the sketch's defining property:
+    * the merged registers equal the registers of the whole table computed
+    * directly, regardless of how rows were split into files. Throws if
+    * the commit did not record NDV sketches for the column. */
+  def ndvRegisters(root: String, v: Int, column: String): Seq[Int] = {
+    val recs = rawLines(root, v).filter(_.startsWith("H\t"))
+      .map(_.split("\t")).filter(_(2) == column)
+    // completeness gate: a commit that added data files WITHOUT sketches
+    // (e.g. a plain append) must fail loudly here — a silent merge over a
+    // partial file set UNDERCOUNTS, which is worse than no stat at all
+    // (the metaAgg-vs-deletes discipline applied to sketches)
+    val covered = recs.map(_(1)).toSet
+    val missing = dataEntries(root, v).map(_.path).filterNot(covered)
+    require(recs.nonEmpty, s"no NDV sketch recorded for '$column' at v$v")
+    require(missing.isEmpty,
+      s"NDV sketch for '$column' at v$v misses ${missing.size} data file(s) " +
+        "— refresh stats (commit with ndvColumns) before reading NDV")
+    val per = recs.map(_(3).split(",").map(_.toInt))
+    (0 until 64).map(b => per.map(_(b)).max)
+  }
 
   /** Read the snapshot a named tag pins — time travel by name instead of
     * version number (the interface deployments actually use: nobody

@@ -896,6 +896,44 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("NDV sketches: per-file registers merge to the whole-table sketch; stale stats fail loudly (r11)") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.commit(base(), root, changes = None, statsColumns = Nil,
+      bloomColumns = Nil, ndvColumns = Seq("key"))
+    val merged = VersionedTable.ndvRegisters(root, 1, "key")
+    assert(merged.length == 64 && merged.exists(_ > 0))
+    // the merge theorem: per-file MAX-merged registers equal the registers
+    // of the whole table computed directly (driver replay over raw keys)
+    def md5hex(sv: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(sv.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val whole = Array.fill(64)(0)
+    (1L to 1000L).foreach { k =>
+      val h = md5hex(k.toString)
+      val b = (Integer.parseInt(h.substring(0, 2), 16) % 64)
+      val w = java.lang.Long.parseLong(h.substring(2, 10), 16)
+      val rho = if (w == 0) 33 else 33 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > whole(b)) whole(b) = rho
+    }
+    assert(merged == whole.toSeq,
+      "merged per-file registers diverge from the whole-table sketch")
+    // the estimate is in the m=64 error band around the exact 1000
+    val sScaled = merged.map(m => 1L << (33 - m)).sum
+    val est = 0.709 * 64 * 64 * 8589934592.0 / sScaled.toDouble
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.4, s"estimate $est vs 1000")
+    // unknown column and stale stats both fail loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.ndvRegisters(root, 1, "status")
+    }
+    VersionedTable.commitAppend(
+      (2000L to 2100L).map(k => (k, "N", 1.0)).toDF("key", "status", "total"),
+      root)
+    intercept[IllegalArgumentException] {
+      VersionedTable.ndvRegisters(root, 2, "key") // appended files unsketched
+    }
+  }
+
   test("tags pin versions against both vacuum sweeps; drop re-exposes them (r11)") {
     val root = freshRoot()
     VersionedTable.commit(base(), root)                           // v1
