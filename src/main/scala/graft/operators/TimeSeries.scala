@@ -639,7 +639,9 @@ object TimeSeries {
   // the Sunday-origin disagreement of the default dow functions.
   // Topology: one fact→day agg, a series-grain centered window, a 7-row
   // weekday agg broadcast back. 100 TB adds fact rows, not days.
-  def tsSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+  /** The decomposition frame (day, cents, trend, dow, seasonal, resid),
+    * unordered — shared by the per-day key and the strength monitor. */
+  private def seasonalDecomposed(s: SparkSession, dir: String): DataFrame = {
     val daily = load(s, dir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
@@ -658,8 +660,74 @@ object TimeSeries {
       .select(col("day"), col("cents"), col("trend"), col("dow"),
         col("seasonal"),
         (col("cents") - col("trend") - col("seasonal")).as("resid"))
-      .orderBy(col("day"))
   }
+
+  def tsSeasonalDecompose(s: SparkSession, dir: String): DataFrame =
+    seasonalDecomposed(s, dir).orderBy(col("day"))
+
+  // ---- ts_seasonal_strength -------------------------------------------------
+  // Hyndman's STRENGTH OF SEASONALITY off the decomposition: F_s =
+  // max(0, 1 − Var(resid)/Var(seasonal+resid)) — the one scalar that says
+  // whether the weekly rhythm is real enough to model (F_s near 0: the
+  // "seasonal" component is noise; near 1: the series is dominated by its
+  // weekly cycle). Exactness: on interior days both resid and detrended
+  // (= seasonal+resid) are exact BIGINTs, so both variances ride the
+  // n²-scaled-deviation device (dev = n·x − S, sums in DECIMAL(38,0) /
+  // HUGEINT — the n² factors cancel in the ratio) and the strength is
+  // frozen as 10⁶ − (num_resid·10⁶ div num_detr), clamped at 0 — exact
+  // truncating division of nonnegative integers in both engines. One
+  // extra |interior-days|-grain aggregate over the decomposition frame.
+  def tsSeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val interior = seasonalDecomposed(s, dir)
+      .filter(col("trend").isNotNull)
+      .select(col("resid"), (col("seasonal") + col("resid")).as("detr"))
+    val tot = interior.agg(count(lit(1)).as("n"),
+      sum(col("resid")).as("sr"), sum(col("detr")).as("sd"))
+    interior.crossJoin(broadcast(tot))
+      .select(
+        (col("n") * col("resid") - col("sr")).as("dev_r"),
+        (col("n") * col("detr") - col("sd")).as("dev_d"), col("n"))
+      .agg(max(col("n")).as("n_days"),
+        sum(expr("CAST(dev_r AS DECIMAL(38,0)) * dev_r")).as("num_r"),
+        sum(expr("CAST(dev_d AS DECIMAL(38,0)) * dev_d")).as("num_d"))
+      .select(col("n_days"),
+        expr("greatest(0L, 1000000L - (num_r * 1000000) div num_d)")
+          .as("strength_ppm"))
+  }
+
+  private val tsSeasonalStrengthOracle =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |tr AS (
+      |  SELECT day, cents,
+      |         CASE WHEN COUNT(*) OVER w = 7
+      |              THEN CAST(SUM(cents) OVER w AS BIGINT) // 7 END AS trend,
+      |         CAST(date_part('isodow', day) AS INT) AS dow
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |se AS (
+      |  SELECT dow,
+      |         CAST(SUM(cents - trend) AS BIGINT)
+      |           // COUNT(CASE WHEN trend IS NOT NULL THEN 1 END) AS seasonal
+      |  FROM tr WHERE trend IS NOT NULL GROUP BY dow),
+      |f AS (
+      |  SELECT t.cents - t.trend - s.seasonal AS resid,
+      |         t.cents - t.trend AS detr
+      |  FROM tr t JOIN se s ON s.dow = t.dow WHERE t.trend IS NOT NULL),
+      |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |               CAST(SUM(resid) AS HUGEINT) AS sr,
+      |               CAST(SUM(detr) AS HUGEINT) AS sd FROM f),
+      |num AS (
+      |  SELECT MAX(n) AS n_days,
+      |         SUM((n * resid - sr) * (n * resid - sr)) AS num_r,
+      |         SUM((n * detr - sd) * (n * detr - sd)) AS num_d
+      |  FROM f, tot)
+      |SELECT CAST(n_days AS BIGINT) AS n_days,
+      |       CAST(GREATEST(0, 1000000 - (num_r * 1000000) // num_d) AS BIGINT)
+      |         AS strength_ppm
+      |FROM num""".stripMargin
 
   private val tsSeasonalDecomposeOracle =
     """WITH daily AS (
@@ -685,6 +753,7 @@ object TimeSeries {
 
   val queries: Map[String, Q] = Map[String, Q](
     "ts_seasonal_decompose" -> (tsSeasonalDecompose _),
+    "ts_seasonal_strength" -> (tsSeasonalStrength _),
     "ts_autocorr" -> (tsAutocorr _),
     "ts_changepoint_cusum" -> (tsChangepointCusum _),
     "window_zscore_rolling" -> (windowZscoreRolling _),
@@ -701,6 +770,7 @@ object TimeSeries {
   val oracles: Map[String, String] = Map(
     "ts_autocorr" -> tsAutocorrOracle,
     "ts_seasonal_decompose" -> tsSeasonalDecomposeOracle,
+    "ts_seasonal_strength" -> tsSeasonalStrengthOracle,
     "ts_changepoint_cusum" -> tsChangepointCusumOracle,
     "window_zscore_rolling" -> windowZscoreRollingOracle,
     "window_drawdown" -> windowDrawdownOracle,

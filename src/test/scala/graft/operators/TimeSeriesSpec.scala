@@ -402,6 +402,28 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_seasonal_strength: exact BigInt replay from the decomposition, bounded ppm (r11)") {
+    val row = TimeSeries.queries("ts_seasonal_strength")(spark, sfDir).head()
+    val days = TimeSeries.queries("ts_seasonal_decompose")(spark, sfDir)
+      .collect().filter(!_.isNullAt(2))
+    assert(row.getLong(0) == days.length, "n_days must be the interior count")
+    val resid = days.map(r => BigInt(r.getLong(5)))
+    val detr = days.map(r => BigInt(r.getLong(4) + r.getLong(5)))
+    val n = BigInt(days.length)
+    def num(xs: Array[BigInt]): BigInt = {
+      val s0 = xs.sum
+      xs.map(x => (n * x - s0) * (n * x - s0)).sum
+    }
+    val want = (BigInt(1000000) - num(resid) * 1000000 / num(detr)).max(BigInt(0))
+    assert(BigInt(row.getLong(1)) == want, "strength_ppm replay mismatch")
+    assert(row.getLong(1) >= 0 && row.getLong(1) <= 1000000)
+    // TPC-H order dates are calendar-uniform: the monitor must report NO
+    // weekly rhythm (the honest negative — a high strength here would
+    // mean the seasonal means are fitting noise structure)
+    assert(row.getLong(1) < 100000,
+      s"fixture has no weekly cycle but strength=${row.getLong(1)}ppm")
+  }
+
   test("ts_autocorr: exact integer PPM, |r_k| <= 1, driver replay bit-for-bit (r11)") {
     import org.apache.spark.sql.functions._
     val out = TimeSeries.queries("ts_autocorr")(spark, sfDir).collect()
