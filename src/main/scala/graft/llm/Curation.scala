@@ -19,6 +19,61 @@ object Curation {
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
   private val phoneRe = "[+][0-9][0-9 -]+[0-9]"
 
+  // ---- curate_token_budget --------------------------------------------------
+  // Mixture BUDGET accounting — the supply-side question every data
+  // recipe asks before training starts: "per (language, length tier),
+  // how many tokens do we HAVE against how many the target mixture
+  // WANTS" (the gap is what drives extra crawling, upsampling, or a
+  // recipe change). Tiers are n_chars bands (long/mid/short); the target
+  // mixture is an explicit weight table (tier weights 5/3/2 crossed with
+  // uniform language weights — a deployment swaps in its recipe), and
+  // each cell's budget is total_tokens·w_cell div W — exact truncating
+  // integer shares of the real corpus total, so budgets sum to within
+  // |cells| tokens of it. fill_ppm = supply·10⁶ div budget makes over-
+  // and under-supply comparable across cells of different sizes. One
+  // corpus scan into a (lang, tier)-grain map-side-combining agg;
+  // everything after runs on |cells| rows.
+  def curateTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val cells = load(s, dir, "documents")
+      .select(col("lang"),
+        when(col("n_chars") >= 400, "long")
+          .when(col("n_chars") >= 150, "mid").otherwise("short").as("tier"),
+        expr(s"size($toksE)").cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("w",
+        when(col("tier") === "long", 5L).when(col("tier") === "mid", 3L)
+          .otherwise(2L))
+    val tot = cells.agg(sum(col("n_tokens")).as("t"), sum(col("w")).as("tw"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("lang"), col("tier"), col("n_docs"), col("n_tokens"),
+        expr("t * w div tw").as("budget_tokens"))
+      .withColumn("fill_ppm",
+        expr("n_tokens * 1000000 div greatest(budget_tokens, 1L)"))
+      .orderBy(col("lang"), col("tier"))
+  }
+
+  private val curateTokenBudgetOracle =
+    """WITH d AS (
+      |  SELECT lang,
+      |         CASE WHEN n_chars >= 400 THEN 'long'
+      |              WHEN n_chars >= 150 THEN 'mid' ELSE 'short' END AS tier,
+      |         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                              t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cells AS (
+      |  SELECT lang, tier, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |         CASE tier WHEN 'long' THEN 5 WHEN 'mid' THEN 3 ELSE 2 END AS w
+      |  FROM d GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+      |               CAST(SUM(w) AS BIGINT) AS tw FROM cells)
+      |SELECT lang, tier, n_docs, n_tokens,
+      |       CAST((t * w) // tw AS BIGINT) AS budget_tokens,
+      |       CAST((n_tokens * 1000000) // GREATEST((t * w) // tw, 1) AS BIGINT)
+      |         AS fill_ppm
+      |FROM cells, tot ORDER BY lang, tier""".stripMargin
+
   // ---- text_pii_scrub -------------------------------------------------------
   // The fixture text carries no PII, so a deterministic contact line is
   // appended first (same construction in both engines) and the scrubber must
@@ -585,6 +640,7 @@ object Curation {
     "curate_keep_drop" -> (curateKeepDrop _),
     "curate_gopher_rules" -> (curateGopherRules _),
     "curate_mix_domains" -> (curateMixDomains _),
+    "curate_token_budget" -> (curateTokenBudget _),
     "curate_boilerplate" -> (curateBoilerplate _),
     "curate_lm_score" -> (curateLmScore _),
     "curate_ppl_buckets" -> (curatePplBuckets _))
@@ -603,6 +659,7 @@ object Curation {
       Dedup.oracles("dedup_minhash_lsh")),
     "curate_gopher_rules" -> curateGopherRulesOracle,
     "curate_mix_domains" -> curateMixDomainsOracle,
+    "curate_token_budget" -> curateTokenBudgetOracle,
     "curate_boilerplate" -> curateBoilerplateOracle,
     "curate_lm_score" -> curateLmScoreOracle,
     "curate_ppl_buckets" -> curatePplBucketsOracle)

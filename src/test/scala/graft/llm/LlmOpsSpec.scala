@@ -797,6 +797,31 @@ class LlmOpsSpec extends SparkSpec {
     } finally graft.sink.Sinks.deleteDir(tmp)
   }
 
+  test("curate_token_budget: budgets conserve the corpus total, fill identifies both gaps (r11)") {
+    val out = Curation.queries("curate_token_budget")(spark, sfDir).collect()
+    assert(out.length >= 10, "5 langs x 3 tiers fixture should fill most cells")
+    val totalTokens = out.map(_.getLong(3)).sum
+    val budgets = out.map(_.getLong(4))
+    // floored integer shares: budgets sum to within |cells| of the total
+    assert(budgets.sum <= totalTokens && totalTokens - budgets.sum < out.length,
+      s"budget conservation broken: ${budgets.sum} vs $totalTokens")
+    // exact replay of each cell's budget and fill from the output itself
+    val tw = out.map(r => r.getString(1) match {
+      case "long" => 5L; case "mid" => 3L; case _ => 2L
+    }).sum
+    out.foreach { r =>
+      val w = r.getString(1) match {
+        case "long" => 5L; case "mid" => 3L; case _ => 2L
+      }
+      assert(r.getLong(4) == totalTokens * w / tw, s"budget at ${r.get(0)}/${r.get(1)}")
+      assert(r.getLong(5) == r.getLong(3) * 1000000L / math.max(r.getLong(4), 1L),
+        s"fill_ppm at ${r.get(0)}/${r.get(1)}")
+    }
+    // the report is informative: some cell is under target, some over
+    assert(out.exists(_.getLong(5) < 1000000L), "no under-supplied cell")
+    assert(out.exists(_.getLong(5) > 1000000L), "no over-supplied cell")
+  }
+
   test("dedup_source_overlap: pair conservation against the LSH key, normalized pairs (r11)") {
     import org.apache.spark.sql.functions.col
     val overlap = Dedup.queries("dedup_source_overlap")(spark, sfDir).collect()
