@@ -6,6 +6,7 @@ import graft.flatten.FlattenQueries
 import graft.functions.ScalarQueries
 import graft.llm.{Curation, Dedup, DedupStress, MinHashAgg, Multimodal, PipelinePrep, Retrieval, Similarity, TextAnalysis, Tokenize}
 import graft.operators.{Analytics, DataProfile, GraphOps, PipelineOps, TimeSeries}
+import graft.report.HealthReport
 import graft.scale.ScaleQueries
 import graft.sink.SinkQueries
 import graft.source.SourceQueries
@@ -35,7 +36,7 @@ object SparkEntry {
       PipelineOps.queries ++ PipelinePrep.queries ++ GraphOps.queries ++
       SessionStream.queries ++ Tokenize.queries ++ TableQueries.queries ++
       Retrieval.queries ++ TimeSeries.queries ++ DataProfile.queries ++
-      ScaleQueries.queries
+      ScaleQueries.queries ++ HealthReport.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -48,5 +49,5 @@ object SparkEntry {
       PipelineOps.oracles ++ PipelinePrep.oracles ++ GraphOps.oracles ++
       SessionStream.oracles ++ Tokenize.oracles ++ TableQueries.oracles ++
       Retrieval.oracles ++ TimeSeries.oracles ++ DataProfile.oracles ++
-      ScaleQueries.oracles
+      ScaleQueries.oracles ++ HealthReport.oracles
 }
