@@ -796,13 +796,27 @@ object PipelinePrep {
       .join(broadcast(sums.select(col("d").as("d2"), col("s_").as("s2"))),
         Seq("d2"))
       .select(col("d1"), col("d2"),
-        expr("n * m - CAST(s1 AS DECIMAL(38,0)) * s2").as("c"))
+        expr("n * m - CAST(s1 AS DECIMAL(38,0)) * s2").as("c0"))
+      // loud at the SAME boundary the oracle's HUGEINT raises at: Spark's
+      // non-ANSI DECIMAL(38,0) arithmetic returns NULL on overflow, and no
+      // input of c0 is nullable — a NULL here IS the ~1e38 overflow, so
+      // the engines must not diverge silently-wrong vs loud-error
+      .select(col("d1"), col("d2"),
+        when(col("c0").isNull, expr(
+          "raise_error('embed_pca_power: DECIMAL(38,0) overflow in covariance')"))
+          .otherwise(col("c0")).as("c"))
       .localCheckpoint() // read by all three rounds + nothing else
     var v = sums.select(col("d"), lit(1000000L).as("v"))
     (1 to 3).foreach { _ =>
       val mv = c.join(broadcast(v.select(col("d").as("d2"), col("v"))), Seq("d2"))
         .groupBy(col("d1"))
-        .agg(sum(expr("c * v")).as("mv"))
+        .agg(sum(expr("c * v")).as("mv0"))
+        // same overflow guard as c0: every (d1) group is non-empty and
+        // c·v is non-null, so a NULL sum is a DECIMAL(38,0) overflow
+        .select(col("d1"),
+          when(col("mv0").isNull, expr(
+            "raise_error('embed_pca_power: DECIMAL(38,0) overflow in power iteration')"))
+            .otherwise(col("mv0")).as("mv"))
       val mx = mv.agg(max(abs(col("mv"))).as("mx"))
       // denom stays in the DECIMAL domain: `mx div 1e6` is an
       // IntegralDivide that returns LONG, and at n≈20k vectors the

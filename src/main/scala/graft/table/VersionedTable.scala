@@ -957,15 +957,26 @@ object VersionedTable {
       v.toString.getBytes(StandardCharsets.UTF_8))
   }
 
-  /** All named tags: tag name → pinned version. O(tags) metadata. */
+  /** All named tags: tag name → pinned version. O(tags) metadata.
+    * A stray or corrupt file under `_tags/` (editor backup, partial write)
+    * must not take down every vacuum sweep and tagged read on the table —
+    * entries that fail the tag-name grammar or integer parsing are
+    * reported loudly and skipped, never thrown from the listing loop. */
   def tags(root: String): Map[String, Int] = {
     val dir = Paths.get(root, "_tags")
     if (!Files.isDirectory(dir)) Map.empty
     else Using.resource(Files.list(dir)) { files =>
-      files.iterator().asScala.map(p =>
-        p.getFileName.toString ->
+      files.iterator().asScala.flatMap { p =>
+        val name = p.getFileName.toString
+        val parsed = scala.util.Try(
           new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-            .trim.toInt).toMap
+            .trim.toInt).toOption
+        if (!name.matches("[A-Za-z0-9._-]+") || parsed.isEmpty) {
+          System.err.println(
+            s"graft: skipping malformed tag entry '$name' under $dir")
+          None
+        } else parsed.map(name -> _)
+      }.toMap
     }
   }
 
@@ -980,8 +991,20 @@ object VersionedTable {
     * directly, regardless of how rows were split into files. Throws if
     * the commit did not record NDV sketches for the column. */
   def ndvRegisters(root: String, v: Int, column: String): Seq[Int] = {
-    val recs = rawLines(root, v).filter(_.startsWith("H\t"))
-      .map(_.split("\t")).filter(_(2) == column)
+    val lines = rawLines(root, v)
+    // H records keep the PHYSICAL column name (they describe what is inside
+    // the immutable files) — resolve a logical lookup through the rename
+    // mapping the same way readVersionRenamed resolves data columns
+    val phys = renameMap(root, v).map(_.swap).getOrElse(column, column)
+    // staleness gate: delete commits (equality E / positional V) carry H
+    // records forward UNCHANGED, so the sketch still counts deleted rows —
+    // a silent OVERCOUNT. Same discipline as the completeness gate below:
+    // fail loudly and demand a stats refresh on the post-delete snapshot.
+    require(!lines.exists(l => l.startsWith("E\t") || l.startsWith("V\t")),
+      s"NDV sketch at v$v predates delete records on this version — " +
+        "recompute stats (commit with ndvColumns) before reading NDV")
+    val recs = lines.filter(_.startsWith("H\t"))
+      .map(_.split("\t")).filter(_(2) == phys)
     // completeness gate: a commit that added data files WITHOUT sketches
     // (e.g. a plain append) must fail loudly here — a silent merge over a
     // partial file set UNDERCOUNTS, which is worse than no stat at all

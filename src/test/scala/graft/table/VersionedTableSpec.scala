@@ -934,6 +934,44 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("NDV sketches survive renames and are gated by delete records (r12)") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.commit(base(), root, changes = None, statsColumns = Nil,
+      bloomColumns = Nil, ndvColumns = Seq("key"))
+    val before = VersionedTable.ndvRegisters(root, 1, "key")
+    // rename is pure metadata: the sketch (recorded under the PHYSICAL
+    // name) must resolve through the logical name, like data columns do
+    VersionedTable.commitRename(root, Map("key" -> "id"))     // v2
+    assert(VersionedTable.ndvRegisters(root, 2, "id") == before,
+      "renamed logical lookup must find the physical H records")
+    // delete commits carry H records forward but invalidate the counts —
+    // the overcounting sketch must fail loudly, not estimate
+    VersionedTable.commitDeletes(Seq(1L).toDF("key"), root, "key") // v3
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.ndvRegisters(root, 3, "key")
+    }
+    assert(e.getMessage.contains("delete"), s"wrong gate: ${e.getMessage}")
+  }
+
+  test("tags listing skips malformed entries instead of throwing (r12)") {
+    val root = freshRoot()
+    VersionedTable.commit(base(), root)
+    VersionedTable.tagVersion(root, "good", 1)
+    // a stray editor backup and a corrupt payload land in _tags/
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_tags", "corrupt"),
+      "not-a-version".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_tags", "bad name~"),
+      "1".getBytes("UTF-8"))
+    assert(VersionedTable.tags(root) == Map("good" -> 1),
+      "malformed tag entries must be skipped, not fatal")
+    // sweeps + tagged reads keep working around the corruption
+    assert(VersionedTable.readTagged(spark, root, "good").count() > 0)
+    VersionedTable.vacuum(root, keepVersions = 1)
+  }
+
   test("tags pin versions against both vacuum sweeps; drop re-exposes them (r11)") {
     val root = freshRoot()
     VersionedTable.commit(base(), root)                           // v1
