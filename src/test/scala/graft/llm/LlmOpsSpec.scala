@@ -218,6 +218,37 @@ class LlmOpsSpec extends SparkSpec {
       f"IVFPQ recall $ivfpq%.3f exceeds its IVF-exact ceiling $ivf5%.3f — scan leaked outside probed cells?")
   }
 
+  test("NSW graph search: sub-scan visited bound, recall above the entry-only baseline") {
+    val (visited, result) = Similarity.nswWalk(spark, sfDir)
+    val corpusN = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // THE graph-ANN contract: the walk scores O(hops·beam·degree) vectors
+    // per query, never the corpus — at 100 TB this bound (not recall) is
+    // why the family exists next to IVFPQ
+    val perQuery = visited.groupBy("query_id").count().collect()
+      .map(_.getLong(1))
+    info(s"visited per query: min ${perQuery.min}, max ${perQuery.max}, corpus $corpusN")
+    assert(perQuery.max < corpusN / 3,
+      s"walk visited ${perQuery.max} of $corpusN — not sub-scan")
+    assert(perQuery.min >= 1 + 3,
+      "walk never left the entry point — the graph is not navigable")
+    // recall@3 vs exact brute force on the same query set
+    def top3(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.filter(_.getAs[Int]("rank") <= 3)
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = top3(Similarity.simTopkBruteforce(spark, sfDir).collect())
+    val nsw = top3(result.collect())
+    val recall = exact.keySet.toSeq.map(q =>
+      (nsw.getOrElse(q, Set.empty) & exact(q)).size.toDouble / exact(q).size)
+      .sum / exact.size
+    info(f"NSW recall@3 vs exact (beam=4, hops=4): $recall%.3f")
+    // floor: the walk explores ~sqrt-ish of the corpus from one fixed
+    // entry over an LSH-built 3-NN graph on ISOTROPIC vectors — the
+    // worst case for navigability; it must still recover a real fraction
+    assert(recall >= 0.30,
+      f"NSW recall $recall%.3f below the fixture floor")
+  }
+
   test("PQ codes are the compressed representation the ADC scan claims") {
     val base = graft.model.Tables.load(spark, sfDir, "embeddings")
     val n = base.count()
