@@ -55,7 +55,14 @@ object Tokenize {
     * bigrams, then top-K2 adjacent symbol pairs under the round-1
     * segmentation (ranks K1+1..). Ties break on (left, right) binary
     * order — the exact ordering the oracle's ROW_NUMBER states. */
-  def trainMerges(s: SparkSession, docs: DataFrame): Seq[(String, String)] = {
+  def trainMerges(s: SparkSession, docs: DataFrame): Seq[(String, String)] =
+    trainModel(s, docs)._2
+
+  /** The shared trainer: (checkpointed word-count vocabulary, ranked
+    * merges). Exposed so WordPiece derivation reuses the ONE corpus scan
+    * instead of re-counting words. */
+  private[llm] def trainModel(s: SparkSession, docs: DataFrame)
+      : (DataFrame, Seq[(String, String)]) = {
     // the one corpus-wide pass: word counts (map-side combining hash agg);
     // everything after runs on the small distinct-word vocabulary
     val vocab = docs
@@ -92,8 +99,50 @@ object Tokenize {
         .select(col("wc"), col("p.l").as("l"), col("p.r").as("r")),
       K2)
 
-    m1 ++ m2
+    (vocab, m1 ++ m2)
   }
+
+  /** WordPiece piece budget per position class — the vocabulary-size
+    * knob every real WordPiece carries (BERT: 30k). Pruning is what makes
+    * the scheme a DIFFERENT tokenizer from BPE: dropped rare pieces force
+    * greedy longest-match onto other splits (an unpruned BPE-symbol vocab
+    * reproduces the BPE segmentation on its own training corpus —
+    * measured: 0 diverging docs). */
+  private val WpBudget = 24
+
+  /** WordPiece vocabulary from the SAME training scan: BPE-segment the
+    * word vocabulary under the trained merges, rank word-initial and
+    * continuation symbols separately by corpus frequency, keep the top
+    * [[WpBudget]] of each, and add every corpus character to both as the
+    * totality fallback (the oracle's guaranteed LATERAL match). All
+    * vocabulary-grain — no second corpus scan; the collects are model
+    * tables (dozens of pieces), not data. */
+  private[llm] def trainWordPiece(s: SparkSession, docs: DataFrame)
+      : (Seq[(String, String)], Seq[String], Seq[String]) = {
+    val (vocab, merges) = trainModel(s, docs)
+    val seg = vocab
+      .withColumn("toks", split(bpeCol(col("w"), merges), "\\|"))
+      .select(col("wc"), col("toks")).localCheckpoint()
+    val chars = vocab.select(explode(expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("p"))
+      .distinct()
+    def pieces(df: DataFrame): Seq[String] =
+      df.groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p")).limit(WpBudget)
+        .select(col("p")).union(chars).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+    val initial = pieces(seg.select(element_at(col("toks"), 1).as("p"),
+      col("wc")))
+    val cont = pieces(seg.select(explode(
+        expr("slice(toks, 2, greatest(size(toks) - 1, 0))")).as("p"),
+      col("wc")))
+    (merges, initial, cont)
+  }
+
+  private def wpCol(c: Column, initial: Seq[String],
+      cont: Seq[String]): Column =
+    ColumnBridge.column(graft.expressions.WordPieceTokenize(
+      ColumnBridge.expression(c), initial, cont))
 
   /** BPE token count from the joined token string: tokens are separated by
     * '|' within a word and ' ' across words (neither occurs inside a
@@ -336,14 +385,141 @@ object Tokenize {
        |       CAST(SUM(n_chars) * 1000 // SUM(n_bpe) AS BIGINT) AS chars_per_tok_pm
        |FROM base GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- text_tokenize_wordpiece ----------------------------------------------
+  // WordPiece beside BPE — the BERT-family greedy longest-match-first
+  // subword encode (graft.expressions.WordPieceTokenize), vocabulary
+  // derived from the same one-scan trainer. Same doc-grain contract as
+  // text_tokenize_bpe (whitespace count, subword count, token-stream md5)
+  // so the two tokenizers are directly comparable row by row; encoding is
+  // again one codegen projection over the corpus.
+  def textTokenizeWordpiece(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val (_, initial, cont) = trainWordPiece(s, docs)
+    docs
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long")
+          .as("n_ws"),
+        wpCol(col("text"), initial, cont).as("tok"))
+      .select(col("doc_id"), col("n_ws"), nTokens(col("tok")).as("n_wp"),
+        md5(col("tok").cast("binary")).as("tok_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- curate_fertility_compare ----------------------------------------------
+  // BPE vs WordPiece fertility per language, riding the existing fertility
+  // report's integer per-mille convention: both encoders run in the SAME
+  // single projection over the corpus (two codegen expressions side by
+  // side), so the comparison costs one scan and one lang-grain agg. The
+  // question it answers: which subword scheme fragments which language
+  // slice harder under the same training data.
+  def curateFertilityCompare(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val (merges, initial, cont) = trainWordPiece(s, docs)
+    docs
+      .select(col("lang"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long")
+          .as("n_ws"),
+        bpeCol(col("text"), merges).as("tb"),
+        wpCol(col("text"), initial, cont).as("tw"))
+      .select(col("lang"), col("n_ws"),
+        nTokens(col("tb")).as("n_bpe"), nTokens(col("tw")).as("n_wp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("sum_words"),
+        sum(col("n_bpe")).as("sum_bpe"), sum(col("n_wp")).as("sum_wp"))
+      .withColumn("bpe_per_word_pm", expr("sum_bpe * 1000 div sum_words"))
+      .withColumn("wp_per_word_pm", expr("sum_wp * 1000 div sum_words"))
+      .orderBy(col("lang"))
+  }
+
+  /** bpeCte extended with the WordPiece vocabulary + greedy apply: piece
+    * sets from the BPE segmentation (initials / '##'-continuations / char
+    * fallback), then one longest match per recursion step — ends with the
+    * `wwp` relation (w, wtokwp '|'-joined with '##' marks, nwp). */
+  private val wpCte =
+    s"""$bpeCte,
+       |wsyms AS (
+       |  SELECT a.w, a.syms, v.wc FROM apply2 a
+       |  JOIN vocab v ON v.w = a.w WHERE a.done),
+       |wchars AS (
+       |  SELECT DISTINCT unnest(string_split(w, '')) AS p FROM vocab),
+       |vinit AS (
+       |  SELECT p FROM (
+       |    SELECT syms[1] AS p, SUM(wc) AS cnt FROM wsyms GROUP BY 1
+       |    ORDER BY cnt DESC, p LIMIT $WpBudget) ti
+       |  UNION SELECT p FROM wchars),
+       |vcont AS (
+       |  SELECT p FROM (
+       |    SELECT syms[i] AS p, SUM(wc) AS cnt FROM (
+       |      SELECT syms, wc, unnest(generate_series(2, len(syms))) AS i
+       |      FROM wsyms) t GROUP BY 1
+       |    ORDER BY cnt DESC, p LIMIT $WpBudget) tc
+       |  UNION SELECT p FROM wchars),
+       |wpapply AS (
+       |  SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS toks, FALSE AS done
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT a.w, a.pos + length(b.p),
+       |         a.toks || [CASE WHEN a.pos = 1 THEN b.p ELSE '##' || b.p END],
+       |         a.pos + length(b.p) > length(a.w)
+       |  FROM wpapply a JOIN LATERAL (
+       |    SELECT p FROM (
+       |      SELECT p FROM vinit WHERE a.pos = 1
+       |      UNION ALL SELECT p FROM vcont WHERE a.pos > 1) v
+       |    WHERE substr(a.w, a.pos, length(p)) = p
+       |    ORDER BY length(p) DESC LIMIT 1) b ON TRUE
+       |  WHERE NOT a.done),
+       |wwp AS (
+       |  SELECT w, array_to_string(toks, '|') AS wtokwp, len(toks) AS nwp
+       |  FROM wpapply WHERE done)""".stripMargin
+
+  private val textTokenizeWordpieceOracle =
+    s"""$wpCte,
+       |perdoc AS (
+       |  SELECT d.doc_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_ws,
+       |         CAST(SUM(t.nwp) AS BIGINT) AS n_wp,
+       |         string_agg(t.wtokwp, ' ' ORDER BY d.pos) AS joined
+       |  FROM words d JOIN wwp t ON t.w = d.w
+       |  GROUP BY d.doc_id)
+       |SELECT doc.doc_id,
+       |       COALESCE(p.n_ws, 0) AS n_ws,
+       |       COALESCE(p.n_wp, 0) AS n_wp,
+       |       md5(COALESCE(p.joined, '')) AS tok_md5
+       |FROM documents doc LEFT JOIN perdoc p ON p.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
+  private val curateFertilityCompareOracle =
+    s"""$wpCte,
+       |perdoc AS (
+       |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws,
+       |         CAST(SUM(b.ntok) AS BIGINT) AS n_bpe,
+       |         CAST(SUM(t.nwp) AS BIGINT) AS n_wp
+       |  FROM words d JOIN wtok b ON b.w = d.w JOIN wwp t ON t.w = d.w
+       |  GROUP BY 1),
+       |base AS (
+       |  SELECT doc.lang, COALESCE(p.n_ws, 0) AS n_ws,
+       |         COALESCE(p.n_bpe, 0) AS n_bpe, COALESCE(p.n_wp, 0) AS n_wp
+       |  FROM documents doc LEFT JOIN perdoc p ON p.doc_id = doc.doc_id)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_ws) AS BIGINT) AS sum_words,
+       |       CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+       |       CAST(SUM(n_wp) AS BIGINT) AS sum_wp,
+       |       CAST(SUM(n_bpe) * 1000 // SUM(n_ws) AS BIGINT) AS bpe_per_word_pm,
+       |       CAST(SUM(n_wp) * 1000 // SUM(n_ws) AS BIGINT) AS wp_per_word_pm
+       |FROM base GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "text_tokenize_bpe" -> (textTokenizeBpe _),
+    "text_tokenize_wordpiece" -> (textTokenizeWordpiece _),
+    "curate_fertility_compare" -> (curateFertilityCompare _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "text_chunk_bpe" -> (textChunkBpe _),
     "curate_tokenizer_fertility" -> (curateTokenizerFertility _))
 
   val oracles: Map[String, String] = Map(
     "text_tokenize_bpe" -> textTokenizeBpeOracle,
+    "text_tokenize_wordpiece" -> textTokenizeWordpieceOracle,
+    "curate_fertility_compare" -> curateFertilityCompareOracle,
     "pack_sequences_bpe" -> packSequencesBpeOracle,
     "text_chunk_bpe" -> textChunkBpeOracle,
     "curate_tokenizer_fertility" -> curateTokenizerFertilityOracle)

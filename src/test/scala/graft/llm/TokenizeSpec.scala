@@ -131,4 +131,53 @@ class TokenizeSpec extends SparkSpec {
       assert(r.getLong(6) >= 1000L, s"$lang: a token spans >= 1 char")
     }
   }
+
+  private def wpEnc(word: String, initial: Seq[String],
+      cont: Seq[String]): List[String] = {
+    val sb = new java.lang.StringBuilder()
+    graft.expressions.WordPieceSupport.encodeWord(word, sb,
+      new graft.expressions.WordPieceModel(initial.toArray, cont.toArray))
+    sb.toString.split('|').toList
+  }
+
+  test("WordPiece greedy longest-match-first with position-split vocab (r12)") {
+    // longest match wins at the word start even when shorter pieces exist
+    assert(wpEnc("unhappy", Seq("u", "un", "unh"), Seq("a", "h", "p", "y", "happy"))
+      == List("unh", "##a", "##p", "##p", "##y"))
+    // a piece available only as CONTINUATION must not match word-initially
+    assert(wpEnc("abc", Seq("a"), Seq("a", "b", "c", "bc"))
+      == List("a", "##bc"))
+    // char fallback keeps the encode total on unseen characters
+    assert(wpEnc("axb", Seq("a"), Seq("b")) == List("a", "##x", "##b"))
+  }
+
+  test("WordPiece vs BPE: same word boundaries, comparable doc grain (r12)") {
+    val bpe = Tokenize.queries("text_tokenize_bpe")(spark, sfDir)
+      .select(col("doc_id"), col("n_ws"), col("n_bpe")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wp = Tokenize.queries("text_tokenize_wordpiece")(spark, sfDir)
+      .select(col("doc_id"), col("n_ws"), col("n_wp")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bpe.keySet == wp.keySet)
+    bpe.foreach { case (id, (ws, nbpe)) =>
+      val (ws2, nwp) = wp(id)
+      assert(ws == ws2, s"doc $id: word boundaries must agree")
+      // both schemes only fuse characters within words: counts >= words
+      assert(nbpe >= ws && nwp >= ws, s"doc $id: subwords below word count")
+    }
+    // the schemes must genuinely differ somewhere (else the second
+    // tokenizer is the first with extra steps)
+    assert(bpe.exists { case (id, (_, nbpe)) => wp(id)._2 != nbpe },
+      "WordPiece and BPE token counts identical on every doc")
+    // fertility-compare cross-foot: per-lang sums equal the doc-grain keys
+    val cmp = Tokenize.queries("curate_fertility_compare")(spark, sfDir).collect()
+    val docsByLang = graft.model.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet)
+    cmp.foreach { r =>
+      val ids = docsByLang(r.getString(0))
+      assert(r.getAs[Long]("sum_bpe") == ids.toSeq.map(bpe(_)._2).sum)
+      assert(r.getAs[Long]("sum_wp") == ids.toSeq.map(wp(_)._2).sum)
+    }
+  }
 }
