@@ -1118,7 +1118,132 @@ object TableQueries {
       |SELECT 'wave_good', 'n_violations', CAST(0 AS BIGINT)
       |ORDER BY step, metric""".stripMargin
 
+  // ---- table_cbo_join -------------------------------------------------------
+  // The manifest stats FEED PLANNING (the table_ndv_stats follow-through):
+  // a join's build side and strategy are decided from scanFreeStats —
+  // exact row counts out of parquet footers + NDV out of the manifest's
+  // H registers — WITHOUT opening a data page or running a Spark job
+  // (the spec pins the zero-job claim with a listener). Two stagings of
+  // the same join, differing only in the build side's size, must flip
+  // the decision: the 500-row dim broadcasts, the full-table build
+  // shuffles — the generalization of the triangles broadcast gate into
+  // the metadata tier, which is exactly how a CBO avoids both the
+  // OOM-broadcast and the needless-shuffle failure modes at 100 TB. The
+  // NDV also prices the join: est_join_rows = |probe|·|build| /
+  // max(ndv) — the textbook equi-join cardinality estimate — lands in
+  // the artifact next to the actual count, so the estimate's quality is
+  // data, not prose.
+  private val BroadcastRowGate = 1000L
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def tableCboJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = ordersBase(s, dir)
+    val rootF = freshRoot("cbof")
+    val rootS = freshRoot("cbos")
+    val rootB = freshRoot("cbob")
+    VersionedTable.commit(fact.repartition(8), rootF, changes = None,
+      statsColumns = Nil, bloomColumns = Nil, ndvColumns = Seq("key"))
+    VersionedTable.commit(fact.filter(col("key") < 500).repartition(2),
+      rootS, changes = None, statsColumns = Nil, bloomColumns = Nil,
+      ndvColumns = Seq("key"))
+    VersionedTable.commit(fact.repartition(8), rootB, changes = None,
+      statsColumns = Nil, bloomColumns = Nil, ndvColumns = Seq("key"))
+
+    def planned(pair: String, buildRoot: String): DataFrame = {
+      // the decision: metadata only — no scan, no job (spec-pinned)
+      val (pRows, pNdv) = VersionedTable.scanFreeStats(rootF, 1, "key")
+      val (bRows, bNdv) = VersionedTable.scanFreeStats(buildRoot, 1, "key")
+      val strategy =
+        if (bRows <= BroadcastRowGate) "broadcast" else "shuffle_hash"
+      val estJoin =
+        round2(pRows.toDouble * bRows.toDouble / math.max(pNdv, bNdv))
+      val probe = VersionedTable.readVersion(s, rootF, 1).select(col("key"))
+      val build0 = VersionedTable.readVersion(s, buildRoot, 1)
+        .select(col("key").as("bkey"), col("total"))
+      val build =
+        if (strategy == "broadcast") broadcast(build0)
+        else build0.hint("shuffle_hash")
+      probe.join(build, col("key") === col("bkey"))
+        .agg(count(lit(1)).as("join_rows"),
+          round(sum(col("total").cast("decimal(18,4)")), 2).cast("double")
+            .as("join_total"))
+        .select(lit(pair).as("pair"), lit(pRows).as("probe_rows"),
+          lit(bRows).as("build_rows"), lit(bNdv).as("build_ndv_est"),
+          lit(estJoin).as("est_join_rows"), lit(strategy).as("strategy"),
+          col("join_rows"), col("join_total"))
+    }
+    planned("fact_dim", rootS).union(planned("fact_fact", rootB))
+      .orderBy(col("pair"))
+  }
+
+  /** DuckDB HLL replay (the table_ndv_stats machinery) over `$rel.key`,
+    * ending in CTE `${p}e(ndv)`. Merge-independence makes the corpus-wide
+    * replay equal the manifest's per-file merge. */
+  private def hllCte(p: String, rel: String): String =
+    s"""${p}r AS (
+       |  SELECT ((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+       |          + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 64 AS bucket,
+       |         CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rho
+       |  FROM (
+       |    SELECT h,
+       |           CAST((instr('0123456789abcdef', substring(h, 3, 1)) - 1) AS BIGINT) * 268435456
+       |           + (instr('0123456789abcdef', substring(h, 4, 1)) - 1) * 16777216
+       |           + (instr('0123456789abcdef', substring(h, 5, 1)) - 1) * 1048576
+       |           + (instr('0123456789abcdef', substring(h, 6, 1)) - 1) * 65536
+       |           + (instr('0123456789abcdef', substring(h, 7, 1)) - 1) * 4096
+       |           + (instr('0123456789abcdef', substring(h, 8, 1)) - 1) * 256
+       |           + (instr('0123456789abcdef', substring(h, 9, 1)) - 1) * 16
+       |           + (instr('0123456789abcdef', substring(h, 10, 1)) - 1) AS w
+       |    FROM (SELECT md5(CAST(key AS VARCHAR)) AS h FROM $rel) t0) t),
+       |${p}s AS (
+       |  SELECT s.bucket, COALESCE(m.m, 0) AS m
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS bucket) s
+       |  LEFT JOIN (SELECT bucket, MAX(rho) AS m FROM ${p}r GROUP BY bucket) m
+       |    ON m.bucket = s.bucket),
+       |${p}e AS (
+       |  SELECT CAST(ROUND(CAST(
+       |    CASE WHEN 64 - hit > 0
+       |          AND 0.709 * 64 * 64 * 8589934592.0 / CAST(s_scaled AS DOUBLE) < 160.0
+       |         THEN 64.0 * ln(64.0 / CAST(64 - hit AS DOUBLE))
+       |         ELSE 0.709 * 64 * 64 * 8589934592.0 / CAST(s_scaled AS DOUBLE) END
+       |  AS DECIMAL(28,6)), 2) AS DOUBLE) AS ndv
+       |  FROM (SELECT CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit,
+       |               CAST(SUM(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT) AS s_scaled
+       |        FROM ${p}s) a)""".stripMargin
+
+  private val tableCboJoinOracle =
+    s"""WITH fact AS (SELECT o_orderkey AS key, o_totalprice AS total FROM orders),
+       |dim AS (SELECT * FROM fact WHERE key < 500),
+       |${hllCte("f", "fact")},
+       |${hllCte("d", "dim")},
+       |prc AS (SELECT CAST(COUNT(*) AS BIGINT) AS pr FROM fact),
+       |brc AS (SELECT CAST(COUNT(*) AS BIGINT) AS br FROM dim),
+       |j1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS jr,
+       |              CAST(ROUND(SUM(CAST(d.total AS DECIMAL(18,4))), 2) AS DOUBLE) AS jt
+       |       FROM fact f JOIN dim d ON f.key = d.key),
+       |j2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS jr,
+       |              CAST(ROUND(SUM(CAST(d.total AS DECIMAL(18,4))), 2) AS DOUBLE) AS jt
+       |       FROM fact f JOIN fact d ON f.key = d.key)
+       |SELECT * FROM (
+       |  SELECT 'fact_dim' AS pair, pr AS probe_rows, br AS build_rows,
+       |         de.ndv AS build_ndv_est,
+       |         CAST(ROUND(CAST(CAST(pr AS DOUBLE) * br / GREATEST(fe.ndv, de.ndv) AS DECIMAL(28,6)), 2) AS DOUBLE) AS est_join_rows,
+       |         CASE WHEN br <= 1000 THEN 'broadcast' ELSE 'shuffle_hash' END AS strategy,
+       |         jr AS join_rows, jt AS join_total
+       |  FROM prc, brc, fe, de, j1
+       |  UNION ALL
+       |  SELECT 'fact_fact', pr, pr, fe.ndv,
+       |         CAST(ROUND(CAST(CAST(pr AS DOUBLE) * pr / GREATEST(fe.ndv, fe.ndv) AS DECIMAL(28,6)), 2) AS DOUBLE),
+       |         CASE WHEN pr <= 1000 THEN 'broadcast' ELSE 'shuffle_hash' END,
+       |         jr, jt
+       |  FROM prc, fe, j2
+       |) z ORDER BY pair""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "table_cbo_join" -> (tableCboJoin _),
     "table_describe_history" -> (tableDescribeHistory _),
     "table_wap_publish" -> (tableWapPublish _),
     "table_shallow_clone" -> (tableShallowClone _),
@@ -1147,6 +1272,7 @@ object TableQueries {
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
+    "table_cbo_join" -> tableCboJoinOracle,
     "table_describe_history" -> tableDescribeHistoryOracle,
     "table_wap_publish" -> tableWapPublishOracle,
     "table_shallow_clone" -> tableShallowCloneOracle,

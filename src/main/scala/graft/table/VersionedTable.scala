@@ -1019,6 +1019,35 @@ object VersionedTable {
     (0 until 64).map(b => per.map(_(b)).max)
   }
 
+  /** The sketch_hll_distinct estimator on 64 merged registers — the same
+    * branch structure (raw harmonic estimate, small-range linear counting
+    * under 2.5m with empty buckets) the table_ndv_stats oracle replays,
+    * as driver arithmetic. The `ln` branch only engages below 160
+    * distincts — callers staging planner fixtures keep NDV above it so
+    * both engines stay on the pure-arithmetic branch. */
+  def hllEstimate(regs: Seq[Int]): Double = {
+    require(regs.length == 64, s"expected 64 registers, got ${regs.length}")
+    val empty = regs.count(_ == 0)
+    val sScaled = regs.map(m => 1L << (33 - m)).sum
+    val raw = 0.709 * 64 * 64 * 8589934592.0 / sScaled.toDouble
+    val est =
+      if (empty > 0 && raw < 160.0) 64.0 * math.log(64.0 / empty.toDouble)
+      else raw
+    BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Scan-free planner statistics for a join side (r12 — the CBO move
+    * real engines make from their manifests): exact row count from the
+    * parquet FOOTER metadata blocks (no data pages are decoded) and the
+    * NDV estimate from the manifest's merged `H` registers. O(files)
+    * driver work, zero Spark jobs — a broadcast-vs-shuffle decision on a
+    * 100 TB table costs a directory's worth of footers, not a scan. */
+  def scanFreeStats(root: String, v: Int, column: String): (Long, Double) = {
+    val rows = dataEntries(root, v).map(e => footerRowCount(e.path)).sum
+    (rows, hllEstimate(ndvRegisters(root, v, column)))
+  }
+
   /** Read the snapshot a named tag pins — time travel by name instead of
     * version number (the interface deployments actually use: nobody
     * remembers that the blessed snapshot was v17). */

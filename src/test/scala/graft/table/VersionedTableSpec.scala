@@ -954,6 +954,39 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("delete"), s"wrong gate: ${e.getMessage}")
   }
 
+  test("scan-free stats drive the join planner: zero Spark jobs to decide (r12)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val root = freshRoot()
+    VersionedTable.commit(base(), root, changes = None, statsColumns = Nil,
+      bloomColumns = Nil, ndvColumns = Seq("key"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (rows, ndv) =
+      try {
+        val r = VersionedTable.scanFreeStats(root, 1, "key")
+        // listener delivery is async — give the bus a beat before reading
+        Thread.sleep(500)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"planning stats launched ${jobs.get()} Spark job(s) — not scan-free")
+    // footer counts are exact; the HLL estimate must be planning-grade
+    assert(rows == 1000L, s"footer row count $rows != 1000")
+    assert(math.abs(ndv - 1000.0) / 1000.0 < 0.4, s"NDV estimate $ndv vs 1000")
+    // and the decision the key makes from them materializes in the plan:
+    // the 500-row build broadcasts, the full-table build shuffle-hashes
+    val plan = graft.table.TableQueries.queries("table_cbo_join")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim build did not broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"fact build did not shuffle-hash:\n$plan")
+  }
+
   test("tags listing skips malformed entries instead of throwing (r12)") {
     val root = freshRoot()
     VersionedTable.commit(base(), root)
