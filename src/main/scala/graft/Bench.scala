@@ -42,13 +42,30 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1)
-    def materialize(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
+    // plan fingerprints (r11 VERDICT item 8): a hash of each key's
+    // COMPILE-TIME physical plan skeleton (node names in tree order,
+    // expression IDs and AQE runtime choices excluded), captured for free
+    // on the warmup pass. Round-over-round, a changed fp means "the plan
+    // changed"; an unchanged fp with a drifted time means "the box
+    // changed" — the distinction the r10 drift trio took two rounds to
+    // settle by hand.
+    val fps = scala.collection.mutable.LinkedHashMap[String, String]()
+    def planFp(p: org.apache.spark.sql.execution.SparkPlan): String = {
+      def skel(q: org.apache.spark.sql.execution.SparkPlan): String =
+        q.nodeName + "(" + q.children.map(skel).mkString(",") + ")"
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(skel(p).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    }
+    def materialize(name: String, recordFp: Boolean = false): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (recordFp) fps(name) = planFp(df.queryExecution.sparkPlan)
+      df.write.mode("overwrite").format("noop").save()
+    }
 
-    // warmup: run everything once, unmeasured
+    // warmup: run everything once, unmeasured (and fingerprint the plans)
     ordered.foreach { case (name, _) =>
-      try materialize(name) catch { case _: Throwable => () }
+      try materialize(name, recordFp = true) catch { case _: Throwable => () }
     }
 
     // three measured passes, per-query min: robust to transient system load
@@ -119,9 +136,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val fp = fps.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"staging_sec":$st,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"staging_sec":$st,"plan_fp":$fp,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     // the driver parses a BOUNDED (2000-char) log tail; with 100+ keys the
     // full line is ~4.5k chars and can NEVER fit intact, and even printing
     // it once risks the captured window landing mid-line (r9: the driver

@@ -391,9 +391,10 @@ object GraphOps {
     * undirected edge table — split out so the spec can drive it with a
     * planted graph of known triangle structure. */
   private[operators] def trianglesFromEdges(
-      e: DataFrame, forcePartitioned: Boolean = false): DataFrame =
+      e: DataFrame, forcePartitioned: Boolean = false,
+      knownEdgeCount: Option[Long] = None): DataFrame =
     trianglesFromOriented(orientedFromEdges(e).localCheckpoint(),
-      forcePartitioned)
+      forcePartitioned, knownEdgeCount)
 
   /** Orient every undirected edge from its (degree, id)-smaller endpoint
     * to the larger — the total order that makes each triangle count once

@@ -135,6 +135,32 @@ class GraphOpsSpec extends SparkSpec {
       s"partitioned plan changed the counts: $out")
   }
 
+  test("triangles broadcast gate: plan family flips on the edge count; sf0.1 sits past it (r12)") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("p1", "p2")
+    // under the 400k gate: the wedge legs compile as broadcast joins
+    val under = GraphOps.trianglesFromEdges(e, knownEdgeCount = Some(1000L))
+    assert(under.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "under-gate edge count must compile the broadcast wedge plan")
+    // past the gate — the sf0.1 regime (1.2M measured oriented edges >
+    // 400k): the SAME builder must compile zero broadcast joins and ride
+    // shuffled hash (the r11 verdict's re-pin ask, now a compile-time pin
+    // instead of a bench reading)
+    val past = GraphOps.trianglesFromEdges(e,
+      knownEdgeCount = Some(1200L * 1000))
+    val phys = past.queryExecution.sparkPlan.toString
+    assert(!phys.contains("BroadcastHashJoin"),
+      s"past-gate edge count still compiles a broadcast join:\n$phys")
+    assert(phys.contains("ShuffledHashJoin"),
+      s"past-gate wedge legs must be shuffled hash joins:\n$phys")
+    // the gate only changes WHO MOVES, never the counts
+    def counts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("n_triangles")).toMap
+    assert(counts(under) == counts(past),
+      "gate decision changed the triangle counts")
+  }
+
   test("jaccard similarity: ranked per query, candidates share a neighbor, corpus never shuffles for them (r9)") {
     val df = GraphOps.queries("graph_jaccard_sim")(spark, sfDir)
     val rows = df.collect()
