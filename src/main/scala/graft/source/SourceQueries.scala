@@ -215,6 +215,53 @@ object SourceQueries {
       |       ${graft.functions.Scalars.corpusFpSql("doc_id", "text")} AS corpus_fp
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- src_avro_roundtrip ----------------------------------------------------
+  // Avro ROUND-TRIP — the row-oriented interchange format (Kafka estates
+  // ship Avro the way lakehouses ship parquet). The spark-avro DataSource
+  // module is a separate artifact the offline build cannot resolve, so the
+  // format rides avro-core (which Spark itself ships) through AvroIo's
+  // codec seam: container files written one-per-partition, read one task
+  // per file under an EXPLICIT schema with the standard logical-type
+  // bridge (date=int/date, timestamp=long/micros). The verification
+  // aggregate fingerprints every (key, cents, date, epoch-micros) tuple,
+  // so a value corrupted anywhere in the encode/decode bridge fails the
+  // hash — not just the counts.
+  def srcAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.model.Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("total"),
+        to_date(col("o_orderdate")).as("odate"), col("o_orderdate").as("ots"))
+    val path = stagedOnce("src_avro", dir, "orders") { p =>
+      AvroIo.write(o.repartition(4), s"$p/orders_avro")
+      ()
+    }
+    val files = new java.io.File(s"$path/orders_avro").listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.getPath).sorted.toSeq
+    AvroIo.read(s, files, o.schema)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("total").cast("decimal(18,4)")), 2).cast("double")
+          .as("sum_total"),
+        min(col("odate")).as("min_date"), max(col("ots")).as("max_ts"),
+        graft.functions.Scalars.corpusFp(col("key"), concat_ws("\u0002",
+          expr("CAST(round(total * 100) AS BIGINT)").cast("string"),
+          col("odate").cast("string"),
+          unix_micros(col("ots")).cast("string"))).as("corpus_fp"))
+      .orderBy(col("status"))
+  }
+
+  private val srcAvroRoundtripOracle = {
+    val payload = "concat(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), chr(2), " +
+      "CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(2), " +
+      "CAST(epoch_us(o_orderdate) AS VARCHAR))"
+    s"""SELECT o_orderstatus AS status, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_total,
+      |       MIN(CAST(o_orderdate AS DATE)) AS min_date,
+      |       MAX(o_orderdate) AS max_ts,
+      |       ${graft.functions.Scalars.corpusFpSql("o_orderkey", payload)} AS corpus_fp
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- src_orc_roundtrip ----------------------------------------------------
   // ORC round-trip — the second columnar interchange format (Hive/Trino
   // estates ship ORC the way lakehouses ship parquet; a user switching
@@ -444,6 +491,7 @@ object SourceQueries {
   val queries: Map[String, Q] = Map[String, Q](
     "src_csv_badrecords" -> (srcCsvBadRecords _),
     "src_jsonl" -> (srcJsonl _),
+    "src_avro_roundtrip" -> (srcAvroRoundtrip _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "src_cdc_envelope" -> (srcCdcEnvelope _),
     "src_fixed_width" -> (srcFixedWidth _),
@@ -457,6 +505,7 @@ object SourceQueries {
   val oracles: Map[String, String] = Map(
     "src_csv_badrecords" -> srcCsvBadRecordsOracle,
     "src_jsonl" -> srcJsonlOracle,
+    "src_avro_roundtrip" -> srcAvroRoundtripOracle,
     "src_orc_roundtrip" -> srcOrcRoundtripOracle,
     "src_cdc_envelope" -> srcCdcEnvelopeOracle,
     "src_fixed_width" -> srcFixedWidthOracle,
