@@ -13,6 +13,12 @@ class HealthReportSpec extends SparkSpec {
 
   test("report sections all read the shared cached frame — no fact re-scan") {
     val (base, ev, report) = HealthReport.healthParts(spark, sfDir)
+    // Drop any cached copy of the report a previous suite's all-keys sweep
+    // left behind (reportHealthE2e hands back a persisted relation by
+    // design): CacheManager would substitute the WHOLE report subtree here
+    // and hide the section plans this test pins. Suites run sequentially in
+    // the forked JVM, so clearing the shared cache is safe.
+    spark.catalog.clearCache()
     base.persist(); ev.persist()
     try {
       val rows = report.collect()
