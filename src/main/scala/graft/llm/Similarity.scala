@@ -94,6 +94,72 @@ object Similarity {
        |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---- sim_hamming_topk -----------------------------------------------------
+  // BINARY-quantized serving — the third point on the quantization curve
+  // beside int8 (embed_quantize) and PQ (sim_pq_adc): each vector collapses
+  // to its 64 sign bits and distance becomes Hamming popcount, the
+  // 32x-compression regime binary embedding papers serve from (sign bits ≈
+  // one-bit LSH, Charikar 2002 — Hamming distance is monotone in angular
+  // distance in expectation). The bits pack into TWO 32-bit halves carried
+  // as BIGINTs (a single 64-bit word would need the sign bit; two halves
+  // keep every value positive and the packing portable), so the whole key
+  // is integer-exact: float sign compares are bit-identical across engines
+  // (the LSH bucket precedent) and popcount-of-xor is exact on both sides.
+  // Scale story: the scan reads 16 BYTES per vector instead of 256 — at
+  // 100 TB the binary columns are their own thin table/column group and
+  // brute-force re-rank only ever touches Hamming survivors. Plan: corpus
+  // scan → 2-BIGINT projection → broadcast query join → per-query top-5
+  // window (WindowGroupLimit pre-truncates map-side).
+  def simHammingTopk(s: SparkSession, dir: String): DataFrame = {
+    val packed = load(s, dir, "embeddings").select(
+      col("vec_id"),
+      expr("""aggregate(transform(slice(embedding, 1, 32),
+             |  (x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"""
+        .stripMargin).as("h1"),
+      expr("""aggregate(transform(slice(embedding, 33, 32),
+             |  (x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"""
+        .stripMargin).as("h2"))
+    val queries = packed.filter(col("vec_id") < AnnQueryCount)
+      .select(col("vec_id").as("query_id"),
+        col("h1").as("q1"), col("h2").as("q2"))
+    val scored = packed.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("CAST(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) AS BIGINT)")
+          .as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simHammingTopkOracle =
+    s"""WITH packed AS (
+       |  SELECT vec_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 32),
+       |           i -> CASE WHEN embedding[i] > 0
+       |                THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT) AS h1,
+       |         CAST(list_sum(list_transform(generate_series(33, 64),
+       |           i -> CASE WHEN embedding[i] > 0
+       |                THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)) AS BIGINT) AS h2
+       |  FROM embeddings),
+       |queries AS (
+       |  SELECT vec_id AS query_id, h1 AS q1, h2 AS q2 FROM packed
+       |  WHERE vec_id < $AnnQueryCount),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id,
+       |         CAST(bit_count(xor(c.h1, q1)) + bit_count(xor(c.h2, q2)) AS BIGINT) AS hamming
+       |  FROM packed c JOIN queries ON c.vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY hamming, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, hamming
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ---- sim_lsh_ann ----------------------------------------------------------
   // Bucket = sign bits of 4 fixed hyperplanes (coordinates 1, 9, 17, 25 —
   // axis-aligned projections; embedding dims are already random directions).
@@ -1724,6 +1790,7 @@ object Similarity {
     "sim_nsw_search" -> (simNswSearch _),
     "sim_range_search" -> (simRangeSearch _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
+    "sim_hamming_topk" -> (simHammingTopk _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_lsh_multitable" -> (simLshMultitable _),
     "sim_ivf_ann" -> ((s: SparkSession, dir: String) => simIvfAnn(s, dir)),
@@ -1742,6 +1809,7 @@ object Similarity {
     "sim_range_search" -> simRangeSearchOracle,
     "sim_mmr_rerank" -> simMmrRerankOracle,
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
+    "sim_hamming_topk" -> simHammingTopkOracle,
     "sim_lsh_ann" -> simLshAnnOracle,
     "sim_lsh_multitable" -> simLshMultitableOracle,
     "sim_ivf_ann" -> simIvfAnnOracle,

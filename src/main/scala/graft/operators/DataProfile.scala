@@ -990,8 +990,83 @@ object DataProfile {
       |    COUNT(CASE WHEN src = prev_src THEN 1 END) AS null_only_matches
       |FROM l""".stripMargin
 
+  // ---- profile_drift --------------------------------------------------------
+  // Snapshot-drift monitor — the distribution check a pipeline runs between
+  // the latest ingested day and its whole history (PSI's job): per fixed
+  // equal-width bucket of the value domain, baseline vs latest-day shares.
+  // Integer-exact throughout: values freeze to cents, 16 equal-width
+  // buckets span [min, max] by truncating division on a non-negative
+  // numerator (so Spark's `div` and DuckDB's `//` agree), shares are
+  // truncating ppm, and the headline drift number is the total-variation
+  // distance Σ|base−cur| div 2 in ppm — PSI's ln() would put an
+  // engine-dependent float into the hash path; TVD is the exact member of
+  // the same family (Pinsker ties them). Plan: one scan for the three
+  // domain scalars, one scan into a 16-row bucket-grain map-side-combining
+  // agg; the summary row folds the bucket frame. At 100 TB the second scan
+  // is the day's partition slice and the bucket frame is 16 rows.
+  def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events").select(
+      to_date(col("ts")).as("day"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val dom = ev.agg(
+      max(col("day")).as("cur_day"),
+      min(col("cents")).as("mn"),
+      (max(col("cents")) + lit(1L)).as("mx1")) // max value lands in bucket 15
+    val buckets = ev.crossJoin(broadcast(dom))
+      .withColumn("bucket", expr("((cents - mn) * 16) div (mx1 - mn)"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("day") === col("cur_day"), 0L).otherwise(1L)).as("n_base"),
+        sum(when(col("day") === col("cur_day"), 1L).otherwise(0L)).as("n_cur"))
+    val tot = buckets.agg(
+      sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    val shares = buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        expr("n_base * 1000000 div tb").as("base_ppm"),
+        expr("n_cur * 1000000 div tc").as("cur_ppm"))
+      .withColumn("diff_ppm", abs(col("base_ppm") - col("cur_ppm")))
+    val summary = shares.agg(
+      sum(col("n_base")).as("n_base"), sum(col("n_cur")).as("n_cur"),
+      sum(col("base_ppm")).as("base_ppm"), sum(col("cur_ppm")).as("cur_ppm"),
+      expr("SUM(diff_ppm) div 2").as("diff_ppm"))
+      .select(lit(-1L).as("bucket"), col("n_base"), col("n_cur"),
+        col("base_ppm"), col("cur_ppm"), col("diff_ppm"))
+    shares.unionAll(summary).orderBy(col("bucket"))
+  }
+
+  private val profileDriftOracle =
+    """WITH e AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |dom AS (
+      |  SELECT MAX(day) AS cur_day, MIN(cents) AS mn,
+      |         MAX(cents) + 1 AS mx1 FROM e),
+      |b AS (
+      |  SELECT ((cents - mn) * 16) // (mx1 - mn) AS bucket,
+      |         CAST(SUM(CASE WHEN day = cur_day THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+      |         CAST(SUM(CASE WHEN day = cur_day THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM e, dom GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+      |         CAST(SUM(n_cur) AS BIGINT) AS tc FROM b),
+      |sh AS (
+      |  SELECT bucket, n_base, n_cur,
+      |         CAST(n_base * 1000000 // tb AS BIGINT) AS base_ppm,
+      |         CAST(n_cur * 1000000 // tc AS BIGINT) AS cur_ppm,
+      |         CAST(abs(n_base * 1000000 // tb - n_cur * 1000000 // tc) AS BIGINT) AS diff_ppm
+      |  FROM b, t)
+      |SELECT bucket, n_base, n_cur, base_ppm, cur_ppm, diff_ppm FROM sh
+      |UNION ALL
+      |SELECT -1, CAST(SUM(n_base) AS BIGINT), CAST(SUM(n_cur) AS BIGINT),
+      |       CAST(SUM(base_ppm) AS BIGINT), CAST(SUM(cur_ppm) AS BIGINT),
+      |       CAST(SUM(diff_ppm) // 2 AS BIGINT)
+      |FROM sh
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "agg_max_by" -> (aggMaxBy _),
+    "profile_drift" -> (profileDrift _),
     "fn_null_safe_eq" -> (fnNullSafeEq _),
     "window_topn_pergroup" -> (windowTopnPergroup _),
     "join_dpp_prune" -> (joinDppPrune _),
@@ -1026,5 +1101,6 @@ object DataProfile {
     "anomaly_daily_mad" -> anomalyDailyMadOracle,
     "agg_weighted_median" -> aggWeightedMedianOracle,
     "window_cume_dist" -> windowCumeDistOracle,
-    "agg_collect_set" -> aggCollectSetOracle)
+    "agg_collect_set" -> aggCollectSetOracle,
+    "profile_drift" -> profileDriftOracle)
 }

@@ -780,8 +780,116 @@ object GraphOps {
        |ORDER BY node""".stripMargin
   }
 
+  // ---- graph_label_prop -----------------------------------------------------
+  // Community detection by SYNCHRONOUS weighted label propagation
+  // (Raghavan, Albert & Kumara 2007) — the near-linear community finder
+  // graph curation runs where modularity solvers are too expensive. The
+  // graph is the parts co-purchase graph PRUNED TO STRONG TIES (pairs
+  // sharing >= LpaMinWeight distinct orders, votes weighted by that
+  // count): on the raw co-occurrence graph every co-supply relation is
+  // near-complete and LPA honestly floods to one community — thresholding
+  // to repeated co-occurrence is the standard pre-step (it is what makes
+  // "community" mean something on a co-occurrence graph), and it leaves a
+  // sparse modular graph at every SF (sf0.01: ~6.9k directed edges over
+  // 2k parts; sf0.1: ~7.1k over 20k). Every node starts as its own
+  // community; each round adopts the neighbor label with the largest
+  // weight sum (ties to the SMALLEST label — the deterministic variant;
+  // the paper's random tie-break is irreproducible across engines).
+  // Bounded synchronous rounds rather than run-to-convergence because sync
+  // LPA can 2-cycle on bipartite regions — a fixed unroll is deterministic
+  // on every input, and both engines replay the same depth. Per round: one
+  // node-grain equi-join (labels onto edge dsts) + two hash aggs, label
+  // state localCheckpointed so lineage stays O(1) — pagerank's topology,
+  // cost per round ∝ strong edges. Output is community-grain (top 50 by
+  // size, ties to smaller label), never node-grain.
+  private[operators] val LpaRounds = 3
+  private[operators] val LpaMinWeight = 2
+
+  /** The LPA round core over a weighted symmetric edge set (src, dst, w) —
+    * split out so the spec can drive it with a planted two-clique graph. */
+  private[operators] def lpaLabels(edges: DataFrame): DataFrame = {
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaRounds) {
+      val votes = edges
+        .join(lbl.select(col("node").as("dn"), col("lbl")),
+          col("dst") === col("dn"))
+        .groupBy(col("src"), col("lbl")).agg(sum(col("w")).as("cnt"))
+      // weighted mode with min-label tie-break as ONE ordered struct max —
+      // no window, no second shuffle beyond the (src, lbl) agg's own
+      val pick = votes.groupBy(col("src"))
+        .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("src").as("pn"), (-col("m").getField("neg")).as("new_lbl"))
+      lbl = lbl.join(pick, col("node") === col("pn"), "left")
+        .select(col("node"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lbl
+  }
+
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val pr = load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val capped = pr
+      .withColumn("k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))))
+      .filter(col("k") <= maxSuppliersPerOrder)
+      .select(col("ok"), col("pk"))
+    val edges = capped.as("a")
+      .join(capped.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= LpaMinWeight)
+      .localCheckpoint() // feeds every round + the node set
+    lpaLabels(edges).groupBy(col("lbl"))
+      .agg(count(lit(1)).as("size"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("size").desc, col("lbl"))
+      .limit(50)
+      .select(col("lbl").as("community"), col("size"),
+        col("min_node"), col("max_node"))
+  }
+
+  private val graphLabelPropOracle = {
+    // MATERIALIZED per round: each round references the previous label
+    // frame twice (votes + the coalesce fallback) — the kcore lesson
+    def round(i: Int) =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.src AS node, l.lbl,
+         |           ROW_NUMBER() OVER (PARTITION BY e.src
+         |                              ORDER BY SUM(e.w) DESC, l.lbl) AS rn
+         |    FROM ew e JOIN l${i - 1} l ON l.node = e.dst
+         |    GROUP BY e.src, l.lbl) t
+         |  WHERE rn = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT l.node, COALESCE(p.lbl, l.lbl) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN p$i p ON p.node = l.node)""".stripMargin
+    s"""WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |capped AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS k FROM pr) t
+       |  WHERE k <= $maxSuppliersPerOrder),
+       |ew AS MATERIALIZED (
+       |  SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk <> b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $LpaMinWeight),
+       |l0 AS MATERIALIZED (
+       |  SELECT node, node AS lbl FROM (SELECT DISTINCT src AS node FROM ew) n),
+       |${(1 to LpaRounds).map(round).mkString(",\n")}
+       |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size,
+       |       MIN(node) AS min_node, MAX(node) AS max_node
+       |FROM l$LpaRounds
+       |GROUP BY lbl ORDER BY size DESC, community LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
     "graph_kcore" -> (graphKcore _),
+    "graph_label_prop" -> (graphLabelProp _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_ppr" -> (graphPpr _),
     "graph_pagerank_conv" -> (graphPagerankConv _),
@@ -793,6 +901,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> graphKcoreOracle,
+    "graph_label_prop" -> graphLabelPropOracle,
     "graph_pagerank" -> graphPagerankOracle,
     "graph_ppr" -> graphPprOracle,
     "graph_pagerank_conv" -> graphPagerankConvOracle,

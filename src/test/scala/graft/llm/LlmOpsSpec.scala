@@ -218,6 +218,43 @@ class LlmOpsSpec extends SparkSpec {
       f"IVFPQ recall $ivfpq%.3f exceeds its IVF-exact ceiling $ivf5%.3f — scan leaked outside probed cells?")
   }
 
+  test("hamming sign-bit top-k: packing bounds, recall above single-table LSH (r12)") {
+    // binary quantization carries the FULL 64 sign bits (vs the LSH keys'
+    // 4 bucket bits), so its exhaustive Hamming scan must recover more of
+    // the exact top-3 than a single 4-bit LSH table's bucket-restricted
+    // candidates — the compression-vs-recall point the key exists to make.
+    def top3(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.filter(_.getAs[Int]("rank") <= 3)
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = top3(Similarity.simTopkBruteforce(spark, sfDir).collect())
+    def recall(ann: Map[Long, Set[Long]]): Double = {
+      val qs = exact.keySet
+      qs.toSeq.map(q => (ann.getOrElse(q, Set.empty) & exact(q)).size.toDouble /
+        exact(q).size).sum / qs.size
+    }
+    val hamRows = Similarity.simHammingTopk(spark, sfDir).collect()
+    val ham = recall(top3(hamRows))
+    val lsh = recall(top3(Similarity.simLshAnn(spark, sfDir).collect()))
+    info(f"recall@3 vs exact — hamming(64 sign bits): $ham%.3f, lsh(1 table, 4 bits): $lsh%.3f")
+    assert(ham > lsh,
+      f"64-bit Hamming recall $ham%.3f not above 4-bit single-table LSH $lsh%.3f")
+    assert(ham >= 0.10, f"Hamming recall $ham%.3f below the 0.10 floor")
+    // distances are genuine popcounts: within [0, 64], and per query the
+    // ranked list is non-decreasing in hamming with ids breaking ties
+    hamRows.foreach { r =>
+      val h = r.getAs[Long]("hamming")
+      assert(h >= 0 && h <= 64, s"hamming $h outside [0,64]")
+    }
+    hamRows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("hamming"), r.getAs[Long]("neighbor_id")))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) },
+        s"rank order violates (hamming, id) total order: ${byRank.mkString(",")}")
+    }
+  }
+
   test("NSW graph search: sub-scan visited bound, recall above the entry-only baseline") {
     val (visited, result) = Similarity.nswWalk(spark, sfDir)
     val corpusN = spark.read.parquet(s"$sfDir/embeddings.parquet").count()

@@ -347,4 +347,37 @@ class DataProfileSpec extends SparkSpec {
     assert(BigInt(z2) == num / den, s"z2_micro $z2 != ${num / den}")
     assert(sig == (z2 > 3841459L), "the 95% verdict must follow chi2(1)")
   }
+
+  test("profile_drift: bucket bounds, count conservation, TVD fold (r12)") {
+    val out = DataProfile.profileDrift(spark, sfDir).collect()
+    val (summary, buckets) = out.partition(_.getLong(0) == -1L)
+    assert(summary.length == 1, "exactly one summary row expected")
+    assert(buckets.nonEmpty && buckets.forall { r =>
+      val b = r.getLong(0); b >= 0 && b < 16
+    }, "bucket ids must sit in [0, 16)")
+    val s0 = summary.head
+    // conservation: summary counts are the bucket sums, and they cover the
+    // events table exactly
+    assert(s0.getLong(1) == buckets.map(_.getLong(1)).sum &&
+      s0.getLong(2) == buckets.map(_.getLong(2)).sum,
+      "summary counts != bucket sums")
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(s0.getLong(1) + s0.getLong(2) == nEvents,
+      "baseline + latest-day rows must cover every event")
+    // truncating ppm shares: each side sums to 1e6 minus at most one
+    // truncation unit per bucket
+    Seq(3, 4).foreach { i =>
+      val tot = s0.getLong(i)
+      assert(tot <= 1000000L && tot > 1000000L - buckets.length,
+        s"ppm column $i sums to $tot — shares are not truncating millionths")
+    }
+    // the headline TVD is the |diff| fold halved, and genuinely positive
+    // on the fixture (the latest day is one draw against the whole
+    // baseline — sampling drift alone must register)
+    assert(s0.getLong(5) == buckets.map(_.getLong(5)).sum / 2,
+      "summary TVD != sum(|diff|) div 2")
+    assert(s0.getLong(5) > 0, "zero measured drift — the monitor is vacuous")
+    // and bounded: TVD in ppm can never exceed 1e6
+    assert(s0.getLong(5) <= 1000000L, "TVD above 100%")
+  }
 }

@@ -284,4 +284,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.exists(r => pr(r.getLong(0)) != r.getLong(1)),
       "PPR degenerated to uniform PageRank")
   }
+
+  test("label propagation: planted two-clique graph resolves both communities (r12)") {
+    import spark.implicits._
+    // two weighted triangles {1,2,3} and {10,11,12} joined by one weak
+    // bridge 3–10: the intra-clique weight (5) must outvote the bridge
+    // (1), so LPA settles on two communities labeled by their minimum
+    // member — the deterministic min-label tie-break doing its job on the
+    // round-1 all-ties start.
+    def sym(a: Long, b: Long, w: Long) = Seq((a, b, w), (b, a, w))
+    val edges = (sym(1, 2, 5) ++ sym(1, 3, 5) ++ sym(2, 3, 5) ++
+      sym(10, 11, 5) ++ sym(10, 12, 5) ++ sym(11, 12, 5) ++
+      sym(3, 10, 1)).toDF("src", "dst", "w")
+    val labels = GraphOps.lpaLabels(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(labels).toSet == Set(1L),
+      s"left clique did not settle on label 1: $labels")
+    assert(Seq(10L, 11L, 12L).map(labels).toSet == Set(10L),
+      s"right clique did not settle on label 10: $labels")
+
+    // the full key on the fixture: community-grain output, deterministic,
+    // and non-degenerate (the strong-tie threshold is what prevents the
+    // raw co-occurrence flood to ONE community)
+    val out = GraphOps.queries("graph_label_prop")(spark, sfDir).collect()
+    assert(out.length > 1, "LPA flooded the whole graph into one community")
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b },
+      "communities not ordered by size")
+    val again = GraphOps.queries("graph_label_prop")(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "label propagation is not deterministic across runs")
+  }
 }
