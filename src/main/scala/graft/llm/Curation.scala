@@ -633,7 +633,79 @@ object Curation {
        |       ${graft.functions.Scalars.corpusFpSql("doc_id", "text")} AS shard_fp
        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- curate_dataset_card ----------------------------------------------------
+  // The per-source DATASET CARD — the datasheet ("Datasheets for Datasets",
+  // Gebru et al. 2021) a curation team publishes per corpus slice, and the
+  // first report a data vendor is asked for: volume (docs, chars), language
+  // mix concentration (Simpson index over langs, integer ppm — the
+  // agg_diversity device at source grain), exact-duplicate burden
+  // (docs − distinct md5(text) — dedup_exact's hash at report grain), and
+  // the LOWER MEDIAN document length from a (source, n_chars) VALUE-GRAIN
+  // collapse — the agg_median discipline: the running-count window sorts
+  // distinct lengths per source, never documents. Everything integer:
+  // counts, sums, truncating-ppm Simpson, and a median that is a real data
+  // value. Plan: three map-side-combining aggs over one projection of the
+  // corpus (source grain, (source, lang) grain, (source, n_chars) grain) +
+  // metadata-sized joins; at 100 TB every post-scan frame is thousands of
+  // rows at most.
+  def curateDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = load(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"))
+    val per = base.groupBy(col("source")).agg(
+      count(lit(1)).as("docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"),
+      (count(lit(1)) - countDistinct(col("h"))).as("dup_docs"))
+    val sl = base.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val simp = sl.groupBy(col("source")).agg(
+      expr("SUM(c * c) * 1000000 div (SUM(c) * SUM(c))").as("lang_simpson_ppm"))
+    val vc = base.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars")) // lint:series-grain (value-grain collapse)
+    val wAll = Window.partitionBy(col("source")) // lint:series-grain (value-grain collapse)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = vc.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("source")).agg(min(col("n_chars")).as("median_chars"))
+    per.join(simp, Seq("source")).join(med, Seq("source"))
+      .select(col("source"), col("docs"), col("n_langs"), col("total_chars"),
+        col("dup_docs"), col("median_chars"), col("lang_simpson_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val curateDatasetCardOracle =
+    """WITH base AS (
+      |  SELECT source, lang, n_chars, md5(text) AS h FROM documents),
+      |per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |         CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS dup_docs
+      |  FROM base GROUP BY source),
+      |sl AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY 1, 2),
+      |simp AS (
+      |  SELECT source,
+      |         CAST(SUM(c * c) * 1000000 // (SUM(c) * SUM(c)) AS BIGINT)
+      |           AS lang_simpson_ppm
+      |  FROM sl GROUP BY source),
+      |vc AS (SELECT source, n_chars, COUNT(*) AS c FROM base GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, n_chars,
+      |         SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+      |         SUM(c) OVER (PARTITION BY source) AS n
+      |  FROM vc),
+      |med AS (
+      |  SELECT source, MIN(n_chars) AS median_chars
+      |  FROM cum WHERE cum >= (n + 1) // 2 GROUP BY source)
+      |SELECT p.source, p.docs, p.n_langs, p.total_chars, p.dup_docs,
+      |       m.median_chars, s.lang_simpson_ppm
+      |FROM per p JOIN simp s USING (source) JOIN med m USING (source)
+      |ORDER BY p.source""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "curate_dataset_card" -> (curateDatasetCard _),
     "pipeline_pretrain_export" -> (pipelinePretrainExport _),
     "curate_classifier_score" -> (curateClassifierScore _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -646,6 +718,7 @@ object Curation {
     "curate_ppl_buckets" -> (curatePplBuckets _))
 
   def oracles: Map[String, String] = Map(
+    "curate_dataset_card" -> curateDatasetCardOracle,
     "pipeline_pretrain_export" -> pipelinePretrainExportOracle(
       curateKeepDropOracle(
         TextAnalysis.oracles("text_quality"),

@@ -714,6 +714,107 @@ object PipelinePrep {
        |FROM th, nb, ex""".stripMargin
   }
 
+  // ---- sketch_kmv_diff --------------------------------------------------------
+  // KMV set DIFFERENCE — the a-not-b operation that completes the theta
+  // family (union/intersection live in sketch_kmv_intersect): the union
+  // sketch's k samples PARTITION into only-A / only-B / both by two
+  // membership probes, and each class's cardinality estimate is its sample
+  // share of the union estimate — so the three estimates CONSERVE
+  // (only_a + only_b + both partitions k exactly; the estimates differ
+  // from D̂_union only by per-class truncating division). Same exact-BIGINT
+  // estimator discipline as the intersect key: 52-bit md5 hashes, θ from
+  // the k-th smallest union sample, every step integer division — the
+  // estimates themselves hash-match the oracle. Exact answers ride along
+  // for the accuracy read. At scale: per side one distinct + one
+  // TakeOrdered (k rows out); the diff itself runs on 3·k = 192 rows.
+  def sketchKmvDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+    def side(status: String): DataFrame = orders
+      .filter(col("o_orderstatus") === status)
+      .select(col("o_custkey").as("id")).distinct()
+      .select(
+        conv(substring(md5(concat(lit("kmv:"), col("id").cast("string"))),
+          1, 13), 16, 10).cast("long").as("h"))
+    def sketch(x: DataFrame): DataFrame =
+      x.orderBy(col("h")).limit(KmvK)
+    val skA = sketch(side("F")).withColumnRenamed("h", "ha")
+    val skB = sketch(side("O")).withColumnRenamed("h", "hb")
+    val union = sketch(skA.select(col("ha").as("h"))
+      .unionAll(skB.select(col("hb").as("h"))).distinct())
+    val theta = union.agg(max(col("h")).as("theta"))
+    val classes = union
+      .join(skA, col("h") === col("ha"), "left")
+      .join(skB, col("h") === col("hb"), "left")
+      .agg(
+        sum(when(col("ha").isNotNull && col("hb").isNull, 1L).otherwise(0L))
+          .as("n_only_a"),
+        sum(when(col("ha").isNull && col("hb").isNotNull, 1L).otherwise(0L))
+          .as("n_only_b"),
+        sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L).otherwise(0L))
+          .as("n_both"))
+    val exact = orders.filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_custkey"), col("o_orderstatus")).distinct()
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("a"),
+        max(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("b"))
+      .agg(
+        sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L))
+          .as("exact_only_a"),
+        sum(when(col("a") === 0L && col("b") === 1L, 1L).otherwise(0L))
+          .as("exact_only_b"))
+    theta.crossJoin(classes).crossJoin(exact)
+      .select(lit(KmvK.toLong).as("k"),
+        col("n_only_a"), col("n_only_b"), col("n_both"),
+        expr(s"${KmvK - 1} * ${KmvScale}L div theta").as("d_union_est"),
+        expr(s"(n_only_a * (${KmvK - 1} * ${KmvScale}L div theta)) div $KmvK")
+          .as("d_only_a_est"),
+        expr(s"(n_only_b * (${KmvK - 1} * ${KmvScale}L div theta)) div $KmvK")
+          .as("d_only_b_est"),
+        col("exact_only_a"), col("exact_only_b"))
+  }
+
+  private val sketchKmvDiffOracle = {
+    val h = (c: String) => s"CAST(concat('0x', substr(md5(concat('kmv:', CAST($c AS VARCHAR))), 1, 13)) AS BIGINT)"
+    s"""WITH a AS (
+       |  SELECT ${h("id")} AS h FROM (
+       |    SELECT DISTINCT o_custkey AS id FROM orders WHERE o_orderstatus = 'F')
+       |  ORDER BY h LIMIT $KmvK),
+       |b AS (
+       |  SELECT ${h("id")} AS h FROM (
+       |    SELECT DISTINCT o_custkey AS id FROM orders WHERE o_orderstatus = 'O')
+       |  ORDER BY h LIMIT $KmvK),
+       |u AS (
+       |  SELECT h FROM (SELECT DISTINCT h FROM (
+       |    SELECT h FROM a UNION ALL SELECT h FROM b) t) d
+       |  ORDER BY h LIMIT $KmvK),
+       |th AS (SELECT MAX(h) AS theta FROM u),
+       |cl AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN ia AND NOT ib THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+       |    CAST(SUM(CASE WHEN ib AND NOT ia THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+       |    CAST(SUM(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+       |  FROM (SELECT h, h IN (SELECT h FROM a) AS ia,
+       |               h IN (SELECT h FROM b) AS ib FROM u) t),
+       |ex AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_only_a,
+       |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_only_b
+       |  FROM (SELECT o_custkey,
+       |          MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
+       |          MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS b
+       |        FROM orders WHERE o_orderstatus IN ('F', 'O')
+       |        GROUP BY o_custkey) t)
+       |SELECT CAST($KmvK AS BIGINT) AS k,
+       |       cl.n_only_a, cl.n_only_b, cl.n_both,
+       |       CAST(${KmvK - 1} * $KmvScale // theta AS BIGINT) AS d_union_est,
+       |       CAST((cl.n_only_a * (${KmvK - 1} * $KmvScale // theta)) // $KmvK AS BIGINT)
+       |         AS d_only_a_est,
+       |       CAST((cl.n_only_b * (${KmvK - 1} * $KmvScale // theta)) // $KmvK AS BIGINT)
+       |         AS d_only_b_est,
+       |       ex.exact_only_a, ex.exact_only_b
+       |FROM th, cl, ex""".stripMargin
+  }
+
   // ---- pack_epoch_shuffle ---------------------------------------------------
   // Deterministic EPOCH-WISE shuffle schedule — data order is part of the
   // training recipe (a rerun must see the same batches, an epoch must be
@@ -977,6 +1078,7 @@ object PipelinePrep {
     "embed_pca_power" -> (embedPcaPower _),
     "pack_epoch_shuffle" -> (packEpochShuffle _),
     "sketch_kmv_intersect" -> (sketchKmvIntersect _),
+    "sketch_kmv_diff" -> (sketchKmvDiff _),
     "curate_decontaminate" -> (curateDecontaminate _),
     "pack_length_buckets" -> (packLengthBuckets _),
     "pack_sequences" -> (packSequences _),
@@ -994,6 +1096,7 @@ object PipelinePrep {
     "embed_pca_power" -> embedPcaPowerOracle,
     "pack_epoch_shuffle" -> packEpochShuffleOracle,
     "sketch_kmv_intersect" -> sketchKmvIntersectOracle,
+    "sketch_kmv_diff" -> sketchKmvDiffOracle,
     "curate_decontaminate" -> curateDecontaminateOracle,
     "pack_length_buckets" -> packLengthBucketsOracle,
     "pack_sequences" -> packSequencesOracle,

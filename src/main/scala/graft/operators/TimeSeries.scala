@@ -751,7 +751,63 @@ object TimeSeries {
       |FROM tr t JOIN se s ON s.dow = t.dow
       |ORDER BY t.day""".stripMargin
 
+  // ---- ts_twa ----------------------------------------------------------------
+  // TIME-WEIGHTED average per user series — the irregular-sampling
+  // aggregate (TimescaleDB's time_weight / kdb's wavg-over-time): a plain
+  // AVG over-weights bursts of closely spaced events; the honest mean of a
+  // step signal is the LOCF integral Σ value·Δt over the observed span.
+  // Everything stays exact: values in cents, gaps in integer micros
+  // (unix_micros/epoch_us — the window_session convention), the integral
+  // as a DECIMAL(38,0) sum (cents·micros ~1e15/pair; a year-long 100 TB
+  // series overflows BIGINT's 9.2e18), and the ratio frozen by the exact
+  // floor ((num·1e6 − mod) / den) in the decimal domain — the PCA-overflow
+  // lesson: only the final quotient lands in a LONG. num is provably
+  // non-negative (values are positive cents), so truncation and floor
+  // agree and Spark's %-floor matches DuckDB's // exactly. Users with
+  // one event have no observed span and are excluded (den = 0).
+  // Plan: ONE shuffle on user_id shared by the lead() window and the
+  // final user-grain agg — the sessionization topology.
+  def tsTwa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = load(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    e.withColumn("nus", lead(col("us"), 1).over(w))
+      .filter(col("nus").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum((col("nus") - col("us")).cast("decimal(38,0)") *
+          col("cents").cast("decimal(38,0)")).as("num"),
+        sum(col("nus") - col("us")).as("den"),
+        count(lit(1)).as("n_gaps"))
+      .select(col("user_id"), col("n_gaps"), col("den").as("span_us"),
+        expr("""CAST((num * 1000000 - (num * 1000000) % CAST(den AS DECIMAL(38,0)))
+               |     / CAST(den AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("twa_micents"))
+      .orderBy(col("user_id"))
+  }
+
+  private val tsTwaOracle =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, cents, us,
+      |         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nus
+      |  FROM e)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |       CAST(SUM(nus - us) AS BIGINT) AS span_us,
+      |       CAST(SUM(CAST(nus - us AS HUGEINT) * cents) * 1000000
+      |            // CAST(SUM(nus - us) AS HUGEINT) AS BIGINT) AS twa_micents
+      |FROM g WHERE nus IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "ts_twa" -> (tsTwa _),
     "ts_seasonal_decompose" -> (tsSeasonalDecompose _),
     "ts_seasonal_strength" -> (tsSeasonalStrength _),
     "ts_autocorr" -> (tsAutocorr _),
@@ -768,6 +824,7 @@ object TimeSeries {
     "window_rolling_distinct" -> (windowRollingDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "ts_twa" -> tsTwaOracle,
     "ts_autocorr" -> tsAutocorrOracle,
     "ts_seasonal_decompose" -> tsSeasonalDecomposeOracle,
     "ts_seasonal_strength" -> tsSeasonalStrengthOracle,

@@ -1072,4 +1072,35 @@ class LlmOpsSpec extends SparkSpec {
     // if MMR never re-orders the pure relevance top-4, the key is vacuous
     assert(diversified > 0, "MMR never diversified — fixture degenerate")
   }
+
+  test("dataset card: per-source identities hold against driver recomputes (r12)") {
+    val card = Curation.curateDatasetCard(spark, sfDir).collect()
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+      .select("source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(card.map(_.getString(0)).toSet == docs.keySet,
+      "card must cover every source exactly once")
+    card.foreach { r =>
+      val g = docs(r.getString(0))
+      assert(r.getLong(1) == g.length, "docs")
+      assert(r.getLong(2) == g.map(_._2).distinct.length, "n_langs")
+      assert(r.getLong(3) == g.map(_._3).sum, "total_chars")
+      assert(r.getLong(4) == g.length - g.map(_._4).distinct.length, "dup_docs")
+      // lower median over the sorted length multiset
+      val lens = g.map(_._3).sorted
+      assert(r.getLong(5) == lens((lens.length + 1) / 2 - 1), "median_chars")
+      // Simpson ppm over lang counts, truncating
+      val cs = g.groupBy(_._2).values.map(_.length.toLong)
+      val want = cs.map(c => BigInt(c) * c).sum * 1000000 /
+        (BigInt(g.length) * g.length)
+      assert(BigInt(r.getLong(6)) == want, "lang_simpson_ppm")
+      // bounds: a mixed source sits strictly inside (1/n_langs, 1]
+      assert(r.getLong(6) > 0 && r.getLong(6) <= 1000000L, "simpson bounds")
+    }
+    // non-vacuity: a real language mix (else the Simpson column proves
+    // nothing); the fixture has no exact duplicates, so dup_docs is
+    // verified by the identity above (0 == 0 on every source)
+    assert(card.exists(_.getLong(6) < 1000000L), "every source is single-lang")
+  }
 }

@@ -409,4 +409,68 @@ class PipelinePrepSpec extends SparkSpec {
     // multiset fingerprint present for every emitting lang
     out.filter(_.getLong(5) > 0).foreach(r => assert(r.getString(6) != null))
   }
+
+  test("sketch_kmv_diff: class partition conserves k, estimates partition the union (r12)") {
+    val r = PipelinePrep.queries("sketch_kmv_diff")(spark, sfDir).collect().head
+    val (k, nA, nB, nBoth) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (dU, dA, dB) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    val (exA, exB) = (r.getLong(7), r.getLong(8))
+    assert(k == 64L)
+    // the union sketch's samples PARTITION into the three classes — the
+    // identity that makes a-not-b consistent with union and intersection
+    assert(nA + nB + nBoth == k,
+      s"class counts $nA+$nB+$nBoth must partition the $k union samples")
+    // each estimate is its class share of the union estimate (truncating),
+    // so the three reassemble D̂_union up to one truncation unit per class
+    val dBoth = nBoth * dU / k
+    assert(dA == nA * dU / k && dB == nB * dU / k,
+      s"class estimates ($dA,$dB) are not sample shares of the union $dU")
+    assert(dA + dB + dBoth <= dU && dA + dB + dBoth > dU - 3 * (dU / k + 1),
+      s"partitioned estimates $dA+$dB+$dBoth do not reassemble $dU")
+    // accuracy: 3-sigma relative band (k=64 ≈ 12.6% rsd) PLUS a
+    // granularity floor — each union sample stands for D̂_union/k
+    // elements, so a class holding a handful of members can only be
+    // estimated to within a few granules (at sf0.001 only-A is 2
+    // customers against a ~2.3-customer granule)
+    assert(exA > 0 && exB > 0, "fixture must have customers on both sides")
+    val granule = dU.toDouble / k
+    def band(ex: Long) = 0.38 * ex + 4 * granule
+    assert(math.abs(dA - exA) < band(exA), s"only-A est $dA vs exact $exA")
+    assert(math.abs(dB - exB) < band(exB), s"only-B est $dB vs exact $exB")
+  }
+
+  test("ts_twa is bounded by per-user min/max and differs from the plain mean (r12)") {
+    val twa = graft.operators.TimeSeries.queries("ts_twa")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(twa.nonEmpty)
+    // driver replay on a few users + bounds on all
+    val ev = graft.model.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    twa.foreach { case (u, (nGaps, span, micents)) =>
+      val series = ev(u).toSeq.sortBy(e => (e._3, e._2))
+      assert(nGaps == series.length - 1, s"user $u gap count")
+      val gaps = series.zip(series.tail)
+        .map { case (a, b) => (BigInt(b._3 - a._3), BigInt(a._4)) }
+      assert(span == gaps.map(_._1).sum, s"user $u span")
+      val want = (gaps.map { case (dt, c) => dt * c }.sum * 1000000 /
+        gaps.map(_._1).sum).toLong
+      assert(micents == want, s"user $u twa replay: got $micents want $want")
+      // TWA is a convex combination of observed values: inside [min,max]
+      val lo = gaps.map(_._2).min * 1000000
+      val hi = gaps.map(_._2).max * 1000000
+      assert(micents >= lo && micents <= hi, s"user $u twa outside value hull")
+    }
+    // and the weighting is real: for some user TWA differs from the
+    // unweighted mean of the same leading values (else the key is AVG)
+    val differs = twa.exists { case (u, (_, _, micents)) =>
+      val series = ev(u).toSeq.sortBy(e => (e._3, e._2)).dropRight(1)
+      val mean = series.map(e => BigInt(e._4)).sum * 1000000 / series.length
+      (mean - micents).abs > 1000000 // differ by more than one cent-unit
+    }
+    assert(differs, "TWA equals the plain mean everywhere — weighting vacuous")
+  }
 }
