@@ -829,7 +829,11 @@ object GraphOps {
     lbl
   }
 
-  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+  /** The strong-tie weighted parts graph shared by graph_label_prop and
+    * graph_mst: co-purchase pairs weighted by distinct shared orders,
+    * thresholded to repeated co-occurrence. Symmetric directed (src, dst,
+    * w); localCheckpointed because every consumer iterates over it. */
+  private[operators] def strongTieEdges(s: SparkSession, dir: String): DataFrame = {
     val pr = load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -838,13 +842,29 @@ object GraphOps {
         org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))))
       .filter(col("k") <= maxSuppliersPerOrder)
       .select(col("ok"), col("pk"))
-    val edges = capped.as("a")
+    capped.as("a")
       .join(capped.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= LpaMinWeight)
-      .localCheckpoint() // feeds every round + the node set
+      .localCheckpoint()
+  }
+
+  /** The same graph as DuckDB CTEs (ew = symmetric directed strong ties). */
+  private def strongTieCtes =
+    s"""pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |capped AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS k FROM pr) t
+       |  WHERE k <= $maxSuppliersPerOrder),
+       |ew AS MATERIALIZED (
+       |  SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk <> b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $LpaMinWeight)""".stripMargin
+
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val edges = strongTieEdges(s, dir) // feeds every round + the node set
     lpaLabels(edges).groupBy(col("lbl"))
       .agg(count(lit(1)).as("size"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
@@ -869,15 +889,7 @@ object GraphOps {
          |l$i AS MATERIALIZED (
          |  SELECT l.node, COALESCE(p.lbl, l.lbl) AS lbl
          |  FROM l${i - 1} l LEFT JOIN p$i p ON p.node = l.node)""".stripMargin
-    s"""WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       |capped AS (
-       |  SELECT ok, pk FROM (
-       |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS k FROM pr) t
-       |  WHERE k <= $maxSuppliersPerOrder),
-       |ew AS MATERIALIZED (
-       |  SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk <> b.pk
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $LpaMinWeight),
+    s"""WITH $strongTieCtes,
        |l0 AS MATERIALIZED (
        |  SELECT node, node AS lbl FROM (SELECT DISTINCT src AS node FROM ew) n),
        |${(1 to LpaRounds).map(round).mkString(",\n")}
@@ -887,9 +899,177 @@ object GraphOps {
        |GROUP BY lbl ORDER BY size DESC, community LIMIT 50""".stripMargin
   }
 
+  // ---- graph_mst ------------------------------------------------------------
+  // MAXIMUM spanning forest of the strong-tie graph by deterministic
+  // BORŮVKA (1926; the parallel-MST algorithm GraphX/Pregel systems run —
+  // Kruskal/Prim are inherently sequential union-find walks): each round,
+  // every component selects its best incident edge under ONE global total
+  // order (w DESC, then u, then v — distinct-ranks, so the forest is
+  // unique), selected edges join the forest, and touched components merge
+  // by min-label consensus over the selection links. The backbone
+  // extraction that turns a co-occurrence graph into its strongest
+  // skeleton (network-backbone / hierarchical-clustering seed). Round and
+  // consensus depths are data-measured (sf0.001/0.01/0.1 need ≤5 rounds,
+  // ≤8 consensus iterations) and the engine FAILS LOUDLY past the bounds
+  // the oracle unrolls (the kcore discipline). Per round: one label join +
+  // one component-grain max-struct agg + consensus joins over the LINKS
+  // graph (≤ |components| rows, shrinking geometrically) — nothing after
+  // the first join is fact-sized, and every frame localCheckpoints so
+  // lineage stays O(1).
+  private[operators] val MstMaxRounds = 6
+  private[operators] val MstMaxCcIters = 10
+
+  def graphMst(s: SparkSession, dir: String): DataFrame = {
+    val und = strongTieEdges(s, dir)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .localCheckpoint()
+    var lbl = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var msf: Option[DataFrame] = None
+    var round = 0
+    var done = false
+    while (!done && round < MstMaxRounds) {
+      round += 1
+      val live = und
+        .join(lbl.select(col("node").as("u"), col("lbl").as("cu")), Seq("u"))
+        .join(lbl.select(col("node").as("v"), col("lbl").as("cv")), Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint()
+      if (live.isEmpty) done = true
+      else {
+        // best incident edge per component under (w DESC, u ASC, v ASC)
+        val cand = live.select(col("cu").as("c"), col("w"), col("u"), col("v"))
+          .unionAll(live.select(col("cv").as("c"), col("w"), col("u"), col("v")))
+        val sel = cand.groupBy(col("c"))
+          .agg(max(struct(col("w"),
+            (-col("u")).as("nu"), (-col("v")).as("nv"))).as("b"))
+          .select(col("b.w").as("w"),
+            (-col("b.nu")).as("u"), (-col("b.nv")).as("v"))
+          .select(col("u"), col("v"), col("w")).distinct()
+          .localCheckpoint()
+        msf = Some(msf.map(_.unionAll(sel)).getOrElse(sel).localCheckpoint())
+        // min-label consensus over the component links of selected edges
+        val links = live.join(sel.select(col("u"), col("v")), Seq("u", "v"),
+            "left_semi")
+          .select(col("cu").as("a"), col("cv").as("b")).distinct()
+        val sym = links.unionAll(links.select(col("b").as("a"), col("a").as("b")))
+          .localCheckpoint()
+        var m = sym.select(col("a").as("c")).distinct()
+          .select(col("c"), col("c").as("m")).localCheckpoint()
+        var iters = 0
+        var stable = false
+        while (!stable && iters < MstMaxCcIters) {
+          iters += 1
+          val nbr = sym.join(m.select(col("c").as("b2"), col("m").as("cand")),
+              col("b") === col("b2"))
+            .select(col("a").as("c"), col("cand"))
+          val nm = m.select(col("c"), col("m").as("cand")).unionAll(nbr)
+            .groupBy(col("c")).agg(min(col("cand")).as("m"))
+            .localCheckpoint()
+          stable = nm.join(m.withColumnRenamed("m", "m0"), Seq("c"))
+            .filter(col("m") =!= col("m0")).isEmpty
+          m = nm
+        }
+        require(stable, s"graph_mst consensus did not stabilize in " +
+          s"$MstMaxCcIters iterations — raise MstMaxCcIters and the oracle " +
+          "unroll together")
+        lbl = lbl.join(m.select(col("c"), col("m").as("nl")),
+            col("lbl") === col("c"), "left")
+          .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+    }
+    require(done, s"graph_mst did not converge in $MstMaxRounds rounds — " +
+      "raise MstMaxRounds and the oracle unroll together")
+    val forest = msf.get
+    val comp = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
+    val treeAgg = forest
+      .join(lbl.select(col("node").as("u"), col("lbl")), Seq("u"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("tree_weight"))
+    comp.join(treeAgg, Seq("lbl"))
+      .orderBy(col("n_nodes").desc, col("lbl"))
+      .limit(50)
+      .select(col("lbl").as("component"), col("n_nodes"), col("n_edges"),
+        col("tree_weight"))
+  }
+
+  private val graphMstOracle = {
+    // one Borůvka round, fully unrolled: live edges under the previous
+    // labels, best-per-component selection, min-label consensus over the
+    // selection links (MstMaxCcIters synchronous iterations — idempotent
+    // at the fixpoint), label update. Everything MATERIALIZED: each frame
+    // is referenced twice downstream (the kcore lesson).
+    def ccIter(r: Int, j: Int) =
+      s"""m${r}_$j AS MATERIALIZED (
+         |  SELECT c, MIN(cand) AS m FROM (
+         |    SELECT c, m AS cand FROM m${r}_${j - 1}
+         |    UNION ALL
+         |    SELECT s.a AS c, m.m AS cand
+         |    FROM sym$r s JOIN m${r}_${j - 1} m ON m.c = s.b)
+         |  GROUP BY c)""".stripMargin
+    def round(r: Int) =
+      s"""live$r AS MATERIALIZED (
+         |  SELECT e.u, e.v, e.w, la.lbl AS cu, lb.lbl AS cv
+         |  FROM und e
+         |  JOIN l${r - 1} la ON la.node = e.u
+         |  JOIN l${r - 1} lb ON lb.node = e.v
+         |  WHERE la.lbl <> lb.lbl),
+         |sel$r AS MATERIALIZED (
+         |  SELECT DISTINCT u, v, w FROM (
+         |    SELECT u, v, w,
+         |           ROW_NUMBER() OVER (PARTITION BY c
+         |                              ORDER BY w DESC, u, v) AS rn
+         |    FROM (
+         |      SELECT cu AS c, w, u, v FROM live$r
+         |      UNION ALL
+         |      SELECT cv AS c, w, u, v FROM live$r) t) rk
+         |  WHERE rn = 1),
+         |sym$r AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT l.cu AS a, l.cv AS b
+         |    FROM live$r l JOIN sel$r s ON s.u = l.u AND s.v = l.v
+         |    UNION ALL
+         |    SELECT l.cv AS a, l.cu AS b
+         |    FROM live$r l JOIN sel$r s ON s.u = l.u AND s.v = l.v) t
+         |  GROUP BY a, b),
+         |m${r}_0 AS MATERIALIZED (
+         |  SELECT c, c AS m FROM (SELECT DISTINCT a AS c FROM sym$r) n),
+         |${(1 to MstMaxCcIters).map(j => ccIter(r, j)).mkString(",\n")},
+         |l$r AS MATERIALIZED (
+         |  SELECT l.node, COALESCE(m.m, l.lbl) AS lbl
+         |  FROM l${r - 1} l LEFT JOIN m${r}_$MstMaxCcIters m ON m.c = l.lbl)"""
+        .stripMargin
+    s"""WITH $strongTieCtes,
+       |und AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v, w FROM ew WHERE src < dst),
+       |l0 AS MATERIALIZED (
+       |  SELECT node, node AS lbl FROM (
+       |    SELECT u AS node FROM und UNION SELECT v FROM und) n),
+       |${(1 to MstMaxRounds).map(round).mkString(",\n")},
+       |forest AS MATERIALIZED (
+       |  ${(1 to MstMaxRounds).map(r => s"SELECT u, v, w FROM sel$r")
+            .mkString("\n  UNION ALL\n  ")}),
+       |comp AS (
+       |  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM l$MstMaxRounds GROUP BY lbl),
+       |tree AS (
+       |  SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |         CAST(SUM(f.w) AS BIGINT) AS tree_weight
+       |  FROM forest f JOIN l$MstMaxRounds l ON l.node = f.u
+       |  GROUP BY l.lbl)
+       |SELECT c.lbl AS component, c.n_nodes, t.n_edges, t.tree_weight
+       |FROM comp c JOIN tree t ON t.lbl = c.lbl
+       |ORDER BY c.n_nodes DESC, component LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
     "graph_kcore" -> (graphKcore _),
     "graph_label_prop" -> (graphLabelProp _),
+    "graph_mst" -> (graphMst _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_ppr" -> (graphPpr _),
     "graph_pagerank_conv" -> (graphPagerankConv _),
@@ -902,6 +1082,7 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> graphKcoreOracle,
     "graph_label_prop" -> graphLabelPropOracle,
+    "graph_mst" -> graphMstOracle,
     "graph_pagerank" -> graphPagerankOracle,
     "graph_ppr" -> graphPprOracle,
     "graph_pagerank_conv" -> graphPagerankConvOracle,

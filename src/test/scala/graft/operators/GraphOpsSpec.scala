@@ -315,4 +315,66 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
       "label propagation is not deterministic across runs")
   }
+
+  test("maximum spanning forest: tree invariant + full driver Borůvka replay (r12)") {
+    val out = GraphOps.queries("graph_mst")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // spanning-forest invariant: every component's tree has exactly
+    // n_nodes - 1 edges (connected and acyclic — the MST contract)
+    out.foreach { case (c, nNodes, nEdges, _) =>
+      assert(nEdges == nNodes - 1,
+        s"component $c: $nEdges edges for $nNodes nodes — not a tree")
+    }
+    // full driver replay of deterministic Borůvka over the same strong-tie
+    // graph (the kcore discipline: the whole algorithm, not a spot check)
+    val und = GraphOps.strongTieEdges(spark, sfDir)
+      .filter(col("src") < col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lbl = scala.collection.mutable.Map[Long, Long]()
+    und.foreach { case (u, v, _) => lbl(u) = u; lbl(v) = v }
+    val forest = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var rounds = 0
+    var live = und.filter { case (u, v, _) => lbl(u) != lbl(v) }
+    while (live.nonEmpty && rounds < 10) {
+      rounds += 1
+      val best = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      def ord(e: (Long, Long, Long)) = (-e._3, e._1, e._2)
+      live.foreach { e =>
+        Seq(lbl(e._1), lbl(e._2)).foreach { c =>
+          if (!best.contains(c) ||
+            Ordering[(Long, Long, Long)].lt(ord(e), ord(best(c)))) best(c) = e
+        }
+      }
+      val sel = best.values.toSet
+      forest ++= sel
+      // min-label consensus over the selection links
+      val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      sel.foreach { case (u, v, _) =>
+        val (cu, cv) = (lbl(u), lbl(v))
+        adj(cu) = adj.getOrElse(cu, Set.empty) + cv
+        adj(cv) = adj.getOrElse(cv, Set.empty) + cu
+      }
+      var m = adj.keys.map(c => c -> c).toMap
+      var stable = false
+      while (!stable) {
+        val nm = adj.keys.map(c => c -> (adj(c).map(m) + m(c)).min).toMap
+        stable = nm == m
+        m = nm
+      }
+      lbl.keys.toSeq.foreach(n => lbl(n) = m.getOrElse(lbl(n), lbl(n)))
+      live = und.filter { case (u, v, _) => lbl(u) != lbl(v) }
+    }
+    assert(rounds <= GraphOps.MstMaxRounds,
+      s"driver replay needed $rounds rounds > engine bound")
+    val wantComps = lbl.values.groupBy(identity).view.mapValues(_.size).toMap
+    val wantTree = forest.groupBy(e => lbl(e._1)).view
+      .mapValues(es => (es.size.toLong, es.map(_._3).sum)).toMap
+    val want = wantComps.toSeq
+      .map { case (c, n) =>
+        (c, n.toLong, wantTree(c)._1, wantTree(c)._2) }
+      .sortBy { case (c, n, _, _) => (-n, c) }.take(50)
+    assert(out.toSeq == want,
+      s"engine forest != driver Borůvka replay\n got ${out.take(5).toSeq}\nwant ${want.take(5)}")
+  }
 }
