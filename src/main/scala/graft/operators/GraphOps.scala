@@ -874,30 +874,35 @@ object GraphOps {
         col("min_node"), col("max_node"))
   }
 
-  private val graphLabelPropOracle = {
+  /** The LPA label frames as a composable CTE body (lp0..lp{LpaRounds}),
+    * shared by the key's own oracle and graph_cluster_agreement's. */
+  private def lpaCteBody = {
     // MATERIALIZED per round: each round references the previous label
     // frame twice (votes + the coalesce fallback) — the kcore lesson
     def round(i: Int) =
-      s"""p$i AS MATERIALIZED (
+      s"""lpp$i AS MATERIALIZED (
          |  SELECT node, lbl FROM (
          |    SELECT e.src AS node, l.lbl,
          |           ROW_NUMBER() OVER (PARTITION BY e.src
          |                              ORDER BY SUM(e.w) DESC, l.lbl) AS rn
-         |    FROM ew e JOIN l${i - 1} l ON l.node = e.dst
+         |    FROM ew e JOIN lp${i - 1} l ON l.node = e.dst
          |    GROUP BY e.src, l.lbl) t
          |  WHERE rn = 1),
-         |l$i AS MATERIALIZED (
+         |lp$i AS MATERIALIZED (
          |  SELECT l.node, COALESCE(p.lbl, l.lbl) AS lbl
-         |  FROM l${i - 1} l LEFT JOIN p$i p ON p.node = l.node)""".stripMargin
-    s"""WITH $strongTieCtes,
-       |l0 AS MATERIALIZED (
+         |  FROM lp${i - 1} l LEFT JOIN lpp$i p ON p.node = l.node)""".stripMargin
+    s"""lp0 AS MATERIALIZED (
        |  SELECT node, node AS lbl FROM (SELECT DISTINCT src AS node FROM ew) n),
-       |${(1 to LpaRounds).map(round).mkString(",\n")}
+       |${(1 to LpaRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val graphLabelPropOracle =
+    s"""WITH $strongTieCtes,
+       |$lpaCteBody
        |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size,
        |       MIN(node) AS min_node, MAX(node) AS max_node
-       |FROM l$LpaRounds
+       |FROM lp$LpaRounds
        |GROUP BY lbl ORDER BY size DESC, community LIMIT 50""".stripMargin
-  }
 
   // ---- graph_mst ------------------------------------------------------------
   // MAXIMUM spanning forest of the strong-tie graph by deterministic
@@ -920,10 +925,31 @@ object GraphOps {
   private[operators] val MstMaxCcIters = 10
 
   def graphMst(s: SparkSession, dir: String): DataFrame = {
-    val und = strongTieEdges(s, dir)
+    val und = canonicalStrongTies(s, dir)
+    val (lbl, forest) = boruvka(und)
+    val comp = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
+    val treeAgg = forest
+      .join(lbl.select(col("node").as("u"), col("lbl")), Seq("u"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("tree_weight"))
+    comp.join(treeAgg, Seq("lbl"))
+      .orderBy(col("n_nodes").desc, col("lbl"))
+      .limit(50)
+      .select(col("lbl").as("component"), col("n_nodes"), col("n_edges"),
+        col("tree_weight"))
+  }
+
+  /** Canonical undirected strong-tie edges (u < v, w). */
+  private[operators] def canonicalStrongTies(s: SparkSession, dir: String): DataFrame =
+    strongTieEdges(s, dir)
       .filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v"), col("w"))
       .localCheckpoint()
+
+  /** The Borůvka loop over canonical weighted edges — returns the final
+    * (node, lbl) component labels and the forest edges (u, v, w). Split
+    * out so graph_cluster_agreement can reuse the component structure. */
+  private[operators] def boruvka(und: DataFrame): (DataFrame, DataFrame) = {
     var lbl = und.select(explode(array(col("u"), col("v"))).as("node"))
       .distinct()
       .select(col("node"), col("node").as("lbl"))
@@ -984,25 +1010,18 @@ object GraphOps {
     }
     require(done, s"graph_mst did not converge in $MstMaxRounds rounds — " +
       "raise MstMaxRounds and the oracle unroll together")
-    val forest = msf.get
-    val comp = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
-    val treeAgg = forest
-      .join(lbl.select(col("node").as("u"), col("lbl")), Seq("u"))
-      .groupBy(col("lbl"))
-      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("tree_weight"))
-    comp.join(treeAgg, Seq("lbl"))
-      .orderBy(col("n_nodes").desc, col("lbl"))
-      .limit(50)
-      .select(col("lbl").as("component"), col("n_nodes"), col("n_edges"),
-        col("tree_weight"))
+    (lbl, msf.get)
   }
 
-  private val graphMstOracle = {
-    // one Borůvka round, fully unrolled: live edges under the previous
-    // labels, best-per-component selection, min-label consensus over the
-    // selection links (MstMaxCcIters synchronous iterations — idempotent
-    // at the fixpoint), label update. Everything MATERIALIZED: each frame
-    // is referenced twice downstream (the kcore lesson).
+  /** The Borůvka label/forest frames as a composable CTE body
+    * (und, ml0..ml{MstMaxRounds}, forest), shared by the key's own oracle
+    * and graph_cluster_agreement's. One round, fully unrolled: live edges
+    * under the previous labels, best-per-component selection, min-label
+    * consensus over the selection links (MstMaxCcIters synchronous
+    * iterations — idempotent at the fixpoint), label update. Everything
+    * MATERIALIZED: each frame is referenced twice downstream (the kcore
+    * lesson). */
+  private def mstCteBody = {
     def ccIter(r: Int, j: Int) =
       s"""m${r}_$j AS MATERIALIZED (
          |  SELECT c, MIN(cand) AS m FROM (
@@ -1015,8 +1034,8 @@ object GraphOps {
       s"""live$r AS MATERIALIZED (
          |  SELECT e.u, e.v, e.w, la.lbl AS cu, lb.lbl AS cv
          |  FROM und e
-         |  JOIN l${r - 1} la ON la.node = e.u
-         |  JOIN l${r - 1} lb ON lb.node = e.v
+         |  JOIN ml${r - 1} la ON la.node = e.u
+         |  JOIN ml${r - 1} lb ON lb.node = e.v
          |  WHERE la.lbl <> lb.lbl),
          |sel$r AS MATERIALIZED (
          |  SELECT DISTINCT u, v, w FROM (
@@ -1039,37 +1058,111 @@ object GraphOps {
          |m${r}_0 AS MATERIALIZED (
          |  SELECT c, c AS m FROM (SELECT DISTINCT a AS c FROM sym$r) n),
          |${(1 to MstMaxCcIters).map(j => ccIter(r, j)).mkString(",\n")},
-         |l$r AS MATERIALIZED (
+         |ml$r AS MATERIALIZED (
          |  SELECT l.node, COALESCE(m.m, l.lbl) AS lbl
-         |  FROM l${r - 1} l LEFT JOIN m${r}_$MstMaxCcIters m ON m.c = l.lbl)"""
+         |  FROM ml${r - 1} l LEFT JOIN m${r}_$MstMaxCcIters m ON m.c = l.lbl)"""
         .stripMargin
-    s"""WITH $strongTieCtes,
-       |und AS MATERIALIZED (
+    s"""und AS MATERIALIZED (
        |  SELECT src AS u, dst AS v, w FROM ew WHERE src < dst),
-       |l0 AS MATERIALIZED (
+       |ml0 AS MATERIALIZED (
        |  SELECT node, node AS lbl FROM (
        |    SELECT u AS node FROM und UNION SELECT v FROM und) n),
        |${(1 to MstMaxRounds).map(round).mkString(",\n")},
        |forest AS MATERIALIZED (
        |  ${(1 to MstMaxRounds).map(r => s"SELECT u, v, w FROM sel$r")
-            .mkString("\n  UNION ALL\n  ")}),
+            .mkString("\n  UNION ALL\n  ")})""".stripMargin
+  }
+
+  private val graphMstOracle =
+    s"""WITH $strongTieCtes,
+       |$mstCteBody,
        |comp AS (
        |  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes
-       |  FROM l$MstMaxRounds GROUP BY lbl),
+       |  FROM ml$MstMaxRounds GROUP BY lbl),
        |tree AS (
        |  SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_edges,
        |         CAST(SUM(f.w) AS BIGINT) AS tree_weight
-       |  FROM forest f JOIN l$MstMaxRounds l ON l.node = f.u
+       |  FROM forest f JOIN ml$MstMaxRounds l ON l.node = f.u
        |  GROUP BY l.lbl)
        |SELECT c.lbl AS component, c.n_nodes, t.n_edges, t.tree_weight
        |FROM comp c JOIN tree t ON t.lbl = c.lbl
        |ORDER BY c.n_nodes DESC, component LIMIT 50""".stripMargin
+
+  // ---- graph_cluster_agreement ------------------------------------------------
+  // RAND INDEX between two independent clusterings of the SAME graph — the
+  // clustering-evaluation metric (Rand 1971) every community/dedup pipeline
+  // needs when two partitioners disagree: here the Borůvka forest's
+  // connected components (pure connectivity) against the LPA communities
+  // (local vote density), both riding their proven subtrees. Pair counting
+  // never materializes pairs: from the contingency CELLS n_ij (one
+  // |cells|-row aggregate), together-in-both = Σ C(n_ij,2), per-side
+  // togethers from the row/column marginals, agreements = T − t_mst −
+  // t_lpa + 2·t_both — all exact BIGINT (binomials of even products), the
+  // index frozen as truncating ppm. The composed proof for the graph tier:
+  // one wrong label anywhere in EITHER 90-CTE subtree moves a cell and
+  // fails the hash.
+  def graphClusterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val edges = strongTieEdges(s, dir)
+    val und = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .localCheckpoint()
+    val lpa = lpaLabels(edges).select(col("node"), col("lbl").as("cl"))
+    val (mstLbl, _) = boruvka(und)
+    val cells = mstLbl.select(col("node"), col("lbl").as("cm"))
+      .join(lpa, Seq("node"))
+      .groupBy(col("cm"), col("cl")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = cells.agg(
+      sum(col("n")).as("n_nodes"),
+      countDistinct(col("cm")).as("n_mst_components"),
+      countDistinct(col("cl")).as("n_lpa_communities"),
+      sum(expr("(n * (n - 1)) div 2")).as("together_both"))
+    val tm = cells.groupBy(col("cm")).agg(sum(col("n")).as("n"))
+      .agg(sum(expr("(n * (n - 1)) div 2")).as("together_mst"))
+    val tl = cells.groupBy(col("cl")).agg(sum(col("n")).as("n"))
+      .agg(sum(expr("(n * (n - 1)) div 2")).as("together_lpa"))
+    tot.crossJoin(tm).crossJoin(tl)
+      .select(col("n_nodes"), col("n_mst_components"),
+        col("n_lpa_communities"), col("together_both"),
+        col("together_mst"), col("together_lpa"),
+        expr("""(((n_nodes * (n_nodes - 1)) div 2 - together_mst
+               |  - together_lpa + 2 * together_both) * 1000000)
+               |div ((n_nodes * (n_nodes - 1)) div 2)""".stripMargin)
+          .as("rand_ppm"))
   }
+
+  private val graphClusterAgreementOracle =
+    s"""WITH $strongTieCtes,
+       |$lpaCteBody,
+       |$mstCteBody,
+       |cells AS MATERIALIZED (
+       |  SELECT m.lbl AS cm, l.lbl AS cl, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM ml$MstMaxRounds m JOIN lp$LpaRounds l ON l.node = m.node
+       |  GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_nodes,
+       |         CAST(COUNT(DISTINCT cm) AS BIGINT) AS n_mst_components,
+       |         CAST(COUNT(DISTINCT cl) AS BIGINT) AS n_lpa_communities,
+       |         CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS together_both
+       |  FROM cells),
+       |tm AS (
+       |  SELECT CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS together_mst
+       |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY cm) x),
+       |tl AS (
+       |  SELECT CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS together_lpa
+       |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY cl) y)
+       |SELECT n_nodes, n_mst_components, n_lpa_communities, together_both,
+       |       together_mst, together_lpa,
+       |       CAST((((n_nodes * (n_nodes - 1)) // 2 - together_mst
+       |              - together_lpa + 2 * together_both) * 1000000)
+       |            // ((n_nodes * (n_nodes - 1)) // 2) AS BIGINT) AS rand_ppm
+       |FROM tot, tm, tl""".stripMargin
 
   val queries: Map[String, Q] = Map[String, Q](
     "graph_kcore" -> (graphKcore _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_mst" -> (graphMst _),
+    "graph_cluster_agreement" -> (graphClusterAgreement _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_ppr" -> (graphPpr _),
     "graph_pagerank_conv" -> (graphPagerankConv _),
@@ -1083,6 +1176,7 @@ object GraphOps {
     "graph_kcore" -> graphKcoreOracle,
     "graph_label_prop" -> graphLabelPropOracle,
     "graph_mst" -> graphMstOracle,
+    "graph_cluster_agreement" -> graphClusterAgreementOracle,
     "graph_pagerank" -> graphPagerankOracle,
     "graph_ppr" -> graphPprOracle,
     "graph_pagerank_conv" -> graphPagerankConvOracle,

@@ -377,4 +377,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.toSeq == want,
       s"engine forest != driver Borůvka replay\n got ${out.take(5).toSeq}\nwant ${want.take(5)}")
   }
+
+  test("cluster agreement: refinement invariant + driver Rand recompute (r12)") {
+    val r = GraphOps.queries("graph_cluster_agreement")(spark, sfDir)
+      .collect().head
+    val (n, nM, nL) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (tBoth, tMst, tLpa, rand) =
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    // REFINEMENT: a label-propagation community can never cross a
+    // connectivity cut, so every LPA community sits inside one Borůvka
+    // component — together-in-both must equal together-in-LPA exactly.
+    // This is a cross-check of BOTH iterative implementations at once: a
+    // wrong label on either side breaks the identity.
+    assert(tBoth == tLpa,
+      s"LPA does not refine the MST components: both=$tBoth lpa=$tLpa")
+    assert(nL >= nM, "refinement must have at least as many parts")
+    assert(tMst >= tLpa, "coarser clustering must hold at least as many pairs")
+    // Rand recompute from first principles
+    val t = n * (n - 1) / 2
+    assert(rand == (t - tMst - tLpa + 2 * tBoth) * 1000000L / t,
+      "rand_ppm is not the pair-agreement share")
+    assert(rand >= 0 && rand <= 1000000L, "rand outside [0, 1e6]")
+    // and the node universe matches the strong-tie graph's
+    val nodes = GraphOps.strongTieEdges(spark, sfDir)
+      .select(col("src")).distinct().count()
+    assert(n == nodes, s"agreement ran on $n nodes, graph has $nodes")
+  }
 }
