@@ -1158,11 +1158,72 @@ object GraphOps {
        |            // ((n_nodes * (n_nodes - 1)) // 2) AS BIGINT) AS rand_ppm
        |FROM tot, tm, tl""".stripMargin
 
+  // ---- graph_modularity --------------------------------------------------------
+  // Newman MODULARITY Q of the LPA partition (Newman & Girvan 2004) — the
+  // community-QUALITY metric that closes the community loop: agreement
+  // says how two partitions relate, modularity says whether one is any
+  // good (intra-community edge share minus its degree-preserving random
+  // expectation). Exact integers end to end: Q·4m² = Σ_c (4·m·e_c − d_c²)
+  // over communities (e_c = intra edges, d_c = community degree sum, m =
+  // undirected strong edges), emitted as the exact numerator plus the
+  // truncating-ppm quotient — positive on this partition (spec-pinned, so
+  // the truncating/floor division distinction can never silently bite).
+  // At extreme scale 4m² outgrows a BIGINT past m ≈ 1.5e9 edges; the
+  // numerator then moves to DECIMAL(38,0) with the same shape.
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = strongTieEdges(s, dir)
+    val lpa = lpaLabels(edges)
+    val und = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val mRow = und.agg(count(lit(1)).as("m"))
+    val intra = und
+      .join(lpa.select(col("node").as("u"), col("lbl").as("cu")), Seq("u"))
+      .join(lpa.select(col("node").as("v"), col("lbl").as("cv")), Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(count(lit(1)).as("ec"))
+    val degc = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .join(lpa.select(col("node").as("src"), col("lbl").as("c")), Seq("src"))
+      .groupBy(col("c")).agg(sum(col("deg")).as("dc"))
+    degc.join(intra, Seq("c"), "left")
+      .select(col("c"), col("dc"), coalesce(col("ec"), lit(0L)).as("ec"))
+      .crossJoin(broadcast(mRow))
+      .agg(max(col("m")).as("m"),
+        count(lit(1)).as("n_communities"),
+        sum(expr("4 * m * ec - dc * dc")).as("q_num"))
+      .select(col("m"), col("n_communities"), col("q_num"),
+        expr("(q_num * 1000000) div (4 * m * m)").as("q_ppm"))
+  }
+
+  private val graphModularityOracle =
+    s"""WITH $strongTieCtes,
+       |$lpaCteBody,
+       |und AS (SELECT src AS u, dst AS v FROM ew WHERE src < dst),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+       |intra AS (
+       |  SELECT lu.lbl AS c, CAST(COUNT(*) AS BIGINT) AS ec
+       |  FROM und e
+       |  JOIN lp$LpaRounds lu ON lu.node = e.u
+       |  JOIN lp$LpaRounds lv ON lv.node = e.v
+       |  WHERE lu.lbl = lv.lbl GROUP BY 1),
+       |degc AS (
+       |  SELECT l.lbl AS c, CAST(SUM(d.deg) AS BIGINT) AS dc
+       |  FROM (SELECT src, COUNT(*) AS deg FROM ew GROUP BY src) d
+       |  JOIN lp$LpaRounds l ON l.node = d.src GROUP BY 1),
+       |per AS (
+       |  SELECT g.c, g.dc, COALESCE(i.ec, 0) AS ec
+       |  FROM degc g LEFT JOIN intra i ON i.c = g.c)
+       |SELECT m, CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |       CAST(SUM(4 * m * ec - dc * dc) AS BIGINT) AS q_num,
+       |       CAST((CAST(SUM(4 * m * ec - dc * dc) AS BIGINT) * 1000000)
+       |            // (4 * m * m) AS BIGINT) AS q_ppm
+       |FROM per, mm GROUP BY m""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "graph_kcore" -> (graphKcore _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_mst" -> (graphMst _),
     "graph_cluster_agreement" -> (graphClusterAgreement _),
+    "graph_modularity" -> (graphModularity _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_ppr" -> (graphPpr _),
     "graph_pagerank_conv" -> (graphPagerankConv _),
@@ -1177,6 +1238,7 @@ object GraphOps {
     "graph_label_prop" -> graphLabelPropOracle,
     "graph_mst" -> graphMstOracle,
     "graph_cluster_agreement" -> graphClusterAgreementOracle,
+    "graph_modularity" -> graphModularityOracle,
     "graph_pagerank" -> graphPagerankOracle,
     "graph_ppr" -> graphPprOracle,
     "graph_pagerank_conv" -> graphPagerankConvOracle,

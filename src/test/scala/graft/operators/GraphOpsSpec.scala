@@ -403,4 +403,32 @@ class GraphOpsSpec extends SparkSpec {
       .select(col("src")).distinct().count()
     assert(n == nodes, s"agreement ran on $n nodes, graph has $nodes")
   }
+
+  test("modularity: exact driver recompute, positive on the LPA partition (r12)") {
+    val r = GraphOps.queries("graph_modularity")(spark, sfDir).collect().head
+    val (m, nc, qNum, qPpm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // driver recompute over the same edges + LPA labels
+    val edges = GraphOps.strongTieEdges(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val lbl = GraphOps.lpaLabels(
+      GraphOps.strongTieEdges(spark, sfDir)).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val und = edges.filter { case (u, v) => u < v }
+    assert(m == und.length, "m must be the undirected strong-edge count")
+    val ec = und.filter { case (u, v) => lbl(u) == lbl(v) }
+      .groupBy { case (u, _) => lbl(u) }.view.mapValues(_.length.toLong).toMap
+    val dc = edges.groupBy { case (u, _) => lbl(u) }.view
+      .mapValues(_.length.toLong).toMap
+    assert(nc == dc.size, "community count")
+    val wantNum = dc.keys.map(c =>
+      4 * m * ec.getOrElse(c, 0L) - dc(c) * dc(c)).sum
+    assert(qNum == wantNum, s"q_num $qNum != driver $wantNum")
+    assert(qPpm == qNum * 1000000L / (4 * m * m), "q_ppm division identity")
+    // positivity is what licenses the truncating division (Spark div vs
+    // DuckDB // diverge on negatives): a partition that drops below
+    // random-expectation quality fails HERE, not as a silent hash drift
+    assert(qPpm > 0, "LPA partition scored at or below random expectation")
+    assert(qPpm <= 1000000L, "modularity above 1 is impossible")
+  }
 }
