@@ -1274,16 +1274,27 @@ object Similarity {
     * recall 0.033); links discovered under four different projections
     * overlap, which is the diversity-of-neighbors property NSW
     * navigability needs. Out-degree ≤ 8, built by the same blocked
-    * (table, bucket) self-join — never all-pairs. */
+    * (table, bucket) self-join — never all-pairs.
+    *
+    * The index build's within-bucket pair count is n²/2^bits per table,
+    * so bucket BITS grow with log(n) to hold expected bucket size (and
+    * with it build cost per row) constant: bits = clamp(⌈log2(n/32)⌉,
+    * 4, 8). At the fixture sizes (n=500) this is the original 4 bits —
+    * the sf2 campaign measured the fixed-bits build at 24x cost for 20x
+    * data, which this closes. The count rides the plan as a broadcast
+    * 1-row anchor (no driver action), and the oracle derives the same
+    * bits from the same COUNT(*), so the two sides cannot disagree. */
   private def nswGraph(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
-    val bucketed = corpus.withColumn("tb", explode(expr("sequence(0, 3)")))
+    val nRow = corpus.agg(count(lit(1)).as("n"))
+    val bucketed = corpus.crossJoin(broadcast(nRow))
+      .withColumn("bits",
+        expr("greatest(4, least(8, cast(ceil(log2(n / 32.0d)) as int)))"))
+      .withColumn("tb", explode(expr("sequence(0, 3)")))
       .withColumn("bucket", expr(
-        """cast(
-          |  (case when element_at(embedding, 1 + tb) > 0 then 1 else 0 end) +
-          |  (case when element_at(embedding, 9 + tb) > 0 then 2 else 0 end) +
-          |  (case when element_at(embedding, 17 + tb) > 0 then 4 else 0 end) +
-          |  (case when element_at(embedding, 25 + tb) > 0 then 8 else 0 end) as int)""".stripMargin))
+        """cast(aggregate(sequence(0, bits - 1), 0, (acc, i) ->
+          |  acc + (case when element_at(embedding, 1 + 8 * i + tb) > 0
+          |         then shiftleft(1, i) else 0 end)) as int)""".stripMargin))
     val scored = bucketed.as("a").join(bucketed.as("b"),
         col("a.tb") === col("b.tb") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -1377,13 +1388,12 @@ object Similarity {
 
   private val simNswSearchOracle =
     s"""WITH $quantizedSql,
+       |nn AS (SELECT GREATEST(4, LEAST(8, CAST(CEIL(LOG2(COUNT(*) / 32.0)) AS INT))) AS bits FROM embeddings),
        |bucketed AS (
        |  SELECT vec_id, qv, nrm, tb,
-       |         (CASE WHEN embedding[1 + tb] > 0 THEN 1 ELSE 0 END) +
-       |         (CASE WHEN embedding[9 + tb] > 0 THEN 2 ELSE 0 END) +
-       |         (CASE WHEN embedding[17 + tb] > 0 THEN 4 ELSE 0 END) +
-       |         (CASE WHEN embedding[25 + tb] > 0 THEN 8 ELSE 0 END) AS bucket
-       |  FROM qn, (SELECT unnest(generate_series(0, 3)) AS tb) tables),
+       |         CAST(list_sum(list_transform(generate_series(0, bits - 1),
+       |           i -> CASE WHEN embedding[1 + 8 * i + tb] > 0 THEN (1 << i) ELSE 0 END)) AS INT) AS bucket
+       |  FROM qn, nn, (SELECT unnest(generate_series(0, 3)) AS tb) tables),
        |scoredk AS (
        |  SELECT a.vec_id, a.tb, b.vec_id AS neighbor_id,
        |         CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
