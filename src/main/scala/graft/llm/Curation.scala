@@ -704,7 +704,119 @@ object Curation {
       |FROM per p JOIN simp s USING (source) JOIN med m USING (source)
       |ORDER BY p.source""".stripMargin
 
+  // ---- curate_dsir --------------------------------------------------------
+  // DSIR domain selection (Xie et al. 2023, "Data Selection for Language
+  // Models via Importance Resampling"): score every raw document by the
+  // log importance weight log(p_target(x)/p_raw(x)) under two hashed
+  // bag-of-words unigram models — the method behind targeted pretraining
+  // mixes (select web text that "looks like" Wikipedia/books). The target
+  // domain here is the src0-src3 slice of the corpus; raw is the whole
+  // corpus. Features are tokens hashed into 256 buckets (first two hex
+  // chars of md5 — the sample_split_hash device, identical in both
+  // engines), so the MODEL is a 256-row table no matter the corpus size.
+  // All log arithmetic is the lmScores MILLIBIT device (floor(log2) by bit
+  // length + exact linear interpolation, add-one smoothed): a document's
+  // log-weight in millibits is
+  //   sum_tokens(mb(c_t[b]+1) - mb(c_r[b]+1)) - n_tokens*(mb(N_t+256) - mb(N_r+256))
+  // — every term an exact integer, so no libm call can flip a keep
+  // decision. `keep` marks docs above the corpus-mean weight by integer
+  // cross-multiplication (the curate_lm_score discipline).
+  //
+  // Shape: ONE token-grain scan trains both models (a 256-row hash agg
+  // with a conditional target count); scoring joins the token stream to
+  // the BROADCAST 256-row delta table and hash-aggs on doc_id; corpus
+  // constants ride broadcast 1-row anchors. Training and applying stay
+  // two scans at any corpus size — the same plan at 100 TB.
+  def curateDsir(s: SparkSession, dir: String): DataFrame = {
+    val mb = (c: String) =>
+      s"""(length(bin($c)) - 1) * 1000
+         | + ($c - shiftleft(1L, length(bin($c)) - 1)) * 1000
+         |   div shiftleft(1L, length(bin($c)) - 1)""".stripMargin
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(expr(toksE)).as("token"))
+      .withColumn("b", conv(substring(md5(col("token")), 1, 2), 16, 10)
+        .cast("int"))
+    val model = toks.groupBy(col("b")).agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("source").isin("src0", "src1", "src2", "src3"), 1L)
+          .otherwise(0L)).as("c_t"))
+      .withColumn("delta",
+        expr(mb("(c_t + 1)")) - expr(mb("(c_r + 1)")))
+      .select(col("b"), col("delta"))
+    val consts = toks.agg(
+        count(lit(1)).as("n_r"),
+        sum(when(col("source").isin("src0", "src1", "src2", "src3"), 1L)
+          .otherwise(0L)).as("n_t"))
+      .withColumn("k_norm",
+        expr(mb("(n_t + 256)")) - expr(mb("(n_r + 256)")))
+      .select(col("k_norm"))
+    val perDoc = toks.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("delta")).as("sum_delta"))
+      .crossJoin(broadcast(consts))
+      .withColumn("dsir_millibits",
+        col("sum_delta") - col("n_tokens") * col("k_norm"))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_millibits"))
+    val mean = perDoc.agg(
+      sum(col("dsir_millibits").cast("decimal(38,0)")).as("tot"),
+      count(lit(1)).cast("decimal(38,0)").as("n_docs"))
+    perDoc.crossJoin(broadcast(mean))
+      .withColumn("keep",
+        (col("dsir_millibits").cast("decimal(38,0)") * col("n_docs") >
+          col("tot")).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_millibits"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val curateDsirOracle = {
+    val mb = (c: String) =>
+      s"""(length(format('{:b}', $c)) - 1) * 1000
+         | + ($c - (CAST(1 AS BIGINT) << (length(format('{:b}', $c)) - 1))) * 1000
+         |   // (CAST(1 AS BIGINT) << (length(format('{:b}', $c)) - 1))""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+       |  FROM documents),
+       |tb AS (
+       |  SELECT doc_id, source,
+       |         (instr('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 16
+       |           + (instr('0123456789abcdef', substring(md5(token), 2, 1)) - 1) AS b
+       |  FROM t),
+       |model AS (
+       |  SELECT b, COUNT(*) AS c_r,
+       |         CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+       |  FROM tb GROUP BY b),
+       |md AS (
+       |  SELECT b,
+       |         CAST(${mb("(c_t + 1)")} AS BIGINT)
+       |           - CAST(${mb("(c_r + 1)")} AS BIGINT) AS delta
+       |  FROM model),
+       |consts AS (
+       |  SELECT CAST(${mb("(n_t + 256)")} AS BIGINT)
+       |           - CAST(${mb("(n_r + 256)")} AS BIGINT) AS k_norm
+       |  FROM (SELECT COUNT(*) AS n_r,
+       |               CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+       |        FROM tb) z),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(delta) AS BIGINT) AS sum_delta
+       |  FROM tb JOIN md USING (b) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id, n_tokens,
+       |         sum_delta - n_tokens * k_norm AS dsir_millibits
+       |  FROM perdoc, consts),
+       |mean AS (
+       |  SELECT CAST(SUM(dsir_millibits) AS HUGEINT) AS tot,
+       |         CAST(COUNT(*) AS HUGEINT) AS n_docs
+       |  FROM scored)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(dsir_millibits AS BIGINT) AS dsir_millibits,
+       |       CAST(CASE WHEN CAST(dsir_millibits AS HUGEINT) * n_docs > tot
+       |            THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM scored, mean ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
+    "curate_dsir" -> (curateDsir _),
     "curate_dataset_card" -> (curateDatasetCard _),
     "pipeline_pretrain_export" -> (pipelinePretrainExport _),
     "curate_classifier_score" -> (curateClassifierScore _),
@@ -718,6 +830,7 @@ object Curation {
     "curate_ppl_buckets" -> (curatePplBuckets _))
 
   def oracles: Map[String, String] = Map(
+    "curate_dsir" -> curateDsirOracle,
     "curate_dataset_card" -> curateDatasetCardOracle,
     "pipeline_pretrain_export" -> pipelinePretrainExportOracle(
       curateKeepDropOracle(

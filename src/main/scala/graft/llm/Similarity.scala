@@ -1284,8 +1284,10 @@ object Similarity {
     * data, which this closes. The count rides the plan as a broadcast
     * 1-row anchor (no driver action), and the oracle derives the same
     * bits from the same COUNT(*), so the two sides cannot disagree. */
-  private def nswGraph(s: SparkSession, dir: String): DataFrame = {
-    val corpus = quantized(s, dir)
+  private def nswGraph(s: SparkSession, dir: String): DataFrame =
+    nswGraphOf(quantized(s, dir))
+
+  private def nswGraphOf(corpus: DataFrame): DataFrame = {
     val nRow = corpus.agg(count(lit(1)).as("n"))
     val bucketed = corpus.crossJoin(broadcast(nRow))
       .withColumn("bits",
@@ -1311,21 +1313,21 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id")).distinct()
   }
 
-  /** The walk, exposing its visited set: the spec pins |visited| ≪ |corpus|
-    * — the bound that makes graph-ANN serving sub-scan. */
-  private[llm] def nswWalk(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val corpus = quantized(s, dir)
-    val knn = nswGraph(s, dir)
-    // the navigable graph: one materialized artifact read by every hop
-    // (at scale this is the stored index, not a per-query computation)
-    val edges = knn.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+  /** kNN edges symmetrized into the navigable adjacency — one materialized
+    * artifact read by every hop (at scale this is the stored index, not a
+    * per-query computation). */
+  private def symEdges(knn: DataFrame): DataFrame =
+    knn.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .union(knn.select(col("neighbor_id"), col("vec_id")))
       .distinct()
       .localCheckpoint()
-    val queries = corpus.filter(col("vec_id") < AnnQueryCount)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
+
+  /** The greedy beam walk over a prebuilt adjacency, from a PER-QUERY entry
+    * frame (query_id, node) — shared by the single-layer NSW key (global
+    * min-id entry) and the 2-layer HNSW key (layer-1-routed entries).
+    * Returns the scored visited set (query_id, node, cos). */
+  private def beamWalk(corpus: DataFrame, queries: DataFrame,
+      edges: DataFrame, entry: DataFrame, hops: Int, beam: Int): DataFrame = {
     // score a (query_id, node) set: gather candidate vectors BY ID (the
     // node set is hops·beam·degree small → broadcast), never scan-join
     def score(nodes: DataFrame): DataFrame =
@@ -1335,13 +1337,11 @@ object Similarity {
           (expr("graft_dotq(q_emb, embedding)").cast("double") /
             (sqrt(col("q_nrm").cast("double")) *
               sqrt(col("nrm").cast("double")))).as("cos"))
-    val entry = corpus.agg(min(col("vec_id")).as("node"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("node"))
-    var visited = score(queries.select(col("query_id"))
-      .crossJoin(broadcast(entry))).localCheckpoint()
+    var visited = score(entry).localCheckpoint()
     var frontier = visited.select(col("query_id"), col("node"))
-    (1 to NswHops).foreach { _ =>
+    (1 to hops).foreach { _ =>
       val cand = frontier.join(edges, frontier("node") === edges("src"))
         .select(col("query_id"), col("dst").as("node")).distinct()
         .join(visited.select(col("query_id"), col("node")),
@@ -1349,15 +1349,36 @@ object Similarity {
       val scored = score(cand).localCheckpoint() // per-hop walk state
       visited = visited.union(scored).localCheckpoint()
       frontier = scored.withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= NswBeam).select(col("query_id"), col("node"))
+        .filter(col("rn") <= beam).select(col("query_id"), col("node"))
     }
-    val result = visited.filter(col("node") =!= col("query_id"))
+    visited
+  }
+
+  /** Top-5 presentation shared by the graph-ANN keys. */
+  private def walkTop5(visited: DataFrame): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    visited.filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
         round(col("cos").cast("decimal(28,8)"), 4).cast("double").as("cosine"))
       .orderBy(col("query_id"), col("rank"))
-    (visited, result)
+  }
+
+  /** The walk, exposing its visited set: the spec pins |visited| ≪ |corpus|
+    * — the bound that makes graph-ANN serving sub-scan. */
+  private[llm] def nswWalk(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val corpus = quantized(s, dir)
+    val edges = symEdges(nswGraph(s, dir))
+    val queries = corpus.filter(col("vec_id") < AnnQueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val entry = queries.select(col("query_id"))
+      .crossJoin(broadcast(corpus.agg(min(col("vec_id")).as("node"))))
+    val visited = beamWalk(corpus, queries, edges, entry, NswHops, NswBeam)
+    (visited, walkTop5(visited))
   }
 
   def simNswSearch(s: SparkSession, dir: String): DataFrame =
@@ -1367,48 +1388,61 @@ object Similarity {
     """CAST(list_sum(list_transform(generate_series(1, len(q.q_qv)), i -> q.q_qv[i] * n.qv[i])) AS DOUBLE)
       |           / (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(n.nrm AS DOUBLE)))""".stripMargin
 
-  private def nswHopCtes(hops: Int, beam: Int): String =
+  /** Hop-unroll CTE generator shared by the NSW and HNSW oracles: `pfx`
+    * namespaces the walk state (c/s/v/f), `edgesName` picks the layer's
+    * adjacency. Scoring always gathers vectors from the full `qn` by id. */
+  private def hopCtes(hops: Int, beam: Int, pfx: String,
+      edgesName: String): String =
     (1 to hops).map { t =>
-      s"""c$t AS (
+      s"""${pfx}c$t AS (
          |  SELECT DISTINCT f.query_id, ed.dst AS node
-         |  FROM f${t - 1} f JOIN edges ed ON f.node = ed.src
-         |  LEFT JOIN v${t - 1} vis ON vis.query_id = f.query_id AND vis.node = ed.dst
+         |  FROM ${pfx}f${t - 1} f JOIN $edgesName ed ON f.node = ed.src
+         |  LEFT JOIN ${pfx}v${t - 1} vis ON vis.query_id = f.query_id AND vis.node = ed.dst
          |  WHERE vis.node IS NULL),
-         |s$t AS (
+         |${pfx}s$t AS (
          |  SELECT c.query_id, c.node, $nswCos AS cos
-         |  FROM c$t c JOIN qn n ON n.vec_id = c.node
+         |  FROM ${pfx}c$t c JOIN qn n ON n.vec_id = c.node
          |  JOIN queries q ON q.query_id = c.query_id),
-         |v$t AS (SELECT * FROM v${t - 1} UNION ALL SELECT * FROM s$t),
-         |f$t AS (
+         |${pfx}v$t AS (SELECT * FROM ${pfx}v${t - 1} UNION ALL SELECT * FROM ${pfx}s$t),
+         |${pfx}f$t AS (
          |  SELECT query_id, node FROM (
          |    SELECT query_id, node,
          |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
-         |    FROM s$t) z WHERE rn <= $beam)""".stripMargin
+         |    FROM ${pfx}s$t) z WHERE rn <= $beam)""".stripMargin
     }.mkString(",\n")
 
-  private val simNswSearchOracle =
-    s"""WITH $quantizedSql,
-       |nn AS (SELECT GREATEST(4, LEAST(8, CAST(CEIL(LOG2(COUNT(*) / 32.0)) AS INT))) AS bits FROM embeddings),
-       |bucketed AS (
+  private def nswHopCtes(hops: Int, beam: Int): String =
+    hopCtes(hops, beam, "", "edges")
+
+  /** The layer-graph build (adaptive bits → 4 LSH tables → per-table top-2
+    * kNN → symmetrized edges) as a CTE chain, namespaced by `pfx`, over the
+    * corpus CTE `corpusName` (bits derive from ITS count). */
+  private def graphCtes(pfx: String, corpusName: String): String =
+    s"""${pfx}nn AS (SELECT GREATEST(4, LEAST(8, CAST(CEIL(LOG2(COUNT(*) / 32.0)) AS INT))) AS bits FROM $corpusName),
+       |${pfx}bucketed AS (
        |  SELECT vec_id, qv, nrm, tb,
        |         CAST(list_sum(list_transform(generate_series(0, bits - 1),
        |           i -> CASE WHEN embedding[1 + 8 * i + tb] > 0 THEN (1 << i) ELSE 0 END)) AS INT) AS bucket
-       |  FROM qn, nn, (SELECT unnest(generate_series(0, 3)) AS tb) tables),
-       |scoredk AS (
+       |  FROM $corpusName, ${pfx}nn, (SELECT unnest(generate_series(0, 3)) AS tb) tables),
+       |${pfx}scoredk AS (
        |  SELECT a.vec_id, a.tb, b.vec_id AS neighbor_id,
        |         CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
        |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
-       |  FROM bucketed a JOIN bucketed b
+       |  FROM ${pfx}bucketed a JOIN ${pfx}bucketed b
        |    ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-       |knn AS (
+       |${pfx}knn AS (
        |  SELECT DISTINCT vec_id, neighbor_id FROM (
        |    SELECT vec_id, tb, neighbor_id,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id, tb
        |             ORDER BY cos DESC, neighbor_id) AS rank
-       |    FROM scoredk) r WHERE rank <= 2),
-       |edges AS (
-       |  SELECT vec_id AS src, neighbor_id AS dst FROM knn
-       |  UNION SELECT neighbor_id, vec_id FROM knn),
+       |    FROM ${pfx}scoredk) r WHERE rank <= 2),
+       |${pfx}edges AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM ${pfx}knn
+       |  UNION SELECT neighbor_id, vec_id FROM ${pfx}knn)""".stripMargin
+
+  private val simNswSearchOracle =
+    s"""WITH $quantizedSql,
+       |${graphCtes("", "qn")},
        |queries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qn WHERE vec_id < $AnnQueryCount),
        |entrypt AS (SELECT MIN(vec_id) AS e FROM qn),
        |v0 AS (
@@ -1421,6 +1455,83 @@ object Similarity {
        |FROM (SELECT query_id, node, cos,
        |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rank
        |      FROM v$NswHops WHERE node <> query_id) z
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---- sim_hnsw_2layer -------------------------------------------------------
+  // Hierarchical graph-ANN (the HNSW construction, Malkov & Yashunin 2018,
+  // reduced to its two-layer core): a SPARSE upper layer (every 8th vector
+  // — HNSW's geometric level assignment made deterministic) carries its own
+  // navigable graph; a query first greedy-walks the small layer from the
+  // global entry to find a PER-QUERY entry point close to its region, then
+  // runs the layer-0 beam from there. The hierarchy is what lets a real
+  // HNSW reach any region in O(log n) hops where single-layer NSW needs
+  // O(n^(1/k)) — here the observable contract is that layer 1 ROUTES:
+  // different queries enter layer 0 at different nodes (spec-pinned), with
+  // total per-query work still O(hops·beam·degree), never a corpus scan.
+  // Both layer graphs are prebuilt artifacts (the stored index); layer 1 is
+  // 1/8 the corpus so its build cost is amortized noise next to layer 0's.
+  // Determinism: fixed layer split (vec_id % 8), fixed entry (min layer-1
+  // id), fixed hop counts, ties to the smaller node id — the oracle replays
+  // BOTH walks as prefix-namespaced unrolled hop CTEs over the same
+  // adaptive-bits graph build.
+  private[llm] val HnswL1Hops = 3
+  private[llm] val HnswL1Beam = 2
+  private[llm] val HnswL0Hops = 3
+  private[llm] val HnswL0Beam = 4
+
+  private[llm] def hnswWalk(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val corpus = quantized(s, dir)
+    val l1 = corpus.filter(col("vec_id") % 8 === 0)
+    val edges0 = symEdges(nswGraphOf(corpus))
+    val edges1 = symEdges(nswGraphOf(l1))
+    val queries = corpus.filter(col("vec_id") < AnnQueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val entry1 = queries.select(col("query_id"))
+      .crossJoin(broadcast(l1.agg(min(col("vec_id")).as("node"))))
+    val visited1 = beamWalk(corpus, queries, edges1, entry1,
+      HnswL1Hops, HnswL1Beam)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    val entry0 = visited1.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1).select(col("query_id"), col("node"))
+    val visited0 = beamWalk(corpus, queries, edges0, entry0,
+      HnswL0Hops, HnswL0Beam)
+    (visited1, visited0, walkTop5(visited0))
+  }
+
+  def simHnsw2layer(s: SparkSession, dir: String): DataFrame =
+    hnswWalk(s, dir)._3
+
+  private val simHnsw2layerOracle =
+    s"""WITH $quantizedSql,
+       |${graphCtes("", "qn")},
+       |qn1 AS (SELECT * FROM qn WHERE vec_id % 8 = 0),
+       |${graphCtes("g1", "qn1")},
+       |queries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qn WHERE vec_id < $AnnQueryCount),
+       |l1entry AS (SELECT MIN(vec_id) AS e FROM qn1),
+       |L1v0 AS (
+       |  SELECT q.query_id, n.vec_id AS node, $nswCos AS cos
+       |  FROM queries q, l1entry, qn n WHERE n.vec_id = e),
+       |L1f0 AS (SELECT query_id, node FROM L1v0),
+       |${hopCtes(HnswL1Hops, HnswL1Beam, "L1", "g1edges")},
+       |e0 AS (
+       |  SELECT query_id, node FROM (
+       |    SELECT query_id, node,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+       |    FROM L1v$HnswL1Hops) z WHERE rn = 1),
+       |v0 AS (
+       |  SELECT q.query_id, n.vec_id AS node, $nswCos AS cos
+       |  FROM e0 JOIN qn n ON n.vec_id = e0.node
+       |  JOIN queries q ON q.query_id = e0.query_id),
+       |f0 AS (SELECT query_id, node FROM v0),
+       |${hopCtes(HnswL0Hops, HnswL0Beam, "", "edges")}
+       |SELECT query_id, rank, node AS neighbor_id,
+       |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
+       |FROM (SELECT query_id, node, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rank
+       |      FROM v$HnswL0Hops WHERE node <> query_id) z
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---- sim_matryoshka -------------------------------------------------------
@@ -1798,6 +1909,7 @@ object Similarity {
     "sim_matryoshka" -> (simMatryoshka _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_nsw_search" -> (simNswSearch _),
+    "sim_hnsw_2layer" -> (simHnsw2layer _),
     "sim_range_search" -> (simRangeSearch _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_hamming_topk" -> (simHammingTopk _),
@@ -1816,6 +1928,7 @@ object Similarity {
     "sim_matryoshka" -> simMatryoshkaOracle,
     "sim_knn_join" -> simKnnJoinOracle,
     "sim_nsw_search" -> simNswSearchOracle,
+    "sim_hnsw_2layer" -> simHnsw2layerOracle,
     "sim_range_search" -> simRangeSearchOracle,
     "sim_mmr_rerank" -> simMmrRerankOracle,
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,

@@ -404,7 +404,86 @@ object TextAnalysis {
       |       AS DECIMAL(28,8)), 4) AS DOUBLE) AS flesch
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- text_pmi_collocations --------------------------------------------------
+  // Collocation mining (Church & Hanks 1990, the PMI formulation): which
+  // bigrams co-occur far more than their unigram frequencies predict —
+  // the signal for multiword expressions ("new york"), template
+  // boilerplate, and tokenizer-merge candidates in an LM corpus. The
+  // reported statistic is the LIFT, observed/expected under independence:
+  //   lift(a,b) = (c_ab / B) / ((c_a / U) · (c_b / U))
+  // (U total tokens, B total bigrams). Lift is exp(PMI): the log is
+  // MONOTONE, so ranking and the min-support cut are identical while the
+  // statistic never touches libm log (the text_tfidf discipline —
+  // ratio-not-ln, TextAnalysis.scala:152). All counts are exact integers;
+  // the single division chain runs in DOUBLE with the identical operand
+  // order on both engines and rounds in the decimal domain.
+  //
+  // Shape: one corpus scan feeds BOTH the unigram and bigram word-count
+  // aggs (map-side combining, vocab-grain results); the bigram relation
+  // joins the unigram table twice on its word keys (vocab-grain equi-joins
+  // — AQE broadcasts at fixture size, shuffles on vocab keys at 100 TB,
+  // never on the corpus); the two totals ride a broadcast 1-row anchor.
+  // Min-support n_pair >= 5 cuts the hapax tail BEFORE the joins; the
+  // top-40 is TakeOrderedAndProject, not a full sort.
+  def textPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), expr(toksE).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks)-2),
+          |  i -> struct(element_at(toks, i+1) as w1,
+          |              element_at(toks, i+2) as w2))""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val totals = uni.agg(sum(col("c")).as("u_total"))
+      .crossJoin(pairs.agg(sum(col("n_pair")).as("b_total")))
+    pairs.filter(col("n_pair") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift", expr(
+        """round(cast(
+          |  cast(n_pair as double) * cast(u_total as double) / cast(b_total as double)
+          |    * cast(u_total as double) / cast(c1 as double) / cast(c2 as double)
+          |  as decimal(28,8)), 4)""".stripMargin).cast("double"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(40)
+  }
+
+  private val textPmiCollocationsOracle =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS c
+      |  FROM (SELECT unnest(toks) AS w FROM toks) z GROUP BY w),
+      |pair_src AS (
+      |  SELECT unnest(list_transform(generate_series(0, len(toks)-2),
+      |           i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS p
+      |  FROM toks WHERE len(toks) >= 2),
+      |pairs AS (
+      |  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_pair
+      |  FROM pair_src GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT (SELECT SUM(c) FROM uni) AS u_total,
+      |         (SELECT SUM(n_pair) FROM pairs) AS b_total)
+      |SELECT w1, w2, n_pair,
+      |       CAST(ROUND(CAST(
+      |         CAST(n_pair AS DOUBLE) * CAST(u_total AS DOUBLE) / CAST(b_total AS DOUBLE)
+      |           * CAST(u_total AS DOUBLE) / CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE)
+      |         AS DECIMAL(28,8)), 4) AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN (SELECT w AS w1, c AS c1 FROM uni) u1 USING (w1)
+      |JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2), tot
+      |WHERE n_pair >= 5
+      |ORDER BY lift DESC, w1, w2 LIMIT 40""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "text_pmi_collocations" -> (textPmiCollocations _),
     "text_readability" -> (textReadability _),
     "text_winnowing" -> (textWinnowing _),
     "text_repetition" -> (textRepetition _),
@@ -416,6 +495,7 @@ object TextAnalysis {
     "text_ngram_freq" -> (textNgramFreq _))
 
   val oracles: Map[String, String] = Map(
+    "text_pmi_collocations" -> textPmiCollocationsOracle,
     "text_readability" -> textReadabilityOracle,
     "text_winnowing" -> textWinnowingOracle,
     "text_repetition" -> textRepetitionOracle,

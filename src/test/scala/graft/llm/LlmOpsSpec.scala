@@ -286,6 +286,40 @@ class LlmOpsSpec extends SparkSpec {
       f"NSW recall $recall%.3f below the fixture floor")
   }
 
+  test("HNSW 2-layer: layer 1 routes per-query entries, recall holds, still sub-scan (r12)") {
+    val (visited1, visited0, result) = Similarity.hnswWalk(spark, sfDir)
+    val corpusN = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // the hierarchy's observable contract: the upper layer ROUTES — not
+    // every query enters layer 0 at the same node (a collapsed layer 1
+    // would reduce this key to single-layer NSW with extra cost)
+    import org.apache.spark.sql.expressions.Window
+    val entries = visited1
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("node"))))
+      .filter(col("rn") === 1).select("node").distinct().count()
+    assert(entries >= 2, s"layer 1 routed every query to one entry — no hierarchy")
+    // layer-1 walk only ever touches layer-1 nodes (the sampled sparse graph)
+    val offLayer = visited1.filter(col("node") % 8 =!= 0).count()
+    assert(offLayer == 0, s"$offLayer layer-1 visits left the sampled layer")
+    // total per-query work stays O(hops·beam·degree), never a corpus scan
+    val perQuery = visited0.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.max < corpusN / 3,
+      s"layer-0 walk visited ${perQuery.max} of $corpusN — not sub-scan")
+    // recall@3 vs exact brute force — the routed walk must do at least as
+    // well as the fixture floor of the single-layer key
+    def top3(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.filter(_.getAs[Int]("rank") <= 3)
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = top3(Similarity.simTopkBruteforce(spark, sfDir).collect())
+    val got = top3(result.collect())
+    val recall = exact.keySet.toSeq.map(q =>
+      (got.getOrElse(q, Set.empty) & exact(q)).size.toDouble / exact(q).size)
+      .sum / exact.size
+    info(f"HNSW recall@3 vs exact: $recall%.3f ($entries distinct layer-0 entries)")
+    assert(recall >= 0.30, f"HNSW recall $recall%.3f below the fixture floor")
+  }
+
   test("PQ codes are the compressed representation the ADC scan claims") {
     val base = graft.model.Tables.load(spark, sfDir, "embeddings")
     val n = base.count()
@@ -1102,5 +1136,68 @@ class LlmOpsSpec extends SparkSpec {
     // nothing); the fixture has no exact duplicates, so dup_docs is
     // verified by the identity above (0 == 0 on every source)
     assert(card.exists(_.getLong(6) < 1000000L), "every source is single-lang")
+  }
+
+  test("PMI collocations: top lift equals the hand formula from raw counts (r12)") {
+    val out = TextAnalysis.textPmiCollocations(spark, sfDir).collect()
+    assert(out.length > 0 && out.length <= 40)
+    // min support held, ranking non-increasing in lift
+    assert(out.forall(_.getAs[Long]("n_pair") >= 5L))
+    val lifts = out.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b },
+      "rows not ordered by lift desc")
+    // recompute the TOP pair's lift from independent raw counts
+    val top = out.head
+    val (w1, w2) = (top.getString(0), top.getString(1))
+    val toks = graft.model.Tables.load(spark, sfDir, "documents")
+      .select(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')").as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val uTotal = toks.map(_.length.toLong).sum
+    val bigrams = toks.filter(_.length >= 2).flatMap(t => t.zip(t.tail))
+    val cAb = bigrams.count(p => p._1 == w1 && p._2 == w2).toLong
+    val c1 = toks.map(_.count(_ == w1).toLong).sum
+    val c2 = toks.map(_.count(_ == w2).toLong).sum
+    val want = cAb.toDouble * uTotal / bigrams.length * uTotal / c1 / c2
+    assert(cAb == top.getAs[Long]("n_pair"), "top pair count")
+    assert(math.abs(top.getAs[Double]("lift") - want) < 1e-3,
+      s"lift ${top.getAs[Double]("lift")} vs hand $want")
+    // non-vacuity: lift actually separates pairs (not a constant column)
+    assert(lifts.distinct.length > 1, "lift is degenerate")
+    // plan: top-k compiles to TakeOrderedAndProject, never a global sort
+    val plan = TextAnalysis.textPmiCollocations(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-40 is a full sort")
+    assert(!plan.contains("CartesianProduct"), "all-pairs leak")
+  }
+
+  test("DSIR: the model recognizes its own target domain, keep is the mean cut (r12)") {
+    val out = Curation.curateDsir(spark, sfDir).collect()
+    val src = graft.model.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val target = Set("src0", "src1", "src2", "src3")
+    val (tgt, rest) = out.partition(r => target(src(r.getAs[Long]("doc_id"))))
+    assert(tgt.nonEmpty && rest.nonEmpty, "fixture lacks both slices")
+    // THE DSIR contract: documents from the target domain score higher
+    // under log(p_target/p_raw) than the rest — the importance weight
+    // must recognize the distribution it was fit on, else selection is noise
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("dsir_millibits").toDouble).sum / rs.length
+    assert(mean(tgt) > mean(rest),
+      f"target mean ${mean(tgt)}%.0f <= rest mean ${mean(rest)}%.0f — model learned nothing")
+    // keep = strictly-above-corpus-mean: both sides non-empty, and every
+    // kept doc outscores every threshold-consistent dropped doc's bound
+    val kept = out.filter(_.getAs[Int]("keep") == 1)
+    val dropped = out.filter(_.getAs[Int]("keep") == 0)
+    assert(kept.nonEmpty && dropped.nonEmpty, "degenerate keep split")
+    val corpusMean = mean(out)
+    assert(kept.forall(_.getAs[Long]("dsir_millibits") > corpusMean - 1),
+      "a kept doc sits below the corpus mean")
+    assert(dropped.forall(_.getAs[Long]("dsir_millibits") <= corpusMean + 1),
+      "a dropped doc sits above the corpus mean")
+    // the 256-row model must ride a broadcast join, never reshuffle tokens
+    val plan = Curation.curateDsir(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "model join is not broadcast")
   }
 }
