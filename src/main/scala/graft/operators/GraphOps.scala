@@ -622,6 +622,85 @@ object GraphOps {
        |SELECT node AS suppkey, MIN(dist) AS dist
        |FROM bfs GROUP BY node ORDER BY suppkey""".stripMargin
 
+  // ---- graph_harmonic ---------------------------------------------------
+  // Harmonic closeness centrality of the seed parts (pk % 100 == 0, the
+  // graph_jaccard_sim query set) over the parts CO-PURCHASE graph:
+  // H(s) = Σ_{v≠s, 0<d(s,v)≤R} 1/d(s,v) — the centrality that, unlike
+  // classic closeness, stays well-defined on disconnected graphs (Boldi &
+  // Vigna 2014). The co-SUPPLY graph is complete at every fixture SF
+  // (every seed reaches everything in one hop — H degenerates to degree),
+  // so this runs on the sparser co-purchase graph. Two standard
+  // approximations make it scale, both from the literature: a
+  // deterministic seed SAMPLE (Eppstein & Wang 2001 — exact per-seed
+  // values, sampled seed set) and a BOUNDED RADIUS R=4 (the HyperBall
+  // move, Boldi & Vigna — contributions beyond R are ≤ 1/R each and the
+  // frontier loop gets a fixed round bound instead of graph eccentricity).
+  // The walk is the graph_bfs_distance frontier loop with the seed riding
+  // the state: each level is one equi-join (edges ⋈ frontier on the node
+  // key) + distinct + anti-join against the settled (seed, node) set, so
+  // per-round shuffle keys stay node-grain and state is ≤ |seeds|·|V|
+  // rows. 1/d is summed as exact integer millionths (1000000 div d —
+  // truncating div matches both engines on positives; no float ever),
+  // the agg_diversity ppm discipline.
+  private[operators] val HarmonicRadius = 4
+
+  def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val (o, _) = orientedArtifact(s, dir)
+    val edges = o.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(o.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 100 === 0)
+      .select(col("node").as("seed"), col("node"), lit(0).as("dist"))
+    var known = seeds.localCheckpoint()
+    var frontier = known
+    var level = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && level < HarmonicRadius) {
+      level += 1
+      val nxt = edges
+        .join(frontier.select(col("seed"), col("node")),
+          edges("src") === col("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(known.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(level))
+        .localCheckpoint()
+      frontierSize = nxt.count()
+      if (frontierSize > 0) known = known.union(nxt).localCheckpoint()
+      frontier = nxt
+    }
+    known.filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).cast("long").as("harmonic_ppm"))
+      .select(col("seed").as("partkey"), col("n_reached"), col("harmonic_ppm"))
+      .orderBy(col("partkey"))
+  }
+
+  private val graphHarmonicOracle =
+    s"""WITH RECURSIVE pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |capped AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS k FROM pr) t
+       |  WHERE k <= $maxSuppliersPerOrder),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+       |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk),
+       |ue AS (SELECT p1 AS src, p2 AS dst FROM e
+       |       UNION ALL SELECT p2, p1 FROM e),
+       |bfs AS (
+       |  SELECT src AS seed, src AS node, 0 AS dist
+       |  FROM (SELECT DISTINCT src FROM ue) n WHERE src % 100 = 0
+       |  UNION
+       |  SELECT b.seed, e2.dst AS node, b.dist + 1 AS dist
+       |  FROM bfs b JOIN ue e2 ON e2.src = b.node
+       |  WHERE b.dist < $HarmonicRadius),
+       |md AS (SELECT seed, node, MIN(dist) AS dist FROM bfs GROUP BY seed, node)
+       |SELECT seed AS partkey, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |       CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_ppm
+       |FROM md WHERE dist > 0 GROUP BY seed ORDER BY partkey""".stripMargin
+
   // ---- graph_degree_hist ------------------------------------------------
   // Degree distribution in log2 buckets over the parts CO-PURCHASE graph
   // (the triangles graph — the co-supply graph is near-regular at every
@@ -1231,6 +1310,7 @@ object GraphOps {
     "graph_triangles_partitioned" -> (graphTrianglesPartitioned _),
     "graph_jaccard_sim" -> (graphJaccardSim _),
     "graph_bfs_distance" -> (graphBfsDistance _),
+    "graph_harmonic" -> (graphHarmonic _),
     "graph_degree_hist" -> (graphDegreeHist _))
 
   val oracles: Map[String, String] = Map(
@@ -1246,5 +1326,6 @@ object GraphOps {
     "graph_triangles_partitioned" -> graphTrianglesOracle,
     "graph_jaccard_sim" -> graphJaccardSimOracle,
     "graph_bfs_distance" -> graphBfsDistanceOracle,
+    "graph_harmonic" -> graphHarmonicOracle,
     "graph_degree_hist" -> graphDegreeHistOracle)
 }
