@@ -624,6 +624,107 @@ object TimeSeries {
       |            * ((abs(nk) * 1000000) // n0) AS BIGINT) AS acf_ppm
       |FROM num, n0 ORDER BY lag_k""".stripMargin
 
+  // ---- ts_cross_corr --------------------------------------------------------
+  // Lagged CROSS-correlation between two daily series — purchase revenue
+  // vs view volume, both off the events stream — at lags −5..+5: the lead/lag probe behind
+  // "does activity lead revenue by k days?" monitoring questions (the CCF
+  // of classical time-series practice, Box & Jenkins). Exactness follows
+  // ts_autocorr: with n common days, deviations dev_t = n·x_t − S are
+  // exact BIGINTs and every lag-k numerator Σ devA_t·devB_{t+k} is exact
+  // DECIMAL(38,0)/HUGEINT. Normalization needs √(Σda²·Σdb²), whose square
+  // overflows any fixed decimal — so each norm takes the sample_temperature
+  // isqrt device instead (floor(sqrt(double)) with the exact ±1 integer
+  // correction, valid while isqrt ≤ ~1e15 — far past the fixture's day
+  // grain) and the statistic freezes as sign·(|num_k|·10⁶ div ra div rb):
+  // identical truncating arithmetic in both engines, within integer
+  // truncation of Pearson. Topology: two fact→day hash aggs, then
+  // everything is day-grain: the t-index window is series-grain, the lag
+  // join is an 11-way self-equi-join of the tiny common-day relation, and
+  // norms broadcast as a 1-row aggregate. 100 TB adds fact rows, not days.
+  def tsCrossCorr(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val a = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(cents).as("a"))
+    val b = ev.filter(col("event_type") === "view")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("b"))
+    val both = a.join(b, Seq("day"))
+    val tot = both.agg(count(lit(1)).as("n"),
+      sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+    val seq0 = Window.orderBy(col("day")) // lint:series-grain (day-grain)
+    val dev = both
+      .withColumn("t", row_number().over(seq0).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), (col("n") * col("a") - col("sa")).as("da"),
+        (col("n") * col("b") - col("sb")).as("db"))
+    val isqrtCase = (r0: String, v: String) =>
+      s"""CASE WHEN ($r0 + 1) * ($r0 + 1) <= $v THEN $r0 + 1
+         |     WHEN $r0 * $r0 > $v THEN $r0 - 1 ELSE $r0 END""".stripMargin
+    val norms = dev.agg(
+        sum(expr("CAST(da AS DECIMAL(38,0)) * da")).as("n0a"),
+        sum(expr("CAST(db AS DECIMAL(38,0)) * db")).as("n0b"))
+      .withColumn("ra0",
+        floor(sqrt(col("n0a").cast("double"))).cast("decimal(38,0)"))
+      .withColumn("rb0",
+        floor(sqrt(col("n0b").cast("double"))).cast("decimal(38,0)"))
+      .select(expr(isqrtCase("ra0", "n0a")).as("ra"),
+        expr(isqrtCase("rb0", "n0b")).as("rb"))
+    val shifted = dev
+      .select(explode(expr("sequence(-5, 5)")).as("lag_k"),
+        col("t"), col("da"))
+      .select(col("lag_k"), (col("t") + col("lag_k")).as("t"), col("da"))
+    shifted.join(dev.select(col("t"), col("db")), Seq("t"))
+      .groupBy(col("lag_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(da AS DECIMAL(38,0)) * db")).as("nk"))
+      .crossJoin(broadcast(norms))
+      .select(col("lag_k").cast("int").as("lag_k"), col("n_pairs"),
+        (when(col("nk") < 0, -1L).otherwise(1L) *
+          expr("((abs(nk) * 1000000) div ra) div rb").cast("long"))
+          .as("ccf_ppm"))
+      .orderBy(col("lag_k"))
+  }
+
+  private val tsCrossCorrOracle =
+    """WITH da_ AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS a
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |db_ AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS b
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |cmn AS (SELECT da_.day, a, b FROM da_ JOIN db_ USING (day)),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |               CAST(SUM(a) AS BIGINT) AS sa,
+      |               CAST(SUM(b) AS BIGINT) AS sb FROM cmn),
+      |idx AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, a, b FROM cmn),
+      |d AS (SELECT t, CAST(n AS HUGEINT) * a - sa AS da,
+      |             CAST(n AS HUGEINT) * b - sb AS db FROM idx, tot),
+      |n0 AS (SELECT SUM(da * da) AS n0a, SUM(db * db) AS n0b FROM d),
+      |r0 AS (SELECT n0a, n0b,
+      |              CAST(FLOOR(SQRT(CAST(n0a AS DOUBLE))) AS HUGEINT) AS ra0,
+      |              CAST(FLOOR(SQRT(CAST(n0b AS DOUBLE))) AS HUGEINT) AS rb0
+      |       FROM n0),
+      |norms AS (
+      |  SELECT CASE WHEN (ra0 + 1) * (ra0 + 1) <= n0a THEN ra0 + 1
+      |              WHEN ra0 * ra0 > n0a THEN ra0 - 1 ELSE ra0 END AS ra,
+      |         CASE WHEN (rb0 + 1) * (rb0 + 1) <= n0b THEN rb0 + 1
+      |              WHEN rb0 * rb0 > n0b THEN rb0 - 1 ELSE rb0 END AS rb
+      |  FROM r0),
+      |p AS (
+      |  SELECT k.lag_k, a2.da, c.db
+      |  FROM (SELECT unnest(generate_series(-5, 5)) AS lag_k) k
+      |  JOIN d a2 ON true
+      |  JOIN d c ON c.t = a2.t + k.lag_k),
+      |num AS (
+      |  SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(da * db) AS nk
+      |  FROM p GROUP BY 1)
+      |SELECT CAST(lag_k AS INT) AS lag_k, n_pairs,
+      |       CAST(CASE WHEN nk < 0 THEN -1 ELSE 1 END
+      |            * (((abs(nk) * 1000000) // ra) // rb) AS BIGINT) AS ccf_ppm
+      |FROM num, norms ORDER BY lag_k""".stripMargin
+
   // ---- ts_seasonal_decompose ---------------------------------------------
   // Classical additive decomposition of the daily revenue series:
   // trend = centered 7-day moving average (defined only where the full
@@ -811,6 +912,7 @@ object TimeSeries {
     "ts_seasonal_decompose" -> (tsSeasonalDecompose _),
     "ts_seasonal_strength" -> (tsSeasonalStrength _),
     "ts_autocorr" -> (tsAutocorr _),
+    "ts_cross_corr" -> (tsCrossCorr _),
     "ts_changepoint_cusum" -> (tsChangepointCusum _),
     "window_zscore_rolling" -> (windowZscoreRolling _),
     "window_drawdown" -> (windowDrawdown _),
@@ -826,6 +928,7 @@ object TimeSeries {
   val oracles: Map[String, String] = Map(
     "ts_twa" -> tsTwaOracle,
     "ts_autocorr" -> tsAutocorrOracle,
+    "ts_cross_corr" -> tsCrossCorrOracle,
     "ts_seasonal_decompose" -> tsSeasonalDecomposeOracle,
     "ts_seasonal_strength" -> tsSeasonalStrengthOracle,
     "ts_changepoint_cusum" -> tsChangepointCusumOracle,

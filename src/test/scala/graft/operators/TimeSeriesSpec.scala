@@ -450,4 +450,41 @@ class TimeSeriesSpec extends SparkSpec {
       assert(math.abs(r.getLong(2)) <= 1200000L, s"acf_ppm magnitude at lag $k")
     }
   }
+
+  test("ts_cross_corr: exact BigInt replay with isqrt norms, pair counts n-|k| (r12)") {
+    import org.apache.spark.sql.functions._
+    val out = TimeSeries.queries("ts_cross_corr")(spark, sfDir).collect()
+    assert(out.length == 11, s"expected 11 lags, got ${out.length}")
+    // rebuild both daily series, replay devs, norms and every lag exactly
+    val ev = graft.model.Tables.load(spark, sfDir, "events")
+    val a = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("a"))
+    val b = ev.filter(col("event_type") === "view")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("b"))
+    val cmn = a.join(b, Seq("day")).orderBy(col("day")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val n = cmn.length.toLong
+    val (sa, sb) = (cmn.map(_._1).sum, cmn.map(_._2).sum)
+    val da = cmn.map(x => BigInt(n * x._1 - sa))
+    val db = cmn.map(x => BigInt(n * x._2 - sb))
+    def isqrt(v: BigInt): BigInt = {
+      var r = BigInt(math.sqrt(v.toDouble).toLong)
+      while (r * r > v) r -= 1
+      while ((r + 1) * (r + 1) <= v) r += 1
+      r
+    }
+    val (ra, rb) = (isqrt(da.map(d => d * d).sum), isqrt(db.map(d => d * d).sum))
+    out.foreach { r =>
+      val k = r.getInt(0)
+      val idx = (0 until cmn.length).filter(t => t + k >= 0 && t + k < cmn.length)
+      val numK = idx.map(t => da(t) * db(t + k)).sum
+      val ppm = (if (numK < 0) -1 else 1) * (numK.abs * 1000000 / ra / rb)
+      assert(r.getLong(1) == cmn.length - math.abs(k), s"n_pairs at lag $k")
+      assert(BigInt(r.getLong(2)) == ppm, s"ccf_ppm at lag $k")
+    }
+    // non-vacuity: the statistic separates lags (not a constant column)
+    assert(out.map(_.getLong(2)).distinct.length > 1, "ccf is degenerate")
+  }
 }
