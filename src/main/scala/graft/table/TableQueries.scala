@@ -1023,6 +1023,83 @@ object TableQueries {
       |        + CAST((SELECT COUNT(*) FROM slice) AS BIGINT)
       |ORDER BY version""".stripMargin
 
+  // ---- table_branch_merge -------------------------------------------------
+  // Named-branch development with a real 3-WAY MERGE (the Nessie/Iceberg
+  // branch model) — the case WAP's fast-forward refuses by design: main
+  // ADVANCES while a branch carries its own commits, and both sides'
+  // work must land. The key stages the full lifecycle deterministically:
+  // (1) branch = shallow clone of main@v1; (2) the branch appends batch A
+  // while main concurrently appends batch B; (3) fastForward(branch→main)
+  // is REFUSED (main moved — the lost-update guard, pinned as a metric);
+  // (4) mergeBranch lands A's manifest records onto main's current
+  // manifest under the publish CAS — both appends survive, zero data I/O;
+  // (5) a second branch that REWRITES the table (a full commit, not an
+  // append) is refused by the merge with the reason — append-only
+  // divergence is the only safe row-level-reconciliation-free merge, and
+  // the refusal is part of the contract, not a failure mode. Final state
+  // is read back THROUGH the merged manifest; the oracle replays it as
+  // base ∪ A ∪ B from the raw table. Scale: clone, refusal checks and
+  // merge are all KB manifest operations — merging a 100 TB branch costs
+  // the same metadata CAS as a 100 MB one.
+  def tableBranchMerge(s: SparkSession, dir: String): DataFrame = {
+    val main = freshRoot("branch-main")
+    val base = ordersBase(s, dir)
+    val v1 = VersionedTable.commit(base, main)
+    def slice(mod: Int, tag: String, shift: Long): DataFrame = base
+      .filter(col("key") % mod === 0 && col("key") > 0)
+      .select((-col("key") - shift).as("key"), lit(tag).as("status"),
+        col("total"))
+    // branch appends A; main concurrently appends B
+    val branch = freshRoot("branch-feature")
+    VersionedTable.shallowClone(main, v1, branch)
+    VersionedTable.commitAppend(slice(89, "A", 0L), branch) // branch v2
+    VersionedTable.commitAppend(slice(97, "B", 1000000000L), main) // main v2
+    val ffRefused = VersionedTable.fastForward(branch, 2, main, v1).isLeft
+    val merged = VersionedTable.mergeBranch(branch, 1, main)
+    // a rewriting branch cannot 3-way merge: full commit, not an append
+    val rewrite = freshRoot("branch-rewrite")
+    VersionedTable.shallowClone(main, merged.getOrElse(v1), rewrite)
+    VersionedTable.commit(base.filter(col("key") % 2 === 0), rewrite)
+    val rewriteRefused = VersionedTable.mergeBranch(rewrite, 1, main).isLeft
+    val fin = VersionedTable.readLatest(s, main).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("status") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("status") === "B", 1L).otherwise(0L)).as("nb"),
+      sum(expr("CAST(round(total * 100) AS BIGINT)")).as("cents")).head()
+    import s.implicits._
+    Seq(
+      ("guards", "ff_refused", if (ffRefused) 1L else 0L),
+      ("guards", "rewrite_refused", if (rewriteRefused) 1L else 0L),
+      ("merge", "main_version", merged.fold(_ => -1L, _.toLong)),
+      ("final", "n_rows", fin.getLong(0)),
+      ("final", "n_a", fin.getLong(1)),
+      ("final", "n_b", fin.getLong(2)),
+      ("final", "sum_cents", fin.getLong(3)))
+      .toDF("step", "metric", "value")
+      .orderBy(col("step"), col("metric"))
+  }
+
+  private val tableBranchMergeOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS total
+      |  FROM orders),
+      |a AS (SELECT -key AS key, 'A' AS status, total FROM base
+      |      WHERE key % 89 = 0 AND key > 0),
+      |b AS (SELECT -key - 1000000000 AS key, 'B' AS status, total FROM base
+      |      WHERE key % 97 = 0 AND key > 0),
+      |fin AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM a UNION ALL SELECT * FROM b)
+      |SELECT * FROM (
+      |  SELECT 'guards' AS step, 'ff_refused' AS metric, CAST(1 AS BIGINT) AS value
+      |  UNION ALL SELECT 'guards', 'rewrite_refused', 1
+      |  UNION ALL SELECT 'merge', 'main_version', 3
+      |  UNION ALL SELECT 'final', 'n_rows', (SELECT COUNT(*) FROM fin)
+      |  UNION ALL SELECT 'final', 'n_a', (SELECT COUNT(*) FROM a)
+      |  UNION ALL SELECT 'final', 'n_b', (SELECT COUNT(*) FROM b)
+      |  UNION ALL SELECT 'final', 'sum_cents',
+      |    (SELECT CAST(SUM(CAST(round(total * 100) AS BIGINT)) AS BIGINT) FROM fin)
+      |) z ORDER BY step, metric""".stripMargin
+
   // ---- table_wap_publish ------------------------------------------------
   // WRITE-AUDIT-PUBLISH — the staging discipline for writes that must be
   // validated BEFORE readers can see them (Iceberg's WAP, the audit
@@ -1246,6 +1323,7 @@ object TableQueries {
     "table_cbo_join" -> (tableCboJoin _),
     "table_describe_history" -> (tableDescribeHistory _),
     "table_wap_publish" -> (tableWapPublish _),
+    "table_branch_merge" -> (tableBranchMerge _),
     "table_shallow_clone" -> (tableShallowClone _),
     "table_replace_where" -> (tableReplaceWhere _),
     "table_merge_on_read" -> (tableMergeOnRead _),
@@ -1275,6 +1353,7 @@ object TableQueries {
     "table_cbo_join" -> tableCboJoinOracle,
     "table_describe_history" -> tableDescribeHistoryOracle,
     "table_wap_publish" -> tableWapPublishOracle,
+    "table_branch_merge" -> tableBranchMergeOracle,
     "table_shallow_clone" -> tableShallowCloneOracle,
     "table_replace_where" -> tableReplaceWhereOracle,
     "table_merge_on_read" -> tableMergeOnReadOracle,

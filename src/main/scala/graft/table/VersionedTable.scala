@@ -262,6 +262,48 @@ object VersionedTable {
     else Left(latestVersion(dstRoot))
   }
 
+  /** BRANCH MERGE (r12) — the 3-way merge `fastForward` cannot do: land a
+    * branch's commits on a destination that has ADVANCED since the branch
+    * was cloned (Nessie's / Iceberg's branch-merge semantics, restricted
+    * to the only case that is safe without row-level reconciliation:
+    * APPEND-ONLY divergence). The branch's delta vs its clone point must
+    * consist purely of new `D` data records — if the branch rewrote,
+    * deleted, renamed or re-stated anything (removed lines, new E/V
+    * delete records, a schema change), the merge refuses with the reason
+    * instead of silently clobbering either side. On success the branch's
+    * new files are UNIONED into dst's current manifest under the usual
+    * publish CAS: both sides' appends survive, manifest-only, zero data
+    * I/O — the 100 TB merge is a KB metadata operation. `C` records are
+    * not carried (the restore/clone convention). */
+  def mergeBranch(branchRoot: String, branchBase: Int,
+      dstRoot: String): Either[String, Int] = {
+    val noC = (ls: Seq[String]) => ls.filterNot(_.startsWith("C\t"))
+    val baseLines = noC(rawLines(branchRoot, branchBase))
+    val headLines = noC(rawLines(branchRoot, latestVersion(branchRoot)))
+    val removed = baseLines.filterNot(headLines.toSet.contains)
+    val added = headLines.filterNot(baseLines.toSet.contains)
+    val addedNonData = added.filterNot(_.startsWith("D\t"))
+    if (removed.nonEmpty)
+      Left(s"branch removed or rewrote ${removed.size} manifest record(s) " +
+        "since its clone point — append-only merges only")
+    else if (addedNonData.nonEmpty)
+      Left(s"branch added ${addedNonData.size} non-data record(s) " +
+        s"(${addedNonData.map(_.takeWhile(_ != '\t')).distinct.mkString(",")})" +
+        " — append-only merges only")
+    else {
+      val addedData = added
+      var v = 0
+      var done = false
+      while (!done) {
+        val cur = latestVersion(dstRoot)
+        val carried = noC(rawLines(dstRoot, cur))
+        v = cur + 1
+        done = publish(dstRoot, v, carried ++ addedData)
+      }
+      Right(v)
+    }
+  }
+
   /** REPLACE WHERE (r9) — Delta's `replaceWhere` / dynamic-partition-
     * overwrite: commit a new version where ONLY rows with `column` in
     * [lo, hi] are replaced by `df`'s rows in that range. File-granular

@@ -1035,4 +1035,40 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.tagVersion(root, "bad/name", 3)
     }
   }
+
+  test("branch merge: manifest-only union of both sides' appends, unsafe branches refused (r12)") {
+    import spark.implicits._
+    val main = freshRoot()
+    assert(VersionedTable.commit(base(), main) == 1)
+    val branch = freshRoot()
+    VersionedTable.shallowClone(main, 1, branch)
+    val batchA = Seq((-1L, "A", 10.0), (-2L, "A", 20.0)).toDF("key", "status", "total")
+    val batchB = Seq((-3L, "B", 30.0)).toDF("key", "status", "total")
+    VersionedTable.commitAppend(batchA, branch)
+    VersionedTable.commitAppend(batchB, main) // main advances concurrently
+    // fast-forward refuses (the WAP guard) — this is mergeBranch's raison d'être
+    assert(VersionedTable.fastForward(branch, 2, main, 1).isLeft)
+    val dataFilesBefore = VersionedTable.manifest(main, 2).toSet
+    val branchAdded = VersionedTable.manifest(branch, 2).toSet --
+      VersionedTable.manifest(branch, 1).toSet
+    val merged = VersionedTable.mergeBranch(branch, 1, main)
+    assert(merged == Right(3), s"merge result $merged")
+    // THE merge contract: v3's data files are exactly main-v2's ∪ the
+    // branch's appended files — referenced, never copied (manifest-only)
+    assert(VersionedTable.manifest(main, 3).toSet ==
+      dataFilesBefore ++ branchAdded, "merged manifest is not the union")
+    val fin = VersionedTable.readLatest(spark, main)
+    assert(fin.count() == 1003)
+    assert(fin.filter(col("status") === "A").count() == 2, "branch rows lost")
+    assert(fin.filter(col("status") === "B").count() == 1, "concurrent rows lost")
+    // a branch carrying DELETE records cannot 3-way merge
+    val delBranch = freshRoot()
+    VersionedTable.shallowClone(main, 3, delBranch)
+    VersionedTable.commitDeletes(Seq(5L).toDF("key"), delBranch, "key")
+    val refusal = VersionedTable.mergeBranch(delBranch, 1, main)
+    assert(refusal.isLeft && refusal.swap.exists(_.contains("non-data")),
+      s"delete-carrying branch must refuse with the record kind: $refusal")
+    // and the refusal left main untouched
+    assert(VersionedTable.latestVersion(main) == 3)
+  }
 }
