@@ -383,6 +383,53 @@ object Analytics {
       |  ON p.user_id = o.user_id AND p.d1 >= o.d
       |ORDER BY p.user_id, p.d""".stripMargin
 
+  /** As-of join, direction = FORWARD (pandas merge_asof's
+    * `direction='forward'`, the fifth and last as-of mode here): each
+    * order day matched to the same customer's NEXT strictly-later order
+    * day — the "time to next purchase" / "next quote after the trade"
+    * lookup, with the gap in days riding along and final orders
+    * exercising the null path. Same single-shuffle union+window
+    * composition, mirrored: the running carry is `first(…) ignoreNulls`
+    * over (currentRow, unboundedFollowing), and STRICTLY-later falls out
+    * of the tag order (references sort before probes at equal time, so a
+    * same-day reference is excluded from the probe's following frame —
+    * no probe-shift arithmetic needed). Oracle: DuckDB's native forward
+    * ASOF LEFT JOIN (`<`), an independent first-class implementation. */
+  def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ord = orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"), orderDate.as("d"))
+      .agg(max(col("o_orderkey")).as("orderkey"))
+    val refs = ord.select(col("user_id"), col("d").as("t"), lit(0).as("kind"),
+      col("orderkey").as("ref_orderkey"), col("d").as("ref_d"),
+      lit(null).cast("date").as("d"), lit(null).cast("bigint").as("orderkey"))
+    val probes = ord.select(col("user_id"), col("d").as("t"),
+      lit(1).as("kind"), lit(null).cast("bigint").as("ref_orderkey"),
+      lit(null).cast("date").as("ref_d"), col("d"), col("orderkey"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    refs.unionByName(probes)
+      .withColumn("next_orderkey",
+        first(col("ref_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("next_d", first(col("ref_d"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("orderkey"), col("user_id"), col("d"),
+        col("next_orderkey"),
+        datediff(col("next_d"), col("d")).as("gap_days"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  private val joinAsofForwardOracle =
+    """WITH ord AS (
+      |  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS d,
+      |         MAX(o_orderkey) AS orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT p.orderkey, p.user_id, p.d, o.orderkey AS next_orderkey,
+      |       date_diff('day', p.d, o.d) AS gap_days
+      |FROM ord p ASOF LEFT JOIN ord o
+      |  ON p.user_id = o.user_id AND p.d < o.d
+      |ORDER BY p.user_id, p.d""".stripMargin
+
   /** As-of join, direction = NEAREST (pandas merge_asof's third mode, the
     * one neither backward nor forward as-of covers): each probe matched to
     * the reference closest in time on EITHER side, ties to the earlier
@@ -1299,6 +1346,7 @@ object Analytics {
     "join_asof_prev" -> (joinAsofPrev _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
+    "join_asof_forward" -> (joinAsofForward _),
     "window_range_frame" -> (windowRangeFrame _),
     "window_islands" -> (windowIslands _),
     "agg_mode" -> (aggMode _),
@@ -1345,6 +1393,7 @@ object Analytics {
     "join_asof_prev" -> joinAsofPrevOracle,
     "join_asof_nearest" -> joinAsofNearestOracle,
     "join_asof_tolerance" -> joinAsofToleranceOracle,
+    "join_asof_forward" -> joinAsofForwardOracle,
     "window_range_frame" -> windowRangeFrameOracle,
     "window_islands" -> windowIslandsOracle,
     "agg_mode" -> aggModeOracle,

@@ -117,6 +117,25 @@ class DataProfileSpec extends SparkSpec {
       assert(plain(r.getLong(0)).contains(r.getLong(iKey))))
   }
 
+  test("join_asof_forward: strictly-later match, last order per user is null (r12)") {
+    val fwd = Analytics.queries("join_asof_forward")(spark, sfDir).collect()
+    val iNext = fwd.head.fieldIndex("next_orderkey")
+    val iGap = fwd.head.fieldIndex("gap_days")
+    // every match is strictly later (gap >= 1 — a same-day reference must
+    // never match, the forward-vs-backward boundary semantics)
+    fwd.filter(!_.isNullAt(iGap)).foreach(r =>
+      assert(r.getInt(iGap) >= 1, s"non-positive forward gap: $r"))
+    // each user's LAST order day has nothing later — exactly one null per user
+    val byUser = fwd.groupBy(_.getLong(1))
+    byUser.foreach { case (u, rows) =>
+      assert(rows.count(_.isNullAt(iNext)) == 1,
+        s"user $u: expected exactly one unmatched (final) order day")
+      val last = rows.maxBy(_.getDate(2).toLocalDate.toEpochDay)
+      assert(last.isNullAt(iNext), s"user $u: the null is not the final day")
+    }
+    assert(fwd.exists(!_.isNullAt(iNext)), "no forward match anywhere")
+  }
+
   test("agg_collect_set: rendered sets are sorted and match the count") {
     val rows = DataProfile.aggCollectSet(spark, sfDir).collect()
     assert(rows.nonEmpty)
