@@ -701,6 +701,100 @@ object GraphOps {
        |       CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_ppm
        |FROM md WHERE dist > 0 GROUP BY seed ORDER BY partkey""".stripMargin
 
+  // ---- graph_assortativity ------------------------------------------------
+  // Degree assortativity (Newman 2002): the Pearson correlation of
+  // endpoint degrees over the edge list — positive means hubs link to
+  // hubs (social networks), negative means hubs link to leaves
+  // (technological/dependency graphs); THE one-number shape statistic a
+  // pipeline watches next to the degree histogram, because a sign flip
+  // says the graph's generative process changed even when degree counts
+  // look stable. Computed over the symmetrized co-purchase edge list (both
+  // directions, so the correlation is symmetric by construction). Exact
+  // arithmetic end to end: with m directed edges, Σx, Σxy etc. are exact
+  // DECIMAL(38,0)/HUGEINT sums of BIGINT degree products; the Pearson
+  // numerator m·Σxy − Σx·Σy and variances m·Σx² − (Σx)² are exact, the
+  // two standard deviations take the isqrt ±1-correction device
+  // (ts_cross_corr's normalizer), and the statistic freezes as
+  // sign·(|num|·10⁶ div sx div sy) — identical truncating integer
+  // arithmetic in both engines, no libm anywhere. Scale: degree is one
+  // hash agg over the cached oriented artifact; the edge-grain pass is
+  // two equi-joins (edge → deg(u), deg(v)) feeding a 1-row aggregate with
+  // map-side combine — no shuffle wider than the degree join.
+  def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val (o, _) = orientedArtifact(s, dir)
+    val edges = o.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(o.select(col("v").as("src"), col("u").as("dst")))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val xy = edges
+      .join(deg.select(col("node").as("src"), col("d").as("x")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("d").as("y")), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+    val isqrtCase = (r0: String, v: String) =>
+      s"""CASE WHEN ($r0 + 1) * ($r0 + 1) <= $v THEN $r0 + 1
+         |     WHEN $r0 * $r0 > $v THEN $r0 - 1 ELSE $r0 END""".stripMargin
+    xy
+      .withColumn("num", expr(
+        "CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("vx", expr(
+        "CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("vy", expr(
+        "CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("rx0", floor(sqrt(col("vx").cast("double"))).cast("decimal(38,0)"))
+      .withColumn("ry0", floor(sqrt(col("vy").cast("double"))).cast("decimal(38,0)"))
+      .withColumn("sdx", expr(isqrtCase("rx0", "vx")))
+      .withColumn("sdy", expr(isqrtCase("ry0", "vy")))
+      .select(col("m").as("n_directed_edges"),
+        (when(col("num") < 0, -1L).otherwise(1L) *
+          expr("((abs(num) * 1000000) div sdx) div sdy").cast("long"))
+          .as("assortativity_ppm"))
+  }
+
+  private val graphAssortativityOracle =
+    s"""WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |capped AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS k FROM pr) t
+       |  WHERE k <= $maxSuppliersPerOrder),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+       |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk),
+       |ue AS (SELECT p1 AS src, p2 AS dst FROM e
+       |       UNION ALL SELECT p2, p1 FROM e),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM ue GROUP BY src),
+       |xy AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+       |         CAST(SUM(dx.d) AS HUGEINT) AS sx, CAST(SUM(dy.d) AS HUGEINT) AS sy,
+       |         SUM(CAST(dx.d AS HUGEINT) * dy.d) AS sxy,
+       |         SUM(CAST(dx.d AS HUGEINT) * dx.d) AS sxx,
+       |         SUM(CAST(dy.d AS HUGEINT) * dy.d) AS syy
+       |  FROM ue JOIN deg dx ON dx.node = ue.src
+       |          JOIN deg dy ON dy.node = ue.dst),
+       |mom AS (
+       |  SELECT m, m * sxy - sx * sy AS num,
+       |         m * sxx - sx * sx AS vx, m * syy - sy * sy AS vy
+       |  FROM xy),
+       |r0 AS (SELECT m, num, vx, vy,
+       |              CAST(FLOOR(SQRT(CAST(vx AS DOUBLE))) AS HUGEINT) AS rx0,
+       |              CAST(FLOOR(SQRT(CAST(vy AS DOUBLE))) AS HUGEINT) AS ry0
+       |       FROM mom),
+       |norms AS (
+       |  SELECT m, num,
+       |         CASE WHEN (rx0 + 1) * (rx0 + 1) <= vx THEN rx0 + 1
+       |              WHEN rx0 * rx0 > vx THEN rx0 - 1 ELSE rx0 END AS sdx,
+       |         CASE WHEN (ry0 + 1) * (ry0 + 1) <= vy THEN ry0 + 1
+       |              WHEN ry0 * ry0 > vy THEN ry0 - 1 ELSE ry0 END AS sdy
+       |  FROM r0)
+       |SELECT CAST(m AS BIGINT) AS n_directed_edges,
+       |       CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END
+       |            * (((abs(num) * 1000000) // sdx) // sdy) AS BIGINT)
+       |         AS assortativity_ppm
+       |FROM norms""".stripMargin
+
   // ---- graph_degree_hist ------------------------------------------------
   // Degree distribution in log2 buckets over the parts CO-PURCHASE graph
   // (the triangles graph — the co-supply graph is near-regular at every
@@ -1311,6 +1405,7 @@ object GraphOps {
     "graph_jaccard_sim" -> (graphJaccardSim _),
     "graph_bfs_distance" -> (graphBfsDistance _),
     "graph_harmonic" -> (graphHarmonic _),
+    "graph_assortativity" -> (graphAssortativity _),
     "graph_degree_hist" -> (graphDegreeHist _))
 
   val oracles: Map[String, String] = Map(
@@ -1327,5 +1422,6 @@ object GraphOps {
     "graph_jaccard_sim" -> graphJaccardSimOracle,
     "graph_bfs_distance" -> graphBfsDistanceOracle,
     "graph_harmonic" -> graphHarmonicOracle,
+    "graph_assortativity" -> graphAssortativityOracle,
     "graph_degree_hist" -> graphDegreeHistOracle)
 }

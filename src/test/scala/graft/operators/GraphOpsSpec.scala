@@ -432,6 +432,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(qPpm <= 1000000L, "modularity above 1 is impossible")
   }
 
+  test("assortativity: exact BigInt driver replay incl. isqrt norms, bounded (r12)") {
+    val out = GraphOps.graphAssortativity(spark, sfDir).collect()
+    assert(out.length == 1)
+    // rebuild the symmetrized co-purchase edge list driver-side and replay
+    // the whole Pearson-over-edges computation in BigInt
+    import org.apache.spark.sql.functions._
+    val pairs = graft.model.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.toSeq).toMap
+    val ue = byOrder.values
+      .filter(_.length <= GraphOps.maxSuppliersPerOrder)
+      .flatMap(g => g.flatMap(a => g.filter(_ != a).map(b => (a, b))))
+      .toSeq.distinct
+    val deg = ue.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = BigInt(ue.size)
+    val xs = ue.map(e => BigInt(deg(e._1)))
+    val ys = ue.map(e => BigInt(deg(e._2)))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val num = m * sxy - sx * sy
+    def isqrt(v: BigInt): BigInt = {
+      var r = BigInt(math.sqrt(v.toDouble).toLong)
+      while (r * r > v) r -= 1
+      while ((r + 1) * (r + 1) <= v) r += 1
+      r
+    }
+    val sdx = isqrt(m * xs.map(x => x * x).sum - sx * sx)
+    val sdy = isqrt(m * ys.map(y => y * y).sum - sy * sy)
+    val want = (if (num < 0) -1 else 1) * (num.abs * 1000000 / sdx / sdy)
+    assert(out(0).getLong(0) == ue.size.toLong, "directed edge count")
+    assert(BigInt(out(0).getLong(1)) == want, "assortativity_ppm")
+    // Pearson bound (Cauchy-Schwarz holds exactly here — same edge set
+    // both sides): |r| <= 1
+    assert(math.abs(out(0).getLong(1)) <= 1000000L, "out of [-1, 1]")
+  }
+
   test("harmonic centrality: full driver BFS replay on the co-purchase graph (r12)") {
     val out = GraphOps.graphHarmonic(spark, sfDir).collect()
     assert(out.nonEmpty, "no seeds reached anything")
