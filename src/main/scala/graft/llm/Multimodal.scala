@@ -189,7 +189,37 @@ object Multimodal {
     * slinging. */
   object WavCodec {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+
+    // Every AudioSystem.* entry point routes through the JDK's
+    // SYNCHRONIZED provider registry (JDK13Services.getProviders) on
+    // EVERY call — at 32 decode threads that global lock convoys, and the
+    // sf1/sf2 campaign measured it as the whole cost of the audio keys
+    // (mm_decode_audio 31s at sf1 isolated; ~17x sf0.1 at 10x rows —
+    // superlinear purely from lock contention). The platform codec itself
+    // is untouched: the SAME provider instances the registry would return
+    // are resolved ONCE through the PUBLIC javax.sound.sampled.spi
+    // ServiceLoader surface and called directly — real-codec claim
+    // intact, zero per-row global synchronization (the JDK file
+    // reader/writer instances are stateless and thread-safe).
+    private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+        .getOrElse(sys.error("no WAVE AudioFileWriter on this JVM"))
+    }
+    private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+      import scala.jdk.CollectionConverters._
+      val probe = encodeWav(8000, 1, 4)
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala
+        .find { r =>
+          try { r.getAudioFileFormat(new ByteArrayInputStream(probe)); true }
+          catch { case _: Exception => false }
+        }
+        .getOrElse(sys.error("no WAVE AudioFileReader on this JVM"))
+    }
 
     /** Container sniff: RIFF....WAVE magic. */
     def sniff(payload: Array[Byte]): Boolean =
@@ -221,7 +251,7 @@ object Multimodal {
       val stream = new AudioInputStream(
         new ByteArrayInputStream(pcm), fmt, frames.toLong)
       val bos = new ByteArrayOutputStream()
-      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+      wavWriter.write(stream, AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
 
@@ -231,7 +261,7 @@ object Multimodal {
         headerHex: String): Option[MediaMeta] =
       if (!sniff(payload)) None
       else try {
-        val ff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
+        val ff = wavReader.getAudioFileFormat(new ByteArrayInputStream(payload))
         Some(MediaMeta(
           doc_id = docId, modality = "audio",
           n_bytes = payload.length.toLong, header_hex = headerHex,
@@ -244,18 +274,21 @@ object Multimodal {
     /** Decode the PCM DATA through the platform codec and fold the int16
       * samples to one exact integer — the proof the decoder reads real
       * audio bytes, not just the header. */
+    /** PCM DATA bytes decoded through the platform codec. */
+    def pcmBytes(payload: Array[Byte]): Array[Byte] = {
+      val in = wavReader.getAudioInputStream(new ByteArrayInputStream(payload))
+      try in.readAllBytes() finally in.close()
+    }
+
     def pcmSum(payload: Array[Byte]): Long = {
-      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
-      try {
-        val data = in.readAllBytes()
-        var sum = 0L
-        var i = 0
-        while (i + 1 < data.length) {
-          sum += ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
-          i += 2
-        }
-        sum
-      } finally in.close()
+      val data = pcmBytes(payload)
+      var sum = 0L
+      var i = 0
+      while (i + 1 < data.length) {
+        sum += ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
+        i += 2
+      }
+      sum
     }
   }
 
@@ -780,9 +813,7 @@ object Multimodal {
         ids.map { id =>
           val (rate, ch, frames) = audioGeom(id)
           val wav = WavCodec.encodeWav(rate, ch, frames)
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(wav))
-          val data = try in.readAllBytes() finally in.close()
+          val data = WavCodec.pcmBytes(wav)
           var sumAbs = 0L
           var maxAbs = 0L
           var zc = 0L

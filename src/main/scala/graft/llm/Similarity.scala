@@ -177,6 +177,39 @@ object Similarity {
       |  (case when element_at(embedding, 17) > 0 then 4 else 0 end) +
       |  (case when element_at(embedding, 25) > 0 then 8 else 0 end) as int)""".stripMargin
 
+  /** Single-table sign bucket with ADAPTIVE bits — the nswGraph device for
+    * the QUADRATIC self-join keys (sim_knn_join, sim_knn_classify), whose
+    * within-bucket pair count is n²/2^bits: bits = clamp(⌈log2(n/32)⌉, 4,
+    * 8) holds expected bucket size constant as the corpus grows (sf2
+    * measured the fixed-bits knn join at 5× cost for 2× data). The
+    * query-time LSH keys (sim_lsh_ann/multitable) deliberately stay on the
+    * FIXED 4-bit table: they are the measured single-table recall baseline
+    * the multi-table contract is pinned against, and their joins are
+    * query×bucket (linear), not bucket self-joins. The count rides the
+    * plan as a broadcast 1-row anchor; the oracle derives the same bits
+    * from the same COUNT(*). */
+  private def adaptiveBucketed(corpus: DataFrame): DataFrame = {
+    val nRow = corpus.agg(count(lit(1)).as("n"))
+    corpus.crossJoin(broadcast(nRow))
+      .withColumn("bits",
+        expr("greatest(4, least(8, cast(ceil(log2(n / 32.0d)) as int)))"))
+      .withColumn("bucket", expr(
+        """cast(aggregate(sequence(0, bits - 1), 0, (acc, i) ->
+          |  acc + (case when element_at(embedding, 1 + 8 * i) > 0
+          |         then shiftleft(1, i) else 0 end)) as int)""".stripMargin))
+      .drop("n", "bits")
+  }
+
+  /** The matching oracle CTE: qn → (vec_id, qv, nrm, bucket) with the same
+    * adaptive bits derived from the same COUNT(*). */
+  private val adaptiveBucketedSql =
+    """nn AS (SELECT GREATEST(4, LEAST(8, CAST(CEIL(LOG2(COUNT(*) / 32.0)) AS INT))) AS bits FROM embeddings),
+      |bucketed AS (
+      |  SELECT vec_id, qv, nrm,
+      |         CAST(list_sum(list_transform(generate_series(0, bits - 1),
+      |           i -> CASE WHEN embedding[1 + 8 * i] > 0 THEN (1 << i) ELSE 0 END)) AS INT) AS bucket
+      |  FROM qn, nn)""".stripMargin
+
   def simLshAnn(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir).withColumn("bucket", expr(bucketE))
     val queries = corpus.filter(col("vec_id") < LshQueryCount)
@@ -1203,7 +1236,7 @@ object Similarity {
   // the candidate join is corpus⋈corpus on the bucket key and never
   // broadcasts, which is exactly why the bucket count is the scale knob.
   def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
-    val corpus = quantized(s, dir).withColumn("bucket", expr(bucketE))
+    val corpus = adaptiveBucketed(quantized(s, dir))
     val scored = corpus.as("a").join(corpus.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -1223,13 +1256,7 @@ object Similarity {
 
   private val simKnnJoinOracle =
     s"""WITH $quantizedSql,
-       |bucketed AS (
-       |  SELECT vec_id, qv, nrm,
-       |         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
-       |         (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END) +
-       |         (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END) +
-       |         (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS bucket
-       |  FROM qn),
+       |$adaptiveBucketedSql,
        |scored AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
        |         CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
@@ -1637,7 +1664,7 @@ object Similarity {
   // accuracy vs the 0.1 baseline, which is the semi-supervised
   // propagator doing its job on embeddings where labels ARE geometric.
   def simKnnClassify(s: SparkSession, dir: String): DataFrame = {
-    val corpus = quantized(s, dir).withColumn("bucket", expr(bucketE))
+    val corpus = adaptiveBucketed(quantized(s, dir))
       .join(load(s, dir, "embeddings").select(col("vec_id"), col("label")),
         Seq("vec_id"))
     val unl = corpus.filter(col("vec_id") % 10 === 3)
@@ -1668,13 +1695,12 @@ object Similarity {
 
   private val simKnnClassifyOracle =
     s"""WITH $quantizedSql,
+       |nn AS (SELECT GREATEST(4, LEAST(8, CAST(CEIL(LOG2(COUNT(*) / 32.0)) AS INT))) AS bits FROM embeddings),
        |bucketed AS (
        |  SELECT qn.vec_id, qv, nrm, e.label,
-       |         (CASE WHEN qn.embedding[1] > 0 THEN 1 ELSE 0 END) +
-       |         (CASE WHEN qn.embedding[9] > 0 THEN 2 ELSE 0 END) +
-       |         (CASE WHEN qn.embedding[17] > 0 THEN 4 ELSE 0 END) +
-       |         (CASE WHEN qn.embedding[25] > 0 THEN 8 ELSE 0 END) AS bucket
-       |  FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id),
+       |         CAST(list_sum(list_transform(generate_series(0, bits - 1),
+       |           i -> CASE WHEN qn.embedding[1 + 8 * i] > 0 THEN (1 << i) ELSE 0 END)) AS INT) AS bucket
+       |  FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id, nn),
        |scored AS (
        |  SELECT q.vec_id, q.label AS true_label,
        |         c.vec_id AS neighbor_id, c.label AS n_label,

@@ -642,7 +642,16 @@ object GraphOps {
   // rows. 1/d is summed as exact integer millionths (1000000 div d —
   // truncating div matches both engines on positives; no float ever),
   // the agg_diversity ppm discipline.
+  //
+  // The sample must be FIXED-SIZE, not a fixed modulus: Eppstein-Wang
+  // accuracy is ε ∝ 1/√k independent of n, while a %-of-catalog seed set
+  // grows with the graph AND the co-purchase graph densifies with SF —
+  // at sf2 the 400-seed frontier × edge join materialized ~4B candidate
+  // rows and OOM-killed the JVM (measured, r12 continuation). k seeds =
+  // the k smallest qualifying node ids: deterministic at every SF, and
+  // per-level candidate volume is bounded by k·|E|, linear in the graph.
   private[operators] val HarmonicRadius = 4
+  private[operators] val HarmonicSeedK = 8
 
   def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
     val (o, _) = orientedArtifact(s, dir)
@@ -651,6 +660,7 @@ object GraphOps {
       .localCheckpoint()
     val seeds = edges.select(col("src").as("node")).distinct()
       .filter(col("node") % 100 === 0)
+      .orderBy(col("node")).limit(HarmonicSeedK)
       .select(col("node").as("seed"), col("node"), lit(0).as("dist"))
     var known = seeds.localCheckpoint()
     var frontier = known
@@ -691,7 +701,8 @@ object GraphOps {
        |       UNION ALL SELECT p2, p1 FROM e),
        |bfs AS (
        |  SELECT src AS seed, src AS node, 0 AS dist
-       |  FROM (SELECT DISTINCT src FROM ue) n WHERE src % 100 = 0
+       |  FROM (SELECT DISTINCT src FROM ue
+       |        WHERE src % 100 = 0 ORDER BY src LIMIT $HarmonicSeedK) n
        |  UNION
        |  SELECT b.seed, e2.dst AS node, b.dist + 1 AS dist
        |  FROM bfs b JOIN ue e2 ON e2.src = b.node

@@ -485,7 +485,8 @@ class GraphOpsSpec extends SparkSpec {
       .filter(_.length <= GraphOps.maxSuppliersPerOrder) // the clique guard
       .flatMap(g => g.flatMap(a => g.filter(_ != a).map(b => a -> b)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val seeds = adj.keySet.filter(_ % 100 == 0)
+    val seeds = adj.keySet.filter(_ % 100 == 0).toSeq.sorted
+      .take(GraphOps.HarmonicSeedK)
     val want = seeds.flatMap { s0 =>
       var dist = Map(s0 -> 0)
       var frontier = Set(s0); var lvl = 0
