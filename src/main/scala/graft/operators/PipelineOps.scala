@@ -709,7 +709,77 @@ object PipelineOps {
       |SELECT s.split, s.n_users, s.n_events, s.cents, l.n_leaked_users
       |FROM sides s, leaks l ORDER BY s.split""".stripMargin
 
+  // ---- window_waterfall_alloc ----------------------------------------------
+  // The payment-allocation WATERFALL — the receivables/settlement operator
+  // every billing pipeline runs: apply each customer's payment pool
+  // against their invoices in strict date order until it runs out, and
+  // report per invoice how much was covered (paid / partial / unpaid).
+  // The naive formulation is a sequential loop over invoices; the
+  // closed form is two prefix sums — with pool B and invoice amounts a_i
+  // in order, alloc_i = clamp(B − Σ_{j<i} a_j, 0, a_i) — so the whole
+  // waterfall is ONE window (running sum over the customer's invoice
+  // sequence) plus a projection. The pool here is the deterministic
+  // 40%-settlement scenario — B = (2·Σa) div 5 per customer — so the
+  // fixture provably exercises all three outcomes (paid prefix, one
+  // partial, unpaid tail) at every SF (a fixed external pool degenerates:
+  // at sf0.001 no event-value pool covers even one invoice). Invoices =
+  // the customer's orders by (date, orderkey). Everything is exact
+  // integer cents, and the one exchange is the customer-key window
+  // shuffle (the pool rides the SAME partitioning as a second window
+  // aggregate — zero extra exchange): the textbook "sequential business
+  // rule turned prefix-scan" at any scale.
+  def windowWaterfallAlloc(s: SparkSession, dir: String): DataFrame = {
+    val inv = load(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("amount_cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("d"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inv.withColumn("pool_cents",
+        expr("2 * sum(amount_cents) over (partition by user_id) div 5"))
+      .withColumn("cum_cents", sum(col("amount_cents")).over(w))
+      .withColumn("alloc_cents", expr(
+        """greatest(0L, least(amount_cents,
+          |  pool_cents - (cum_cents - amount_cents)))""".stripMargin))
+      .withColumn("outstanding_cents", col("amount_cents") - col("alloc_cents"))
+      .withColumn("status",
+        when(col("outstanding_cents") === 0, "paid")
+          .when(col("alloc_cents") > 0, "partial")
+          .otherwise("unpaid"))
+      .select(col("user_id"), col("o_orderkey"), col("d"),
+        col("amount_cents"), col("alloc_cents"),
+        col("outstanding_cents"), col("status"))
+      .orderBy(col("user_id"), col("d"), col("o_orderkey"))
+  }
+
+  private val windowWaterfallAllocOracle =
+    """WITH inv AS (
+      |  SELECT o_custkey AS user_id, o_orderkey,
+      |         CAST(o_orderdate AS DATE) AS d,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS amount_cents
+      |  FROM orders),
+      |run AS (
+      |  SELECT user_id, o_orderkey, d, amount_cents,
+      |         2 * SUM(amount_cents) OVER (PARTITION BY user_id) // 5 AS pool_cents,
+      |         SUM(amount_cents) OVER (
+      |           PARTITION BY user_id ORDER BY d, o_orderkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      |  FROM inv)
+      |SELECT user_id, o_orderkey, d, amount_cents,
+      |       CAST(GREATEST(0, LEAST(amount_cents,
+      |         pool_cents - (cum_cents - amount_cents))) AS BIGINT) AS alloc_cents,
+      |       CAST(amount_cents - GREATEST(0, LEAST(amount_cents,
+      |         pool_cents - (cum_cents - amount_cents))) AS BIGINT) AS outstanding_cents,
+      |       CASE WHEN amount_cents - GREATEST(0, LEAST(amount_cents,
+      |              pool_cents - (cum_cents - amount_cents))) = 0 THEN 'paid'
+      |            WHEN GREATEST(0, LEAST(amount_cents,
+      |              pool_cents - (cum_cents - amount_cents))) > 0 THEN 'partial'
+      |            ELSE 'unpaid' END AS status
+      |FROM run ORDER BY user_id, d, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "window_waterfall_alloc" -> (windowWaterfallAlloc _),
     "sample_group_holdout" -> (sampleGroupHoldout _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
     "sample_time_split" -> (sampleTimeSplit _),
@@ -732,6 +802,7 @@ object PipelineOps {
     "join_spatial_grid" -> joinSpatialGridOracle,
     "join_full_outer_diff" -> joinFullOuterDiffOracle,
     "window_session" -> windowSessionOracle,
+    "window_waterfall_alloc" -> windowWaterfallAllocOracle,
     "scd2_intervals" -> scd2IntervalsOracle,
     "join_scd2_asof" -> joinScd2AsofOracle,
     "join_bloom_prefilter" -> joinBloomPrefilterOracle,

@@ -349,4 +349,39 @@ class PipelineOpsSpec extends SparkSpec {
       !phys.contains("BroadcastNestedLoopJoin"),
       s"interval overlap must stay an equi join:\n$phys")
   }
+
+  test("waterfall allocation: conservation, prefix monotonicity, status consistency (r12)") {
+    import org.apache.spark.sql.functions._
+    val out = PipelineOps.windowWaterfallAlloc(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rows) =>
+      val ordered = rows.sortBy(r =>
+        (r.getDate(2).toLocalDate.toEpochDay, r.getLong(1)))
+      // conservation: total allocated = min(pool, total invoiced). The pool
+      // is not in the output; recover it as Σalloc and check the waterfall
+      // SHAPE instead: allocations are a prefix — fully-paid invoices, at
+      // most one partial, then only unpaid
+      val statuses = ordered.map(_.getString(6))
+      val firstNotPaid = statuses.indexWhere(_ != "paid")
+      if (firstNotPaid >= 0) {
+        assert(statuses.drop(firstNotPaid + 1).forall(_ == "unpaid"),
+          s"user $u: allocation is not a prefix: ${statuses.mkString(",")}")
+        assert(statuses.count(_ == "partial") <= 1,
+          s"user $u: more than one partial invoice")
+      }
+      ordered.foreach { r =>
+        val (amt, alloc, outst) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(alloc >= 0 && alloc <= amt, s"user $u: alloc outside [0, amount]")
+        assert(outst == amt - alloc, s"user $u: outstanding mismatch")
+        assert((r.getString(6) == "paid") == (outst == 0L), s"user $u: paid flag")
+        assert((r.getString(6) == "unpaid") == (alloc == 0L && outst > 0),
+          s"user $u: unpaid flag")
+      }
+    }
+    // non-vacuity: the fixture must exercise all three statuses somewhere
+    val all = out.map(_.getString(6)).toSet
+    assert(all == Set("paid", "partial", "unpaid"),
+      s"fixture exercises only $all — waterfall degenerate")
+  }
 }
