@@ -337,6 +337,90 @@ object Similarity {
        |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ---- sim_recall_at_k --------------------------------------------------------
+  // The ANN EVAL HARNESS as a first-class relation: recall@3 of the
+  // production multi-table LSH path against exact brute-force ground
+  // truth, per query — the measurement every vector-index deployment runs
+  // before trusting an index, promoted from a spec assertion (LlmOpsSpec
+  // pins recall floors as scalars) to an oracle-checked per-query table
+  // (WHICH queries the index fails on is the actionable signal: isotropic
+  // fixtures fail uniformly, clustered production corpora fail on
+  // cluster-boundary queries). Methodology is the standard one at any
+  // scale: ground truth is exact top-k on a SAMPLED query set (cost |Q|·n
+  // — linear in the corpus for a fixed sample, embarrassingly parallel,
+  // run once per index build), the ANN side reuses the serving path
+  // UNCHANGED (same buckets, same re-rank; this key adds one
+  // membership-join + hash-agg on two 150-row ranked relations). Both
+  // rank relations are deterministic ((cos DESC, neighbor_id) total
+  // order), so the intersection count is exact in both engines and
+  // recall is served as integer per-mille — no float enters the relation.
+  def simRecallAtK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val queries = corpus.filter(col("vec_id") < LshQueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_dotq(q_emb, embedding)").as("dot"),
+        col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val truth = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = simLshMultitable(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_pm", expr("(n_hits * 1000) div 3"))
+      .orderBy(col("query_id"))
+  }
+
+  private val simRecallAtKOracle =
+    s"""WITH $quantizedSql,
+       |bucketed AS (
+       |  SELECT vec_id, qv, nrm, tb,
+       |         (CASE WHEN embedding[1 + tb] > 0 THEN 1 ELSE 0 END) +
+       |         (CASE WHEN embedding[9 + tb] > 0 THEN 2 ELSE 0 END) +
+       |         (CASE WHEN embedding[17 + tb] > 0 THEN 4 ELSE 0 END) +
+       |         (CASE WHEN embedding[25 + tb] > 0 THEN 8 ELSE 0 END) AS bucket
+       |  FROM qn, (VALUES (0),(1),(2),(3)) t(tb)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bucketed q JOIN bucketed c
+       |    ON c.tb = q.tb AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $LshQueryCount),
+       |ascored AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+       |  FROM cand JOIN qn a ON a.vec_id = query_id JOIN qn b ON b.vec_id = neighbor_id),
+       |ann AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM ascored) WHERE rank <= 3),
+       |tq AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qn WHERE vec_id < $LshQueryCount),
+       |tscored AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q_qv)), i -> q_qv[i] * c.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+       |  FROM qn c JOIN tq ON c.vec_id <> query_id),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM tscored) WHERE rank <= 3)
+       |SELECT t.query_id,
+       |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST((SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000) // 3 AS BIGINT) AS recall_pm
+       |FROM truth t LEFT JOIN ann a
+       |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
   // ---- sim_ivf_ann ----------------------------------------------------------
   // True IVF: a k=10 coarse quantizer (centroids seeded from the label
   // column — deterministic, no RNG), every corpus vector assigned to its
@@ -1941,6 +2025,7 @@ object Similarity {
     "sim_hamming_topk" -> (simHammingTopk _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_lsh_multitable" -> (simLshMultitable _),
+    "sim_recall_at_k" -> (simRecallAtK _),
     "sim_ivf_ann" -> ((s: SparkSession, dir: String) => simIvfAnn(s, dir)),
     "cluster_kmeans" -> (clusterKmeans _),
     "sim_pq_adc" -> (simPqAdc _),
@@ -1961,6 +2046,7 @@ object Similarity {
     "sim_hamming_topk" -> simHammingTopkOracle,
     "sim_lsh_ann" -> simLshAnnOracle,
     "sim_lsh_multitable" -> simLshMultitableOracle,
+    "sim_recall_at_k" -> simRecallAtKOracle,
     "sim_ivf_ann" -> simIvfAnnOracle,
     "cluster_kmeans" -> clusterKmeansOracle,
     "sim_pq_adc" -> simPqAdcOracle,

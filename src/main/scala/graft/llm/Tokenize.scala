@@ -405,6 +405,99 @@ object Tokenize {
       .orderBy(col("doc_id"))
   }
 
+  // ---- text_tokenize_unigram --------------------------------------------------
+  // The THIRD tokenizer family beside BPE and greedy WordPiece: unigram-LM
+  // Viterbi decode (Kudo 2018 / SentencePiece-unigram) under a uniform
+  // piece prior over the SAME trained inventory — uniform prior makes the
+  // Viterbi objective exactly "fewest pieces", which keeps the whole
+  // segmentation in integers (no log-prob floats to align across engines)
+  // while staying a true optimal decode: per doc, n_uni ≤ n_wp by
+  // construction, and the delta IS the greedy approximation loss, emitted
+  // side by side so the comparison is a relation, not a prose claim.
+  // Encoding stays one codegen projection (graft.expressions
+  // .ViterbiTokenize — backward DP + deterministic longest-on-shortest-
+  // path reconstruction per word, O(len·maxPiece) per row, no shuffle);
+  // the oracle replays the identical DP as a recursive CTE carrying each
+  // word's suffix-cost table as a LIST, then reconstructs with the same
+  // tie rule.
+  def textTokenizeUnigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val (_, initial, cont) = trainWordPiece(s, docs)
+    docs
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long")
+          .as("n_ws"),
+        wpCol(col("text"), initial, cont).as("tw"),
+        vitCol(col("text"), initial, cont).as("tu"))
+      .select(col("doc_id"), col("n_ws"), nTokens(col("tw")).as("n_wp"),
+        nTokens(col("tu")).as("n_uni"),
+        md5(col("tu").cast("binary")).as("tok_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def vitCol(c: Column, initial: Seq[String],
+      cont: Seq[String]): Column =
+    ColumnBridge.column(graft.expressions.ViterbiTokenize(
+      ColumnBridge.expression(c), initial, cont))
+
+  /** wpCte extended with the Viterbi decode: `udp` runs the backward
+    * min-piece DP per vocabulary word (the suffix-cost table grows as a
+    * LIST, bests[k] = cost of the suffix starting k−1 chars past the
+    * current position), `urec` walks forward emitting the longest piece
+    * still on a shortest path — ends with `wuni` (w, wtokuni, nuni). */
+  // lazy: wpCte is declared further down the object body — a plain val
+  // here would capture null at object init (Scala initializes vals in
+  // declaration order)
+  private lazy val uniCte =
+    s"""$wpCte,
+       |udp AS (
+       |  SELECT w, length(w) + 1 AS i, [0] AS bests FROM vocab
+       |  UNION ALL
+       |  SELECT a.w, a.i - 1, [1 + b.m] || a.bests
+       |  FROM udp a JOIN LATERAL (
+       |    SELECT MIN(a.bests[length(v.p)]) AS m FROM (
+       |      SELECT p FROM vinit WHERE a.i - 1 = 1
+       |      UNION ALL SELECT p FROM vcont WHERE a.i - 1 > 1) v
+       |    WHERE substr(a.w, a.i - 1, length(v.p)) = v.p) b ON TRUE
+       |  WHERE a.i > 1),
+       |urec AS (
+       |  SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS toks, FALSE AS done,
+       |         bests
+       |  FROM udp WHERE i = 1
+       |  UNION ALL
+       |  SELECT a.w, a.pos + length(b.p),
+       |         a.toks || [CASE WHEN a.pos = 1 THEN b.p ELSE '##' || b.p END],
+       |         a.pos + length(b.p) > length(a.w), a.bests
+       |  FROM urec a JOIN LATERAL (
+       |    SELECT v.p FROM (
+       |      SELECT p FROM vinit WHERE a.pos = 1
+       |      UNION ALL SELECT p FROM vcont WHERE a.pos > 1) v
+       |    WHERE substr(a.w, a.pos, length(v.p)) = v.p
+       |      AND 1 + a.bests[a.pos + length(v.p)] = a.bests[a.pos]
+       |    ORDER BY length(v.p) DESC LIMIT 1) b ON TRUE
+       |  WHERE NOT a.done),
+       |wuni AS (
+       |  SELECT w, array_to_string(toks, '|') AS wtokuni, len(toks) AS nuni
+       |  FROM urec WHERE done)""".stripMargin
+
+  private lazy val textTokenizeUnigramOracle =
+    s"""$uniCte,
+       |perdoc AS (
+       |  SELECT d.doc_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_ws,
+       |         CAST(SUM(t.nwp) AS BIGINT) AS n_wp,
+       |         CAST(SUM(u.nuni) AS BIGINT) AS n_uni,
+       |         string_agg(u.wtokuni, ' ' ORDER BY d.pos) AS joined
+       |  FROM words d JOIN wwp t ON t.w = d.w JOIN wuni u ON u.w = d.w
+       |  GROUP BY d.doc_id)
+       |SELECT doc.doc_id,
+       |       COALESCE(p.n_ws, 0) AS n_ws,
+       |       COALESCE(p.n_wp, 0) AS n_wp,
+       |       COALESCE(p.n_uni, 0) AS n_uni,
+       |       md5(COALESCE(p.joined, '')) AS tok_md5
+       |FROM documents doc LEFT JOIN perdoc p ON p.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
   // ---- curate_fertility_compare ----------------------------------------------
   // BPE vs WordPiece fertility per language, riding the existing fertility
   // report's integer per-mille convention: both encoders run in the SAME
@@ -511,6 +604,7 @@ object Tokenize {
   val queries: Map[String, Q] = Map[String, Q](
     "text_tokenize_bpe" -> (textTokenizeBpe _),
     "text_tokenize_wordpiece" -> (textTokenizeWordpiece _),
+    "text_tokenize_unigram" -> (textTokenizeUnigram _),
     "curate_fertility_compare" -> (curateFertilityCompare _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "text_chunk_bpe" -> (textChunkBpe _),
@@ -519,6 +613,7 @@ object Tokenize {
   val oracles: Map[String, String] = Map(
     "text_tokenize_bpe" -> textTokenizeBpeOracle,
     "text_tokenize_wordpiece" -> textTokenizeWordpieceOracle,
+    "text_tokenize_unigram" -> textTokenizeUnigramOracle,
     "curate_fertility_compare" -> curateFertilityCompareOracle,
     "pack_sequences_bpe" -> packSequencesBpeOracle,
     "text_chunk_bpe" -> textChunkBpeOracle,

@@ -494,6 +494,80 @@ object GraphOps {
        |FROM (SELECT unnest([u, v, w]) AS p FROM tri)
        |GROUP BY p ORDER BY p""".stripMargin
 
+  // ---- graph_lcc --------------------------------------------------------------
+  // Local clustering coefficient per node — triangles(v) relative to the
+  // deg(v)·(deg(v)−1)/2 wedges the node COULD close (Watts & Strogatz
+  // 1998): the per-node "how clique-like is my neighborhood" measure that
+  // completes the triangle family (global counts → graph_triangles,
+  // degree mixing → graph_assortativity, neighborhood overlap →
+  // graph_jaccard_sim). Both inputs come off the CACHED oriented
+  // artifact: per-node triangle counts ride the identical degree-oriented
+  // wedge plan as graph_triangles (each triangle counted once, wedge
+  // fan-out bounded by the O(√m) oriented out-degree), undirected degree
+  // is one hash-agg over both edge directions of the same relation — no
+  // new scan of lineitem, no new join topology to re-prove at scale. The
+  // coefficient is served in exact PARTS-PER-MILLION (2·10⁶·tri(v) div
+  // (deg(v)·(deg(v)−1)) — integer floor-on-positives division both
+  // engines compute identically), so no float ratio enters the relation.
+  // Nodes of degree < 2 close no wedge and are excluded by definition.
+  def graphLcc(s: SparkSession, dir: String): DataFrame = {
+    val (o, n) = orientedArtifact(s, dir)
+    lccFromOriented(o, knownEdgeCount = Some(n))
+  }
+
+  /** Split out so the spec can drive it with a planted graph of known
+    * clustering structure (the trianglesFromEdges precedent). */
+  private[operators] def lccFromEdges(e: DataFrame): DataFrame =
+    lccFromOriented(orientedFromEdges(e).localCheckpoint())
+
+  private def lccFromOriented(
+      o: DataFrame, knownEdgeCount: Option[Long] = None): DataFrame = {
+    val tri = trianglesFromOriented(o, knownEdgeCount = knownEdgeCount)
+    val deg = o.select(col("u").as("p")).unionAll(o.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("p"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("lcc_ppm",
+        expr("(2000000 * n_triangles) div (deg * (deg - 1))"))
+      .select(col("p"), col("deg"), col("n_triangles"), col("lcc_ppm"))
+      .orderBy(col("p"))
+  }
+
+  private val graphLccOracle =
+    s"""WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |capped AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS k FROM pr) t
+       |  WHERE k <= $maxSuppliersPerOrder),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+       |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk),
+       |deg AS (
+       |  SELECT p, COUNT(*) AS d
+       |  FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e)
+       |  GROUP BY p),
+       |o AS (
+       |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.p1 < e.p2)
+       |              THEN e.p1 ELSE e.p2 END AS u,
+       |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.p1 < e.p2)
+       |              THEN e.p2 ELSE e.p1 END AS v
+       |  FROM e JOIN deg da ON da.p = e.p1 JOIN deg db ON db.p = e.p2),
+       |tri AS (
+       |  SELECT e1.u AS u, e1.v AS v, e2.v AS w
+       |  FROM o e1 JOIN o e2 ON e2.u = e1.v
+       |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |tcnt AS (
+       |  SELECT p, COUNT(*) AS n_triangles
+       |  FROM (SELECT unnest([u, v, w]) AS p FROM tri)
+       |  GROUP BY p)
+       |SELECT d.p, CAST(d.d AS BIGINT) AS deg,
+       |       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |       CAST((2000000 * COALESCE(t.n_triangles, 0))
+       |            // (d.d * (d.d - 1)) AS BIGINT) AS lcc_ppm
+       |FROM deg d LEFT JOIN tcnt t ON t.p = d.p
+       |WHERE d.d >= 2 ORDER BY d.p""".stripMargin
+
   // ---- graph_jaccard_sim ----------------------------------------------------
   // Common-neighbor node similarity ("customers who bought X also
   // bought…"): for each QUERY part, the top-3 parts ranked by Jaccard over
@@ -1413,6 +1487,7 @@ object GraphOps {
     "graph_pagerank_conv" -> (graphPagerankConv _),
     "graph_triangles" -> (graphTriangles _),
     "graph_triangles_partitioned" -> (graphTrianglesPartitioned _),
+    "graph_lcc" -> (graphLcc _),
     "graph_jaccard_sim" -> (graphJaccardSim _),
     "graph_bfs_distance" -> (graphBfsDistance _),
     "graph_harmonic" -> (graphHarmonic _),
@@ -1430,6 +1505,7 @@ object GraphOps {
     "graph_pagerank_conv" -> graphPagerankConvOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "graph_triangles_partitioned" -> graphTrianglesOracle,
+    "graph_lcc" -> graphLccOracle,
     "graph_jaccard_sim" -> graphJaccardSimOracle,
     "graph_bfs_distance" -> graphBfsDistanceOracle,
     "graph_harmonic" -> graphHarmonicOracle,

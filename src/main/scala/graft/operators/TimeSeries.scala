@@ -907,7 +907,81 @@ object TimeSeries {
       |FROM g WHERE nus IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- ts_holt_linear ---------------------------------------------------------
+  // Holt's linear-trend double exponential smoothing over the global daily
+  // revenue series, plus the 7-day-ahead forecast l + 7·b — the FIRST
+  // forecasting operator in the suite (everything before this describes
+  // the past; window_ewma is the level-only special case that cannot see
+  // a trend). State recursion with α = β = 1/4:
+  //     l_t = (x_t + 3·(l_{t−1} + b_{t−1})) div 4
+  //     b_t = (l_t − l_{t−1} + 3·b_{t−1}) div 4,   l_1 = x_1, b_1 = 0
+  // kept ENTIRELY in integer cents: powers-of-two smoothing weights mean
+  // the only non-ring operation is `div` (truncation toward zero — the
+  // module's verified Spark-div/DuckDB-`//` contract), so both engines
+  // walk bit-identical states for every t with no fp accumulation and no
+  // per-step rounding rule to align. Topology is the two-altitude shape
+  // every per-entity recursion here uses: the fact scan collapses
+  // DISTRIBUTED (one map-side-combining hash-agg to day grain — the only
+  // part that grows with data), then the recursion — inherently
+  // sequential in t, O(days) ≈ thousands at ANY corpus size — runs as a
+  // sort_array + single aggregate() fold over the day-grain array
+  // (metadata-sized, the BPE/report precedent). The DuckDB oracle replays
+  // the identical recursion as a recursive CTE over the day index.
+  def tsHoltLinear(s: SparkSession, dir: String): DataFrame =
+    holtFromDaily(load(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents")))
+
+  /** The fold over an arbitrary (day DATE, cents BIGINT) series — split out
+    * so the spec can drive it with planted constant/ramp series against an
+    * independent plain-Scala replay of the recursion. */
+  private[operators] def holtFromDaily(daily: DataFrame): DataFrame = {
+    val lastLB = "element_at(acc, -1).l + element_at(acc, -1).b"
+    val lNew = s"(x.cents + 3 * ($lastLB)) div 4"
+    val fold =
+      s"""aggregate(
+         |  xs,
+         |  cast(array() as array<struct<day:date,cents:bigint,l:bigint,b:bigint>>),
+         |  (acc, x) -> if(size(acc) = 0,
+         |    array(named_struct('day', x.day, 'cents', x.cents,
+         |                       'l', x.cents, 'b', cast(0 as bigint))),
+         |    concat(acc, array(named_struct(
+         |      'day', x.day, 'cents', x.cents,
+         |      'l', $lNew,
+         |      'b', (($lNew) - element_at(acc, -1).l
+         |            + 3 * element_at(acc, -1).b) div 4)))))""".stripMargin
+    daily
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("xs"))
+      .select(explode(expr(fold)).as("r"))
+      .select(col("r.day").as("day"), col("r.cents").as("cents"),
+        col("r.l").as("level_cents"), col("r.b").as("trend_cents"),
+        (col("r.l") + lit(7L) * col("r.b")).as("forecast_7d_cents"))
+      .orderBy(col("day"))
+  }
+
+  private val tsHoltLinearOracle =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+      |hw AS (
+      |  SELECT i, day, cents, cents AS l, CAST(0 AS BIGINT) AS b
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT t.i, t.day, t.cents, t.l, (t.l - t.lp + 3 * t.bp) // 4 AS b
+      |  FROM (
+      |    SELECT d.i, d.day, d.cents,
+      |           (d.cents + 3 * (hw.l + hw.b)) // 4 AS l,
+      |           hw.l AS lp, hw.b AS bp
+      |    FROM hw JOIN idx d ON d.i = hw.i + 1) t)
+      |SELECT day, cents, CAST(l AS BIGINT) AS level_cents,
+      |       CAST(b AS BIGINT) AS trend_cents,
+      |       CAST(l + 7 * b AS BIGINT) AS forecast_7d_cents
+      |FROM hw ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "ts_holt_linear" -> (tsHoltLinear _),
     "ts_twa" -> (tsTwa _),
     "ts_seasonal_decompose" -> (tsSeasonalDecompose _),
     "ts_seasonal_strength" -> (tsSeasonalStrength _),
@@ -926,6 +1000,7 @@ object TimeSeries {
     "window_rolling_distinct" -> (windowRollingDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "ts_holt_linear" -> tsHoltLinearOracle,
     "ts_twa" -> tsTwaOracle,
     "ts_autocorr" -> tsAutocorrOracle,
     "ts_cross_corr" -> tsCrossCorrOracle,

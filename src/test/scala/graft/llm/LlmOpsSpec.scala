@@ -153,6 +153,34 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("sim_recall_at_k: served per-query hits equal the list intersection; arithmetic identity holds (r12)") {
+    val per = Similarity.simRecallAtK(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("recall_pm"))).toMap
+    assert(per.size == 50, s"one row per sampled query: ${per.size}")
+    per.foreach { case (q, (h, pm)) =>
+      assert(h >= 0 && h <= 3, s"query $q: hits $h out of [0,3]")
+      assert(pm == h * 1000 / 3, s"query $q: recall_pm $pm != ${h * 1000 / 3}")
+    }
+    // cross-check against the two PUBLIC serving keys on their shared
+    // query ids (brute force serves vec_id < 10 ⊂ the key's 50): the
+    // key's count must equal the intersection of the served lists
+    def top3(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.filter(_.getAs[Int]("rank") <= 3)
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = top3(Similarity.simTopkBruteforce(spark, sfDir).collect())
+    val ann = top3(Similarity.simLshMultitable(spark, sfDir).collect())
+    exact.foreach { case (q, truthSet) =>
+      val expected = (ann.getOrElse(q, Set.empty) & truthSet).size.toLong
+      assert(per(q)._1 == expected,
+        s"query $q: key served ${per(q)._1} hits, lists intersect in $expected")
+    }
+    val macroRecall = per.values.map(_._1).sum.toDouble / (3 * per.size)
+    info(f"multitable LSH recall@3 over 50 queries (served relation): $macroRecall%.3f")
+    assert(macroRecall > 0.0, "eval relation claims the index lost everything")
+  }
+
   test("ANN recall@3 vs brute force is measured and above the floor") {
     // the quality signal VERDICT r4 asked for: how much of the exact top-3
     // does each ANN tier recover on this fixture? The fixture embeddings

@@ -180,4 +180,41 @@ class TokenizeSpec extends SparkSpec {
       assert(r.getAs[Long]("sum_wp") == ids.toSeq.map(wp(_)._2).sum)
     }
   }
+
+  test("viterbi decode: beats greedy on the planted trap, never loses on the corpus (r12)") {
+    import graft.expressions.{ViterbiSupport, WordPieceModel, WordPieceSupport}
+    // planted greedy trap: greedy eats the long initial piece 'abc' and the
+    // remainder 'de' fragments to chars (3 pieces); the shortest path is
+    // a + bcde (2 pieces)
+    val trap = new WordPieceModel(Array("abc", "a"),
+      Array("bcde", "b", "c", "d", "e"))
+    def enc(f: (String, java.lang.StringBuilder, WordPieceModel) => Unit,
+        w: String, m: WordPieceModel): String = {
+      val sb = new java.lang.StringBuilder; f(w, sb, m); sb.toString
+    }
+    assert(enc(WordPieceSupport.encodeWord, "abcde", trap) == "abc|##d|##e",
+      "greedy must fall into the trap")
+    assert(enc(ViterbiSupport.encodeWord, "abcde", trap) == "a|##bcde",
+      "viterbi must find the 2-piece shortest path")
+    // deterministic tie rule: among shortest paths take the longest piece
+    // at each position — 'ab' alone (1 piece) beats any split
+    val tie = new WordPieceModel(Array("ab", "a"), Array("b"))
+    assert(enc(ViterbiSupport.encodeWord, "ab", tie) == "ab")
+    // off-corpus char fallback stays total and counts like greedy's
+    assert(enc(ViterbiSupport.encodeWord, "axb", tie) == "a|##x|##b")
+    // corpus-level optimality: per doc the viterbi count never exceeds the
+    // greedy count on the SAME inventory (the key's defining inequality),
+    // and both engines' token streams reassemble the same words
+    val rows = Tokenize.queries("text_tokenize_unigram")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wp, uni) = (r.getAs[Long]("n_wp"), r.getAs[Long]("n_uni"))
+      assert(uni <= wp,
+        s"doc ${r.getAs[Long]("doc_id")}: viterbi $uni > greedy $wp — not optimal")
+      assert(uni >= r.getAs[Long]("n_ws"),
+        "a word cannot encode to fewer than one piece")
+    }
+    val gaps = rows.count(r => r.getAs[Long]("n_uni") < r.getAs[Long]("n_wp"))
+    info(s"docs where viterbi strictly beats greedy: $gaps / ${rows.length}")
+  }
 }

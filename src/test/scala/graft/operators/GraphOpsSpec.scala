@@ -161,6 +161,29 @@ class GraphOpsSpec extends SparkSpec {
       "gate decision changed the triangle counts")
   }
 
+  test("local clustering coefficient: planted K4 + pendant structure is exact (r12)") {
+    import spark.implicits._
+    // same planted graph as the triangle tests: K4 on {1,2,3,4} + triangle
+    // {4,5,6} + pendant edge 6-7. Hand-computed LCC:
+    //   1,2,3: deg 3, tri 3 → 3/3 = 1        (K4 interiors are fully clique)
+    //   4:     deg 5, tri 4 → 4/10 = 0.4      (bridge between the cliques)
+    //   5:     deg 2, tri 1 → 1/1 = 1
+    //   6:     deg 3, tri 1 → 1/3 = 0.333333  (pendant dilutes)
+    //   7:     deg 1 → excluded (no wedge to close)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("p1", "p2")
+    val out = GraphOps.lccFromEdges(e).collect()
+      .map(r => r.getAs[Long]("p") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("n_triangles"),
+          r.getAs[Long]("lcc_ppm"))).toMap
+    assert(out == Map(
+      1L -> ((3L, 3L, 1000000L)), 2L -> ((3L, 3L, 1000000L)),
+      3L -> ((3L, 3L, 1000000L)), 4L -> ((5L, 4L, 400000L)),
+      5L -> ((2L, 1L, 1000000L)), 6L -> ((3L, 1L, 333333L))),
+      s"per-node LCC wrong: $out")
+    assert(!out.contains(7L), "degree-1 node must be excluded by definition")
+  }
+
   test("jaccard similarity: ranked per query, candidates share a neighbor, corpus never shuffles for them (r9)") {
     val df = GraphOps.queries("graph_jaccard_sim")(spark, sfDir)
     val rows = df.collect()

@@ -487,4 +487,48 @@ class TimeSeriesSpec extends SparkSpec {
     // non-vacuity: the statistic separates lags (not a constant column)
     assert(out.map(_.getLong(2)).distinct.length > 1, "ccf is degenerate")
   }
+
+  test("holt linear smoothing: SQL fold matches an independent Scala replay; level tracks, trend converges (r12)") {
+    import spark.implicits._
+    import java.sql.Date
+    // independent plain-Scala replay of the recursion (same integer
+    // truncation) — a second implementation, not the fold under test
+    def replay(xs: Seq[Long]): Seq[(Long, Long)] =
+      xs.tail.scanLeft((xs.head, 0L)) { case ((l, b), x) =>
+        val ln = (x + 3 * (l + b)) / 4
+        (ln, (ln - l + 3 * b) / 4)
+      }
+    def drive(xs: Seq[Long]): Seq[(Long, Long, Long)] = {
+      val df = xs.zipWithIndex
+        .map { case (c, i) => (Date.valueOf(s"2024-01-${i + 1}"), c) }
+        .toDF("day", "cents")
+      TimeSeries.holtFromDaily(df).orderBy("day").collect()
+        .map(r => (r.getAs[Long]("level_cents"), r.getAs[Long]("trend_cents"),
+          r.getAs[Long]("forecast_7d_cents"))).toSeq
+    }
+    // linear ramp 1000, 1100, ... +100/day: trend must converge toward 100
+    val ramp = (0 until 28).map(i => 1000L + 100L * i)
+    val outRamp = drive(ramp)
+    assert(outRamp.map { case (l, b, _) => (l, b) } == replay(ramp),
+      "SQL fold diverged from the Scala replay on the ramp")
+    assert(outRamp.last._2 >= 90 && outRamp.last._2 <= 100,
+      s"trend should converge near the ramp slope 100, got ${outRamp.last._2}")
+    // forecast column is exactly l + 7b
+    outRamp.foreach { case (l, b, f) => assert(f == l + 7 * b) }
+    // constant series: zero trend everywhere, level pinned to the constant
+    val flat = Seq.fill(10)(5000L)
+    val outFlat = drive(flat)
+    assert(outFlat.forall { case (l, b, f) => l == 5000L && b == 0L && f == 5000L },
+      s"constant series must hold (l=x, b=0): $outFlat")
+    // level-shift series: after a jump the trend goes positive then decays
+    // back toward zero once the new level is absorbed
+    val shift = Seq.fill(8)(1000L) ++ Seq.fill(20)(9000L)
+    val outShift = drive(shift)
+    assert(outShift.map { case (l, b, _) => (l, b) } == replay(shift),
+      "SQL fold diverged from the Scala replay on the level shift")
+    val bs = outShift.map(_._2)
+    assert(bs.max > 500, s"jump must register as positive trend: ${bs.max}")
+    assert(bs.last < bs.max / 4,
+      s"trend must decay after the level is absorbed: last=${bs.last} max=${bs.max}")
+  }
 }
