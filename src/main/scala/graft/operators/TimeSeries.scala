@@ -935,28 +935,39 @@ object TimeSeries {
   /** The fold over an arbitrary (day DATE, cents BIGINT) series — split out
     * so the spec can drive it with planted constant/ramp series against an
     * independent plain-Scala replay of the recursion. */
-  private[operators] def holtFromDaily(daily: DataFrame): DataFrame = {
+  private[operators] def holtFromDaily(daily: DataFrame): DataFrame =
+    holtStates(daily)
+      .select(col("day"), col("cents"),
+        col("l").as("level_cents"), col("b").as("trend_cents"),
+        (col("l") + lit(7L) * col("b")).as("forecast_7d_cents"))
+      .orderBy(col("day"))
+
+  /** The raw per-day smoothing states (day, cents, l, b, pred) where
+    * `pred` is the ONE-STEP-AHEAD forecast made BEFORE observing the day
+    * (l_{t−1} + b_{t−1}; null on the first day) — the honest out-of-sample
+    * prediction ts_forecast_residual scores. */
+  private[operators] def holtStates(daily: DataFrame): DataFrame = {
     val lastLB = "element_at(acc, -1).l + element_at(acc, -1).b"
     val lNew = s"(x.cents + 3 * ($lastLB)) div 4"
     val fold =
       s"""aggregate(
          |  xs,
-         |  cast(array() as array<struct<day:date,cents:bigint,l:bigint,b:bigint>>),
+         |  cast(array() as array<struct<day:date,cents:bigint,l:bigint,b:bigint,pred:bigint>>),
          |  (acc, x) -> if(size(acc) = 0,
          |    array(named_struct('day', x.day, 'cents', x.cents,
-         |                       'l', x.cents, 'b', cast(0 as bigint))),
+         |                       'l', x.cents, 'b', cast(0 as bigint),
+         |                       'pred', cast(null as bigint))),
          |    concat(acc, array(named_struct(
          |      'day', x.day, 'cents', x.cents,
          |      'l', $lNew,
          |      'b', (($lNew) - element_at(acc, -1).l
-         |            + 3 * element_at(acc, -1).b) div 4)))))""".stripMargin
+         |            + 3 * element_at(acc, -1).b) div 4,
+         |      'pred', $lastLB)))))""".stripMargin
     daily
       .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("xs"))
       .select(explode(expr(fold)).as("r"))
       .select(col("r.day").as("day"), col("r.cents").as("cents"),
-        col("r.l").as("level_cents"), col("r.b").as("trend_cents"),
-        (col("r.l") + lit(7L) * col("r.b")).as("forecast_7d_cents"))
-      .orderBy(col("day"))
+        col("r.l").as("l"), col("r.b").as("b"), col("r.pred").as("pred"))
   }
 
   private val tsHoltLinearOracle =
@@ -980,8 +991,94 @@ object TimeSeries {
       |       CAST(l + 7 * b AS BIGINT) AS forecast_7d_cents
       |FROM hw ORDER BY day""".stripMargin
 
+  // ---- ts_forecast_residual -----------------------------------------------------
+  // MODEL-BASED anomaly detection — the third detector beside the
+  // parametric z-score and the static-baseline median/MAD: score each day
+  // by its ONE-STEP-AHEAD Holt forecast error (the prediction made before
+  // the day was observed — the honest out-of-sample residual forecasting
+  // evaluation uses), then flag residuals that sit outside 3·1.4826·MAD
+  // of the residual distribution. A trending series defeats the static
+  // detectors (every recent day looks anomalous against a stale median);
+  // subtracting the forecast first is what lets the cutoff adapt to
+  // drift. Everything stays exact: residuals in integer cents off the
+  // bit-identical smoothing states, LOWER medians ((n+1) div 2 with a day
+  // tie-break — real series values, no fractional midpoint), the flag by
+  // integer cross-multiply (dev·10000 > mad·44478; 44478 = 3·1.4826·10⁴).
+  // Day-grain throughout (the anomaly_daily_mad posture): the fact scan
+  // collapses distributed, the scoring runs on thousands of rows at any
+  // corpus size.
+  def tsForecastResidual(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = holtStates(load(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents")))
+      .filter(col("pred").isNotNull)
+      .select(col("day"), col("cents"), col("pred"),
+        (col("cents") - col("pred")).as("resid"))
+    val all = Window.partitionBy() // lint:series-grain (day-grain)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byResid = Window.orderBy(col("resid"), col("day")) // lint:series-grain (day-grain)
+    val withMed = st
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("rn", row_number().over(byResid))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("resid"))).over(all))
+      .withColumn("dev", abs(col("resid") - col("med")))
+    val byDev = Window.orderBy(col("dev"), col("day")) // lint:series-grain (day-grain)
+    withMed
+      .withColumn("rn2", row_number().over(byDev))
+      .withColumn("mad",
+        max(when(col("rn2") === expr("(n + 1) div 2"), col("dev"))).over(all))
+      .select(col("day"), col("cents"), col("pred").as("pred_cents"),
+        col("resid").as("resid_cents"), col("med"), col("dev"), col("mad"),
+        (col("dev") * 10000L > col("mad") * 44478L).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  private val tsForecastResidualOracle =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+      |hw AS (
+      |  SELECT i, day, cents, cents AS l, CAST(0 AS BIGINT) AS b,
+      |         CAST(NULL AS BIGINT) AS pred
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT t.i, t.day, t.cents, t.l, (t.l - t.lp + 3 * t.bp) // 4 AS b,
+      |         t.pred
+      |  FROM (
+      |    SELECT d.i, d.day, d.cents,
+      |           (d.cents + 3 * (hw.l + hw.b)) // 4 AS l,
+      |           hw.l AS lp, hw.b AS bp, hw.l + hw.b AS pred
+      |    FROM hw JOIN idx d ON d.i = hw.i + 1) t),
+      |res AS (
+      |  SELECT day, cents, pred, cents - pred AS resid
+      |  FROM hw WHERE pred IS NOT NULL),
+      |nn AS (SELECT COUNT(*) AS n FROM res),
+      |medr AS (
+      |  SELECT resid AS med FROM (
+      |    SELECT resid, ROW_NUMBER() OVER (ORDER BY resid, day) AS rn FROM res) t, nn
+      |  WHERE rn = (n + 1) // 2),
+      |devs AS (
+      |  SELECT r.day, r.cents, r.pred, r.resid, m.med,
+      |         ABS(r.resid - m.med) AS dev
+      |  FROM res r, medr m),
+      |madr AS (
+      |  SELECT dev AS mad FROM (
+      |    SELECT dev, day, ROW_NUMBER() OVER (ORDER BY dev, day) AS rn FROM devs) t, nn
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT d.day, d.cents, CAST(d.pred AS BIGINT) AS pred_cents,
+      |       CAST(d.resid AS BIGINT) AS resid_cents,
+      |       CAST(d.med AS BIGINT) AS med, CAST(d.dev AS BIGINT) AS dev,
+      |       CAST(m.mad AS BIGINT) AS mad,
+      |       d.dev * 10000 > m.mad * 44478 AS is_anomaly
+      |FROM devs d, madr m ORDER BY d.day""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     "ts_holt_linear" -> (tsHoltLinear _),
+    "ts_forecast_residual" -> (tsForecastResidual _),
     "ts_twa" -> (tsTwa _),
     "ts_seasonal_decompose" -> (tsSeasonalDecompose _),
     "ts_seasonal_strength" -> (tsSeasonalStrength _),
@@ -1001,6 +1098,7 @@ object TimeSeries {
 
   val oracles: Map[String, String] = Map(
     "ts_holt_linear" -> tsHoltLinearOracle,
+    "ts_forecast_residual" -> tsForecastResidualOracle,
     "ts_twa" -> tsTwaOracle,
     "ts_autocorr" -> tsAutocorrOracle,
     "ts_cross_corr" -> tsCrossCorrOracle,

@@ -1195,6 +1195,77 @@ object TableQueries {
       |SELECT 'wave_good', 'n_violations', CAST(0 AS BIGINT)
       |ORDER BY step, metric""".stripMargin
 
+  // ---- table_stats_histogram --------------------------------------------------
+  // Range selectivity from MANIFEST HISTOGRAMS, no scan — the statistic
+  // that answers "how many rows match cents BETWEEN x AND y" the way `H`
+  // records answer distinct counts: each data file carries a `G` record
+  // binning its rows into a GLOBAL fixed-width grid (value div WIDTH —
+  // the same global-grid trick as hidden partitioning's truncate
+  // transform), so merging files is an exact per-cell SUM and the
+  // estimate is O(files·cells) driver metadata against a table whose
+  // data pages are never opened. Edge cells pro-rate by overlap with
+  // truncating integer arithmetic (continuous-uniform within a cell);
+  // a CELL-ALIGNED probe is therefore EXACT by construction — the
+  // property the probe set demonstrates (probe 1 aligned → est ==
+  // exact; probes 2-3 misaligned → interpolated). The exact counts ride
+  // along from one reference scan of the table read path, so the
+  // artifact documents the estimator's error, the same contract as
+  // table_ndv_stats.
+  def tableStatsHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = freshRoot("hist")
+    val W = 5000000L // 50k-dollar cells over cents ≤ ~60M: ~12 grid cells
+    val staged = ordersBase(s, dir)
+      .withColumn("cents", expr("cast(round(total * 100) as bigint)"))
+    VersionedTable.commit(staged.repartition(8), root, changes = None,
+      statsColumns = Nil, bloomColumns = Nil, ndvColumns = Nil,
+      histColumns = Seq(("cents", W)))
+    val (w, cells) = VersionedTable.histogramCells(root, 1, "cents")
+    val probes = Seq(
+      (1L, 10000000L, 20000000L), // cell-aligned: estimate must be exact
+      (2L, 12345600L, 34567800L), // misaligned: both edges interpolate
+      (3L, 45000000L, 90000000L)) // tail: upper bound past the data
+    val est = probes
+      .map { case (p, lo, hi) =>
+        (p, lo, hi, VersionedTable.estimateRange(w, cells, lo, hi)) }
+      .toDF("probe", "lo", "hi", "est_rows")
+    val exact = VersionedTable.readVersion(s, root, 1)
+      .select(col("cents"))
+      .join(broadcast(est.select(col("probe"), col("lo"), col("hi"))),
+        col("cents") >= col("lo") && col("cents") < col("hi"))
+      .groupBy(col("probe")).agg(count(lit(1)).as("exact_rows"))
+    est.join(exact, Seq("probe"), "left")
+      .na.fill(0L, Seq("exact_rows"))
+      .select(col("probe"), col("lo"), col("hi"), col("est_rows"),
+        col("exact_rows"))
+      .orderBy(col("probe"))
+  }
+
+  private val tableStatsHistogramOracle =
+    """WITH cents AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      |grid AS (SELECT v // 5000000 AS cell, COUNT(*) AS cnt FROM cents GROUP BY 1),
+      |probes(probe, lo, hi) AS (VALUES
+      |  (CAST(1 AS BIGINT), CAST(10000000 AS BIGINT), CAST(20000000 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), CAST(12345600 AS BIGINT), CAST(34567800 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), CAST(45000000 AS BIGINT), CAST(90000000 AS BIGINT))),
+      |est AS (
+      |  SELECT p.probe, p.lo, p.hi,
+      |         CAST(SUM((g.cnt * (LEAST(g.cell * 5000000 + 5000000, p.hi)
+      |                - GREATEST(g.cell * 5000000, p.lo))) // 5000000)
+      |              AS BIGINT) AS est_rows
+      |  FROM probes p JOIN grid g
+      |    ON g.cell * 5000000 + 5000000 > p.lo AND g.cell * 5000000 < p.hi
+      |  GROUP BY 1, 2, 3),
+      |ex AS (
+      |  SELECT p.probe, CAST(COUNT(*) AS BIGINT) AS exact_rows
+      |  FROM probes p JOIN cents c ON c.v >= p.lo AND c.v < p.hi
+      |  GROUP BY 1)
+      |SELECT e.probe, e.lo, e.hi, e.est_rows,
+      |       COALESCE(x.exact_rows, 0) AS exact_rows
+      |FROM est e LEFT JOIN ex x ON x.probe = e.probe
+      |ORDER BY e.probe""".stripMargin
+
   // ---- table_cbo_join -------------------------------------------------------
   // The manifest stats FEED PLANNING (the table_ndv_stats follow-through):
   // a join's build side and strategy are decided from scanFreeStats —
@@ -1347,6 +1418,7 @@ object TableQueries {
     "table_vacuum" -> (tableVacuum _),
     "table_tag_retention" -> (tableTagRetention _),
     "table_ndv_stats" -> (tableNdvStats _),
+    "table_stats_histogram" -> (tableStatsHistogram _),
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
@@ -1377,5 +1449,6 @@ object TableQueries {
     "table_vacuum" -> sinkCompactOracle,
     "table_tag_retention" -> tableTagRetentionOracle,
     "table_ndv_stats" -> tableNdvStatsOracle,
+    "table_stats_histogram" -> tableStatsHistogramOracle,
     "table_vacuum_age" -> sinkCompactOracle)
 }

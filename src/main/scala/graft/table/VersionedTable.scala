@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{types, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, length, lit, max, md5, min, sum, when, bin}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, length, lit, max, md5, min, sum, when, bin}
 
 /** Minimal copy-on-write table format with a commit log — the transactional
   * read surface the merge_upsert family's "version swap" stands in for
@@ -91,7 +91,8 @@ object VersionedTable {
     * come from parquet footers — the data files are never re-scanned. */
   def commit(df: DataFrame, root: String, changes: Option[DataFrame],
       statsColumns: Seq[String], bloomColumns: Seq[String] = Nil,
-      ndvColumns: Seq[String] = Nil): Int = {
+      ndvColumns: Seq[String] = Nil,
+      histColumns: Seq[(String, Long)] = Nil): Int = {
     val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
     df.write.parquet(dataDir)
     val dataFiles = listParquet(dataDir)
@@ -151,9 +152,32 @@ object VersionedTable {
       val packed = (0 until 64).map(b => regs.getOrElse(b, 0)).mkString(",")
       s"H\t$f\t$c\t$packed"
     }
+    // `G` records: per-file FIXED-GRID histogram over an integer column —
+    // the range-selectivity statistic NDV can't provide (how many rows
+    // land in [lo, hi)?). The grid is value div WIDTH with the width
+    // declared at commit time and stored in the record, so every file
+    // bins into the SAME global cells and the merge is an exact per-cell
+    // SUM — the property per-file min/max-anchored histograms lose (their
+    // merge is approximate because bucket bounds differ per file).
+    // Equi-width over equi-depth deliberately: depth boundaries depend on
+    // the file's own data, width boundaries are a pure function of the
+    // declared grid — mergeable, append-maintainable, oracle-replayable.
+    val histLines = for {
+      (c, w) <- histColumns
+      f <- dataFiles
+    } yield {
+      val cells = df.sparkSession.read.parquet(f)
+        .select(expr(s"cast($c as bigint) div $w").as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .sortBy(_._1)
+        .map { case (cell, n) => s"$cell:$n" }.mkString(",")
+      s"G\t$f\t$c\t$w\t$cells"
+    }
     // schema.json is single-line compact JSON (escapes control chars), so
     // it can never break the line-oriented, tab-separated manifest format
-    val lines = dataLines ++ changeLines ++ bloomLines ++ ndvLines :+
+    val lines = dataLines ++ changeLines ++ bloomLines ++ ndvLines ++
+      histLines :+
       s"S\t${df.schema.json}"
     var v = latestVersion(root) + 1
     while (!publish(root, v, lines)) v = latestVersion(root) + 1
@@ -623,7 +647,7 @@ object VersionedTable {
     rawLines(root, v)
       .filterNot(l => l.startsWith("S\t") || l.startsWith("B\t") ||
         l.startsWith("P\t") || l.startsWith("V\t") || l.startsWith("R\t") ||
-        l.startsWith("H\t"))
+        l.startsWith("H\t") || l.startsWith("G\t"))
       .map { line =>
         line.split('\t') match {
           case Array(path) => ManifestEntry(path, change = false, Nil) // legacy
@@ -1078,6 +1102,56 @@ object VersionedTable {
     BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
+
+  /** Merged fixed-grid histogram for `column` at version `v`: per-cell SUM
+    * over every data file's `G` record — O(files·cells) driver metadata,
+    * no data pages touched. Exact by construction (cells are a global
+    * grid, so the per-file split is invisible to the merged counts).
+    * Returns (grid width, cell → row count). Same staleness disciplines
+    * as [[ndvRegisters]]: logical names resolve through the rename map,
+    * delete commits invalidate the counts loudly, and a data file without
+    * a histogram fails the merge rather than silently undercounting. */
+  def histogramCells(root: String, v: Int, column: String)
+      : (Long, Map[Long, Long]) = {
+    val lines = rawLines(root, v)
+    val phys = renameMap(root, v).map(_.swap).getOrElse(column, column)
+    require(!lines.exists(l => l.startsWith("E\t") || l.startsWith("V\t")),
+      s"histogram at v$v predates delete records on this version — " +
+        "recompute stats (commit with histColumns) before reading it")
+    val recs = lines.filter(_.startsWith("G\t"))
+      .map(_.split("\t")).filter(_(2) == phys)
+    val covered = recs.map(_(1)).toSet
+    val missing = dataEntries(root, v).map(_.path).filterNot(covered)
+    require(recs.nonEmpty, s"no histogram recorded for '$column' at v$v")
+    require(missing.isEmpty,
+      s"histogram for '$column' at v$v misses ${missing.size} data file(s) " +
+        "— refresh stats (commit with histColumns) before reading it")
+    val widths = recs.map(_(3).toLong).distinct
+    require(widths.length == 1,
+      s"histogram for '$column' at v$v mixes grid widths $widths")
+    val cells = recs.iterator
+      .flatMap(r => if (r.length > 4 && r(4).nonEmpty)
+        r(4).split(",").iterator.map { kv =>
+          val Array(c, n) = kv.split(":"); c.toLong -> n.toLong
+        } else Iterator.empty)
+      .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+    (widths.head, cells)
+  }
+
+  /** Row-count estimate for values in [lo, hi) from a merged fixed-grid
+    * histogram: full cells contribute exactly, edge cells pro-rate by
+    * overlap under the continuous-uniform-within-cell assumption —
+    * cnt·overlap div width, truncating integer arithmetic so both engines
+    * state the identical estimate. Exact whenever the probe is
+    * cell-aligned (the overlap is then 0 or the full width). */
+  def estimateRange(width: Long, cells: Map[Long, Long],
+      lo: Long, hi: Long): Long =
+    cells.iterator.map { case (cell, cnt) =>
+      val cLo = cell * width
+      val oLo = math.max(cLo, lo)
+      val oHi = math.min(cLo + width, hi)
+      if (oHi <= oLo) 0L else cnt * (oHi - oLo) / width
+    }.sum
 
   /** Scan-free planner statistics for a join side (r12 — the CBO move
     * real engines make from their manifests): exact row count from the

@@ -531,4 +531,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(bs.last < bs.max / 4,
       s"trend must decay after the level is absorbed: last=${bs.last} max=${bs.max}")
   }
+
+  test("forecast residual: pred is yesterday's level+trend, MAD flag identity, medians are series values (r12)") {
+    val holt = TimeSeries.tsHoltLinear(spark, sfDir).collect()
+      .map(r => r.getAs[java.sql.Date]("day") ->
+        (r.getAs[Long]("level_cents"), r.getAs[Long]("trend_cents"))).toMap
+    val days = holt.keys.toSeq.sortBy(_.getTime)
+    val out = TimeSeries.tsForecastResidual(spark, sfDir).collect()
+    assert(out.length == days.length - 1, "one residual per day after the first")
+    val byDay = out.map(r => r.getAs[java.sql.Date]("day") -> r).toMap
+    // the prediction column is EXACTLY the prior day's l + b (the honest
+    // out-of-sample forecast), cross-checked against the holt key
+    days.sliding(2).foreach { case Seq(prev, d) =>
+      val (l, b) = holt(prev)
+      assert(byDay(d).getAs[Long]("pred_cents") == l + b,
+        s"$d: pred != prior day's l+b")
+      assert(byDay(d).getAs[Long]("resid_cents") ==
+        byDay(d).getAs[Long]("cents") - (l + b))
+    }
+    // med and mad are real series values (lower medians), the flag is the
+    // exact integer cross-multiply, and both tails exist on this fixture
+    val resids = out.map(_.getAs[Long]("resid_cents")).sorted
+    val med = out.head.getAs[Long]("med")
+    assert(resids.contains(med), "median must be a series value")
+    val mad = out.head.getAs[Long]("mad")
+    val devs = out.map(_.getAs[Long]("dev")).sorted
+    assert(devs.contains(mad), "MAD must be a deviation value")
+    assert(med == resids((resids.length + 1) / 2 - 1), "lower median rule")
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_anomaly") ==
+        (r.getAs[Long]("dev") * 10000L > mad * 44478L))
+    }
+    val n = out.count(_.getAs[Boolean]("is_anomaly"))
+    assert(n > 0 && n < out.length / 10,
+      s"flag rate insane: $n of ${out.length}")
+  }
 }

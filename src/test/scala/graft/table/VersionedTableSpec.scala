@@ -954,6 +954,52 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("delete"), s"wrong gate: ${e.getMessage}")
   }
 
+  test("grid histograms: per-file cells merge exactly across splits; aligned probes exact; gates hold (r12)") {
+    import spark.implicits._
+    // same data under two different file splits must merge to the SAME
+    // histogram — the global-grid property per-file-anchored buckets lose
+    val r1 = freshRoot()
+    val r2 = freshRoot()
+    VersionedTable.commit(base().repartition(1), r1, changes = None,
+      statsColumns = Nil, bloomColumns = Nil, ndvColumns = Nil,
+      histColumns = Seq(("key", 100L)))
+    VersionedTable.commit(base().repartition(7), r2, changes = None,
+      statsColumns = Nil, bloomColumns = Nil, ndvColumns = Nil,
+      histColumns = Seq(("key", 100L)))
+    val (w1, c1) = VersionedTable.histogramCells(r1, 1, "key")
+    val (w2, c2) = VersionedTable.histogramCells(r2, 1, "key")
+    assert(w1 == 100L && w2 == 100L && c1 == c2,
+      s"file split changed the merged histogram: $c1 vs $c2")
+    // keys are 1..1000 → cells 0 (99 rows: 1..99), 1..9 (100 each), 10 (1000)
+    assert(c1(0L) == 99L && c1(5L) == 100L && c1(10L) == 1L)
+    assert(c1.values.sum == 1000L, "histogram must partition the rows")
+    // cell-aligned probe is exact; interior misaligned probe interpolates
+    // exactly here because keys are uniform in the cell
+    assert(VersionedTable.estimateRange(w1, c1, 100L, 300L) == 200L)
+    assert(VersionedTable.estimateRange(w1, c1, 150L, 250L) == 100L)
+    // empty range and past-the-data range
+    assert(VersionedTable.estimateRange(w1, c1, 5000L, 9000L) == 0L)
+    // staleness gates: unsketched append and delete commits both refuse
+    VersionedTable.commitAppend(
+      (2000L to 2100L).map(k => (k, "N", 1.0)).toDF("key", "status", "total"),
+      r1)
+    intercept[IllegalArgumentException] {
+      VersionedTable.histogramCells(r1, 2, "key")
+    }
+    VersionedTable.commitDeletes(Seq(1L).toDF("key"), r2, "key")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.histogramCells(r2, 2, "key")
+    }
+    assert(e.getMessage.contains("delete"), s"wrong gate: ${e.getMessage}")
+    // rename resolution, like the NDV records
+    val r3 = freshRoot()
+    VersionedTable.commit(base(), r3, changes = None, statsColumns = Nil,
+      bloomColumns = Nil, ndvColumns = Nil, histColumns = Seq(("key", 100L)))
+    VersionedTable.commitRename(r3, Map("key" -> "id"))
+    assert(VersionedTable.histogramCells(r3, 2, "id")._2 == c1,
+      "renamed logical lookup must find the physical G records")
+  }
+
   test("scan-free stats drive the join planner: zero Spark jobs to decide (r12)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val root = freshRoot()
