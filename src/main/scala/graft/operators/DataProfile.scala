@@ -282,6 +282,68 @@ object DataProfile {
                |as decimal(28,8)), 6) as double)""".stripMargin).as("gini"))
   }
 
+  // ---- agg_pareto_deciles -----------------------------------------------------
+  // The Lorenz curve agg_gini collapses to one number, served as a
+  // relation: customers ranked by revenue DESC, cut into 10 equal-count
+  // deciles, cumulative revenue share per decile in exact ppm — the
+  // "top 10% of customers carry X% of revenue" concentration table every
+  // account-planning dashboard wants next to the Gini scalar (the scalar
+  // says HOW concentrated; the curve says WHERE). Same scale discipline
+  // as gini: customer grain is NOT series grain, so the global descending
+  // rank rides RankedOver's two-pass distributed rank (rank by negated
+  // cents, ties to custkey); the decile rollup is a 10-row frame where a
+  // plain running sum is free. Shares are truncating integer ppm — no
+  // float division in the relation.
+  def aggParetoDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .withColumn("neg", -col("cents"))
+      .localCheckpoint() // read thrice by the rank helper (gini precedent)
+    val ranked = RankedOver.withGlobalRanks(totals, Nil, "neg",
+      tieCols = Seq("o_custkey"),
+      buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val dec = ranked
+      .withColumn("decile", expr("cast((__grn - 1) * 10 div __gn + 1 as int)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("decile_cents"))
+    val w = Window.orderBy(col("decile")) // lint:series-grain (decile-grain: 10 rows)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("cum_cents", sum(col("decile_cents")).over(w))
+      .crossJoin(broadcast(totals.agg(sum(col("cents")).as("total_cents"))))
+      // cum_cents·10⁶ passes 2^63 around sf1 (the agg_gini HUGEINT lesson)
+      // — the product rides DECIMAL(38,0)/HUGEINT on both engines
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        col("cum_cents"),
+        expr("""cast((cast(cum_cents as decimal(38,0)) * 1000000)
+               |     div total_cents as bigint)""".stripMargin).as("share_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  private val aggParetoDecilesOracle =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT cents,
+      |         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+      |         COUNT(*) OVER () AS n
+      |  FROM cust),
+      |g AS (
+      |  SELECT CAST((rn - 1) * 10 // n + 1 AS INT) AS decile,
+      |         CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |         CAST(SUM(cents) AS BIGINT) AS decile_cents
+      |  FROM r GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM cust)
+      |SELECT decile, n_customers, decile_cents,
+      |       CAST(SUM(decile_cents) OVER (ORDER BY decile) AS BIGINT) AS cum_cents,
+      |       CAST(CAST(SUM(decile_cents) OVER (ORDER BY decile) AS HUGEINT)
+      |            * 1000000 // total_cents AS BIGINT) AS share_ppm
+      |FROM g, t ORDER BY decile""".stripMargin
+
   private val aggGiniOracle =
     """WITH totals AS (
       |  SELECT o_custkey,
@@ -1078,6 +1140,7 @@ object DataProfile {
     "agg_corr_regr" -> (aggCorrRegr _),
     "agg_skew_kurt" -> (aggSkewKurt _),
     "agg_gini" -> (aggGini _),
+    "agg_pareto_deciles" -> (aggParetoDeciles _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "anomaly_daily_mad" -> (anomalyDailyMad _),
     "agg_weighted_median" -> (aggWeightedMedian _),
@@ -1097,6 +1160,7 @@ object DataProfile {
     "agg_corr_regr" -> aggCorrRegrOracle,
     "agg_skew_kurt" -> aggSkewKurtOracle,
     "agg_gini" -> aggGiniOracle,
+    "agg_pareto_deciles" -> aggParetoDecilesOracle,
     "agg_bitmap_distinct" -> aggBitmapDistinctOracle,
     "anomaly_daily_mad" -> anomalyDailyMadOracle,
     "agg_weighted_median" -> aggWeightedMedianOracle,

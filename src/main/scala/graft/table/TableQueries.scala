@@ -1266,6 +1266,86 @@ object TableQueries {
       |FROM est e LEFT JOIN ex x ON x.probe = e.probe
       |ORDER BY e.probe""".stripMargin
 
+  // ---- table_stats_refresh ------------------------------------------------------
+  // INCREMENTAL maintenance of the grid histograms under append ingest —
+  // the property that separates the global-grid design from per-file-
+  // anchored buckets: v1 commits ~60% of the rows with stats, v2 appends
+  // the rest via `commitAppendStats` (G records computed for the NEW
+  // files ONLY — one pass over the batch, never a table rescan), and the
+  // merged estimate at v2 is as exact as a full recompute would be. The
+  // key serves both versions' estimates beside their exact counts: the
+  // cell-aligned probe must match exactly at BOTH versions (oracle-
+  // checked equality — if the append path dropped, duplicated or
+  // mis-binned one record, this row breaks), the misaligned probe
+  // documents interpolation error before and after the append.
+  def tableStatsRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = freshRoot("hrf")
+    val W = 5000000L
+    val staged = ordersBase(s, dir)
+      .withColumn("cents", expr("cast(round(total * 100) as bigint)"))
+    VersionedTable.commit(staged.filter(col("key") % 5 < 3).repartition(4),
+      root, changes = None, statsColumns = Nil, bloomColumns = Nil,
+      ndvColumns = Nil, histColumns = Seq(("cents", W)))
+    VersionedTable.commitAppendStats(
+      staged.filter(col("key") % 5 >= 3).repartition(3), root,
+      Seq(("cents", W)))
+    val probes = Seq((1, 10000000L, 20000000L), (2, 12345600L, 34567800L))
+    val est = (for {
+      v <- Seq(1, 2)
+      (p, lo, hi) <- probes
+    } yield {
+      val (w, cells) = VersionedTable.histogramCells(root, v, "cents")
+      (v, p, lo, hi, VersionedTable.estimateRange(w, cells, lo, hi))
+    }).toDF("version", "probe", "lo", "hi", "est_rows")
+    val exact = Seq(1, 2).map { v =>
+      VersionedTable.readVersion(s, root, v)
+        .select(lit(v).as("version"), col("cents"))
+    }.reduce(_ unionAll _)
+      .join(broadcast(est.select(col("version"), col("probe"), col("lo"),
+        col("hi"))), Seq("version"))
+      .filter(col("cents") >= col("lo") && col("cents") < col("hi"))
+      .groupBy(col("version"), col("probe"))
+      .agg(count(lit(1)).as("exact_rows"))
+    est.join(exact, Seq("version", "probe"), "left")
+      .na.fill(0L, Seq("exact_rows"))
+      .select(col("version"), col("probe"), col("lo"), col("hi"),
+        col("est_rows"), col("exact_rows"))
+      .orderBy(col("version"), col("probe"))
+  }
+
+  private val tableStatsRefreshOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      |vv(version) AS (VALUES (1),(2)),
+      |vis AS (
+      |  SELECT version, v FROM base, vv
+      |  WHERE version = 2 OR key % 5 < 3),
+      |grid AS (
+      |  SELECT version, v // 5000000 AS cell, COUNT(*) AS cnt
+      |  FROM vis GROUP BY 1, 2),
+      |probes(probe, lo, hi) AS (VALUES
+      |  (CAST(1 AS INT), CAST(10000000 AS BIGINT), CAST(20000000 AS BIGINT)),
+      |  (CAST(2 AS INT), CAST(12345600 AS BIGINT), CAST(34567800 AS BIGINT))),
+      |est AS (
+      |  SELECT g.version, p.probe, p.lo, p.hi,
+      |         CAST(SUM((g.cnt * (LEAST(g.cell * 5000000 + 5000000, p.hi)
+      |                - GREATEST(g.cell * 5000000, p.lo))) // 5000000)
+      |              AS BIGINT) AS est_rows
+      |  FROM probes p JOIN grid g
+      |    ON g.cell * 5000000 + 5000000 > p.lo AND g.cell * 5000000 < p.hi
+      |  GROUP BY 1, 2, 3, 4),
+      |ex AS (
+      |  SELECT vis.version, p.probe, CAST(COUNT(*) AS BIGINT) AS exact_rows
+      |  FROM vis JOIN probes p ON vis.v >= p.lo AND vis.v < p.hi
+      |  GROUP BY 1, 2)
+      |SELECT e.version, e.probe, e.lo, e.hi, e.est_rows,
+      |       COALESCE(x.exact_rows, 0) AS exact_rows
+      |FROM est e LEFT JOIN ex x
+      |  ON x.version = e.version AND x.probe = e.probe
+      |ORDER BY e.version, e.probe""".stripMargin
+
   // ---- table_cbo_join -------------------------------------------------------
   // The manifest stats FEED PLANNING (the table_ndv_stats follow-through):
   // a join's build side and strategy are decided from scanFreeStats —
@@ -1419,6 +1499,7 @@ object TableQueries {
     "table_tag_retention" -> (tableTagRetention _),
     "table_ndv_stats" -> (tableNdvStats _),
     "table_stats_histogram" -> (tableStatsHistogram _),
+    "table_stats_refresh" -> (tableStatsRefresh _),
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
@@ -1450,5 +1531,6 @@ object TableQueries {
     "table_tag_retention" -> tableTagRetentionOracle,
     "table_ndv_stats" -> tableNdvStatsOracle,
     "table_stats_histogram" -> tableStatsHistogramOracle,
+    "table_stats_refresh" -> tableStatsRefreshOracle,
     "table_vacuum_age" -> sinkCompactOracle)
 }

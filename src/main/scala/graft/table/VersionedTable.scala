@@ -162,18 +162,7 @@ object VersionedTable {
     // Equi-width over equi-depth deliberately: depth boundaries depend on
     // the file's own data, width boundaries are a pure function of the
     // declared grid — mergeable, append-maintainable, oracle-replayable.
-    val histLines = for {
-      (c, w) <- histColumns
-      f <- dataFiles
-    } yield {
-      val cells = df.sparkSession.read.parquet(f)
-        .select(expr(s"cast($c as bigint) div $w").as("cell"))
-        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1))
-        .sortBy(_._1)
-        .map { case (cell, n) => s"$cell:$n" }.mkString(",")
-      s"G\t$f\t$c\t$w\t$cells"
-    }
+    val histLines = histLinesFor(df.sparkSession, dataFiles, histColumns)
     // schema.json is single-line compact JSON (escapes control chars), so
     // it can never break the line-oriented, tab-separated manifest format
     val lines = dataLines ++ changeLines ++ bloomLines ++ ndvLines ++
@@ -244,11 +233,26 @@ object VersionedTable {
     * restore/clone convention). At 100 TB this is the only sane batch
     * ingest: cost = the new files + a KB manifest, independent of table
     * size. */
-  def commitAppend(df: DataFrame, root: String): Int = {
+  def commitAppend(df: DataFrame, root: String): Int =
+    commitAppendStats(df, root, Nil)
+
+  /** APPEND with INCREMENTAL stats maintenance — [[commitAppend]] plus
+    * fresh `G` histogram records for the NEW files only: the global grid
+    * makes per-file records merge-exact, so keeping range stats current
+    * under append ingest costs one pass over the new batch (never a table
+    * rescan), and the merged estimate at the new version is identical to
+    * a full recompute — the property `table_stats_refresh` proves with a
+    * cell-aligned probe at both versions. Carried G records keep serving
+    * the old files verbatim; the coverage gate in [[histogramCells]] is
+    * what forces callers of the PLAIN append to refresh before reading. */
+  def commitAppendStats(df: DataFrame, root: String,
+      histColumns: Seq[(String, Long)]): Int = {
     require(latestVersion(root) >= 1, s"cannot APPEND to an empty table at $root")
     val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
     df.write.parquet(dataDir)
-    val newLines = listParquet(dataDir).map(f => s"D\t$f")
+    val newFiles = listParquet(dataDir)
+    val newLines = newFiles.map(f => s"D\t$f") ++
+      histLinesFor(df.sparkSession, newFiles, histColumns)
     var v = 0
     var done = false
     while (!done) {
@@ -262,6 +266,24 @@ object VersionedTable {
     }
     v
   }
+
+  /** Per-file `G` records for `files` — one column-pruned pass per new
+    * file; a production writer folds the same per-cell counting into the
+    * write task itself (the `B`-record note applies verbatim). */
+  private def histLinesFor(spark: SparkSession, files: Seq[String],
+      histColumns: Seq[(String, Long)]): Seq[String] =
+    for {
+      (c, w) <- histColumns
+      f <- files
+    } yield {
+      val cells = spark.read.parquet(f)
+        .select(expr(s"cast($c as bigint) div $w").as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .sortBy(_._1)
+        .map { case (cell, n) => s"$cell:$n" }.mkString(",")
+      s"G\t$f\t$c\t$w\t$cells"
+    }
 
   /** FAST-FORWARD publish (r11) — the publish step of WRITE-AUDIT-PUBLISH
     * (Iceberg's WAP / Delta's branch merge): re-point `dstRoot` at the

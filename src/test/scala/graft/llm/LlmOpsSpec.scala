@@ -30,6 +30,32 @@ class LlmOpsSpec extends SparkSpec {
       "most planted pairs are ~0.99 jaccard")
   }
 
+  test("threshold sweep: monotone curve, θ=0.5 row equals the pair key, doc bound (r12)") {
+    val sweep = Dedup.dedupThresholdSweep(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("threshold_pct") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))).toMap
+    assert(sweep.keySet == Set(50, 60, 70, 80, 90),
+      "every threshold row survives, even empty")
+    // raising θ can only shrink both counts
+    Seq(50, 60, 70, 80).foreach { t =>
+      assert(sweep(t)._1 >= sweep(t + 10)._1, s"pairs grew from θ=$t")
+      assert(sweep(t)._2 >= sweep(t + 10)._2, s"docs grew from θ=$t")
+    }
+    // the θ=0.5 row IS the pair key's relation, counted
+    val lsh = Dedup.dedupMinhashLsh(spark, sfDir).collect()
+    assert(sweep(50)._1 == lsh.length,
+      s"θ=0.5 pairs ${sweep(50)._1} != pair key ${lsh.length}")
+    assert(sweep(50)._2 ==
+      lsh.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length,
+      "θ=0.5 implicated docs != distinct ids in the pair key")
+    // structural bounds and non-vacuity on the planted fixture
+    sweep.values.foreach { case (p, d) =>
+      assert(d <= 2 * p, "a pair implicates at most 2 docs") }
+    assert(sweep(90)._1 > 0, "the ~0.99-jaccard planted pairs reach θ=0.9")
+    assert(sweep(50)._1 > sweep(90)._1,
+      "sweep is degenerate: no pairs between 0.5 and 0.9")
+  }
+
   test("minhash-LSH plan has no cartesian/nested-loop stage (bucketed, not all-pairs)") {
     val plan = Dedup.dedupMinhashLsh(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -399,4 +399,30 @@ class DataProfileSpec extends SparkSpec {
     // and bounded: TVD in ppm can never exceed 1e6
     assert(s0.getLong(5) <= 1000000L, "TVD above 100%")
   }
+
+  test("pareto deciles: customer partition, monotone concentration, exact closure (r12)") {
+    val out = DataProfile.aggParetoDeciles(spark, sfDir).collect()
+    assert(out.map(_.getAs[Int]("decile")).toSeq == (1 to 10),
+      "exactly deciles 1..10")
+    // equal-count cut: decile sizes differ by at most one customer
+    val sizes = out.map(_.getAs[Long]("n_customers"))
+    assert(sizes.max - sizes.min <= 1, s"uneven cut: ${sizes.toSeq}")
+    val nCust = graft.model.Tables.load(spark, sfDir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(sizes.sum == nCust, "deciles must partition the customer set")
+    // descending-revenue ranking: per-decile revenue is non-increasing and
+    // the cumulative share is strictly increasing to exactly 100%
+    val cents = out.map(_.getAs[Long]("decile_cents"))
+    assert(cents.zip(cents.tail).forall { case (a, b) => a >= b },
+      s"decile revenue must fall down the ranking: ${cents.toSeq}")
+    val shares = out.map(_.getAs[Long]("share_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a < b })
+    assert(shares.last == 1000000L, s"closure: last share ${shares.last}")
+    // non-degenerate concentration: the top decile must hold more than a
+    // uniform 10% share on this fixture
+    assert(shares.head > 100000L, s"top decile share ${shares.head}")
+    // cum_cents is the running sum of decile_cents
+    val cums = out.map(_.getAs[Long]("cum_cents"))
+    assert(cums.toSeq == cents.scanLeft(0L)(_ + _).tail.toSeq)
+  }
 }

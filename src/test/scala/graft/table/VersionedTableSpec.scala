@@ -998,6 +998,19 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.commitRename(r3, Map("key" -> "id"))
     assert(VersionedTable.histogramCells(r3, 2, "id")._2 == c1,
       "renamed logical lookup must find the physical G records")
+    // incremental maintenance: stats-carrying append merges to exactly the
+    // histogram a full recompute of the union would give
+    val r4 = freshRoot()
+    VersionedTable.commit(base(), r4, changes = None, statsColumns = Nil,
+      bloomColumns = Nil, ndvColumns = Nil, histColumns = Seq(("key", 100L)))
+    VersionedTable.commitAppendStats(
+      (1001L to 1250L).map(k => (k, "N", 1.0)).toDF("key", "status", "total"),
+      r4, Seq(("key", 100L)))
+    val (w4, c4) = VersionedTable.histogramCells(r4, 2, "key")
+    assert(w4 == 100L)
+    assert(c4(10L) == 100L && c4(12L) == 51L, // 1000..1099 full, 1200..1250
+      s"appended rows mis-binned: $c4")
+    assert(c4.values.sum == 1250L, "append must add exactly its rows")
   }
 
   test("scan-free stats drive the join planner: zero Spark jobs to decide (r12)") {
