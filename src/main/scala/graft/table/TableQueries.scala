@@ -1261,10 +1261,13 @@ object TableQueries {
       |  SELECT p.probe, CAST(COUNT(*) AS BIGINT) AS exact_rows
       |  FROM probes p JOIN cents c ON c.v >= p.lo AND c.v < p.hi
       |  GROUP BY 1)
-      |SELECT e.probe, e.lo, e.hi, e.est_rows,
-      |       COALESCE(x.exact_rows, 0) AS exact_rows
-      |FROM est e LEFT JOIN ex x ON x.probe = e.probe
-      |ORDER BY e.probe""".stripMargin
+      |SELECT p.probe, p.lo, p.hi,
+      |       COALESCE(e.est_rows, CAST(0 AS BIGINT)) AS est_rows,
+      |       COALESCE(x.exact_rows, CAST(0 AS BIGINT)) AS exact_rows
+      |FROM probes p
+      |LEFT JOIN est e ON e.probe = p.probe
+      |LEFT JOIN ex x ON x.probe = p.probe
+      |ORDER BY p.probe""".stripMargin
 
   // ---- table_stats_refresh ------------------------------------------------------
   // INCREMENTAL maintenance of the grid histograms under append ingest —
@@ -1340,11 +1343,13 @@ object TableQueries {
       |  SELECT vis.version, p.probe, CAST(COUNT(*) AS BIGINT) AS exact_rows
       |  FROM vis JOIN probes p ON vis.v >= p.lo AND vis.v < p.hi
       |  GROUP BY 1, 2)
-      |SELECT e.version, e.probe, e.lo, e.hi, e.est_rows,
-      |       COALESCE(x.exact_rows, 0) AS exact_rows
-      |FROM est e LEFT JOIN ex x
-      |  ON x.version = e.version AND x.probe = e.probe
-      |ORDER BY e.version, e.probe""".stripMargin
+      |SELECT vv.version, p.probe, p.lo, p.hi,
+      |       COALESCE(e.est_rows, CAST(0 AS BIGINT)) AS est_rows,
+      |       COALESCE(x.exact_rows, CAST(0 AS BIGINT)) AS exact_rows
+      |FROM vv CROSS JOIN probes p
+      |LEFT JOIN est e ON e.version = vv.version AND e.probe = p.probe
+      |LEFT JOIN ex x ON x.version = vv.version AND x.probe = p.probe
+      |ORDER BY vv.version, p.probe""".stripMargin
 
   // ---- table_cbo_join -------------------------------------------------------
   // The manifest stats FEED PLANNING (the table_ndv_stats follow-through):

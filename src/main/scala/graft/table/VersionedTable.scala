@@ -269,7 +269,16 @@ object VersionedTable {
 
   /** Per-file `G` records for `files` — one column-pruned pass per new
     * file; a production writer folds the same per-cell counting into the
-    * write task itself (the `B`-record note applies verbatim). */
+    * write task itself (the `B`-record note applies verbatim).
+    *
+    * Cell assignment is FLOOR division (pmod-aligned), not `div`'s
+    * truncate-toward-zero: a signed column's values in (-width, 0) get
+    * their own negative cell instead of sharing cell 0 with [0, width),
+    * so [[estimateRange]]'s `cLo = cell * width` states every cell's true
+    * lower bound — including negative ones. NULLs are filtered before
+    * grouping (a NULL belongs to no range, so no cell may count it):
+    * `G` counts cover NON-NULL values only, exactly like the SQL range
+    * predicates the estimates answer for. */
   private def histLinesFor(spark: SparkSession, files: Seq[String],
       histColumns: Seq[(String, Long)]): Seq[String] =
     for {
@@ -277,7 +286,10 @@ object VersionedTable {
       f <- files
     } yield {
       val cells = spark.read.parquet(f)
-        .select(expr(s"cast($c as bigint) div $w").as("cell"))
+        .filter(col(c).isNotNull)
+        .select(expr(
+          s"(cast($c as bigint) - pmod(cast($c as bigint), ${w}L)) div ${w}L")
+          .as("cell"))
         .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
         .collect().map(r => r.getLong(0) -> r.getLong(1))
         .sortBy(_._1)

@@ -1013,6 +1013,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(c4.values.sum == 1250L, "append must add exactly its rows")
   }
 
+  test("grid histograms bin signed values by FLOOR division and skip NULLs (r13)") {
+    import spark.implicits._
+    // values in (-width, 0) must get cell -1, NOT share cell 0 with
+    // [0, width) — truncate-toward-zero division would fold them together
+    // and estimateRange's cLo = cell*width would misstate their bounds;
+    // NULLs belong to no range, so they must not land in (or NPE) any cell
+    val root = freshRoot()
+    val rows: Seq[(java.lang.Long, String)] =
+      Seq(-250L, -100L, -1L, 0L, 1L, 99L, 100L)
+        .map(v => (java.lang.Long.valueOf(v), "x")) :+
+        ((null: java.lang.Long), "null-row")
+    VersionedTable.commit(rows.toDF("v", "tag"), root, changes = None,
+      statsColumns = Nil, bloomColumns = Nil, ndvColumns = Nil,
+      histColumns = Seq(("v", 100L)))
+    val (w, cells) = VersionedTable.histogramCells(root, 1, "v")
+    assert(w == 100L)
+    assert(cells == Map(-3L -> 1L, -1L -> 2L, 0L -> 3L, 1L -> 1L),
+      s"floor-division cells wrong: $cells")
+    // NULL is uncounted — range estimates answer for non-null values only
+    assert(cells.values.sum == 7L, "NULL row must not be binned")
+    // the negative cell's bounds are stated correctly: [-100, 0) holds 2
+    assert(VersionedTable.estimateRange(w, cells, -100L, 0L) == 2L)
+    assert(VersionedTable.estimateRange(w, cells, -300L, -200L) == 1L)
+  }
+
   test("scan-free stats drive the join planner: zero Spark jobs to decide (r12)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val root = freshRoot()
