@@ -1475,7 +1475,70 @@ object TableQueries {
        |  FROM prc, fe, j2
        |) z ORDER BY pair""".stripMargin
 
+  // ---- table_sql_time_travel ------------------------------------------------
+  // The table tier reached through SQL TEXT — the surface the reference
+  // actually exposes (its monitoring queries are SQL strings submitted to
+  // a warehouse, `advanced_monitoring.py:78-199`). A GraftCatalog
+  // (DSv2 TableCatalog) registration resolves `graft.<db>.orders` through
+  // the manifest log: `VERSION AS OF 1` pins the pre-append snapshot,
+  // `VERSION AS OF 2` the full table, and the bare name serves the latest
+  // — three resolutions of the SAME identifier that must disagree exactly
+  // as the commit history says. The staged table is deterministic per
+  // dataset and pid (re-runs skip staging — resolution itself is the
+  // thing under test). Aggregation in exact integer cents, so SQL and
+  // API paths can be compared bit-for-bit (GraftCatalogSpec additionally
+  // pins file-set identity between the SQL scan and readVersion).
+  def tableSqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    catalog.GraftCatalog.install(s)
+    val db = "d" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val root = s"${catalog.GraftCatalog.defaultWarehouse}/$db/orders"
+    if (VersionedTable.latestVersion(root) < 2) {
+      sqlWarehouseHook // arm cleanup once, before any files land
+      val base = ordersBase(s, dir)
+        .withColumn("cents", expr("cast(round(total * 100) as bigint)"))
+        .select(col("key"), col("status"), col("cents"))
+      VersionedTable.commit(base.filter(col("key") % 5 < 3), root) // v1
+      VersionedTable.commit(base, root)                            // v2
+    }
+    val t = s"graft.$db.orders"
+    s.sql(
+      s"""SELECT version, status, n_orders, total_cents FROM (
+         |  SELECT 1 AS version, status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         SUM(cents) AS total_cents
+         |  FROM $t VERSION AS OF 1 GROUP BY status
+         |  UNION ALL
+         |  SELECT 2, status, CAST(COUNT(*) AS BIGINT), SUM(cents)
+         |  FROM $t VERSION AS OF 2 GROUP BY status
+         |  UNION ALL
+         |  SELECT 3, status, CAST(COUNT(*) AS BIGINT), SUM(cents)
+         |  FROM $t GROUP BY status
+         |) v ORDER BY version, status""".stripMargin)
+  }
+
+  /** The SQL-catalog warehouse is pid-scoped like [[tmpNamespace]]; one
+    * shutdown hook removes it (lazily armed by the first staging). */
+  private lazy val sqlWarehouseHook: Unit = {
+    val wh = catalog.GraftCatalog.defaultWarehouse
+    sys.addShutdownHook(graft.sink.Sinks.deleteDir(wh))
+  }
+
+  private val tableSqlTimeTravelOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |vers(version) AS (VALUES (1),(2),(3)),
+      |vis AS (
+      |  SELECT version, status, cents FROM base, vers
+      |  WHERE version >= 2 OR key % 5 < 3)
+      |SELECT version, status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM vis GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "table_sql_time_travel" -> (tableSqlTimeTravel _),
     "table_cbo_join" -> (tableCboJoin _),
     "table_describe_history" -> (tableDescribeHistory _),
     "table_wap_publish" -> (tableWapPublish _),
@@ -1508,6 +1571,7 @@ object TableQueries {
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
+    "table_sql_time_travel" -> tableSqlTimeTravelOracle,
     "table_cbo_join" -> tableCboJoinOracle,
     "table_describe_history" -> tableDescribeHistoryOracle,
     "table_wap_publish" -> tableWapPublishOracle,
