@@ -1475,6 +1475,68 @@ object TableQueries {
        |  FROM prc, fe, j2
        |) z ORDER BY pair""".stripMargin
 
+  // ---- table_corpus_pointread -------------------------------------------------
+  // The read-side loop between the table tier and the LLM corpus: the
+  // `documents` corpus is committed ONCE per dataset as a versioned table
+  // (bloom index on doc_id, NDV sketches on lang/source, min/max stats on
+  // n_chars — the write-side analog stream_index_ingest already proves),
+  // and a dedup-flavored lookup routes through the BLOOM-PRUNED point
+  // read: each probe doc_id opens only the files whose bloom might hold
+  // it (the corpus is hash-scattered on doc_id, so min/max stats prune
+  // nothing — exactly the unclustered-ingest layout a 100 TB corpus has),
+  // then the probe's text fingerprint joins the corpus-wide exact-dup
+  // groups. Oracle = the plain filter + md5 group count; the strict
+  // file-subset claim is spec-pinned (CorpusPointReadSpec) because SQL
+  // can't state I/O.
+  private val corpusRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The documents corpus as a versioned table, staged at most once per
+    * (dir, content fingerprint) — the artifact a deployment commits in
+    * the pipeline that lands the corpus, not per query. */
+  private[graft] def corpusTable(s: SparkSession, dir: String): String = {
+    val fp = graft.sink.Sinks.fingerprint(s"$dir/documents.parquet")
+    corpusRoots.computeIfAbsent(s"$dir@$fp", { _ =>
+      val root = freshRoot("corpus")
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(8, col("doc_id")) // unclustered: every file spans the id domain
+      VersionedTable.commit(docs, root, changes = None,
+        statsColumns = Seq("n_chars"), bloomColumns = Seq("doc_id"),
+        ndvColumns = Seq("lang", "source"))
+      root
+    })
+  }
+
+  def tableCorpusPointread(s: SparkSession, dir: String): DataFrame = {
+    val root = corpusTable(s, dir)
+    val probes = Seq(1L, 7L, 13L, 29L, 41L)
+    val probed = probes.map { id =>
+      VersionedTable.readVersionPoint(s, root, 1, "doc_id", id)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("h"))
+    }.reduce(_ unionAll _)
+    val dupGroups = VersionedTable.readVersion(s, root, 1)
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+    probed.join(dupGroups, Seq("h"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        (col("n") - 1).as("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tableCorpusPointreadOracle =
+    """WITH probes(doc_id) AS (VALUES
+      |  (CAST(1 AS BIGINT)), (CAST(7 AS BIGINT)), (CAST(13 AS BIGINT)),
+      |  (CAST(29 AS BIGINT)), (CAST(41 AS BIGINT))),
+      |h AS (SELECT doc_id, md5(text) AS h, lang, source, n_chars
+      |      FROM documents),
+      |g AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1)
+      |SELECT h.doc_id, h.lang, h.source, h.n_chars,
+      |       CAST(g.n - 1 AS BIGINT) AS n_dups
+      |FROM probes p
+      |JOIN h ON h.doc_id = p.doc_id
+      |JOIN g ON g.h = h.h
+      |ORDER BY h.doc_id""".stripMargin
+
   // ---- table_sql_time_travel ------------------------------------------------
   // The table tier reached through SQL TEXT — the surface the reference
   // actually exposes (its monitoring queries are SQL strings submitted to
@@ -1539,6 +1601,7 @@ object TableQueries {
 
   val queries: Map[String, Q] = Map[String, Q](
     "table_sql_time_travel" -> (tableSqlTimeTravel _),
+    "table_corpus_pointread" -> (tableCorpusPointread _),
     "table_cbo_join" -> (tableCboJoin _),
     "table_describe_history" -> (tableDescribeHistory _),
     "table_wap_publish" -> (tableWapPublish _),
@@ -1572,6 +1635,7 @@ object TableQueries {
 
   val oracles: Map[String, String] = Map(
     "table_sql_time_travel" -> tableSqlTimeTravelOracle,
+    "table_corpus_pointread" -> tableCorpusPointreadOracle,
     "table_cbo_join" -> tableCboJoinOracle,
     "table_describe_history" -> tableDescribeHistoryOracle,
     "table_wap_publish" -> tableWapPublishOracle,
