@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables.load
+import graft.table.VersionedTable
 
 /** Graph analytics over a derived co-occurrence graph — the message-passing
   * superstep topology beyond dedup_clusters' connected components.
@@ -1255,6 +1256,115 @@ object GraphOps {
         col("tree_weight"))
   }
 
+  // ---- graph_lp_incremental ---------------------------------------------------
+  // INCREMENTAL maintenance of the strong-tie graph from the table tier's
+  // change feed — the IVM pattern (stream_incremental_agg /
+  // table_mv_incremental) applied to graph edges. Co-purchase weights are
+  // SIGNED-COUNTABLE: w(a,b) = Σ_order [a ∈ order][b ∈ order], so when a
+  // batch of fact rows lands, only the CHANGED orders' contributions move
+  // — retract each changed order's old pairs, add its new pairs, fold the
+  // signed deltas into the previous graph. Per-order recompute also
+  // re-evaluates the hub cap for exactly the orders whose size changed,
+  // and the strong-tie threshold applies at read time over the maintained
+  // RAW weights (an edge can cross the threshold in either direction
+  // under deltas — thresholding the stored state would lose that).
+  //
+  // Staging: the (ok, pk) fact pairs commit as a versioned table — v1
+  // missing one slice of parts on one slice of orders, v2 the full set
+  // with the inserted rows recorded as the commit's change feed — and
+  // v1's raw edge weights commit as the blessed nightly graph artifact.
+  // The measured query then does ONLY the incremental work: CDF read
+  // (metadata-listed files), changed-order recompute (cost ∝ delta, the
+  // unchanged 100 TB is never re-scanned), signed fold, LPA over the
+  // maintained edges. The oracle is graph_label_prop's EXACT SQL over the
+  // raw tables — batch recompute and delta maintenance must be
+  // indistinguishable, which is the whole claim.
+  private val lpIncStage =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Raw symmetric co-purchase weights (src, dst, w) of a pair set —
+    * strongTieEdges' build WITHOUT the threshold (IVM maintains raw
+    * state; consumers threshold at read). */
+  private[operators] def tieWeightsRaw(pairs: DataFrame): DataFrame = {
+    val capped = pairs
+      .withColumn("k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))))
+      .filter(col("k") <= maxSuppliersPerOrder)
+      .select(col("ok"), col("pk"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** (fact root, graph root): fact v1 = pairs minus the late slice,
+    * fact v2 = full pairs with the slice as the recorded change feed;
+    * graph v1 = v1's raw weights (the nightly artifact). Staged once per
+    * (dir, fingerprint). */
+  private def lpIncrementalStage(s: SparkSession, dir: String): (String, String) = {
+    val fp = graft.sink.Sinks.fingerprint(s"$dir/lineitem.parquet")
+    lpIncStage.computeIfAbsent(s"$dir@$fp", { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lpinc_").toString
+      sys.addShutdownHook(graft.sink.Sinks.deleteDir(tmp))
+      val factRoot = s"$tmp/fact"
+      val graphRoot = s"$tmp/graph"
+      val pairs = load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      // the late-arriving slice: one family of parts on one family of
+      // orders — those orders EXIST in v1 with other parts, so the fold
+      // exercises retraction of live state, not just fresh inserts
+      val late = col("pk") % 7 === 3 && col("ok") % 10 === 7
+      VersionedTable.commit(pairs.filter(!late), factRoot)
+      VersionedTable.commit(pairs, factRoot,
+        changes = Some(pairs.filter(late).withColumn("op", lit("I"))),
+        statsColumns = Nil)
+      VersionedTable.commit(
+        tieWeightsRaw(VersionedTable.readVersion(s, factRoot, 1)), graphRoot)
+      (factRoot, graphRoot)
+    })
+  }
+
+  /** Signed fold of the changed orders' contributions into the previous
+    * raw weights: retract their old pairs, add their new pairs, sum per
+    * edge, drop edges whose weight reaches zero. Split out so the spec
+    * can prove maintained == recomputed on planted threshold-crossing and
+    * cap-crossing deltas. */
+  private[operators] def foldTieDeltas(w1: DataFrame, oldPairs: DataFrame,
+      newPairs: DataFrame): DataFrame =
+    w1.select(col("src"), col("dst"), col("w").as("dw"))
+      .unionAll(tieWeightsRaw(oldPairs)
+        .select(col("src"), col("dst"), (-col("w")).as("dw")))
+      .unionAll(tieWeightsRaw(newPairs)
+        .select(col("src"), col("dst"), col("w").as("dw")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("dw")).as("w"))
+      .filter(col("w") > 0)
+
+  def graphLpIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (factRoot, graphRoot) = lpIncrementalStage(s, dir)
+    val delta = VersionedTable.readChanges(s, factRoot, 1, 2).getOrElse(
+      throw new IllegalStateException("v2 recorded no change feed"))
+    val changed = delta.select(col("ok")).distinct()
+    // changed-order recompute: old contributions retract, new ones add —
+    // the KB-sized changed-order set broadcasts to both version scans
+    val oldPairs = VersionedTable.readVersion(s, factRoot, 1)
+      .join(broadcast(changed), Seq("ok"))
+    val newPairs = VersionedTable.readVersion(s, factRoot, 2)
+      .join(broadcast(changed), Seq("ok"))
+    val folded = foldTieDeltas(
+      VersionedTable.readVersion(s, graphRoot, 1), oldPairs, newPairs)
+      .filter(col("w") >= LpaMinWeight)
+    lpaLabels(folded).groupBy(col("lbl"))
+      .agg(count(lit(1)).as("size"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("size").desc, col("lbl"))
+      .limit(50)
+      .select(col("lbl").as("community"), col("size"),
+        col("min_node"), col("max_node"))
+  }
+
   /** Canonical undirected strong-tie edges (u < v, w). */
   private[operators] def canonicalStrongTies(s: SparkSession, dir: String): DataFrame =
     strongTieEdges(s, dir)
@@ -1533,6 +1643,7 @@ object GraphOps {
   val queries: Map[String, Q] = Map[String, Q](
     "graph_kcore" -> (graphKcore _),
     "graph_label_prop" -> (graphLabelProp _),
+    "graph_lp_incremental" -> (graphLpIncremental _),
     "graph_mst" -> (graphMst _),
     "graph_cluster_agreement" -> (graphClusterAgreement _),
     "graph_modularity" -> (graphModularity _),
@@ -1551,6 +1662,9 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> graphKcoreOracle,
     "graph_label_prop" -> graphLabelPropOracle,
+    // identical SQL by design: delta maintenance must be indistinguishable
+    // from the batch recompute
+    "graph_lp_incremental" -> graphLabelPropOracle,
     "graph_mst" -> graphMstOracle,
     "graph_cluster_agreement" -> graphClusterAgreementOracle,
     "graph_modularity" -> graphModularityOracle,

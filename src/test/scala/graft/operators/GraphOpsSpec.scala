@@ -535,4 +535,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(want.exists { case (_, (n, h)) => h < n * 1000000L },
       "every reached node is 1 hop away — fixture degenerate for this spec")
   }
+
+  test("signed delta fold on tie weights == batch recompute across threshold and cap crossings") {
+    import spark.implicits._
+    def pairs(rows: (Long, Long)*) = rows.toDF("ok", "pk")
+    // v1: order 1 {1,2}, order 2 {3,4}, order 3 {3,4}
+    val v1 = pairs((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 3L), (3L, 4L))
+    // delta batch: order 4 (new) {1,2} — pushes (1,2) ACROSS the strong-tie
+    // threshold; order 2 gains part 5 (extension of live state — its old
+    // contribution must retract and re-add); order 3 gains 15 parts —
+    // crosses the hub cap (16), so its ENTIRE old contribution retracts;
+    // order 5 (new) lands with 17 parts — capped from birth, contributes 0
+    val v2 = v1
+      .unionAll(pairs((4L, 1L), (4L, 2L), (2L, 5L)))
+      .unionAll(pairs((20L to 34L).map(p => (3L, p)): _*))
+      .unionAll(pairs((10L to 26L).map(p => (5L, p)): _*))
+    val changed = Set(2L, 3L, 4L, 5L)
+    val w1 = GraphOps.tieWeightsRaw(v1)
+    val folded = GraphOps.foldTieDeltas(w1,
+      v1.filter(col("ok").isin(changed.toSeq: _*)),
+      v2.filter(col("ok").isin(changed.toSeq: _*)))
+    val recomputed = GraphOps.tieWeightsRaw(v2)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(toSet(folded) == toSet(recomputed),
+      s"maintained != recomputed:\n${toSet(folded)}\nvs\n${toSet(recomputed)}")
+    // the crossings really happened (non-vacuous fixture)
+    val m = toSet(recomputed).map { case (a, b, w) => (a, b) -> w }.toMap
+    assert(m((1L, 2L)) == 2L, "threshold crossing missing")        // orders 1+4
+    assert(m((3L, 4L)) == 1L, "cap-crossing retraction missing")   // order 2 only
+    assert(m.get((3L, 20L)).isEmpty && m.get((10L, 11L)).isEmpty,
+      "capped orders leaked contributions")
+    assert(m((3L, 5L)) == 1L && m((4L, 5L)) == 1L, "extension rows missing")
+  }
 }
