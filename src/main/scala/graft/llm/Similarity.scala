@@ -30,7 +30,7 @@ object Similarity {
     * constant interpolated into both the engine and the oracle builders
     * (here and in Retrieval's hybrid key) so the two sides can never
     * silently disagree on the query count. */
-  private[llm] val AnnQueryCount = 10
+  private[graft] val AnnQueryCount = 10
 
   /** The LSH keys' wider query set — more queries so bucket-collision
     * recall is measurable at sf0.001 corpus sizes. Same one-constant
@@ -268,16 +268,18 @@ object Similarity {
   // ingest, a query probes T buckets). Measured recall@3 on the isotropic
   // fixture (LlmOpsSpec): 0.500 vs 0.033 single-table — the knob works
   // and is now evidence, not prose.
+  private val bucketTbE =
+    """cast(
+      |  (case when element_at(embedding, 1 + tb) > 0 then 1 else 0 end) +
+      |  (case when element_at(embedding, 9 + tb) > 0 then 2 else 0 end) +
+      |  (case when element_at(embedding, 17 + tb) > 0 then 4 else 0 end) +
+      |  (case when element_at(embedding, 25 + tb) > 0 then 8 else 0 end) as int)""".stripMargin
+
   def simLshMultitable(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
     val bucketed = corpus
       .withColumn("tb", explode(expr("sequence(0, 3)")))
-      .withColumn("bucket", expr(
-        """cast(
-          |  (case when element_at(embedding, 1 + tb) > 0 then 1 else 0 end) +
-          |  (case when element_at(embedding, 9 + tb) > 0 then 2 else 0 end) +
-          |  (case when element_at(embedding, 17 + tb) > 0 then 4 else 0 end) +
-          |  (case when element_at(embedding, 25 + tb) > 0 then 8 else 0 end) as int)""".stripMargin))
+      .withColumn("bucket", expr(bucketTbE))
     val queries = bucketed.filter(col("vec_id") < LshQueryCount)
       .select(col("vec_id").as("query_id"), col("tb").as("q_tb"),
         col("bucket").as("q_bucket"))
@@ -336,6 +338,77 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id,
        |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // ---- recall-vs-cost frontier (RECALL.json) ------------------------------------
+  /** The serving-choice table sim_recall_at_k generalizes to: every ANN
+    * family's recall@3 against exact ground truth BESIDE its per-query
+    * candidate cost, measured from the family's OWN serving structures
+    * (LSH bucket-mates, IVF probed-list sizes, PQ full code scans,
+    * graph-walk visited sets) — so "which index do I deploy" is a row
+    * comparison, not prose. All families are evaluated on the common
+    * query set (vec_id < AnnQueryCount) against the same brute-force
+    * top-3; costs are stated in the unit the family actually examines
+    * (full vectors vs compressed codes — a code visit is ~16 bytes where
+    * a vector visit is ~256, which is the whole PQ trade). Emitted to
+    * RECALL.json by graft.RecallFrontier; the documented dominance
+    * ordering is spec-pinned on the deterministic fixture
+    * (RecallFrontierSpec). */
+  def recallFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = quantized(s, dir)
+    val nCorpus = corpus.count()
+    val nQ = AnnQueryCount.toLong
+    val truth = simTopkBruteforce(s, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    def recallPm(ann: DataFrame): Long =
+      truth.join(
+        ann.filter(col("rank") <= 3 && col("query_id") < AnnQueryCount)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count() * 1000L / (3L * nQ)
+
+    // single-table LSH: candidates = same-bucket corpus rows
+    val b1 = corpus.withColumn("bucket", expr(bucketE))
+    val lshCost = b1.join(broadcast(
+        b1.filter(col("vec_id") < AnnQueryCount)
+          .select(col("vec_id").as("query_id"), col("bucket").as("qb"))),
+      col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+      .count() / nQ
+    // multi-table: the DISTINCT union of per-table bucket-mates
+    val bt = corpus.withColumn("tb", explode(expr("sequence(0, 3)")))
+      .withColumn("bucket", expr(bucketTbE))
+    val multiCost = bt.select(col("vec_id"), col("tb"), col("bucket"))
+      .join(broadcast(bt.filter(col("vec_id") < AnnQueryCount)
+        .select(col("vec_id").as("query_id"), col("tb").as("qt"),
+          col("bucket").as("qb"))),
+        col("tb") === col("qt") && col("bucket") === col("qb") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct().count() / nQ
+    // IVF: the probed inverted lists' sizes (same assignment as serving)
+    def ivfCost(nprobe: Int): Long = {
+      val (_, lists, probes) = ivfAssignment(s, dir, nprobe)
+      lists.join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("query_id")).count() / nQ
+    }
+    // graph walks: the visited sets the serving paths already expose
+    val (nswVisited, nswTop) = nswWalk(s, dir)
+    val nswCost = nswVisited.count() / nQ
+    val (hv1, hv0, hnswTop) = hnswWalk(s, dir)
+    val hnswCost = (hv1.count() + hv0.count()) / nQ
+
+    Seq(
+      ("brute_force", recallPm(simTopkBruteforce(s, dir)), nCorpus - 1, "vectors"),
+      ("lsh_1table", recallPm(simLshAnn(s, dir)), lshCost, "vectors"),
+      ("lsh_4tables", recallPm(simLshMultitable(s, dir)), multiCost, "vectors"),
+      ("ivf_nprobe2", recallPm(simIvfAnn(s, dir)), ivfCost(2), "vectors"),
+      ("nsw", recallPm(nswTop), nswCost, "vectors"),
+      ("hnsw_2layer", recallPm(hnswTop), hnswCost, "vectors"),
+      ("pq_adc", recallPm(simPqAdc(s, dir)), nCorpus - 1, "codes"),
+      ("pq_adc_trained", recallPm(simPqAdcTrained(s, dir)), nCorpus - 1, "codes"),
+      ("ivfpq_nprobe5", recallPm(simIvfPq(s, dir)), ivfCost(5), "codes"))
+      .toDF("family", "recall_pm", "visited_per_query", "cost_unit")
+      .withColumn("corpus_n", lit(nCorpus))
+      .orderBy(col("visited_per_query"), col("family"))
+  }
 
   // ---- sim_recall_at_k --------------------------------------------------------
   // The ANN EVAL HARNESS as a first-class relation: recall@3 of the
@@ -440,7 +513,12 @@ object Similarity {
   // centroid coordinate, assignment dot and re-rank dot is identical
   // integer arithmetic in both engines; only the final cosine runs in
   // (identical) doubles.
-  def simIvfAnn(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+  /** The IVF coarse structure (base vectors, inverted lists, probed cells
+    * per query) — split out so the recall frontier can state each query's
+    * true candidate cost (probed-list sizes) from the SAME assignment the
+    * serving path uses. */
+  private[llm] def ivfAssignment(s: SparkSession, dir: String, nprobe: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     graft.expressions.GraftFunctions.register(s)
     val base = load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
@@ -458,7 +536,7 @@ object Similarity {
       .withColumn("cnrm",
         expr("aggregate(zip_with(cvec, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
     // assignment: nearest centroid per vector (rank 1 = inverted list,
-    // ranks 1-2 for query vectors = the probed cells)
+    // ranks 1..nprobe for query vectors = the probed cells)
     val scoredCent = base.drop("label").crossJoin(broadcast(cent))
       .withColumn("cdot",
         expr("aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
@@ -470,6 +548,11 @@ object Similarity {
     val lists = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cell"))
     val probes = ranked.filter(col("vec_id") < AnnQueryCount && col("rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
+    (base, lists, probes)
+  }
+
+  def simIvfAnn(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val (base, lists, probes) = ivfAssignment(s, dir, nprobe)
     val qvecs = base.filter(col("vec_id") < AnnQueryCount)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
