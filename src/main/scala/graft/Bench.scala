@@ -77,6 +77,11 @@ object Bench {
     // itself (the `queries` number stays the TOTAL, comparable to prior
     // rounds; staging is the slice of it the stream plan never sees)
     val staging = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // streaming keys: executed micro-batch count of the best pass (r12
+    // VERDICT item 6 — the plan_fp move for streams: a drifted stream
+    // timing with an unchanged batch count attributes to the box, a
+    // changed count to the key's trigger structure)
+    val batches = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // a query is OK iff at least one measured pass succeeded (timing = min
     // of the successful passes); `errors` holds only queries that NEVER
@@ -94,15 +99,18 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
-      graft.streaming.StreamQueries.drainStagingNanos() // reset the meter
+      graft.streaming.StreamQueries.drainStagingNanos() // reset the meters
+      graft.streaming.StreamQueries.drainBatchCount()
       val t0 = System.nanoTime()
       try {
         materialize(name)
         val dt = (System.nanoTime() - t0) / 1e9
         val stg = graft.streaming.StreamQueries.drainStagingNanos() / 1e9
+        val nb = graft.streaming.StreamQueries.drainBatchCount()
         if (times.get(name).forall(dt < _)) {
           times(name) = dt
           if (stg > 0.005) staging(name) = stg else staging.remove(name)
+          if (nb > 0) batches(name) = nb else batches.remove(name)
         }
         errors.remove(name)  // a transient earlier failure is not an error
       } catch {
@@ -139,9 +147,11 @@ object Bench {
     val fp = fps.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val nb = batches.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"staging_sec":$st,"plan_fp":$fp,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"staging_sec":$st,"micro_batches":$nb,"plan_fp":$fp,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     // the driver parses a BOUNDED (2000-char) log tail; with 100+ keys the
     // full line is ~4.5k chars and can NEVER fit intact, and even printing
     // it once risks the captured window landing mid-line (r9: the driver

@@ -157,7 +157,7 @@ object SessionStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    StreamQueries.awaitCounted(q)
     s.table(table).orderBy(col("user_id"), col("session_start"))
   }
 

@@ -58,7 +58,7 @@ object SnapshotStream {
         onAlert(alerts.toSeq)
       }
       .start()
-    q.awaitTermination()
+    StreamQueries.awaitCounted(q)
     q
   }
 }

@@ -30,6 +30,25 @@ object StreamQueries {
     * plan regression can't hide inside staging noise (r9 VERDICT). */
   private val stagingNanos = new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] def drainStagingNanos(): Long = stagingNanos.getAndSet(0L)
+
+  /** Micro-batch meter (r13 — the plan_fp move for streams): cumulative
+    * count of executed micro-batches since the last drain, summed from
+    * each completed query's progress log. The bench drains it around each
+    * measured pass and records per-key batch counts in BENCH_LOCAL.json —
+    * a drifted stream timing with an UNCHANGED batch count attributes to
+    * the box, a changed count to the key's trigger structure. */
+  private val batchCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def drainBatchCount(): Long = batchCount.getAndSet(0L)
+  private[graft] def addBatches(n: Long): Unit = batchCount.addAndGet(n)
+
+  /** awaitTermination + batch accounting (recentProgress holds one entry
+    * per executed micro-batch; every key's trigger count sits far under
+    * the 100-entry retention default). */
+  private[streaming] def awaitCounted(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    batchCount.addAndGet(q.recentProgress.length.toLong)
+  }
   private def timedStaging[A](work: => A): A = {
     val t0 = System.nanoTime()
     try work finally stagingNanos.addAndGet(System.nanoTime() - t0)
@@ -112,7 +131,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     s.table(table).orderBy(col("day"))
   }
 
@@ -187,7 +206,7 @@ object StreamQueries {
         .start()
     }
     lastLateQuery = q
-    q.awaitTermination()
+    awaitCounted(q)
     // summarize the ADMITTED stream at day grain (batch post-processing of
     // the sink table — the stream itself emits admitted rows)
     s.table(table)
@@ -249,7 +268,7 @@ object StreamQueries {
         .start()
     }
     lastBackfillQuery = q
-    q.awaitTermination()
+    awaitCounted(q)
     s.table(table).orderBy(col("event_type"))
   }
 
@@ -307,7 +326,7 @@ object StreamQueries {
         .start()
     }
     lastDedupQuery = q
-    q.awaitTermination()
+    awaitCounted(q)
     s.table(table).orderBy(col("keep_id"))
   }
 
@@ -359,7 +378,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     s.table(table).orderBy(col("day"), col("tier"))
   }
 
@@ -416,7 +435,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     s.table(table).orderBy(col("a_id"), col("b_id"))
   }
 
@@ -489,7 +508,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     // the A-side sentinel emits as an unmatched left row — not data
     s.table(table).filter(col("a_id") >= 0)
       .orderBy(col("a_id"), col("b_id"))
@@ -532,7 +551,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     s.table(table).orderBy(col("a_id"))
   }
 
@@ -591,7 +610,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     s.table(table)
       .filter(coalesce(col("a_id"), lit(0L)) >= 0 &&
         coalesce(col("b_id"), lit(0L)) >= 0)
@@ -647,7 +666,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     s.table(table).filter(col("user_id") >= 0)
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
@@ -722,7 +741,7 @@ object StreamQueries {
         .start()
     }
     lastDedupQuery = q
-    q.awaitTermination()
+    awaitCounted(q)
     s.table(table).orderBy(col("event_id"))
   }
 
@@ -793,7 +812,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     graft.table.VersionedTable.readLatest(s, tableRoot).orderBy(col("key"))
   }
 
@@ -880,7 +899,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     val fin = VersionedTable.readLatest(s, tableRoot).agg(
       count(lit(1)).as("n"),
       sum(when(col("key") < 0, 1L).otherwise(0L)).as("nnew"),
@@ -978,7 +997,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     s.table(table).orderBy(col("key"), col("change"))
   }
 
@@ -1050,7 +1069,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     (tableRoot, aggRoot)
   }
 
@@ -1120,7 +1139,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     indexRoot
   }
 
@@ -1223,7 +1242,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     s.table(table).orderBy(col("win_start"))
   }
 
@@ -1289,7 +1308,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    q.awaitTermination()
+    awaitCounted(q)
     def sideAgg(sub: String, label: String): DataFrame =
       s.read.option("recursiveFileLookup", "true").parquet(s"$base/$sub")
         .agg(count(lit(1)).as("n_events"),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.functions.col
 
-import graft.SparkSpec
+import graft.{SparkEntry, SparkSpec}
 import graft.llm.Dedup
 
 /** The streaming ingest dedup must converge to the batch dedup AND must
@@ -327,5 +327,26 @@ class StreamQueriesSpec extends SparkSpec {
       "a single batch swallowed the whole backlog — rate limit ignored"))
     assert(progress.map(_.numInputRows).sum == total,
       "drain must cover the backlog exactly once")
+  }
+
+  test("micro-batch meter: per-key batch counts are non-zero and deterministic (r13)") {
+    // the bench records each streaming key's executed micro-batch count in
+    // BENCH_LOCAL.json (the plan_fp move for streams); that is only a
+    // drift attributor if the count is a pure function of the key + fixture
+    // — two runs of the same key must report the identical count
+    def countOf(key: String): Long = {
+      StreamQueries.drainBatchCount()
+      SparkEntry.queries(key)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      StreamQueries.drainBatchCount()
+    }
+    for (key <- Seq("stream_micro_batch", "stream_sliding_window",
+        "stream_incremental_agg")) {
+      val first = countOf(key)
+      val second = countOf(key)
+      assert(first > 0, s"$key executed no counted micro-batches")
+      assert(first == second,
+        s"$key batch count not deterministic: $first vs $second")
+    }
   }
 }

@@ -2,12 +2,18 @@
 """Round-over-round bench comparison with plan-fingerprint attribution.
 
 Usage: python3 tools/bench_compare.py <old_bench.json> <new_bench.json> [band]
+       python3 tools/bench_compare.py --fp-lint <old.json> <new.json> <PERF.md>
 
 For every key present in both artifacts, prints the time ratio new/old and
 whether the key's compile-time plan fingerprint changed. Keys outside the
 drift band (default 1.25x either way) are listed with attribution:
   PLAN  - the fingerprint changed: the plan changed, investigate the diff
   BOX   - same fingerprint: scheduler/box noise or data change, re-pin
+
+--fp-lint is the CI form of the drift protocol (PERF.md "plan_fp
+conventions"): every key whose fingerprint changed between the committed
+artifact and the refreshed one must be named in PERF.md — a plan change
+that ships unexplained fails the gate. Exit 1 lists the unexplained keys.
 """
 import json
 import sys
@@ -54,6 +60,30 @@ def main(old_path, new_path, band=1.25):
     return 0
 
 
+def fp_lint(old_path, new_path, perf_path):
+    old, new = load(old_path), load(new_path)
+    fo, fn = old.get("plan_fp", {}), new.get("plan_fp", {})
+    changed = sorted(k for k in set(fo) & set(fn) if fo[k] != fn[k])
+    if not changed:
+        print("fp-lint ok: no plan fingerprints changed")
+        return 0
+    with open(perf_path) as f:
+        perf = f.read()
+    unexplained = [k for k in changed if k not in perf]
+    for k in changed:
+        mark = "UNEXPLAINED" if k in unexplained else "documented "
+        print(f"  {mark} plan_fp changed: {k}")
+    if unexplained:
+        print(f"fp-lint FAIL: {len(unexplained)} fp-changed key(s) not "
+              f"mentioned in {perf_path} — document the plan change there",
+              file=sys.stderr)
+        return 1
+    print(f"fp-lint ok: {len(changed)} changed fingerprint(s), all documented")
+    return 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--fp-lint":
+        sys.exit(fp_lint(sys.argv[2], sys.argv[3], sys.argv[4]))
     sys.exit(main(sys.argv[1], sys.argv[2],
                   float(sys.argv[3]) if len(sys.argv) > 3 else 1.25))

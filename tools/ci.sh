@@ -54,6 +54,15 @@ if grep -rnE 'Window\.(orderBy\(|partitionBy\(\))' \
   echo "LINT FAIL: unpartitioned window (use RankedOver two-pass rank/lag, or add a lint:series-grain marker with justification)" >&2
   exit 1
 fi
+# Drift-protocol gate (r12 VERDICT item 8): when BENCH_LOCAL.json has been
+# refreshed in the working tree, every key whose plan fingerprint changed
+# vs the committed artifact must be named in PERF.md — an unexplained plan
+# change cannot ship inside a bench refresh.
+if ! git diff --quiet HEAD -- BENCH_LOCAL.json 2>/dev/null; then
+  git show HEAD:BENCH_LOCAL.json > /tmp/ci_bench_prev.json
+  python3 tools/bench_compare.py --fp-lint /tmp/ci_bench_prev.json \
+    BENCH_LOCAL.json PERF.md
+fi
 echo "lint ok"
 
 echo "== compile + test =="
