@@ -1108,17 +1108,28 @@ object GraphOps {
 
   /** Root directory holding `build`'s frames (one parquet dir per map
     * key), built at most once per (kind, dir, fingerprint). `build` is
-    * by-name: a cache hit never constructs the plans. */
+    * by-name: a cache hit never constructs the plans.
+    *
+    * The build runs OUTSIDE any map lock: artifact builds NEST (the lpa/
+    * mst builds read the ties artifact, which is itself cached here), and
+    * ConcurrentHashMap forbids mutating the map from inside a
+    * computeIfAbsent mapping function — whenever two keys land in one bin
+    * the nested insert throws IllegalStateException("Recursive update"),
+    * a data-dependent crash. get → build → putIfAbsent has no such
+    * constraint; a lost race builds twice (the frames are deterministic,
+    * so either copy serves) and the loser's directory is deleted. */
   private def derivedArtifact(s: SparkSession, dir: String, kind: String)(
       build: => Seq[(String, DataFrame)]): String = {
     val fp = graft.sink.Sinks.fingerprint(s"$dir/lineitem.parquet")
-    artifactCache.computeIfAbsent(s"$kind@$dir@$fp", { _ =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory(s"graft_${kind}_").toString
-      sys.addShutdownHook(graft.sink.Sinks.deleteDir(tmp))
-      build.foreach { case (name, df) => df.write.parquet(s"$tmp/$name") }
-      tmp
-    })
+    val key = s"$kind@$dir@$fp"
+    val hit = artifactCache.get(key)
+    if (hit != null) return hit
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft_${kind}_").toString
+    sys.addShutdownHook(graft.sink.Sinks.deleteDir(tmp))
+    build.foreach { case (name, df) => df.write.parquet(s"$tmp/$name") }
+    val prev = artifactCache.putIfAbsent(key, tmp)
+    if (prev != null) { graft.sink.Sinks.deleteDir(tmp); prev } else tmp
   }
 
   /** The strong-tie weighted parts graph shared by graph_label_prop,
@@ -1270,12 +1281,20 @@ object GraphOps {
   // under deltas — thresholding the stored state would lose that).
   //
   // Staging: the (ok, pk) fact pairs commit as a versioned table — v1
-  // missing one slice of parts on one slice of orders, v2 the full set
-  // with the inserted rows recorded as the commit's change feed — and
-  // v1's raw edge weights commit as the blessed nightly graph artifact.
-  // The measured query then does ONLY the incremental work: CDF read
-  // (metadata-listed files), changed-order recompute (cost ∝ delta, the
-  // unchanged 100 TB is never re-scanned), signed fold, LPA over the
+  // missing one family of parts on the most RECENT decile of orders, v2
+  // the full set with the inserted rows recorded as the commit's change
+  // feed — and v1's raw edge weights commit as the blessed nightly graph
+  // artifact. The fact commits are range-clustered by ok with min/max
+  // footer stats on ok, because late-arriving fact rows cluster on
+  // recent orders in production: the changed-order recompute then routes
+  // through the stats-pruned read and OPENS only the files whose ok
+  // range intersects the delta (~1 of 8 here) — scan I/O ∝ the delta's
+  // key range, not the table (r13 ADVICE: without stats both version
+  // scans read every file). The broadcast changed-order semi-join inside
+  // the surviving files keeps the recompute exact; compute and shuffle
+  // are ∝ delta regardless of how well the delta clusters. The measured
+  // query does ONLY the incremental work: CDF read (metadata-listed
+  // files), pruned changed-order recompute, signed fold, LPA over the
   // maintained edges. The oracle is graph_label_prop's EXACT SQL over the
   // raw tables — batch recompute and delta maintenance must be
   // indistinguishable, which is the whole claim.
@@ -1313,14 +1332,21 @@ object GraphOps {
       val pairs = load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      // the late-arriving slice: one family of parts on one family of
-      // orders — those orders EXIST in v1 with other parts, so the fold
-      // exercises retraction of live state, not just fresh inserts
-      val late = col("pk") % 7 === 3 && col("ok") % 10 === 7
-      VersionedTable.commit(pairs.filter(!late), factRoot)
-      VersionedTable.commit(pairs, factRoot,
+      // the late-arriving slice: one family of parts on the newest
+      // decile of orders (late data clusters on RECENT orders — the
+      // production shape that makes the ok-stats pruning below bite).
+      // Those orders EXIST in v1 with other parts, so the fold exercises
+      // retraction of live state, not just fresh inserts.
+      val maxOk = pairs.agg(max(col("ok"))).first().getLong(0)
+      val late = col("pk") % 7 === 3 && col("ok") > lit(maxOk * 9L / 10L)
+      // range-clustered by ok + footer min/max on ok: each file carries a
+      // tight ok range, so the changed-order read prunes at the manifest
+      VersionedTable.commit(
+        pairs.filter(!late).repartitionByRange(8, col("ok")), factRoot,
+        changes = None, statsColumns = Seq("ok"))
+      VersionedTable.commit(pairs.repartitionByRange(8, col("ok")), factRoot,
         changes = Some(pairs.filter(late).withColumn("op", lit("I"))),
-        statsColumns = Nil)
+        statsColumns = Seq("ok"))
       VersionedTable.commit(
         tieWeightsRaw(VersionedTable.readVersion(s, factRoot, 1)), graphRoot)
       (factRoot, graphRoot)
@@ -1347,11 +1373,17 @@ object GraphOps {
     val delta = VersionedTable.readChanges(s, factRoot, 1, 2).getOrElse(
       throw new IllegalStateException("v2 recorded no change feed"))
     val changed = delta.select(col("ok")).distinct()
-    // changed-order recompute: old contributions retract, new ones add —
-    // the KB-sized changed-order set broadcasts to both version scans
-    val oldPairs = VersionedTable.readVersion(s, factRoot, 1)
+    // changed-order recompute: old contributions retract, new ones add.
+    // The KB-sized delta yields driver-side [lo, hi] bounds that route
+    // both version scans through the ok-stats pruned read — files whose
+    // ok range misses the delta are never opened (scan I/O ∝ the delta's
+    // key range); the broadcast changed-order semi-join keeps the
+    // recompute exact within the surviving files.
+    val bounds = changed.agg(min(col("ok")), max(col("ok"))).first()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val oldPairs = VersionedTable.readVersionWhere(s, factRoot, 1, "ok", lo, hi)
       .join(broadcast(changed), Seq("ok"))
-    val newPairs = VersionedTable.readVersion(s, factRoot, 2)
+    val newPairs = VersionedTable.readVersionWhere(s, factRoot, 2, "ok", lo, hi)
       .join(broadcast(changed), Seq("ok"))
     val folded = foldTieDeltas(
       VersionedTable.readVersion(s, graphRoot, 1), oldPairs, newPairs)

@@ -41,13 +41,20 @@ object StreamQueries {
   private[graft] def drainBatchCount(): Long = batchCount.getAndSet(0L)
   private[graft] def addBatches(n: Long): Unit = batchCount.addAndGet(n)
 
-  /** awaitTermination + batch accounting (recentProgress holds one entry
-    * per executed micro-batch; every key's trigger count sits far under
-    * the 100-entry retention default). */
+  /** awaitTermination + batch accounting. The count derives from
+    * lastProgress.batchId (batch ids are 0-based and monotone, so the
+    * executed count is batchId + 1 — resilient to ANY trigger count),
+    * NOT from recentProgress.length, which is silently capped by
+    * spark.sql.streaming.numRecentProgressUpdates (default 100): a key
+    * that one day crosses 100 micro-batches would undercount exactly the
+    * drift-attribution signal this meter exists to pin (r13 ADVICE). A
+    * query that executed no batch at all leaves lastProgress null and
+    * counts zero. */
   private[streaming] def awaitCounted(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     q.awaitTermination()
-    batchCount.addAndGet(q.recentProgress.length.toLong)
+    val last = q.lastProgress
+    if (last != null) batchCount.addAndGet(last.batchId + 1L)
   }
   private def timedStaging[A](work: => A): A = {
     val t0 = System.nanoTime()

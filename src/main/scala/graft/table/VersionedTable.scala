@@ -335,7 +335,11 @@ object VersionedTable {
     * not carried (the restore/clone convention). */
   def mergeBranch(branchRoot: String, branchBase: Int,
       dstRoot: String): Either[String, Int] = {
-    val noC = (ls: Seq[String]) => ls.filterNot(_.startsWith("C\t"))
+    // C records are per-commit (never carried); T is the commit instant,
+    // different on every manifest by construction — neither is table
+    // content, so neither participates in the append-only diff.
+    val noC = (ls: Seq[String]) =>
+      ls.filterNot(l => l.startsWith("C\t") || l.startsWith("T\t"))
     val baseLines = noC(rawLines(branchRoot, branchBase))
     val headLines = noC(rawLines(branchRoot, latestVersion(branchRoot)))
     val removed = baseLines.filterNot(headLines.toSet.contains)
@@ -604,9 +608,19 @@ object VersionedTable {
   private def publish(root: String, v: Int, lines: Seq[String]): Boolean = {
     val commits = Paths.get(s"$root/_commits")
     Files.createDirectories(commits)
+    // `T` record: the commit timestamp as DURABLE manifest metadata, not a
+    // filesystem mtime — a warehouse copy/restore/rsync rewrites mtimes and
+    // would silently re-pin TIMESTAMP AS OF to the wrong version (r13
+    // ADVICE; Delta/Iceberg store the commit instant inside the log for the
+    // same reason). Stamped at the single publish chokepoint so every
+    // commit entry point gets one; carried lines from an older manifest
+    // are stripped first, so each manifest holds exactly one T record —
+    // the instant THIS version was published.
+    val stamped = lines.filterNot(_.startsWith("T\t")) :+
+      s"T\t${System.currentTimeMillis()}"
     val tmp = commits.resolve(
       s".tmp-v$v-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
-    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, stamped.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try {
       Files.createLink(commits.resolve(s"v$v.manifest"), tmp)
       true
@@ -681,7 +695,7 @@ object VersionedTable {
     rawLines(root, v)
       .filterNot(l => l.startsWith("S\t") || l.startsWith("B\t") ||
         l.startsWith("P\t") || l.startsWith("V\t") || l.startsWith("R\t") ||
-        l.startsWith("H\t") || l.startsWith("G\t"))
+        l.startsWith("H\t") || l.startsWith("G\t") || l.startsWith("T\t"))
       .map { line =>
         line.split('\t') match {
           case Array(path) => ManifestEntry(path, change = false, Nil) // legacy
@@ -705,6 +719,16 @@ object VersionedTable {
     rawLines(root, v).find(_.startsWith("S\t")).map { l =>
       types.DataType.fromJson(l.substring(2)).asInstanceOf[types.StructType]
     }
+
+  /** The commit instant (epoch millis) version v's manifest recorded at
+    * publish time — the durable commit clock TIMESTAMP AS OF and
+    * age-based retention resolve against. None only for legacy manifests
+    * written before the `T` record existed; those callers fall back to
+    * the manifest file's mtime (best effort — mtimes do not survive a
+    * warehouse copy). */
+  def commitTimestampMillis(root: String, v: Int): Option[Long] =
+    rawLines(root, v).find(_.startsWith("T\t"))
+      .map(_.substring(2).trim.toLong)
 
   /** Version v's DATA records (excludes changeset and delete files). */
   private def dataEntries(root: String, v: Int): Seq[ManifestEntry] =
@@ -1221,7 +1245,8 @@ object VersionedTable {
       .filter(v => Files.exists(manifestPath(root, v)))
     val pinned = tags(root).values.toSet // tags outlive any age window
     val doomed = present.filter(v => v != latest && !pinned(v) &&
-      Files.getLastModifiedTime(manifestPath(root, v)).toMillis < cut)
+      commitTimestampMillis(root, v).getOrElse(
+        Files.getLastModifiedTime(manifestPath(root, v)).toMillis) < cut)
     prune(root, doomed, present.filterNot(doomed.contains))
   }
 

@@ -88,17 +88,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `TIMESTAMP AS OF <ts>` — micros since epoch; resolves to the NEWEST
-    * version whose manifest was published at or before the instant (the
-    * Delta/Iceberg timestamp-travel contract: "the table as it stood
-    * then"). Manifest publish mtimes are the commit clock. */
+    * version whose commit instant is at or before it (the Delta/Iceberg
+    * timestamp-travel contract: "the table as it stood then"). The commit
+    * clock is the manifest's own `T` record — durable commit metadata
+    * written at publish time, exactly like Delta/Iceberg store the commit
+    * instant inside the log — NOT the manifest file's mtime, which a
+    * warehouse copy/restore/rsync rewrites and would silently pin a
+    * different version. mtime remains only as the fallback for legacy
+    * manifests that predate the record. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val root = rootFor(ident)
     val latest = VersionedTable.latestVersion(root)
     if (latest == 0) throw new NoSuchTableException(ident)
     val v = (1 to latest).filter { v =>
       val m = Paths.get(s"$root/_commits/v$v.manifest")
-      Files.exists(m) &&
-        Files.getLastModifiedTime(m).toMillis * 1000L <= timestampMicros
+      Files.exists(m) && {
+        val millis = VersionedTable.commitTimestampMillis(root, v)
+          .getOrElse(Files.getLastModifiedTime(m).toMillis)
+        millis * 1000L <= timestampMicros
+      }
     }
     if (v.isEmpty) throw new NoSuchTableException(ident)
     tableAt(ident, root, v.max)

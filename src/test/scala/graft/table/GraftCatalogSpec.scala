@@ -21,6 +21,17 @@ class GraftCatalogSpec extends SparkSpec {
     p
   }
 
+  /** Rewrite version v's durable commit instant (the manifest `T`
+    * record) — the test analog of a commit published at `millis`. */
+  private def setCommitInstant(root: String, v: Int, millis: Long): Unit = {
+    val p = Paths.get(s"$root/_commits/v$v.manifest")
+    val kept = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filterNot(_.startsWith("T\t"))
+    Files.write(p, (kept :+ s"T\t$millis").mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** inputFiles returns file: URIs; the manifest stores raw paths. */
   private def norm(f: String): String =
     if (f.startsWith("file:")) new java.net.URI(f).getPath else f
@@ -101,13 +112,17 @@ class GraftCatalogSpec extends SparkSpec {
   test("TIMESTAMP AS OF resolves to the newest version published at or before the instant") {
     val root = s"$wh/db4/ts"
     VersionedTable.commit(base().filter(col("key") <= 100), root)
-    // separate the two manifests' publish clocks
-    val m1 = Paths.get(s"$root/_commits/v1.manifest")
-    Files.setLastModifiedTime(m1,
-      java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
+    // separate the two manifests' publish clocks via the durable T
+    // record — the commit metadata TIMESTAMP AS OF actually resolves from
+    setCommitInstant(root, 1, 1700000000000L)
     VersionedTable.commit(base(), root)
-    Files.setLastModifiedTime(Paths.get(s"$root/_commits/v2.manifest"),
-      java.nio.file.attribute.FileTime.fromMillis(1700000100000L))
+    setCommitInstant(root, 2, 1700000100000L)
+    // a warehouse copy/restore rewrites mtimes; resolution must not care
+    // — set BOTH manifests' mtimes to "now" and expect identical answers
+    Seq(1, 2).foreach { v =>
+      Files.setLastModifiedTime(Paths.get(s"$root/_commits/v$v.manifest"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    }
     def at(ms: Long) = spark.sql(
       s"SELECT * FROM cat.db4.ts TIMESTAMP AS OF " +
         s"timestamp_millis(${ms}L)").count()

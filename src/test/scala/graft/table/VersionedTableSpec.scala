@@ -16,6 +16,19 @@ class VersionedTableSpec extends SparkSpec {
     p.toString
   }
 
+  /** Rewrite version v's durable commit instant (the manifest `T`
+    * record) — the test analog of a commit published at `millis`. The
+    * age-based paths resolve from this record, NOT the file mtime, so
+    * faking age means editing the record. */
+  private def setCommitInstant(root: String, v: Int, millis: Long): Unit = {
+    val p = Paths.get(s"$root/_commits/v$v.manifest")
+    val kept = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filterNot(_.startsWith("T\t"))
+    Files.write(p, (kept :+ s"T\t$millis").mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private def base() = {
     import spark.implicits._
     (1L to 1000L).map(k => (k, s"s${k % 5}", k * 1.5)).toDF("key", "status", "total")
@@ -376,14 +389,13 @@ class VersionedTableSpec extends SparkSpec {
   }
 
   test("age-based vacuum prunes outside the window; pinned readers inside survive (r7)") {
-    import java.nio.file.attribute.FileTime
     val root = freshRoot()
     VersionedTable.commit(base(), root) // v1
     VersionedTable.commit(base().filter(col("key") <= 500), root) // v2
     VersionedTable.commit(base().filter(col("key") <= 100), root) // v3
-    // age only v1 beyond the 1h window
-    Files.setLastModifiedTime(Paths.get(s"$root/_commits/v1.manifest"),
-      FileTime.fromMillis(System.currentTimeMillis() - 86_400_000L))
+    // age only v1 beyond the 1h window (via the durable T record — the
+    // clock vacuum actually reads; mtime is only the legacy fallback)
+    setCommitInstant(root, 1, System.currentTimeMillis() - 86_400_000L)
     val deleted = VersionedTable.vacuumOlderThan(root, maxAgeMillis = 3_600_000L)
     assert(deleted.nonEmpty)
     intercept[IllegalArgumentException] {
@@ -393,10 +405,8 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, root, 2).count() == 500)
     assert(VersionedTable.readLatest(spark, root).count() == 100)
     // the LATEST is never pruned, however old its manifest is
-    Files.setLastModifiedTime(Paths.get(s"$root/_commits/v3.manifest"),
-      FileTime.fromMillis(System.currentTimeMillis() - 86_400_000L))
-    Files.setLastModifiedTime(Paths.get(s"$root/_commits/v2.manifest"),
-      FileTime.fromMillis(System.currentTimeMillis() - 86_400_000L))
+    setCommitInstant(root, 3, System.currentTimeMillis() - 86_400_000L)
+    setCommitInstant(root, 2, System.currentTimeMillis() - 86_400_000L)
     VersionedTable.vacuumOlderThan(root, maxAgeMillis = 3_600_000L)
     assert(VersionedTable.latestVersion(root) == 3)
     assert(VersionedTable.readLatest(spark, root).count() == 100)

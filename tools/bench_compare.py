@@ -16,6 +16,7 @@ artifact and the refreshed one must be named in PERF.md — a plan change
 that ships unexplained fails the gate. Exit 1 lists the unexplained keys.
 """
 import json
+import re
 import sys
 
 
@@ -69,7 +70,11 @@ def fp_lint(old_path, new_path, perf_path):
         return 0
     with open(perf_path) as f:
         perf = f.read()
-    unexplained = [k for k in changed if k not in perf]
+    # Whole-word match: key K is documented only when PERF.md names K
+    # itself, not merely a longer key containing K or prose that happens
+    # to contain the substring (r13 ADVICE).
+    unexplained = [k for k in changed
+                   if not re.search(r"\b" + re.escape(k) + r"\b", perf)]
     for k in changed:
         mark = "UNEXPLAINED" if k in unexplained else "documented "
         print(f"  {mark} plan_fp changed: {k}")

@@ -54,14 +54,24 @@ if grep -rnE 'Window\.(orderBy\(|partitionBy\(\))' \
   echo "LINT FAIL: unpartitioned window (use RankedOver two-pass rank/lag, or add a lint:series-grain marker with justification)" >&2
   exit 1
 fi
-# Drift-protocol gate (r12 VERDICT item 8): when BENCH_LOCAL.json has been
-# refreshed in the working tree, every key whose plan fingerprint changed
-# vs the committed artifact must be named in PERF.md — an unexplained plan
-# change cannot ship inside a bench refresh.
+# Drift-protocol gate (r12 VERDICT item 8, hardened per r13 ADVICE):
+# every key whose plan fingerprint changed vs the BASELINE artifact must
+# be named in PERF.md (whole-word match) — an unexplained plan change
+# cannot ship inside a bench refresh. Baseline = HEAD's copy when the
+# working tree carries a refresh, otherwise the PREVIOUS commit that
+# touched the artifact — so CI on an already-committed refresh still
+# executes the gate instead of vacuously passing on a clean tree.
 if ! git diff --quiet HEAD -- BENCH_LOCAL.json 2>/dev/null; then
   git show HEAD:BENCH_LOCAL.json > /tmp/ci_bench_prev.json
   python3 tools/bench_compare.py --fp-lint /tmp/ci_bench_prev.json \
     BENCH_LOCAL.json PERF.md
+else
+  PREV_TOUCH="$(git log -n 2 --format=%H -- BENCH_LOCAL.json | sed -n 2p)"
+  if [ -n "$PREV_TOUCH" ]; then
+    git show "$PREV_TOUCH:BENCH_LOCAL.json" > /tmp/ci_bench_prev.json
+    python3 tools/bench_compare.py --fp-lint /tmp/ci_bench_prev.json \
+      BENCH_LOCAL.json PERF.md
+  fi
 fi
 echo "lint ok"
 
