@@ -373,21 +373,45 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   // ---- dedup_embedding_cosine -----------------------------------------------
-  // Near-dup by embedding similarity, blocked on the label column (the
-  // cluster/metadata blocking key — candidates only within a block, never
-  // all-pairs; at scale a skewed block is salted into sub-blocks). Cosine is
-  // computed on integer-quantized vectors (floor(x*1e6) as BIGINT): the dot
-  // product is exact integer arithmetic, order-independent and identical in
-  // both engines; only the final normalize runs in (identical) doubles.
+  // Near-dup by embedding similarity, blocked on the label column COMPOSED
+  // with a corpus-scaled sign-LSH sub-bucket. A metadata label alone is a
+  // FIXED-cardinality block: within-block candidates are n²/|labels|, so
+  // the operator goes quadratic however many machines you give it (the r13
+  // sf2 sweep measured 61x wall at 20x data). The sub-bucket's bit count
+  // grows with log(n) — bits = clamp(⌈log2(n/2000)⌉, 0, 8), the
+  // adaptiveBucketed device from sim_knn_join — which holds EXPECTED BLOCK
+  // SIZE constant as the corpus grows: candidates stay ∝ near-dup density
+  // (near-identical vectors agree on sign bits with high probability — the
+  // standard sign-LSH recall argument; more recall at scale = more tables,
+  // the sim_lsh_multitable knob), never ∝ n². At fixture scales (n ≤ 2000)
+  // bits = 0 and the blocking degenerates to the plain label block. The
+  // corpus count rides the plan as a broadcast 1-row anchor, and the
+  // oracle derives the same bits from the same COUNT(*), so both engines
+  // block identically by construction. Cosine is computed on
+  // integer-quantized vectors (floor(x*1e6) as BIGINT): the dot product is
+  // exact integer arithmetic, order-independent and identical in both
+  // engines; only the final normalize runs in (identical) doubles.
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
     // graft_dotq = native exact quantized dot product (see HashExpressions);
     // bit-identical to the declarative zip_with/aggregate the oracle replays
-    val q = load(s, dir, "embeddings")
+    val emb = load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
+    val nRow = emb.agg(count(lit(1)).as("n"))
+    val q = emb
       .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("bits",
+        expr("greatest(0, least(8, cast(ceil(log2(n / 2000.0d)) as int)))"))
+      .withColumn("sb", expr(
+        """case when bits = 0 then 0 else
+          |cast(aggregate(sequence(0, bits - 1), 0, (acc, i) ->
+          |  acc + (case when element_at(embedding, 1 + 8 * i) > 0
+          |         then shiftleft(1, i) else 0 end)) as int) end""".stripMargin))
+      .drop("n", "bits")
     q.as("a").join(q.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.label") === col("b.label") && col("a.sb") === col("b.sb") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         expr("graft_dotq(a.embedding, b.embedding)").as("dot"),
         col("a.nrm").as("na"), col("b.nrm").as("nb"))
@@ -400,19 +424,26 @@ object Dedup {
   }
 
   private val dedupEmbeddingCosineOracle =
-    """WITH q AS (
-      |  SELECT vec_id, label,
+    """WITH nbits AS (
+      |  SELECT GREATEST(0, LEAST(8, CAST(CEIL(LOG2(COUNT(*) / 2000.0)) AS INT))) AS bits
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, label, embedding,
       |         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
       |  FROM embeddings),
       |n AS (
       |  SELECT vec_id, label, qv,
-      |         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS nrm
-      |  FROM q),
+      |         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS nrm,
+      |         CASE WHEN bits = 0 THEN 0 ELSE
+      |           CAST(list_sum(list_transform(generate_series(0, bits - 1),
+      |             i -> CASE WHEN embedding[1 + 8 * i] > 0 THEN (1 << i) ELSE 0 END)) AS INT)
+      |         END AS sb
+      |  FROM q, nbits),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |         list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS dot,
       |         a.nrm AS na, b.nrm AS nb
-      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |  FROM n a JOIN n b ON a.label = b.label AND a.sb = b.sb AND a.vec_id < b.vec_id)
       |SELECT id_a, id_b,
       |       CAST(ROUND(CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
       |FROM pairs

@@ -1238,27 +1238,44 @@ object Similarity {
   // via the CLUSTER structure of the embedding space — assign every vector
   // to its nearest learned cell (the IVF coarse quantizer — at 100 TB the
   // serving index's assignment is reused, so clustering costs nothing
-  // extra), generate near-dup candidate pairs ONLY within a cell (the
-  // blocking that keeps the quadratic off the corpus: k cells cut
-  // candidate pairs by ~k; a skewed cell salts into sub-blocks exactly
-  // like dedup_embedding_cosine's label blocks), and for each pair above
-  // the cosine threshold DROP the member closer to the cell centroid —
-  // the paper's diversity rule: duplicates near the centroid are
-  // redundant with the cluster's bulk, outliers carry signal. The verdict
-  // is a pure function of the corpus (deterministic centroids, exact
-  // integer dots, fixed tie-breaks), so the oracle replays it exactly.
-  // vs dedup_embedding_cosine: blocks are LEARNED cells, not metadata
-  // labels, and the output is a per-vector keep/drop verdict, not a pair
-  // list — this is the operator a curation pipeline actually runs.
+  // extra), generate near-dup candidate pairs ONLY within a cell, and for
+  // each pair above the cosine threshold DROP the member closer to the
+  // cell centroid — the paper's diversity rule: duplicates near the
+  // centroid are redundant with the cluster's bulk, outliers carry
+  // signal. The CELL COUNT grows with the corpus (the paper scales k with
+  // n; a fixed k makes within-cell pairs n²/k — the r13 sf2 sweep
+  // measured 22x wall at 20x data): seed cells are the label composed
+  // with a sign-LSH sub-bucket of clamp(⌈log2(n/2000)⌉, 0, 8) bits, so
+  // k = |labels|·2^bits ≈ O(√n .. n/2000) and expected cell size stays
+  // bounded as the corpus grows. At fixture scales bits = 0 and the
+  // seeds degenerate to the plain labels. The corpus count rides the
+  // plan as a broadcast 1-row anchor; the oracle derives the same bits
+  // from the same COUNT(*). The verdict is a pure function of the corpus
+  // (deterministic centroids, exact integer dots, fixed tie-breaks), so
+  // the oracle replays it exactly. vs dedup_embedding_cosine: blocks are
+  // LEARNED cells (centroid-argmin assignment, not the seed grouping),
+  // and the output is a per-vector keep/drop verdict, not a pair list —
+  // this is the operator a curation pipeline actually runs.
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
-    val base = load(s, dir, "embeddings")
+    val emb = load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
+    val nRow = emb.agg(count(lit(1)).as("n"))
+    val base = emb
       .withColumn("qv",
         expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
       .withColumn("nrm", expr("graft_dotq(embedding, embedding)"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("bits",
+        expr("greatest(0, least(8, cast(ceil(log2(n / 2000.0d)) as int)))"))
+      .withColumn("seed_cell", expr(
+        """label * shiftleft(1, bits) + (case when bits = 0 then 0 else
+          |cast(aggregate(sequence(0, bits - 1), 0, (acc, i) ->
+          |  acc + (case when element_at(embedding, 1 + 8 * i) > 0
+          |         then shiftleft(1, i) else 0 end)) as int) end)""".stripMargin))
+      .drop("n", "bits")
     val cent = base
-      .select(col("label").as("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .select(col("seed_cell").as("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg(expr("sum(v) div count(1)").as("cd"))
       .groupBy(col("cell"))
@@ -1270,7 +1287,7 @@ object Similarity {
     // re-plan shape — no corpus-wide window): min(struct(-ccos, cell))
     // maximizes ccos with ties to the smaller cell; double negation is
     // exact, so ordering matches the oracle's ROW_NUMBER.
-    val assign = base.drop("label").filter(col("nrm") > 0)
+    val assign = base.drop("label", "seed_cell").filter(col("nrm") > 0)
       .crossJoin(broadcast(cent))
       .withColumn("cdot",
         expr("aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
@@ -1304,11 +1321,19 @@ object Similarity {
 
   private val dedupSemanticOracle =
     s"""WITH $quantizedSql,
-       |qnl AS (SELECT qn.vec_id, e.label, qn.qv, qn.nrm
-       |        FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id),
+       |nbits AS (
+       |  SELECT GREATEST(0, LEAST(8, CAST(CEIL(LOG2(COUNT(*) / 2000.0)) AS INT))) AS bits
+       |  FROM embeddings),
+       |qnl AS (SELECT qn.vec_id,
+       |               e.label * (1 << bits) + (CASE WHEN bits = 0 THEN 0 ELSE
+       |                 CAST(list_sum(list_transform(generate_series(0, bits - 1),
+       |                   i -> CASE WHEN e.embedding[1 + 8 * i] > 0 THEN (1 << i) ELSE 0 END)) AS INT)
+       |               END) AS cell,
+       |               qn.qv, qn.nrm
+       |        FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id CROSS JOIN nbits),
        |cpos AS (
        |  SELECT cell, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cd
-       |  FROM (SELECT label AS cell, unnest(qv) AS v,
+       |  FROM (SELECT cell, unnest(qv) AS v,
        |               unnest(generate_series(1, len(qv))) AS pos FROM qnl) t
        |  GROUP BY 1, 2),
        |cent AS (

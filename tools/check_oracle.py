@@ -8,6 +8,7 @@ matching oracle_sql.json entry in DuckDB against <sfDir>/*.parquet, and
 compares schema + values (columns sorted by name, rows sorted by all columns).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -38,7 +39,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata are single parquet files; rehearsal corpora
+        # (ScaleUp output) are Spark-written directories — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
