@@ -1472,7 +1472,7 @@ object Similarity {
   // query is answered by a deterministic greedy BEAM walk — start at a
   // fixed entry point (min vec_id), each hop expand the current beam's
   // neighbor lists, score only those candidates by exact integer-dot
-  // cosine, keep the best `NswBeam` NEW nodes as the next beam, and
+  // cosine, keep the best `beam` NEW nodes as the next beam, and
   // answer from everything visited. The whole walk touches
   // O(hops · beam · degree) vectors per query instead of the corpus —
   // that bound is what the spec pins (visited ≪ corpus) and why the
@@ -1483,8 +1483,49 @@ object Similarity {
   // after the index build. Determinism: fixed entry, fixed hop count,
   // cosine ties broken to the smaller id — the oracle replays the walk
   // as unrolled hop CTEs (the graph_pagerank/kcore precedent).
-  private[llm] val NswBeam = 4
-  private[llm] val NswHops = 4
+  // Walk budgets SCALE WITH THE CORPUS (r13 VERDICT item 2: the fixed
+  // 4-hop/4-beam walk measured recall@3 = 0.10 at the 20k-vector sf1
+  // corpus — a constant-hop walk cannot reach a region that moved
+  // O(log n) hops away as the graph grew). hops and beam are
+  // clamp(⌈1.5·log2(n/500)⌉, lo, cap): the fixture (n=500) and sf0.1
+  // (n=2000) resolve to the original 4/4, and a 20k corpus to 8/8 —
+  // per-query work stays O(hops·beam·degree) = O(log²n·degree), still
+  // ≪ corpus. The oracle unrolls its hop CTEs to the COMPILE-TIME caps
+  // and gates each hop on the SAME budget derived from the same
+  // COUNT(*) (hops past the budget produce empty frontiers — exact
+  // no-ops), so both engines walk identically by construction; the
+  // kcore/MST discipline: raise the caps and the oracle unroll together
+  // (walkBudgets fails loudly if a budget ever exceeds its cap).
+  private[llm] val NswMaxHops = 12
+  private[llm] val NswMaxBeam = 8
+
+  /** clamp(⌈1.5·log2(n/anchor)⌉, lo, cap) — the corpus-scaled walk
+    * budget, mirrored by the oracle's budget CTE over COUNT(*). */
+  private def scaledBudget(n: Long, anchor: Double, mult: Double,
+      lo: Int, cap: Int): Int = {
+    val raw = math.ceil(mult * (math.log(n / anchor) / math.log(2.0))).toInt
+    math.max(lo, math.min(cap, raw))
+  }
+
+  /** A layer's walk-budget SPEC: anchor = the fixture-scale corpus size
+    * at which the budgets equal their legacy floors, (mult, lo, cap)
+    * per knob. One definition feeds BOTH engines. */
+  private final case class WalkSpec(anchor: Double,
+      hopsMult: Double, hopsLo: Int, hopsCap: Int,
+      beamMult: Double, beamLo: Int, beamCap: Int) {
+    def budgets(n: Long): (Int, Int) =
+      (scaledBudget(n, anchor, hopsMult, hopsLo, hopsCap),
+        scaledBudget(n, anchor, beamMult, beamLo, beamCap))
+    /** The matching oracle budget CTE over COUNT(*) of `corpusName`. */
+    def cte(name: String, corpusName: String): String =
+      s"""$name AS (
+         |  SELECT GREATEST($hopsLo, LEAST($hopsCap, CAST(CEIL($hopsMult * LOG2(COUNT(*) / $anchor)) AS INT))) AS hops,
+         |         GREATEST($beamLo, LEAST($beamCap, CAST(CEIL($beamMult * LOG2(COUNT(*) / $anchor)) AS INT))) AS beam
+         |  FROM $corpusName)""".stripMargin
+  }
+
+  /** Single-layer NSW: fixture/sf0.1 resolve to the original 4/4. */
+  private val NswSpec = WalkSpec(500.0, 1.5, 4, NswMaxHops, 1.5, 4, NswMaxBeam)
 
   /** The navigable graph: per-table top-2 kNN edges across the T=4 LSH
     * tables (sim_lsh_multitable's layout), unioned. A SINGLE-table kNN
@@ -1547,6 +1588,10 @@ object Similarity {
     * Returns the scored visited set (query_id, node, cos). */
   private def beamWalk(corpus: DataFrame, queries: DataFrame,
       edges: DataFrame, entry: DataFrame, hops: Int, beam: Int): DataFrame = {
+    require(hops <= NswMaxHops && beam <= NswMaxBeam,
+      s"walk budget ($hops hops, $beam beam) exceeds the oracle unroll " +
+        s"caps ($NswMaxHops, $NswMaxBeam) — raise the caps and the " +
+        "oracle unroll together")
     // score a (query_id, node) set: gather candidate vectors BY ID (the
     // node set is hops·beam·degree small → broadcast), never scan-join
     def score(nodes: DataFrame): DataFrame =
@@ -1590,13 +1635,18 @@ object Similarity {
   private[llm] def nswWalk(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val corpus = quantized(s, dir)
+    // corpus count → walk budget: a driver-side control scalar (the
+    // pagerank-convergence/kcore-bound class — it steers loop DEPTH, so
+    // it cannot ride the plan), derived by the same formula the oracle's
+    // budget CTE computes from the same COUNT(*)
+    val (hops, beam) = NswSpec.budgets(corpus.count())
     val edges = symEdges(nswGraph(s, dir))
     val queries = corpus.filter(col("vec_id") < AnnQueryCount)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val entry = queries.select(col("query_id"))
       .crossJoin(broadcast(corpus.agg(min(col("vec_id")).as("node"))))
-    val visited = beamWalk(corpus, queries, edges, entry, NswHops, NswBeam)
+    val visited = beamWalk(corpus, queries, edges, entry, hops, beam)
     (visited, walkTop5(visited))
   }
 
@@ -1609,29 +1659,36 @@ object Similarity {
 
   /** Hop-unroll CTE generator shared by the NSW and HNSW oracles: `pfx`
     * namespaces the walk state (c/s/v/f), `edgesName` picks the layer's
-    * adjacency. Scoring always gathers vectors from the full `qn` by id. */
-  private def hopCtes(hops: Int, beam: Int, pfx: String,
-      edgesName: String): String =
-    (1 to hops).map { t =>
-      s"""${pfx}c$t AS (
+    * adjacency, `budget` names the (hops, beam) CTE derived from the
+    * corpus count. Unrolled to the compile-time `maxHops` cap; hop t is
+    * GATED on `t <= hops`, so hops past the data-derived budget yield
+    * empty frontiers and the final v{maxHops} equals v{budget} exactly —
+    * the static-SQL form of "unroll to the data-derived depth". Scoring
+    * always gathers vectors from the full `qn` by id. */
+  private def hopCtes(maxHops: Int, pfx: String,
+      edgesName: String, budget: String): String =
+    (1 to maxHops).map { t =>
+      // MATERIALIZED per hop (the kcore lesson): each hop references the
+      // previous visited/frontier frames more than once, and at a 12-hop
+      // unroll DuckDB's default inlining re-expands the whole prefix per
+      // reference — file handles and plan size grow exponentially ("Too
+      // many open files") without the marker.
+      s"""${pfx}c$t AS MATERIALIZED (
          |  SELECT DISTINCT f.query_id, ed.dst AS node
          |  FROM ${pfx}f${t - 1} f JOIN $edgesName ed ON f.node = ed.src
          |  LEFT JOIN ${pfx}v${t - 1} vis ON vis.query_id = f.query_id AND vis.node = ed.dst
-         |  WHERE vis.node IS NULL),
-         |${pfx}s$t AS (
+         |  WHERE vis.node IS NULL AND $t <= (SELECT hops FROM $budget)),
+         |${pfx}s$t AS MATERIALIZED (
          |  SELECT c.query_id, c.node, $nswCos AS cos
          |  FROM ${pfx}c$t c JOIN qn n ON n.vec_id = c.node
          |  JOIN queries q ON q.query_id = c.query_id),
-         |${pfx}v$t AS (SELECT * FROM ${pfx}v${t - 1} UNION ALL SELECT * FROM ${pfx}s$t),
-         |${pfx}f$t AS (
+         |${pfx}v$t AS MATERIALIZED (SELECT * FROM ${pfx}v${t - 1} UNION ALL SELECT * FROM ${pfx}s$t),
+         |${pfx}f$t AS MATERIALIZED (
          |  SELECT query_id, node FROM (
          |    SELECT query_id, node,
          |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
-         |    FROM ${pfx}s$t) z WHERE rn <= $beam)""".stripMargin
+         |    FROM ${pfx}s$t) z WHERE rn <= (SELECT beam FROM $budget))""".stripMargin
     }.mkString(",\n")
-
-  private def nswHopCtes(hops: Int, beam: Int): String =
-    hopCtes(hops, beam, "", "edges")
 
   /** The layer-graph build (adaptive bits → 4 LSH tables → per-table top-2
     * kNN → symmetrized edges) as a CTE chain, namespaced by `pfx`, over the
@@ -1662,18 +1719,19 @@ object Similarity {
   private val simNswSearchOracle =
     s"""WITH $quantizedSql,
        |${graphCtes("", "qn")},
+       |${NswSpec.cte("wb", "qn")},
        |queries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qn WHERE vec_id < $AnnQueryCount),
        |entrypt AS (SELECT MIN(vec_id) AS e FROM qn),
        |v0 AS (
        |  SELECT q.query_id, n.vec_id AS node, $nswCos AS cos
        |  FROM queries q, entrypt, qn n WHERE n.vec_id = e),
        |f0 AS (SELECT query_id, node FROM v0),
-       |${nswHopCtes(NswHops, NswBeam)}
+       |${hopCtes(NswMaxHops, "", "edges", "wb")}
        |SELECT query_id, rank, node AS neighbor_id,
        |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
        |FROM (SELECT query_id, node, cos,
        |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rank
-       |      FROM v$NswHops WHERE node <> query_id) z
+       |      FROM v$NswMaxHops WHERE node <> query_id) z
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---- sim_hnsw_2layer -------------------------------------------------------
@@ -1693,15 +1751,27 @@ object Similarity {
   // id), fixed hop counts, ties to the smaller node id — the oracle replays
   // BOTH walks as prefix-namespaced unrolled hop CTEs over the same
   // adaptive-bits graph build.
-  private[llm] val HnswL1Hops = 3
-  private[llm] val HnswL1Beam = 2
-  private[llm] val HnswL0Hops = 3
-  private[llm] val HnswL0Beam = 4
+  // Layer budgets scale like the single-layer walk (r13 VERDICT item 2):
+  // anchors are the fixture-scale layer sizes (63 = |vec_id % 8 == 0| at
+  // n=500; 500 = the corpus), so fixture and sf0.1 resolve to the
+  // original 3/2 + 3/4 constants, while a 20k corpus routes with an
+  // 8-hop coarse walk and refines with an 8-hop/8-beam base walk. The
+  // oracle unrolls to the caps and gates per hop on the same
+  // COUNT(*)-derived budgets.
+  private[llm] val HnswL1MaxHops = 10
+  private[llm] val HnswL0MaxHops = NswMaxHops
+  private val HnswL1Spec = WalkSpec(63.0, 1.5, 3, HnswL1MaxHops, 0.5, 2, 4)
+  private val HnswL0Spec = WalkSpec(500.0, 1.5, 3, HnswL0MaxHops, 1.5, 4, NswMaxBeam)
 
   private[llm] def hnswWalk(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val corpus = quantized(s, dir)
     val l1 = corpus.filter(col("vec_id") % 8 === 0)
+    // per-layer counts → walk budgets (driver-side control scalars, the
+    // nswWalk/kcore discipline; the oracle re-derives both from the same
+    // two COUNT(*)s)
+    val (h1, b1) = HnswL1Spec.budgets(l1.count())
+    val (h0, b0) = HnswL0Spec.budgets(corpus.count())
     val edges0 = symEdges(nswGraphOf(corpus))
     val edges1 = symEdges(nswGraphOf(l1))
     val queries = corpus.filter(col("vec_id") < AnnQueryCount)
@@ -1709,14 +1779,12 @@ object Similarity {
         col("nrm").as("q_nrm"))
     val entry1 = queries.select(col("query_id"))
       .crossJoin(broadcast(l1.agg(min(col("vec_id")).as("node"))))
-    val visited1 = beamWalk(corpus, queries, edges1, entry1,
-      HnswL1Hops, HnswL1Beam)
+    val visited1 = beamWalk(corpus, queries, edges1, entry1, h1, b1)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("node"))
     val entry0 = visited1.withColumn("rn", row_number().over(wq))
       .filter(col("rn") === 1).select(col("query_id"), col("node"))
-    val visited0 = beamWalk(corpus, queries, edges0, entry0,
-      HnswL0Hops, HnswL0Beam)
+    val visited0 = beamWalk(corpus, queries, edges0, entry0, h0, b0)
     (visited1, visited0, walkTop5(visited0))
   }
 
@@ -1728,29 +1796,31 @@ object Similarity {
        |${graphCtes("", "qn")},
        |qn1 AS (SELECT * FROM qn WHERE vec_id % 8 = 0),
        |${graphCtes("g1", "qn1")},
+       |${HnswL1Spec.cte("wb1", "qn1")},
+       |${HnswL0Spec.cte("wb0", "qn")},
        |queries AS (SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM qn WHERE vec_id < $AnnQueryCount),
        |l1entry AS (SELECT MIN(vec_id) AS e FROM qn1),
        |L1v0 AS (
        |  SELECT q.query_id, n.vec_id AS node, $nswCos AS cos
        |  FROM queries q, l1entry, qn n WHERE n.vec_id = e),
        |L1f0 AS (SELECT query_id, node FROM L1v0),
-       |${hopCtes(HnswL1Hops, HnswL1Beam, "L1", "g1edges")},
+       |${hopCtes(HnswL1MaxHops, "L1", "g1edges", "wb1")},
        |e0 AS (
        |  SELECT query_id, node FROM (
        |    SELECT query_id, node,
        |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
-       |    FROM L1v$HnswL1Hops) z WHERE rn = 1),
+       |    FROM L1v$HnswL1MaxHops) z WHERE rn = 1),
        |v0 AS (
        |  SELECT q.query_id, n.vec_id AS node, $nswCos AS cos
        |  FROM e0 JOIN qn n ON n.vec_id = e0.node
        |  JOIN queries q ON q.query_id = e0.query_id),
        |f0 AS (SELECT query_id, node FROM v0),
-       |${hopCtes(HnswL0Hops, HnswL0Beam, "", "edges")}
+       |${hopCtes(HnswL0MaxHops, "", "edges", "wb0")}
        |SELECT query_id, rank, node AS neighbor_id,
        |       CAST(ROUND(CAST(cos AS DECIMAL(28,8)), 4) AS DOUBLE) AS cosine
        |FROM (SELECT query_id, node, cos,
        |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rank
-       |      FROM v$HnswL0Hops WHERE node <> query_id) z
+       |      FROM v$HnswL0MaxHops WHERE node <> query_id) z
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---- sim_matryoshka -------------------------------------------------------

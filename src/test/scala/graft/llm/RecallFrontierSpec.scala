@@ -64,4 +64,30 @@ class RecallFrontierSpec extends SparkSpec {
     assert(v * 3 < n, s"nprobe=2 of 10 cells must be a corpus slice: $v of $n")
     assert(r > rows("lsh_1table")._1)
   }
+
+  test("recall drift gate: no family's fixture recall drops below the committed artifact (r13 item 7)") {
+    // RECALL_FIXTURE.json is the committed frontier at THIS fixture SF
+    // (regenerate with `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt
+    // "runMain graft.RecallFrontier RECALL_FIXTURE.json"` and document
+    // the change in PERF.md — the plan_fp protocol applied to recall).
+    // Every family is deterministic on the fixture, so a silent code
+    // change that degrades recall fails HERE instead of surfacing rounds
+    // later in the sf1 artifact.
+    val p = java.nio.file.Paths.get("RECALL_FIXTURE.json")
+    assert(java.nio.file.Files.exists(p),
+      "committed fixture recall artifact missing — regenerate it")
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val re = """\{"family": "([a-z0-9_]+)", "recall_pm": (\d+)""".r
+    val committed = re.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    assert(committed.keySet == rows.keySet,
+      s"family set drifted: committed ${committed.keySet} vs live ${rows.keySet}")
+    val drops = rows.collect {
+      case (f, (live, _, _, _)) if live < committed(f) =>
+        s"$f: ${committed(f)} -> $live"
+    }
+    assert(drops.isEmpty,
+      s"recall dropped vs committed RECALL_FIXTURE.json (${drops.mkString("; ")}) — " +
+        "if intentional, regenerate the artifact and document in PERF.md")
+  }
 }
