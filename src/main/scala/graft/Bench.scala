@@ -63,9 +63,23 @@ object Bench {
       df.write.mode("overwrite").format("noop").save()
     }
 
+    // derived-artifact staging per key (r13 VERDICT item 3): artifact
+    // builds (pagerank/oriented/strong-tie graphs, ANN index fixtures)
+    // run once per JVM inside whichever key touches them first — during
+    // THIS warmup pass. Metering the warmup per key attributes that
+    // one-time cost instead of letting it vanish (or, in a filtered run
+    // without full warmup, inflate a measured pass unexplained).
+    val artStaging = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def drainArtifact(name: String): Unit = {
+      val a = graft.Staging.drainNanos() / 1e9
+      if (a > 0.005 && a > artStaging.getOrElse(name, 0.0)) artStaging(name) = a
+    }
+
     // warmup: run everything once, unmeasured (and fingerprint the plans)
     ordered.foreach { case (name, _) =>
+      graft.Staging.drainNanos()
       try materialize(name, recordFp = true) catch { case _: Throwable => () }
+      drainArtifact(name)
     }
 
     // three measured passes, per-query min: robust to transient system load
@@ -101,12 +115,14 @@ object Bench {
       System.gc()
       graft.streaming.StreamQueries.drainStagingNanos() // reset the meters
       graft.streaming.StreamQueries.drainBatchCount()
+      graft.Staging.drainNanos()
       val t0 = System.nanoTime()
       try {
         materialize(name)
         val dt = (System.nanoTime() - t0) / 1e9
         val stg = graft.streaming.StreamQueries.drainStagingNanos() / 1e9
         val nb = graft.streaming.StreamQueries.drainBatchCount()
+        drainArtifact(name) // a measured-pass rebuild (cache miss) still attributes
         if (times.get(name).forall(dt < _)) {
           times(name) = dt
           if (stg > 0.005) staging(name) = stg else staging.remove(name)
@@ -142,6 +158,8 @@ object Bench {
       .mkString("{", ",", "}")
     val st = staging.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    val ast = artStaging.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val fp = fps.toSeq.sortBy(_._1)
@@ -151,7 +169,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"staging_sec":$st,"micro_batches":$nb,"plan_fp":$fp,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"staging_sec":$st,"artifact_staging_sec":$ast,"micro_batches":$nb,"plan_fp":$fp,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     // the driver parses a BOUNDED (2000-char) log tail; with 100+ keys the
     // full line is ~4.5k chars and can NEVER fit intact, and even printing
     // it once risks the captured window landing mid-line (r9: the driver

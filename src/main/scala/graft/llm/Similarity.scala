@@ -873,13 +873,13 @@ object Similarity {
       build: String => Unit): String = {
     val mtime = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(s"$dir/embeddings.parquet")).toMillis
-    indexCache.computeIfAbsent(s"$dir@$mtime/$tag", { _ =>
+    indexCache.computeIfAbsent(s"$dir@$mtime/$tag", { _ => graft.Staging.timed {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_idx_").toString
       sys.addShutdownHook(graft.sink.Sinks.deleteDir(tmp))
       build(tmp)
       tmp
-    })
+    }})
   }
 
   def simPqAdc(s: SparkSession, dir: String): DataFrame = {

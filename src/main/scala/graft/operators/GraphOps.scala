@@ -74,7 +74,7 @@ object GraphOps {
       : (DataFrame, DataFrame, DataFrame) = {
     // content fingerprint, not bare mtime (r10 ADVICE)
     val fp = graft.sink.Sinks.fingerprint(s"$dir/lineitem.parquet")
-    val root = graphCache.computeIfAbsent(s"$dir@$fp", { _ =>
+    val root = graphCache.computeIfAbsent(s"$dir@$fp", { _ => graft.Staging.timed {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_graph_").toString
       sys.addShutdownHook(graft.sink.Sinks.deleteDir(tmp))
@@ -89,7 +89,7 @@ object GraphOps {
         .write.parquet(s"$tmp/nodes")
       edges.unpersist(blocking = false)
       tmp
-    })
+    }})
     (s.read.parquet(s"$root/edges"), s.read.parquet(s"$root/deg"),
       s.read.parquet(s"$root/nodes"))
   }
@@ -353,7 +353,7 @@ object GraphOps {
   private def orientedArtifact(s: SparkSession, dir: String): (DataFrame, Long) = {
     // content fingerprint, not bare mtime (r10 ADVICE)
     val fp = graft.sink.Sinks.fingerprint(s"$dir/lineitem.parquet")
-    val root = triCache.computeIfAbsent(s"$dir@$fp", { _ =>
+    val root = triCache.computeIfAbsent(s"$dir@$fp", { _ => graft.Staging.timed {
       import org.apache.spark.sql.expressions.Window
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_tri_").toString
@@ -374,7 +374,7 @@ object GraphOps {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$tmp/edge_count"), n.toString)
       tmp
-    })
+    }})
     val n = triCountCache.computeIfAbsent(root, { r =>
       java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$r/edge_count")).trim.toLong
@@ -1124,10 +1124,13 @@ object GraphOps {
     val key = s"$kind@$dir@$fp"
     val hit = artifactCache.get(key)
     if (hit != null) return hit
-    val tmp = java.nio.file.Files
-      .createTempDirectory(s"graft_${kind}_").toString
-    sys.addShutdownHook(graft.sink.Sinks.deleteDir(tmp))
-    build.foreach { case (name, df) => df.write.parquet(s"$tmp/$name") }
+    val tmp = graft.Staging.timed {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft_${kind}_").toString
+      sys.addShutdownHook(graft.sink.Sinks.deleteDir(t))
+      build.foreach { case (name, df) => df.write.parquet(s"$t/$name") }
+      t
+    }
     val prev = artifactCache.putIfAbsent(key, tmp)
     if (prev != null) { graft.sink.Sinks.deleteDir(tmp); prev } else tmp
   }
@@ -1323,7 +1326,7 @@ object GraphOps {
     * (dir, fingerprint). */
   private def lpIncrementalStage(s: SparkSession, dir: String): (String, String) = {
     val fp = graft.sink.Sinks.fingerprint(s"$dir/lineitem.parquet")
-    lpIncStage.computeIfAbsent(s"$dir@$fp", { _ =>
+    lpIncStage.computeIfAbsent(s"$dir@$fp", { _ => graft.Staging.timed {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_lpinc_").toString
       sys.addShutdownHook(graft.sink.Sinks.deleteDir(tmp))
@@ -1350,7 +1353,7 @@ object GraphOps {
       VersionedTable.commit(
         tieWeightsRaw(VersionedTable.readVersion(s, factRoot, 1)), graphRoot)
       (factRoot, graphRoot)
-    })
+    }})
   }
 
   /** Signed fold of the changed orders' contributions into the previous
