@@ -10,8 +10,10 @@ import graft.table.catalog.GraftCatalog
 
 /** The SQL-catalog claims the oracle hash can't state: a `VERSION AS OF`
   * read through `graft.<db>.<table>` compiles the SAME pruned parquet
-  * scan as the `readVersion` API — identical file set, identical rows —
-  * and the guards refuse the versions a bare scan would serve wrong. */
+  * scan as the `readVersion` API — identical file set, identical rows;
+  * merge-on-read and renamed versions serve through the API path's
+  * resolved relation (bit-identical to it); and SQL DML lands real
+  * manifest versions under the same CAS publish as the API (r14). */
 class GraftCatalogSpec extends SparkSpec {
 
   private lazy val wh: String = {
@@ -36,6 +38,20 @@ class GraftCatalogSpec extends SparkSpec {
   private def norm(f: String): String =
     if (f.startsWith("file:")) new java.net.URI(f).getPath else f
 
+  /** The file set the EXECUTED DSv2 scan actually reads (the wrapper
+    * table is not a FileTable, so Dataset.inputFiles can't see through
+    * it — this extracts from the physical ParquetScan instead, which is
+    * the stronger source: the plan that runs, not the plan as declared). */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.toSeq
+          case _ => Seq.empty
+        }
+    }.flatten.map(norm).toSet
+
   private def base() = {
     import spark.implicits._
     (1L to 1000L).map(k => (k, s"s${k % 5}", k * 3L)).toDF("key", "status", "cents")
@@ -51,7 +67,7 @@ class GraftCatalogSpec extends SparkSpec {
       val api = VersionedTable.readVersion(spark, root, v)
       // file-set identity: the SQL scan opens EXACTLY the manifest's
       // frozen files — no second code path, no re-listing, no extras
-      assert(sql.inputFiles.map(norm).toSet == VersionedTable.manifest(root, v).toSet,
+      assert(scannedFiles(sql) == VersionedTable.manifest(root, v).toSet,
         s"v$v SQL scan file set diverges from the manifest")
       // bit-identical rows
       assert(sql.orderBy("key").collect().toSeq ==
@@ -61,7 +77,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM cat.db.orders VERSION AS OF 1").count() == 600)
     assert(spark.sql("SELECT * FROM cat.db.orders VERSION AS OF 2").count() == 1000)
     // bare name serves the latest
-    assert(spark.sql("SELECT * FROM cat.db.orders").inputFiles.map(norm).toSet ==
+    assert(scannedFiles(spark.sql("SELECT * FROM cat.db.orders")) ==
       VersionedTable.manifest(root, 2).toSet)
     // catalyst pushdown reaches the catalog's parquet scan: the filter is
     // pushed, and pruning keeps only the requested column in ReadSchema
@@ -88,25 +104,81 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("integers"), s"wrong error: ${e.getMessage}")
   }
 
-  test("merge-on-read and renamed versions refuse a bare SQL scan (fail fast, never wrong rows)") {
+  test("merge-on-read and renamed versions SERVE through SQL, identical to the API read (r14)") {
     import spark.implicits._
     val root = s"$wh/db3/mor"
     VersionedTable.commit(base(), root)
     VersionedTable.commitDeletes(Seq(1L, 2L).toDF("key"), root, "key") // v2: E records
-    val e = intercept[Exception] {
-      spark.sql("SELECT * FROM cat.db3.mor VERSION AS OF 2").collect()
-    }
-    assert(e.getMessage.contains("compact first"), s"wrong guard: ${e.getMessage}")
-    // v1 (pre-delete) still serves
+    VersionedTable.commitDeleteVectors(spark, root, "key % 100 = 7")   // v3: +V records
+    // E-resolved: the two equality-deleted keys vanish, nothing else
+    val v2 = spark.sql("SELECT * FROM cat.db3.mor VERSION AS OF 2")
+    assert(v2.count() == 998, "E-resolved count")
+    assert(v2.filter(col("key").isin(1L, 2L)).count() == 0)
+    // E+V-resolved, bit-identical to the API path
+    val v3sql = spark.sql("SELECT * FROM cat.db3.mor VERSION AS OF 3")
+      .orderBy("key").collect().toSeq
+    val v3api = VersionedTable.readVersion(spark, root, 3)
+      .orderBy("key").collect().toSeq
+    assert(v3sql == v3api, "SQL MoR resolution diverged from the API read")
+    assert(v3sql.size == 988) // 1000 - {1,2} - ten key%100==7 rows
+    // v1 (pre-delete) still serves the plain parquet path
     assert(spark.sql("SELECT * FROM cat.db3.mor VERSION AS OF 1").count() == 1000)
 
     val root2 = s"$wh/db3/ren"
     VersionedTable.commit(base(), root2)
     VersionedTable.commitRename(root2, Map("cents" -> "amount")) // v2: R record
-    val e2 = intercept[Exception] {
-      spark.sql("SELECT * FROM cat.db3.ren").collect()
+    // the bare name serves the renamed head under its LOGICAL schema
+    val ren = spark.sql("SELECT key, amount FROM cat.db3.ren WHERE key <= 3")
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ren == VersionedTable.readVersionRenamed(spark, root2, 2)
+      .select(col("key"), col("amount")).filter(col("key") <= 3)
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // time travel to the pre-rename version still serves the OLD name
+    assert(spark.sql("SELECT cents FROM cat.db3.ren VERSION AS OF 1").count() == 1000)
+    // resolved tables are read-only: DML must route to a clean head
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO cat.db3.mor SELECT * FROM cat.db3.mor VERSION AS OF 1")
     }
-    assert(e2.getMessage.contains("rename"), s"wrong guard: ${e2.getMessage}")
+    assert(e.getMessage.contains("read-only") ||
+      e.getMessage.contains("does not support") ||
+      e.getMessage.contains("TABLE_OPERATION"),
+      s"MoR head accepted DML: ${e.getMessage}")
+  }
+
+  test("SQL INSERT INTO lands real manifest versions; OVERWRITE replaces; CAS race from SQL retries (r14)") {
+    val root = s"$wh/db6/loads"
+    VersionedTable.commit(base().filter(col("key") <= 400), root) // v1 via API
+    base().filter(col("key") > 400 && col("key") <= 700)
+      .createOrReplaceTempView("ins_batch")
+    spark.sql("INSERT INTO cat.db6.loads SELECT * FROM ins_batch") // v2 via SQL
+    assert(VersionedTable.latestVersion(root) == 2)
+    assert(spark.sql("SELECT * FROM cat.db6.loads").count() == 700)
+    // v1 is untouched by the append (copy-on-write)
+    assert(spark.sql("SELECT * FROM cat.db6.loads VERSION AS OF 1").count() == 400)
+    // INSERT OVERWRITE = the truncate-and-load job: a REPLACING commit
+    base().filter(col("key") > 900).createOrReplaceTempView("reload_batch")
+    spark.sql("INSERT OVERWRITE cat.db6.loads SELECT * FROM reload_batch") // v3
+    assert(VersionedTable.latestVersion(root) == 3)
+    assert(spark.sql("SELECT * FROM cat.db6.loads").count() == 100)
+    assert(spark.sql("SELECT * FROM cat.db6.loads VERSION AS OF 2").count() == 700)
+    // CAS retry reached FROM SQL: race an SQL INSERT against an API
+    // commit — both versions must land, neither lost (the publish loop
+    // retries metadata only; the racing writers' data coexists)
+    val before = VersionedTable.latestVersion(root)
+    val apiThread = new Thread(() =>
+      VersionedTable.commitAppend(base().filter(col("key") <= 50), root))
+    apiThread.start()
+    spark.sql("INSERT INTO cat.db6.loads SELECT * FROM ins_batch")
+    apiThread.join()
+    assert(VersionedTable.latestVersion(root) == before + 2,
+      "one of the racing writers lost its commit")
+    assert(spark.sql("SELECT * FROM cat.db6.loads").count() == 100 + 50 + 300,
+      "racing commits lost rows")
+    // a version-pinned snapshot refuses DML
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO cat.db6.loads VERSION AS OF 1 SELECT * FROM ins_batch")
+    }
+    assert(e != null)
   }
 
   test("TIMESTAMP AS OF resolves to the newest version published at or before the instant") {
