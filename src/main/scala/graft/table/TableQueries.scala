@@ -1652,6 +1652,41 @@ object TableQueries {
       |FROM vis GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- table_sql_ctas -----------------------------------------------------------
+  // CREATE TABLE AS SELECT — the multi-statement session-state surface
+  // (r13 "What's missing" item 3): one SQL statement both registers a new
+  // catalog table and loads it. The catalog's createTable publishes a
+  // SCHEMA-ONLY v1 manifest (zero data files — readable as an empty
+  // relation under the committed schema), and CTAS's SELECT lands as the
+  // v2 append through the same V1 write bridge as INSERT INTO; both
+  // halves ride the CAS publish. The key CTAS-es a per-status rollup of
+  // orders and reads it back through the bare catalog name — the oracle
+  // recomputes the rollup from the raw table, so a CTAS that dropped or
+  // duplicated rows cannot hash-match.
+  def tableSqlCtas(s: SparkSession, dir: String): DataFrame = {
+    catalog.GraftCatalog.install(s)
+    val db = sqlDb(dir)
+    val root = s"${catalog.GraftCatalog.defaultWarehouse}/$db/status_rollup"
+    val t = s"graft.$db.status_rollup"
+    if (VersionedTable.latestVersion(root) == 0) {
+      sqlWarehouseHook
+      ordersBase(s, dir)
+        .withColumn("cents", expr("cast(round(total * 100) as bigint)"))
+        .createOrReplaceTempView(s"src_$db")
+      s.sql(
+        s"""CREATE TABLE $t AS
+           |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |       SUM(cents) AS total_cents
+           |FROM src_$db GROUP BY status""".stripMargin)
+    }
+    s.sql(s"SELECT status, n_orders, total_cents FROM $t ORDER BY status")
+  }
+
+  private val tableSqlCtasOracle =
+    """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   // ---- table_sql_mor_versions ---------------------------------------------------
   // SQL time travel across EVERY retained version, including the ones a
   // bare parquet scan cannot serve (r13 VERDICT item 5 — Delta/Iceberg
@@ -1732,6 +1767,7 @@ object TableQueries {
   val queries: Map[String, Q] = Map[String, Q](
     "table_sql_time_travel" -> (tableSqlTimeTravel _),
     "table_sql_insert" -> (tableSqlInsert _),
+    "table_sql_ctas" -> (tableSqlCtas _),
     "table_sql_mor_versions" -> (tableSqlMorVersions _),
     "table_corpus_pointread" -> (tableCorpusPointread _),
     "table_cbo_join" -> (tableCboJoin _),
@@ -1768,6 +1804,7 @@ object TableQueries {
   val oracles: Map[String, String] = Map(
     "table_sql_time_travel" -> tableSqlTimeTravelOracle,
     "table_sql_insert" -> tableSqlInsertOracle,
+    "table_sql_ctas" -> tableSqlCtasOracle,
     "table_sql_mor_versions" -> tableSqlMorVersionsOracle,
     "table_corpus_pointread" -> tableCorpusPointreadOracle,
     "table_cbo_join" -> tableCboJoinOracle,

@@ -765,9 +765,27 @@ object VersionedTable {
     * holding equality-delete records serves the DELETED view (the
     * merge-on-read contract: the data files still contain the rows; the
     * read subtracts them). */
-  def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
+  def readVersion(s: SparkSession, root: String, v: Int): DataFrame = {
+    val files = manifest(root, v)
+    if (files.isEmpty) {
+      // a schema-only version (CREATE TABLE before any load): zero rows
+      // under the committed schema — parquet can't infer from no files
+      val schema = tableSchema(root, v).getOrElse(throw new
+        IllegalStateException(s"version $v at $root has no files and no schema"))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     applyDeletes(s, root, v,
-      applyDvs(s, root, v, s.read.parquet(manifest(root, v): _*)))
+      applyDvs(s, root, v, s.read.parquet(files: _*)))
+  }
+
+  /** Publish a SCHEMA-ONLY version — `CREATE TABLE` before any load: the
+    * manifest carries just the `S` record (and its `T` commit instant),
+    * zero data files. The same CAS publish as any commit. */
+  def commitEmpty(root: String, schema: types.StructType): Int = {
+    var v = latestVersion(root) + 1
+    while (!publish(root, v, Seq(s"S\t${schema.json}"))) v = latestVersion(root) + 1
+    v
+  }
 
   /** Latest-version read (what an unpinned reader sees). */
   def readLatest(s: SparkSession, root: String): DataFrame =

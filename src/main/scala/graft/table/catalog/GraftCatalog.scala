@@ -154,10 +154,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** `CREATE TABLE` / the create half of CTAS (r14 — closes the last
+    * "missing" item: multi-statement SQL session state): publishes a
+    * schema-only v1 manifest; CTAS's SELECT then lands as the v2 append
+    * through the same V1 write bridge as INSERT INTO. Partition
+    * transforms stay on the API's `commitPartitioned`. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by VersionedTable.commit (atomic CAS publish)")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "partitioned CREATE TABLE goes through VersionedTable.commitPartitioned")
+    val root = rootFor(ident)
+    if (VersionedTable.latestVersion(root) > 0)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    VersionedTable.commitEmpty(root, schema)
+    tableAt(ident, root, 1, writable = true)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

@@ -145,6 +145,28 @@ class GraftCatalogSpec extends SparkSpec {
       s"MoR head accepted DML: ${e.getMessage}")
   }
 
+  test("CTAS: schema-only v1 manifest + data v2, duplicate create refuses (r14)") {
+    base().createOrReplaceTempView("ctas_src")
+    spark.sql(
+      "CREATE TABLE cat.db7.ctas AS SELECT key, status FROM ctas_src WHERE key <= 10")
+    val root = s"$wh/db7/ctas"
+    assert(VersionedTable.latestVersion(root) == 2,
+      "CTAS must land create (v1) + load (v2)")
+    assert(VersionedTable.manifest(root, 1).isEmpty,
+      "the create half is a schema-only manifest — zero data files")
+    // the empty version reads as zero rows UNDER the committed schema
+    val v1 = spark.sql("SELECT * FROM cat.db7.ctas VERSION AS OF 1")
+    assert(v1.count() == 0 && v1.schema.fieldNames.toSeq == Seq("key", "status"))
+    assert(spark.sql("SELECT * FROM cat.db7.ctas").count() == 10)
+    // a second CREATE refuses — the table exists
+    intercept[Exception] {
+      spark.sql("CREATE TABLE cat.db7.ctas AS SELECT * FROM ctas_src")
+    }
+    // and the created table takes ordinary DML like any other
+    spark.sql("INSERT INTO cat.db7.ctas SELECT key, status FROM ctas_src WHERE key > 990")
+    assert(spark.sql("SELECT * FROM cat.db7.ctas").count() == 20)
+  }
+
   test("SQL INSERT INTO lands real manifest versions; OVERWRITE replaces; CAS race from SQL retries (r14)") {
     val root = s"$wh/db6/loads"
     VersionedTable.commit(base().filter(col("key") <= 400), root) // v1 via API
@@ -209,11 +231,16 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("SHOW TABLES IN cat.db5").collect() // resolves via listTables
     assert(spark.sql("SHOW TABLES IN cat.db5").collect()
       .map(_.getString(1)).toSet == Set("a"))
-    intercept[UnsupportedOperationException] {
+    // createTable works since r14 (CTAS support) but partition transforms
+    // stay on the API — that half still refuses
+    intercept[IllegalArgumentException] {
       spark.sessionState.catalogManager.catalog("cat")
         .asInstanceOf[GraftCatalog]
         .createTable(org.apache.spark.sql.connector.catalog.Identifier
-          .of(Array("db5"), "b"), base().schema, Array.empty,
+          .of(Array("db5"), "b"), base().schema,
+          Array[org.apache.spark.sql.connector.expressions.Transform](
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity("status")),
           java.util.Collections.emptyMap[String, String]())
     }
     assert(spark.sql("DROP TABLE cat.db5.a").collect().isEmpty)
