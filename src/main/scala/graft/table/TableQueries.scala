@@ -1764,7 +1764,276 @@ object TableQueries {
       |FROM vis GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- table_sql_delete ---------------------------------------------------------
+  // SQL DELETE, BOTH lowerings in one history (r14): v2 is a DELETE whose
+  // condition carries an IN-subquery — not expressible as pushed
+  // predicates, so Catalyst rewrites it as the group-based COPY-ON-WRITE
+  // plan (scan the groups, keep the non-matching rows, swap exactly the
+  // scanned files in one serializable-isolation manifest publish). v3 is
+  // a DELETE with a fully-pushable predicate — the metadata-only-delete
+  // optimization converts it back to `deleteWhere`, which commits
+  // positional DELETION VECTORS: victims located by one predicate scan,
+  // ZERO data files rewritten (the Delta-DV shape; GraftCatalogSpec pins
+  // the file-set identity between v2 and v3). All three visibility states
+  // read back through SQL time travel — v3 routes through the resolved
+  // relation because its head carries `V` records.
+  def tableSqlDelete(s: SparkSession, dir: String): DataFrame = {
+    catalog.GraftCatalog.install(s)
+    val db = sqlDb(dir)
+    val root = s"${catalog.GraftCatalog.defaultWarehouse}/$db/dorders"
+    val t = s"graft.$db.dorders"
+    if (VersionedTable.latestVersion(root) < 3) {
+      sqlWarehouseHook
+      val base = ordersBase(s, dir)
+        .withColumn("cents", expr("cast(round(total * 100) as bigint)"))
+        .select(col("key"), col("status"), col("cents"))
+      // v1: key-clustered files with min/max stats, so COW DML can prune groups
+      VersionedTable.commit(base.repartitionByRange(8, col("key")), root,
+        changes = None, statsColumns = Seq("key"))
+      base.filter(col("cents") % 10 < 3).select(col("key"))
+        .createOrReplaceTempView(s"doomed_$db")
+      s.sql(s"DELETE FROM $t WHERE key IN (SELECT key FROM doomed_$db)") // v2: COW
+      s.sql(s"DELETE FROM $t WHERE status = 'F' AND cents < 10000000")   // v3: DVs
+    }
+    s.sql(
+      s"""SELECT version, status, n_orders, total_cents FROM (
+         |  SELECT 1 AS version, status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         SUM(cents) AS total_cents
+         |  FROM $t VERSION AS OF 1 GROUP BY status
+         |  UNION ALL
+         |  SELECT 2, status, CAST(COUNT(*) AS BIGINT), SUM(cents)
+         |  FROM $t VERSION AS OF 2 GROUP BY status
+         |  UNION ALL
+         |  SELECT 3, status, CAST(COUNT(*) AS BIGINT), SUM(cents)
+         |  FROM $t GROUP BY status
+         |) v ORDER BY version, status""".stripMargin)
+  }
+
+  private val tableSqlDeleteOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |vers(version) AS (VALUES (1),(2),(3)),
+      |vis AS (
+      |  SELECT version, status, cents FROM base, vers
+      |  WHERE version = 1
+      |     OR (version >= 2 AND cents % 10 >= 3)),
+      |vis2 AS (
+      |  SELECT version, status, cents FROM vis
+      |  WHERE version <= 2
+      |     OR NOT (status = 'F' AND cents < 10000000))
+      |SELECT version, status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM vis2 GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- table_sql_update ---------------------------------------------------------
+  // SQL UPDATE as a group-based COPY-ON-WRITE rewrite with STATS-PRUNED
+  // groups (r14): the staged table is key-clustered into 8 files with
+  // min/max stats, and `UPDATE … WHERE key < 1200` narrows the operation's
+  // scan to the files whose [min,max] intersects the predicate — the COW
+  // contract that an UPDATE touching 1 of 1000 files rewrites 1 file and
+  // carries 999 manifest lines verbatim, stats and all (GraftCatalogSpec
+  // pins that the untouched files' PATHS survive into v2 unchanged). Rows
+  // of touched files that don't match are copied forward; the commit is
+  // serializable (a concurrent writer in the plan→publish window fails
+  // the statement loudly rather than being silently erased).
+  def tableSqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    catalog.GraftCatalog.install(s)
+    val db = sqlDb(dir)
+    val root = s"${catalog.GraftCatalog.defaultWarehouse}/$db/uorders"
+    val t = s"graft.$db.uorders"
+    if (VersionedTable.latestVersion(root) < 2) {
+      sqlWarehouseHook
+      val base = ordersBase(s, dir)
+        .withColumn("cents", expr("cast(round(total * 100) as bigint)"))
+        .select(col("key"), col("status"), col("cents"))
+      VersionedTable.commit(base.repartitionByRange(8, col("key")), root,
+        changes = None, statsColumns = Seq("key"))
+      s.sql(s"UPDATE $t SET cents = cents * 2 + 1, status = 'U' " +
+        "WHERE key < 1200") // v2: COW on the stats-surviving files only
+    }
+    s.sql(
+      s"""SELECT version, status, n_orders, total_cents FROM (
+         |  SELECT 1 AS version, status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         SUM(cents) AS total_cents
+         |  FROM $t VERSION AS OF 1 GROUP BY status
+         |  UNION ALL
+         |  SELECT 2, status, CAST(COUNT(*) AS BIGINT), SUM(cents)
+         |  FROM $t GROUP BY status
+         |) v ORDER BY version, status""".stripMargin)
+  }
+
+  private val tableSqlUpdateOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |vis AS (
+      |  SELECT 1 AS version, status, cents FROM base
+      |  UNION ALL
+      |  SELECT 2,
+      |         CASE WHEN key < 1200 THEN 'U' ELSE status END,
+      |         CASE WHEN key < 1200 THEN cents * 2 + 1 ELSE cents END
+      |  FROM base)
+      |SELECT version, status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM vis GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- table_sql_merge ----------------------------------------------------------
+  // MERGE INTO through SQL text (r14) — the full three-action statement
+  // the reference's upsert jobs approximate with truncate-and-reload:
+  // matched-and-'F' rows take the source's refreshed cents, matched
+  // non-'F' rows are DELETED, unmatched source rows INSERT. Catalyst
+  // rewrites the statement onto the same group-based COW operation as
+  // UPDATE (target groups full-outer-joined with the source; surviving
+  // and rewritten rows land as the replacement files, inserts included,
+  // in ONE serializable commit — no partial-merge state is ever visible).
+  // Target keys are unique so the ANSI multi-match cardinality rule
+  // cannot fire. The oracle replays the action table row-by-row.
+  def tableSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    catalog.GraftCatalog.install(s)
+    val db = sqlDb(dir)
+    val root = s"${catalog.GraftCatalog.defaultWarehouse}/$db/mtarget"
+    val t = s"graft.$db.mtarget"
+    if (VersionedTable.latestVersion(root) < 2) {
+      sqlWarehouseHook
+      val base = ordersBase(s, dir)
+        .withColumn("cents", expr("cast(round(total * 100) as bigint)"))
+        .select(col("key"), col("status"), col("cents"))
+      VersionedTable.commit(
+        base.filter(col("key") % 3 < 2).repartitionByRange(8, col("key")),
+        root, changes = None, statsColumns = Seq("key")) // v1: keys ≡ 0,1 (mod 3)
+      base.filter(col("key") % 3 >= 1)
+        .withColumn("cents", col("cents") + lit(1000L))
+        .createOrReplaceTempView(s"feed_$db") // source: keys ≡ 1,2 (mod 3)
+      s.sql(
+        s"""MERGE INTO $t tgt USING feed_$db src ON tgt.key = src.key
+           |WHEN MATCHED AND src.status = 'F' THEN UPDATE SET cents = src.cents
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN
+           |  INSERT (key, status, cents) VALUES (src.key, src.status, src.cents)
+           |""".stripMargin) // v2
+    }
+    s.sql(
+      s"""SELECT version, status, n_orders, total_cents FROM (
+         |  SELECT 1 AS version, status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         SUM(cents) AS total_cents
+         |  FROM $t VERSION AS OF 1 GROUP BY status
+         |  UNION ALL
+         |  SELECT 2, status, CAST(COUNT(*) AS BIGINT), SUM(cents)
+         |  FROM $t GROUP BY status
+         |) v ORDER BY version, status""".stripMargin)
+  }
+
+  private val tableSqlMergeOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |v1 AS (SELECT key, status, cents FROM base WHERE key % 3 < 2),
+      |v2 AS (
+      |  -- untouched target rows (not in source)
+      |  SELECT key, status, cents FROM v1 WHERE key % 3 = 0
+      |  UNION ALL
+      |  -- matched + 'F': cents refreshed from source (+1000)
+      |  SELECT key, status, cents + 1000 FROM v1
+      |  WHERE key % 3 = 1 AND status = 'F'
+      |  -- matched non-'F' rows are deleted
+      |  UNION ALL
+      |  -- unmatched source rows insert with refreshed cents
+      |  SELECT key, status, cents + 1000 FROM base WHERE key % 3 = 2),
+      |vis AS (
+      |  SELECT 1 AS version, status, cents FROM v1
+      |  UNION ALL
+      |  SELECT 2, status, cents FROM v2)
+      |SELECT version, status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM vis GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- table_sql_alter ----------------------------------------------------------
+  // SQL schema evolution as PURE METADATA commits (r14): `ALTER TABLE …
+  // ADD COLUMN note STRING` publishes a widened S record (v2 — zero data
+  // I/O; existing files serve NULL for the column), the next `INSERT
+  // INTO` materializes the column for its own rows only (v3 — the
+  // carried S keeps the widened schema), and `ALTER TABLE … RENAME
+  // COLUMN cents TO amount_cents` publishes an R mapping (v4 — data
+  // files still hold the physical name; the catalog serves the rename-
+  // carrying head through the resolved relation). Four visibility states
+  // of one identifier: v1 pre-evolution, v2 widened-but-empty, v3 with
+  // per-row notes, the bare head renamed. At 100 TB every ALTER here is
+  // a KB manifest publish — the Delta column-mapping / Iceberg evolution
+  // contract.
+  def tableSqlAlter(s: SparkSession, dir: String): DataFrame = {
+    catalog.GraftCatalog.install(s)
+    val db = sqlDb(dir)
+    val root = s"${catalog.GraftCatalog.defaultWarehouse}/$db/aorders"
+    val t = s"graft.$db.aorders"
+    if (VersionedTable.latestVersion(root) < 4) {
+      sqlWarehouseHook
+      val base = ordersBase(s, dir)
+        .withColumn("cents", expr("cast(round(total * 100) as bigint)"))
+        .select(col("key"), col("status"), col("cents"))
+      VersionedTable.commit(base, root)                       // v1
+      s.sql(s"ALTER TABLE $t ADD COLUMN note STRING")         // v2: metadata only
+      base.filter(col("key") % 7 === 0)
+        .withColumn("note", concat(lit("n"), col("key")))
+        .createOrReplaceTempView(s"noted_$db")
+      s.sql(s"INSERT INTO $t SELECT key, status, cents, note FROM noted_$db") // v3
+      s.sql(s"ALTER TABLE $t RENAME COLUMN cents TO amount_cents")            // v4
+    }
+    s.sql(
+      s"""SELECT version, status, n_orders, total_cents, n_notes FROM (
+         |  SELECT 1 AS version, status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         SUM(cents) AS total_cents, CAST(0 AS BIGINT) AS n_notes
+         |  FROM $t VERSION AS OF 1 GROUP BY status
+         |  UNION ALL
+         |  SELECT 2, status, CAST(COUNT(*) AS BIGINT), SUM(cents),
+         |         CAST(COUNT(note) AS BIGINT)
+         |  FROM $t VERSION AS OF 2 GROUP BY status
+         |  UNION ALL
+         |  SELECT 3, status, CAST(COUNT(*) AS BIGINT), SUM(cents),
+         |         CAST(COUNT(note) AS BIGINT)
+         |  FROM $t VERSION AS OF 3 GROUP BY status
+         |  UNION ALL
+         |  SELECT 4, status, CAST(COUNT(*) AS BIGINT), SUM(amount_cents),
+         |         CAST(COUNT(note) AS BIGINT)
+         |  FROM $t GROUP BY status
+         |) v ORDER BY version, status""".stripMargin)
+  }
+
+  private val tableSqlAlterOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |appended AS (SELECT key, status, cents FROM base WHERE key % 7 = 0),
+      |vis AS (
+      |  SELECT 1 AS version, status, cents, 0 AS noted FROM base
+      |  UNION ALL
+      |  SELECT 2, status, cents, 0 FROM base
+      |  UNION ALL
+      |  SELECT 3, status, cents, 0 FROM base
+      |  UNION ALL
+      |  SELECT 3, status, cents, 1 FROM appended
+      |  UNION ALL
+      |  SELECT 4, status, cents, 0 FROM base
+      |  UNION ALL
+      |  SELECT 4, status, cents, 1 FROM appended)
+      |SELECT version, status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |       CAST(SUM(noted) AS BIGINT) AS n_notes
+      |FROM vis GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
+    "table_sql_alter" -> (tableSqlAlter _),
+    "table_sql_delete" -> (tableSqlDelete _),
+    "table_sql_update" -> (tableSqlUpdate _),
+    "table_sql_merge" -> (tableSqlMerge _),
     "table_sql_time_travel" -> (tableSqlTimeTravel _),
     "table_sql_insert" -> (tableSqlInsert _),
     "table_sql_ctas" -> (tableSqlCtas _),
@@ -1802,6 +2071,10 @@ object TableQueries {
     "table_vacuum_age" -> (tableVacuumAge _))
 
   val oracles: Map[String, String] = Map(
+    "table_sql_alter" -> tableSqlAlterOracle,
+    "table_sql_delete" -> tableSqlDeleteOracle,
+    "table_sql_update" -> tableSqlUpdateOracle,
+    "table_sql_merge" -> tableSqlMergeOracle,
     "table_sql_time_travel" -> tableSqlTimeTravelOracle,
     "table_sql_insert" -> tableSqlInsertOracle,
     "table_sql_ctas" -> tableSqlCtasOracle,

@@ -297,6 +297,79 @@ object VersionedTable {
       s"G\t$f\t$c\t$w\t$cells"
     }
 
+  /** ADD-COLUMN commit (r14, SQL `ALTER TABLE … ADD COLUMN`) — schema
+    * widening as a PURE METADATA commit, the Delta/Iceberg contract: every
+    * data/index record of the base version carries forward verbatim and
+    * only the `S` record changes. Existing files simply lack the column;
+    * the parquet read serves NULL for it (the readVersionEvolved /
+    * missing-column contract), and the next append writes it. The new
+    * column must be nullable — a NOT NULL column would instantly be
+    * violated by every existing row (same refusal as everyone else). */
+  def commitAddColumn(root: String, field: types.StructField): Int = {
+    val base = latestVersion(root)
+    require(base >= 1, s"cannot ALTER an empty table at $root")
+    require(field.nullable,
+      s"new column ${field.name} must be nullable — existing rows have no value")
+    val old = tableSchema(root, base).getOrElse(throw new IllegalStateException(
+      s"$root v$base carries no schema record — cannot widen"))
+    require(!old.fieldNames.contains(field.name),
+      s"column ${field.name} already exists")
+    val widened = types.StructType(old.fields :+ field)
+    // carried lines re-derive per CAS attempt (the commitPartitioned rule)
+    def lines() = rawLines(root, latestVersion(root))
+      .filterNot(l => l.startsWith("C\t") || l.startsWith("S\t")) :+
+      s"S\t${widened.json}"
+    var v = base + 1
+    while (!publish(root, v, lines())) v = latestVersion(root) + 1
+    v
+  }
+
+  /** GROUP-REWRITE commit (r14) — the copy-on-write half of SQL row-level
+    * DML (`UPDATE` / `MERGE INTO` / non-pushable `DELETE` through the
+    * catalog): replace exactly `replaced` data files of version `base`
+    * with the already-staged files under `dataDir`, carrying every OTHER
+    * data record — and its per-file stats/bloom/HLL/histogram index
+    * records — forward VERBATIM. This is the Iceberg/Delta COW contract:
+    * a predicate that stats-prunes to 2 of 1000 files rewrites 2 files
+    * and copies 998 manifest LINES, never 998 files.
+    *
+    * Publishes at `base + 1` ONLY — no CAS retry. The rewritten rows were
+    * computed against base's frozen file list, so a concurrent commit in
+    * the scan→publish window is a genuine write conflict (retrying at the
+    * next version would silently erase that commit — the textbook lost
+    * update). The caller gets a loud serializable-isolation failure and
+    * the staged files are deleted; re-running the statement re-scans the
+    * new head. `C` records are not carried (one logical commit); `E`/`V`/
+    * `R`/`P` heads refuse upstream (the catalog never offers row-level
+    * ops on them). */
+  def commitRewriteGroups(root: String, base: Int,
+      replaced: Set[String], dataDir: String): Int = {
+    val statCols = dataEntries(root, base)
+      .flatMap(_.stats.map(_.column)).distinct
+    val newLines = listParquet(dataDir).map { f =>
+      val suffix = statCols.flatMap { c =>
+        footerMinMax(f, c).map { case (lo, hi) => s"\t$c\t$lo\t$hi" }
+      }.mkString
+      s"D\t$f$suffix"
+    }
+    // carried lines: every record NOT about a replaced file; per-file
+    // index records (B/H/G) of replaced files die with them
+    val fileRecord = Set("D", "B", "H", "G")
+    val carried = rawLines(root, base).filter { l =>
+      val parts = l.split('\t')
+      !l.startsWith("C\t") &&
+        !(fileRecord.contains(parts(0)) && replaced.contains(parts(1)))
+    }
+    if (!publish(root, base + 1, carried ++ newLines)) {
+      graft.sink.Sinks.deleteDir(dataDir)
+      throw new java.util.ConcurrentModificationException(
+        s"row-level rewrite of $root computed against v$base, but the " +
+          s"table advanced to v${latestVersion(root)} before publish — " +
+          "re-run the statement against the new head")
+    }
+    base + 1
+  }
+
   /** FAST-FORWARD publish (r11) — the publish step of WRITE-AUDIT-PUBLISH
     * (Iceberg's WAP / Delta's branch merge): re-point `dstRoot` at the
     * audited staged snapshot (`srcRoot`@`srcVersion`, typically a shallow
@@ -535,7 +608,14 @@ object VersionedTable {
     val schema = tableSchema(root, v).getOrElse(throw new
       IllegalStateException(s"mapped read needs the manifest schema at $root"))
     val logicalToPhys = renameMap(root, v).map(_.swap)
-    val raw = applyDvs(s, root, v, s.read.parquet(manifest(root, v): _*))
+    // scan under the committed schema mapped back to PHYSICAL names —
+    // footer inference would pick one file's schema and drop a column
+    // added by schema evolution that older files don't carry (r14:
+    // rename after ADD COLUMN); the explicit schema null-fills instead
+    val physSchema = types.StructType(schema.map(f =>
+      f.copy(name = logicalToPhys.getOrElse(f.name, f.name))))
+    val raw = applyDvs(s, root, v,
+      s.read.schema(physSchema).parquet(manifest(root, v): _*))
     applyDeletes(s, root, v, raw.select(schema.fieldNames.toSeq.map { n =>
       col(logicalToPhys.getOrElse(n, n)).as(n) }: _*))
   }

@@ -8,14 +8,17 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite
+import org.apache.spark.sql.sources.{And => FAnd, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not => FNot, Or => FOr, StringContains, StringEndsWith, StringStartsWith, AlwaysTrue, AlwaysFalse}
+import org.apache.spark.sql.connector.read.SupportsPushDownFilters
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.VersionedTable
@@ -170,10 +173,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     tableAt(ident, root, 1, writable = true)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft table evolution goes through VersionedTable commits " +
-        "(commitRename / schema-widening commit)")
+  /** SQL schema evolution (r14) — both supported changes are PURE
+    * METADATA commits on the manifest log, never a data rewrite:
+    * `ALTER TABLE … RENAME COLUMN` publishes an `R` mapping record
+    * ([[VersionedTable.commitRename]] — renaming a column on a 100 TB
+    * table is a KB commit; old versions still serve their own names) and
+    * `ALTER TABLE … ADD COLUMN` publishes a widened `S` record
+    * ([[VersionedTable.commitAddColumn]] — existing files serve NULL for
+    * the new column, the next write materializes it). Each change is one
+    * commit, applied in statement order. Everything else (drop/retype/
+    * reposition) refuses: those need data-aware resolution this format
+    * does not carry. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootFor(ident)
+    if (VersionedTable.latestVersion(root) == 0) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft tables have flat schemas — nested renames unsupported")
+        VersionedTable.commitRename(root, Map(r.fieldNames.head -> r.newName))
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft tables have flat schemas — nested adds unsupported")
+        require(a.position() == null,
+          "graft ADD COLUMN appends at the end — positions unsupported")
+        VersionedTable.commitAddColumn(root,
+          StructField(a.fieldNames.head, a.dataType(), a.isNullable))
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support RENAME COLUMN and ADD COLUMN only; got $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootFor(ident)
@@ -236,7 +266,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * SQL and API writers interleave safely (a lost race retries only the
   * KB-sized publish). */
 private class GraftTable(ident: Identifier, root: String, v: Int,
-    writable: Boolean) extends Table with SupportsRead with SupportsWrite {
+    writable: Boolean) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete with SupportsRowLevelOperations {
 
   private lazy val inner = ParquetTable(
     s"${ident.name}@v$v",
@@ -286,6 +317,257 @@ private class GraftTable(ident: Identifier, root: String, v: Int,
           }
       }
     }
+  }
+
+  // ---- SQL DELETE (r14) -----------------------------------------------------
+  // A `DELETE FROM graft.db.t WHERE <pushable predicate>` takes the
+  // MERGE-ON-READ path: Catalyst's metadata-only-delete optimization
+  // converts the rewritten row-level plan back into `deleteWhere`, which
+  // lowers to [[VersionedTable.commitDeleteVectors]] — victims located by
+  // ONE predicate scan and recorded as positional `V` records, zero data
+  // files rewritten (the Delta DV / Iceberg positional-delete shape; at
+  // 100 TB deleting 0.1% of rows costs the scan plus KBs of metadata).
+  // Predicates the translator can't render (or a DELETE with a subquery)
+  // fall through to the group-based copy-on-write rewrite below.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    writable && filters.forall(f => GraftFilterSql.translate(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (!writable) throw new UnsupportedOperationException(
+      s"${name()} is a pinned snapshot — DML goes to the bare table name")
+    val pred =
+      if (filters.isEmpty) "true"
+      else filters.flatMap(GraftFilterSql.translate)
+        .map(p => s"($p)").mkString(" AND ")
+    VersionedTable.commitDeleteVectors(SparkSession.active, root, pred)
+  }
+
+  // ---- SQL UPDATE / MERGE INTO / subquery DELETE (r14) ----------------------
+  // Group-based (copy-on-write) row-level operations, the Iceberg COW
+  // contract: the operation's scan prunes FILES by manifest min/max stats
+  // (never rows — a touched file's non-matching rows must be read so they
+  // can be copied forward), Spark rewrites the surviving groups' rows,
+  // and the write replaces exactly the scanned files in one
+  // serializable-isolation commit ([[VersionedTable.commitRewriteGroups]]).
+  // An UPDATE whose predicate stats-prunes to 2 of 1000 files rewrites 2
+  // files and carries 998 manifest lines.
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (!writable) throw new UnsupportedOperationException(
+      s"${name()} is a pinned snapshot — DML goes to the bare table name")
+    () => new GraftGroupCowOperation(root, info.command, schema())
+  }
+}
+
+/** One group-based row-level operation (UPDATE / MERGE / rewritten
+  * DELETE) against the head version it was planned on. The scan and the
+  * write share this instance: `pushFilters` narrows `groups` to the
+  * stats-surviving file set, the scan serves those files' FULL rows
+  * (filters stay residual — pruning is file-granular by the COW
+  * contract), and the write's commit replaces exactly those files. The
+  * head version is FROZEN at construction: a concurrent commit between
+  * plan and publish fails the statement loudly instead of losing the
+  * other writer's rows. */
+private class GraftGroupCowOperation(root: String,
+    cmd: RowLevelOperation.Command,
+    tableSchema: StructType) extends RowLevelOperation {
+
+  private val base = VersionedTable.latestVersion(root)
+  @volatile private var groups: Seq[String] = VersionedTable.manifest(root, base)
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-cow-$cmd@v$base"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters {
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val ranges = filters.toSeq.flatMap(GraftFilterSql.statsRanges)
+        if (ranges.nonEmpty)
+          groups = VersionedTable.prunedFiles(root, base, ranges)
+        filters // ALL filters stay residual: only files are pruned
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
+      // the scan itself is Spark's own parquet DSv2 batch scan over the
+      // PRUNED group list, serving FULL rows of every surviving file —
+      // the residual condition re-applies upstream, where the rewrite
+      // plan needs it to split updated from copied rows
+      override def build(): Scan = ParquetTable(
+        s"graft-cow-groups@v$base",
+        SparkSession.active,
+        CaseInsensitiveStringMap.empty(),
+        groups,
+        Some(tableSchema),
+        classOf[ParquetFileFormat])
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftCowWrite(root, base, () => groups, info, tableSchema)
+    }
+}
+
+/** The COW write: replacement rows land as new parquet files through
+  * Spark's OWN distributed parquet batch write (delegated [[ParquetWrite]]
+  * — task-committed, speculative-attempt-safe), staged under the table's
+  * `data/` directory; the job-level commit then swaps exactly the scanned
+  * group files for the new ones in one manifest publish. Data write and
+  * metadata publish stay separate failure domains: an aborted job deletes
+  * the staging directory and publishes nothing. */
+private class GraftCowWrite(root: String, base: Int,
+    groups: () => Seq[String], info: LogicalWriteInfo,
+    tableSchema: StructType) extends Write {
+  override def toBatch: BatchWrite = {
+    val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
+    // the replace-data plan's output carries an internal operation column
+    // beside the row; the exec projects rows down to the TABLE schema
+    // before handing them to the writer — so the parquet writer must be
+    // sized to the table schema, not `info.schema` (the full plan output)
+    val rowInfo = new LogicalWriteInfo {
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = tableSchema
+      override def options(): CaseInsensitiveStringMap = info.options()
+    }
+    val inner = ParquetWrite(Seq(dataDir), "parquet", _ => true, rowInfo).toBatch
+    new BatchWrite {
+      override def createBatchWriterFactory(p: PhysicalWriteInfo) =
+        new GraftRowOnlyWriterFactory(
+          inner.createBatchWriterFactory(p), tableSchema)
+      override def useCommitCoordinator: Boolean = inner.useCommitCoordinator
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        inner.commit(messages)
+        VersionedTable.commitRewriteGroups(root, base, groups().toSet, dataDir)
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        inner.abort(messages)
+        graft.sink.Sinks.deleteDir(dataDir)
+      }
+    }
+  }
+}
+
+/** Strips the replace-data plan's PREPENDED `__row_operation` metrics
+  * column before rows reach the parquet writer. Spark's exec projects
+  * rows down to the table schema only when the operation declares
+  * required METADATA attributes (the `DataAndMetadataWritingSparkTask`
+  * path); with none declared, the plain task hands the writer the raw
+  * plan output `[__row_operation, <row…>]`. The contract is pinned
+  * defensively: a row already at table arity passes through untouched,
+  * one extra leading field projects off, anything else fails loudly
+  * rather than writing misaligned columns. */
+private class GraftRowOnlyWriterFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    tableSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    val n = tableSchema.length
+    val view = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      tableSchema, (1 to n).toIndexedSeq)
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == n) w.write(row)
+        else if (row.numFields == n + 1) { view.project(row); w.write(view) }
+        else throw new IllegalStateException(
+          s"row-level write expected $n or ${n + 1} fields, got ${row.numFields}")
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
+}
+
+/** V1 `Filter` → Spark SQL predicate text (for the deletion-vector
+  * locator scan) and → manifest stats ranges (for COW group pruning).
+  * Translation is REFUSING, never lossy: a filter the renderer can't
+  * express exactly returns None and the whole DELETE falls back to the
+  * copy-on-write rewrite; stats ranges are conservative (a filter
+  * contributing no range prunes nothing). */
+private object GraftFilterSql {
+  private def quote(c: String): String =
+    c.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+
+  private def lit(v: Any): Option[String] = v match {
+    case null => None
+    case s: String =>
+      Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+    case d: java.sql.Date => Some(s"DATE'$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP'$t'")
+    case d: java.time.LocalDate => Some(s"DATE'$d'")
+    case i: java.time.Instant => Some(s"TIMESTAMP'$i'")
+    case b: Boolean => Some(b.toString)
+    case n: java.math.BigDecimal => Some(n.toPlainString + "BD")
+    case n: BigDecimal => Some(n.bigDecimal.toPlainString + "BD")
+    case _: Byte | _: Short | _: Int | _: Long => Some(s"${v}L")
+    case f: Float => Some(s"CAST('$f' AS FLOAT)")
+    case d: Double => Some(s"CAST('$d' AS DOUBLE)")
+    case _ => None
+  }
+
+  def translate(f: Filter): Option[String] = f match {
+    case AlwaysTrue() => Some("true")
+    case AlwaysFalse() => Some("false")
+    case EqualTo(a, v) => lit(v).map(l => s"${quote(a)} = $l")
+    case EqualNullSafe(a, v) =>
+      lit(v).map(l => s"${quote(a)} <=> $l")
+        .orElse(if (v == null) Some(s"${quote(a)} IS NULL") else None)
+    case GreaterThan(a, v) => lit(v).map(l => s"${quote(a)} > $l")
+    case GreaterThanOrEqual(a, v) => lit(v).map(l => s"${quote(a)} >= $l")
+    case LessThan(a, v) => lit(v).map(l => s"${quote(a)} < $l")
+    case LessThanOrEqual(a, v) => lit(v).map(l => s"${quote(a)} <= $l")
+    case In(a, vs) =>
+      if (vs.isEmpty) Some("false")
+      else {
+        val ls = vs.toSeq.map(lit)
+        if (ls.forall(_.isDefined))
+          Some(s"${quote(a)} IN (${ls.flatten.mkString(", ")})")
+        else None
+      }
+    case IsNull(a) => Some(s"${quote(a)} IS NULL")
+    case IsNotNull(a) => Some(s"${quote(a)} IS NOT NULL")
+    case FAnd(l, r) => for (a <- translate(l); b <- translate(r))
+      yield s"(($a) AND ($b))"
+    case FOr(l, r) => for (a <- translate(l); b <- translate(r))
+      yield s"(($a) OR ($b))"
+    case FNot(c) => translate(c).map(p => s"(NOT ($p))")
+    case StringStartsWith(a, v) =>
+      lit(v).map(l => s"startswith(${quote(a)}, $l)")
+    case StringEndsWith(a, v) =>
+      lit(v).map(l => s"endswith(${quote(a)}, $l)")
+    case StringContains(a, v) =>
+      lit(v).map(l => s"contains(${quote(a)}, $l)")
+    case _ => None
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  /** Conservative [lo, hi] bounds a filter implies for statted columns —
+    * exclusive bounds widen to inclusive (never prunes a file the filter
+    * could match); disjunctions and unknown shapes contribute nothing. */
+  def statsRanges(f: Filter): Seq[(String, Long, Long)] = f match {
+    case EqualTo(a, v) => asLong(v).map(x => (a, x, x)).toSeq
+    case GreaterThan(a, v) => asLong(v).map(x => (a, x, Long.MaxValue)).toSeq
+    case GreaterThanOrEqual(a, v) =>
+      asLong(v).map(x => (a, x, Long.MaxValue)).toSeq
+    case LessThan(a, v) => asLong(v).map(x => (a, Long.MinValue, x)).toSeq
+    case LessThanOrEqual(a, v) =>
+      asLong(v).map(x => (a, Long.MinValue, x)).toSeq
+    case In(a, vs) =>
+      val ls = vs.toSeq.flatMap(asLong)
+      if (ls.nonEmpty && ls.length == vs.length) Seq((a, ls.min, ls.max))
+      else Nil
+    case FAnd(l, r) => statsRanges(l) ++ statsRanges(r)
+    case _ => Nil
   }
 }
 

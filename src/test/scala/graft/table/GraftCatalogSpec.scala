@@ -248,4 +248,152 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM cat.db5.a").collect()
     }
   }
+
+  /** A key-clustered staged table with per-file min/max stats on `key` —
+    * the layout the row-level DML group pruning needs. */
+  private def stageClustered(root: String): Unit =
+    VersionedTable.commit(base().repartitionByRange(4, col("key")), root,
+      changes = None, statsColumns = Seq("key"))
+
+  test("SQL DELETE with a pushable predicate commits DELETION VECTORS: zero data files rewritten (r14)") {
+    val root = s"$wh/db6/dv"
+    stageClustered(root)
+    spark.sql("DELETE FROM cat.db6.dv WHERE status = 's1' AND cents < 900")
+    assert(VersionedTable.latestVersion(root) == 2, "exactly one new version")
+    // the merge-on-read contract: v2's DATA file set IS v1's — the delete
+    // landed as positional V records, not a rewrite
+    assert(VersionedTable.manifest(root, 2).toSet ==
+      VersionedTable.manifest(root, 1).toSet, "data files were rewritten")
+    assert(VersionedTable.dvFiles(root, 2).nonEmpty, "no V records committed")
+    // semantics: exactly the victims vanished (keys 1..1000, status s1 =
+    // key%5==1, cents = 3k < 900 → k < 300 → 60 victims)
+    assert(spark.sql("SELECT * FROM cat.db6.dv").count() == 940)
+    assert(spark.sql(
+      "SELECT * FROM cat.db6.dv WHERE status = 's1' AND cents < 900")
+      .count() == 0)
+    // v1 still serves the full table
+    assert(spark.sql("SELECT * FROM cat.db6.dv VERSION AS OF 1").count() == 1000)
+  }
+
+  test("SQL DELETE with a subquery falls back to group-based COW; SQL UPDATE prunes groups by stats (r14)") {
+    import spark.implicits._
+    val root = s"$wh/db7/cow"
+    stageClustered(root)
+    val v1Files = VersionedTable.entries(root, 1)
+      .filter(e => !e.change && e.delete.isEmpty)
+    assert(v1Files.size == 4 && v1Files.forall(_.stats.nonEmpty))
+    // subquery DELETE cannot be expressed as pushed predicates → COW
+    Seq(10L, 20L).toDF("k").createOrReplaceTempView("doomed")
+    spark.sql("DELETE FROM cat.db7.cow WHERE key IN (SELECT k FROM doomed)")
+    assert(VersionedTable.latestVersion(root) == 2)
+    assert(VersionedTable.dvFiles(root, 2).isEmpty, "COW path must not commit DVs")
+    assert(spark.sql("SELECT * FROM cat.db7.cow").count() == 998)
+    // UPDATE with a stats-prunable predicate: only the low-key file(s)
+    // rewrite; every file whose [min,max] misses the predicate is carried
+    // VERBATIM (same path, stats and all)
+    val v2 = VersionedTable.entries(root, 2)
+      .filter(e => !e.change && e.delete.isEmpty)
+    spark.sql("UPDATE cat.db7.cow SET cents = 0 WHERE key < 50")
+    val v3Paths = VersionedTable.manifest(root, 3).toSet
+    val untouched = v2.filter(_.stats.exists(s => s.column == "key" && s.min > 50))
+    assert(untouched.nonEmpty, "fixture must have prunable files")
+    untouched.foreach { e =>
+      assert(v3Paths.contains(e.path), s"untouched file ${e.path} was rewritten")
+    }
+    val touched = v2.filter(_.stats.exists(s => s.column == "key" && s.min <= 50))
+    touched.foreach { e =>
+      assert(!v3Paths.contains(e.path), s"touched file ${e.path} not replaced")
+    }
+    // rewritten files re-derive their stats records (the skipping index
+    // survives row-level DML)
+    val v3 = VersionedTable.entries(root, 3).filter(e => !e.change && e.delete.isEmpty)
+    assert(v3.forall(_.stats.exists(_.column == "key")), "new files lost key stats")
+    assert(spark.sql("SELECT * FROM cat.db7.cow WHERE cents = 0").count() == 47,
+      "keys 1..49 minus deleted 10,20 → 47 zeroed rows")
+    assert(spark.sql("SELECT * FROM cat.db7.cow").count() == 998)
+  }
+
+  test("SQL MERGE INTO lands as ONE serializable COW commit (r14)") {
+    import spark.implicits._
+    val root = s"$wh/db8/m"
+    stageClustered(root)
+    // source: refresh half the keys, bring 3 new ones
+    ((500L to 1000L).map(k => (k, "refreshed", k * 7L)) ++
+      Seq((2001L, "new", 1L), (2002L, "new", 2L), (2003L, "new", 3L)))
+      .toDF("key", "status", "cents").createOrReplaceTempView("feed")
+    spark.sql(
+      """MERGE INTO cat.db8.m t USING feed s ON t.key = s.key
+        |WHEN MATCHED AND s.cents % 2 = 0 THEN UPDATE SET
+        |  status = s.status, cents = s.cents
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (key, status, cents)
+        |  VALUES (s.key, s.status, s.cents)""".stripMargin)
+    assert(VersionedTable.latestVersion(root) == 2,
+      "MERGE must publish exactly one version")
+    val out = spark.sql("SELECT * FROM cat.db8.m")
+    // 1..499 untouched, 500..1000 even-7k updated (251), odd deleted (250),
+    // 3 inserts
+    assert(out.count() == 499 + 251 + 3)
+    assert(out.filter(col("status") === "refreshed").count() == 251)
+    assert(out.filter(col("status") === "new").count() == 3)
+    assert(out.filter(col("key") === 502L).select("cents").as[Long].head() == 502L * 7)
+    assert(out.filter(col("key") === 501L).count() == 0, "odd matched key must be deleted")
+  }
+
+  test("TRUNCATE TABLE rides the metadata delete: one DV commit, zero files rewritten (r14)") {
+    val root = s"$wh/db11/tr"
+    VersionedTable.commit(base().repartition(2), root)
+    spark.sql("TRUNCATE TABLE cat.db11.tr")
+    assert(VersionedTable.latestVersion(root) == 2)
+    assert(VersionedTable.manifest(root, 2).toSet ==
+      VersionedTable.manifest(root, 1).toSet, "truncate must not rewrite files")
+    assert(spark.sql("SELECT * FROM cat.db11.tr").count() == 0)
+    assert(spark.sql("SELECT * FROM cat.db11.tr VERSION AS OF 1").count() == 1000,
+      "time travel must still serve the pre-truncate table")
+  }
+
+  test("ALTER TABLE ADD/RENAME COLUMN are pure-metadata commits; other changes refuse (r14)") {
+    val root = s"$wh/db10/alt"
+    VersionedTable.commit(base().repartition(3), root)
+    spark.sql("ALTER TABLE cat.db10.alt ADD COLUMN note STRING")
+    // v2: same data files, widened schema, zero data I/O
+    assert(VersionedTable.manifest(root, 2) == VersionedTable.manifest(root, 1),
+      "ADD COLUMN must not touch data files")
+    assert(VersionedTable.tableSchema(root, 2).get.fieldNames.toSeq ==
+      Seq("key", "status", "cents", "note"))
+    // old files serve NULL for the new column
+    assert(spark.sql("SELECT * FROM cat.db10.alt WHERE note IS NULL").count() == 1000)
+    // the next INSERT materializes it for its own rows only
+    spark.sql("INSERT INTO cat.db10.alt VALUES (2001, 'sX', 9, 'hello')")
+    assert(spark.sql("SELECT * FROM cat.db10.alt WHERE note = 'hello'").count() == 1)
+    assert(spark.sql("SELECT * FROM cat.db10.alt").count() == 1001)
+    // rename: R record only, files untouched; bare head serves new name
+    spark.sql("ALTER TABLE cat.db10.alt RENAME COLUMN cents TO amount")
+    assert(VersionedTable.manifest(root, 4) == VersionedTable.manifest(root, 3),
+      "RENAME COLUMN must not touch data files")
+    assert(spark.sql("SELECT SUM(amount) FROM cat.db10.alt").collect()(0).getLong(0) ==
+      (1L to 1000L).map(_ * 3).sum + 9)
+    // pre-rename versions still serve their own names
+    assert(spark.sql("SELECT SUM(cents) FROM cat.db10.alt VERSION AS OF 1")
+      .collect()(0).getLong(0) == (1L to 1000L).map(_ * 3).sum)
+    // unsupported evolution refuses loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cat.db10.alt DROP COLUMN note")
+    }
+  }
+
+  test("row-level rewrite is serializable: a commit in the plan→publish window fails it loudly (r14)") {
+    val root = s"$wh/db9/conflict"
+    stageClustered(root) // v1
+    // a concurrent writer lands v2 after the rewrite planned against v1
+    VersionedTable.commitAppend(base().limit(1), root)
+    val staged = Files.createTempDirectory("graft_cow_conflict").toString
+    base().limit(5).write.mode("overwrite").parquet(staged)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.commitRewriteGroups(root, 1,
+        VersionedTable.manifest(root, 1).toSet, staged)
+    }
+    assert(e.getMessage.contains("advanced"), e.getMessage)
+    assert(VersionedTable.latestVersion(root) == 2, "no phantom version published")
+  }
 }
