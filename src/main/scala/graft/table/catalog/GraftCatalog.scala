@@ -372,8 +372,19 @@ private class GraftGroupCowOperation(root: String,
     cmd: RowLevelOperation.Command,
     tableSchema: StructType) extends RowLevelOperation {
 
-  private val base = VersionedTable.latestVersion(root)
-  @volatile private var groups: Seq[String] = VersionedTable.manifest(root, base)
+  private[catalog] val base = VersionedTable.latestVersion(root)
+  @volatile private[catalog] var groups: Seq[String] =
+    VersionedTable.manifest(root, base)
+  /** Stats columns of the base version — the columns static AND runtime
+    * group pruning can decide on. */
+  /** One manifest parse serves every stats lookup of the operation. */
+  private[catalog] lazy val statsByFile: Map[String, Seq[(String, Long, Long)]] =
+    VersionedTable.entries(root, base)
+      .filter(e => !e.change && e.delete.isEmpty)
+      .map(e => e.path -> e.stats.map(s => (s.column, s.min, s.max)))
+      .toMap
+  private[catalog] lazy val stattedColumns: Seq[String] =
+    statsByFile.values.flatMap(_.map(_._1)).toSeq.distinct
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-cow-$cmd@v$base"
@@ -387,18 +398,8 @@ private class GraftGroupCowOperation(root: String,
         filters // ALL filters stay residual: only files are pruned
       }
       override def pushedFilters(): Array[Filter] = Array.empty
-      // the scan itself is Spark's own parquet DSv2 batch scan over the
-      // PRUNED group list, serving FULL rows of every surviving file —
-      // the residual condition re-applies upstream, where the rewrite
-      // plan needs it to split updated from copied rows
-      override def build(): Scan = ParquetTable(
-        s"graft-cow-groups@v$base",
-        SparkSession.active,
-        CaseInsensitiveStringMap.empty(),
-        groups,
-        Some(tableSchema),
-        classOf[ParquetFileFormat])
-        .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      override def build(): Scan =
+        new GraftGroupCowScan(GraftGroupCowOperation.this, tableSchema)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -406,6 +407,107 @@ private class GraftGroupCowOperation(root: String,
       override def build(): Write =
         new GraftCowWrite(root, base, () => groups, info, tableSchema)
     }
+}
+
+/** The COW operation's scan: Spark's own parquet DSv2 batch scan over
+  * the PRUNED group list, serving FULL rows of every surviving file —
+  * the residual condition re-applies upstream, where the rewrite plan
+  * needs it to split updated from copied rows.
+  *
+  * Implements RUNTIME group filtering (the Iceberg dynamic-file-filter
+  * design): for a MERGE, Catalyst plans a matching-rows subquery (target
+  * semi-joined with the source on the merge keys) and feeds the
+  * resulting key values back as IN/= predicates BEFORE this scan plans
+  * its partitions; files whose manifest [min,max] contains none of the
+  * values drop out of BOTH the scan and the replacement set (`op.groups`
+  * is shared with the write). A MERGE of a daily delta against a 100 TB
+  * table rewrites only the files that actually contain matched keys —
+  * without this, every group-based MERGE is a full-table rewrite. Value
+  * translation is refusing: a predicate shape or type the pruner does
+  * not recognize prunes nothing (correct, just wider). */
+private class GraftGroupCowScan(op: GraftGroupCowOperation,
+    tableSchema: StructType) extends Scan
+    with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Expressions, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+
+  override def readSchema(): StructType = tableSchema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String = s"${op.description()}-scan"
+
+  override def filterAttributes(): Array[NamedReference] =
+    op.stattedColumns.map(c => Expressions.column(c)).toArray
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+  private def refName(e: VExpr): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+    case _ => None
+  }
+  private def litLong(e: VExpr): Option[Long] = e match {
+    case l: Literal[_] => asLong(l.value)
+    case _ => None
+  }
+
+  /** (column, sorted candidate values) a runtime predicate pins, if its
+    * shape is one the pruner understands. */
+  private def valueSet(p: VPredicate): Option[(String, Array[Long])] =
+    (p.name, p.children) match {
+      case ("IN", cs) if cs.length >= 2 =>
+        for {
+          c <- refName(cs.head)
+          vs <- Some(cs.tail.flatMap(litLong))
+          if vs.length == cs.length - 1
+        } yield (c, vs.sorted)
+      case ("=", Array(l, r)) =>
+        refName(l).zip(litLong(r)).map { case (c, v) => (c, Array(v)) }
+          .orElse(refName(r).zip(litLong(l)).map { case (c, v) => (c, Array(v)) })
+      case _ => None
+    }
+
+  override def filter(predicates: Array[VPredicate]): Unit = {
+    val pins = predicates.flatMap(valueSet)
+    if (pins.nonEmpty) {
+      op.groups = op.groups.filter { f =>
+        val stats = op.statsByFile.getOrElse(f, Nil)
+        pins.forall { case (column, values) =>
+          stats.find(_._1 == column) match {
+            case Some((_, mn, mx)) =>
+              // any candidate value inside this file's [min,max]?
+              val i = java.util.Arrays.binarySearch(values, mn)
+              val from = if (i >= 0) i else -i - 1
+              from < values.length && values(from) <= mx
+            case None => true // unstatted column: cannot exclude
+          }
+        }
+      }
+    }
+  }
+
+  private var cached: (Seq[String], org.apache.spark.sql.connector.read.Batch) = null
+  private def delegate(): org.apache.spark.sql.connector.read.Batch =
+    synchronized {
+      val fs = op.groups
+      if (cached == null || cached._1 != fs)
+        cached = (fs, ParquetTable(
+          s"graft-cow-groups@v${op.base}", SparkSession.active,
+          CaseInsensitiveStringMap.empty(), fs, Some(tableSchema),
+          classOf[ParquetFileFormat])
+          .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch)
+      cached._2
+    }
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    delegate().planInputPartitions()
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    delegate().createReaderFactory()
 }
 
 /** The COW write: replacement rows land as new parquet files through

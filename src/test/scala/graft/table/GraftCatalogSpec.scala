@@ -340,6 +340,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(out.filter(col("key") === 501L).count() == 0, "odd matched key must be deleted")
   }
 
+  test("MERGE runtime group filtering: source keys confined to one file's range rewrite only that file (r14)") {
+    import spark.implicits._
+    val root = s"$wh/db12/rgf"
+    stageClustered(root) // 4 key-clustered files with min/max stats
+    val v1 = VersionedTable.entries(root, 1)
+      .filter(e => !e.change && e.delete.isEmpty)
+    // source touches only keys 10..40 — inside the first file's range
+    (10L to 40L by 10L).map(k => (k, "patched", k * 100L))
+      .toDF("key", "status", "cents").createOrReplaceTempView("microfeed")
+    spark.sql(
+      """MERGE INTO cat.db12.rgf t USING microfeed s ON t.key = s.key
+        |WHEN MATCHED THEN UPDATE SET status = s.status, cents = s.cents
+        |WHEN NOT MATCHED THEN INSERT (key, status, cents)
+        |  VALUES (s.key, s.status, s.cents)""".stripMargin)
+    val v2Paths = VersionedTable.manifest(root, 2).toSet
+    // every file whose key range misses the source keys is carried verbatim
+    val untouched = v1.filter(_.stats.exists(s => s.column == "key" && s.min > 40))
+    assert(untouched.size >= 2, "fixture must have out-of-range files")
+    untouched.foreach { e =>
+      assert(v2Paths.contains(e.path),
+        s"runtime group filter failed: out-of-range file ${e.path} was rewritten")
+    }
+    // semantics intact: the 4 matched keys patched, total row count unchanged
+    val out = spark.sql("SELECT * FROM cat.db12.rgf")
+    assert(out.count() == 1000)
+    assert(out.filter(col("status") === "patched").count() == 4)
+    assert(out.filter(col("key") === 20L).select("cents").as[Long].head() == 2000L)
+  }
+
   test("TRUNCATE TABLE rides the metadata delete: one DV commit, zero files rewritten (r14)") {
     val root = s"$wh/db11/tr"
     VersionedTable.commit(base().repartition(2), root)
