@@ -886,11 +886,23 @@ object PipelinePrep {
     val dims = base.select(col("vec_id"), posexplode(col("qv")).as(Seq("d", "x")))
     val sums = dims.groupBy(col("d"))
       .agg(sum(col("x")).as("s_"), count(lit(1)).as("n"))
-    val pairs = base
+    // M is symmetric (x1·x2 = x2·x1 summed over the same vectors), so only
+    // the upper triangle (d2 ≥ d1) is aggregated — the n×4096 exploded
+    // stream and its DECIMAL(38) multiply+sum halve to n×2080 — and the
+    // lower triangle is mirrored from the finished cells (r14, guide §2.3:
+    // don't compute what you can transpose). Cell values are bit-identical
+    // to the full aggregation, so C and everything downstream is unchanged.
+    val upper = base
       .select(posexplode(col("qv")).as(Seq("d1", "x1")), col("qv"))
       .select(col("d1"), col("x1"), posexplode(col("qv")).as(Seq("d2", "x2")))
+      .filter(col("d2") >= col("d1"))
       .groupBy(col("d1"), col("d2"))
       .agg(sum(expr("CAST(x1 AS DECIMAL(38,0)) * x2")).as("m"))
+      // referenced twice below — materialize the 2080 cells once so the
+      // mirror does not replay the exploded aggregation
+      .localCheckpoint()
+    val pairs = upper.unionAll(upper.filter(col("d2") =!= col("d1"))
+      .select(col("d2").as("d1"), col("d1").as("d2"), col("m")))
     val c = pairs
       .join(broadcast(sums.select(col("d").as("d1"), col("s_").as("s1"),
         col("n"))), Seq("d1"))

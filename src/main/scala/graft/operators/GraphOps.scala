@@ -431,6 +431,26 @@ object GraphOps {
     * in the suite that nothing ever de-selected (r9 VERDICT). */
   private val BroadcastEdgeLimit = 400L * 1000
 
+  /** Broadcast gate for the NODE-grain driver-counted state frames of the
+    * iterative loops (k-core live set, BFS/harmonic frontier + settled
+    * set, LPA label table): every loop already counts its state each
+    * round (the convergence test), so the gate is free. Below the limit
+    * the per-round equi-join against the full edge relation becomes a
+    * map-side BroadcastHashJoin and the edge set is never exchanged
+    * (guide §3.1 — the localCheckpointed state frames carry no size
+    * stats, so without the hint every round ran SortMergeJoin with BOTH
+    * sides shuffled; measured at sf0.1: graph_kcore 2.8→1.1s isolated,
+    * 2 SMJ + 6 Exchange → 2 BHJ + 1 Exchange per round). The limit is
+    * memory-bound, not speed-bound: state rows are 1–3 longs (≤ ~50 MB
+    * per 2M rows resident as a HashedRelation), two orders of magnitude
+    * under executor headroom — past it the round keeps the shuffled
+    * plan, which is the right 100 TB shape for a frontier that IS a
+    * large fraction of a huge vertex set. */
+  private val NodeBroadcastLimit = 2L * 1000 * 1000
+
+  private def gatedBroadcast(df: DataFrame, knownCount: Long): DataFrame =
+    if (knownCount <= NodeBroadcastLimit) broadcast(df) else df
+
   private def trianglesFromOriented(
       o: DataFrame, forcePartitioned: Boolean = false,
       knownEdgeCount: Option[Long] = None): DataFrame = {
@@ -670,17 +690,24 @@ object GraphOps {
     var frontier = known
     var level = 0
     var frontierSize = frontier.count()
+    // settled-set size = cumulative frontier sizes — tracked so both the
+    // expansion join and the anti-join can take the free broadcast gate
+    var knownSize = frontierSize
     while (frontierSize > 0 && level < 32) {
       level += 1
       val nxt = edges
-        .join(frontier.select(col("node")), edges("src") === col("node"))
+        .join(gatedBroadcast(frontier.select(col("node")), frontierSize),
+          edges("src") === col("node"))
         .select(col("dst").as("node")).distinct()
-        .join(known.select(col("node").as("seen")),
+        .join(gatedBroadcast(known.select(col("node").as("seen")), knownSize),
           col("node") === col("seen"), "left_anti")
         .select(col("node"), lit(level).as("dist"))
         .localCheckpoint()
       frontierSize = nxt.count()
-      if (frontierSize > 0) known = known.union(nxt).localCheckpoint()
+      if (frontierSize > 0) {
+        known = known.union(nxt).localCheckpoint()
+        knownSize += frontierSize
+      }
       frontier = nxt
     }
     known.select(col("node").as("suppkey"), col("dist")).orderBy(col("suppkey"))
@@ -741,18 +768,22 @@ object GraphOps {
     var frontier = known
     var level = 0
     var frontierSize = frontier.count()
+    var knownSize = frontierSize // the graphBfsDistance broadcast-gate device
     while (frontierSize > 0 && level < HarmonicRadius) {
       level += 1
       val nxt = edges
-        .join(frontier.select(col("seed"), col("node")),
-          edges("src") === col("node"))
+        .join(gatedBroadcast(frontier.select(col("seed"), col("node")),
+          frontierSize), edges("src") === col("node"))
         .select(col("seed"), col("dst").as("node")).distinct()
-        .join(known.select(col("seed"), col("node")),
+        .join(gatedBroadcast(known.select(col("seed"), col("node")), knownSize),
           Seq("seed", "node"), "left_anti")
         .withColumn("dist", lit(level))
         .localCheckpoint()
       frontierSize = nxt.count()
-      if (frontierSize > 0) known = known.union(nxt).localCheckpoint()
+      if (frontierSize > 0) {
+        known = known.union(nxt).localCheckpoint()
+        knownSize += frontierSize
+      }
       frontier = nxt
     }
     known.filter(col("dist") > 0)
@@ -985,9 +1016,13 @@ object GraphOps {
     var stable = false
     while (!stable && rounds < KcoreMaxRounds) {
       rounds += 1
+      // the live set is driver-counted every round (the stability test),
+      // so the broadcast gate is free: below NodeBroadcastLimit both
+      // membership joins run map-side and the edge relation is never
+      // exchanged (SMJ×2 + shuffle×2 of `und` per round before)
       val nxt = und
-        .join(live.select(col("node").as("p")), Seq("p"))
-        .join(live.select(col("node").as("q")), Seq("q"))
+        .join(gatedBroadcast(live.select(col("node").as("p")), n), Seq("p"))
+        .join(gatedBroadcast(live.select(col("node").as("q")), n), Seq("q"))
         .groupBy(col("p")).agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select(col("p").as("node"))
         .localCheckpoint()
@@ -998,8 +1033,8 @@ object GraphOps {
     }
     require(stable, s"k-core did not stabilize in $KcoreMaxRounds rounds " +
       "— raise KcoreMaxRounds and the oracle unroll together")
-    und.join(live.select(col("node").as("p")), Seq("p"))
-      .join(live.select(col("node").as("q")), Seq("q"))
+    und.join(gatedBroadcast(live.select(col("node").as("p")), n), Seq("p"))
+      .join(gatedBroadcast(live.select(col("node").as("q")), n), Seq("q"))
       .groupBy(col("p")).agg(count(lit(1)).as("core_deg"))
       .select(col("p").as("node"), col("core_deg"), lit(k).as("k"))
       .orderBy(col("node"))
@@ -1070,17 +1105,22 @@ object GraphOps {
     var lbl = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
+    // one count of the (constant-cardinality) node set funds the broadcast
+    // gate for every round's label join — below the limit the edge
+    // relation is never exchanged (the graphKcore device)
+    val nNodes = lbl.count()
     for (_ <- 1 to LpaRounds) {
       val votes = edges
-        .join(lbl.select(col("node").as("dn"), col("lbl")),
-          col("dst") === col("dn"))
+        .join(gatedBroadcast(lbl.select(col("node").as("dn"), col("lbl")),
+          nNodes), col("dst") === col("dn"))
         .groupBy(col("src"), col("lbl")).agg(sum(col("w")).as("cnt"))
       // weighted mode with min-label tie-break as ONE ordered struct max —
       // no window, no second shuffle beyond the (src, lbl) agg's own
       val pick = votes.groupBy(col("src"))
         .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("src").as("pn"), (-col("m").getField("neg")).as("new_lbl"))
-      lbl = lbl.join(pick, col("node") === col("pn"), "left")
+      lbl = lbl.join(gatedBroadcast(pick, nNodes), col("node") === col("pn"),
+          "left")
         .select(col("node"),
           coalesce(col("new_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint()

@@ -112,46 +112,24 @@ object VersionedTable {
     // high-cardinality key (every file's [min,max] spans the domain, but
     // each key lives in ~one file). Sized from the footer's exact row
     // count at 1% fpp (~1.2 KB/1k rows), serialized into the manifest
-    // line. Built here by one column-pruned pass per new file; a
-    // production writer folds the same accumulation into the write task
-    // itself — the record format and read path are unchanged by that.
-    val bloomLines = for {
-      c <- bloomColumns
-      f <- dataFiles
-    } yield {
-      val n = math.max(footerRowCount(f), 1L)
-      val bf = df.sparkSession.read.parquet(f)
-        .select(col(c).cast("long").as(c))
-        .stat.bloomFilter(c, n, 0.01)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
-      s"B\t$f\t$c\t$b64"
-    }
+    // line. Built here by ONE grouped pass per column over ALL new files
+    // (r14 optimization — the per-file loop ran one sequential Spark job
+    // per file, so an 8-file commit paid 8 job round-trips per indexed
+    // column; a 100 TB commit with thousands of files cannot run a job
+    // per file at all). A production writer folds the same accumulation
+    // into the write task itself — the record format and read path are
+    // unchanged by that, and the per-file filters here are bit-identical
+    // to the per-file jobs they replace (same hash, same sizing).
+    val bloomLines = bloomLinesFor(df.sparkSession, dataFiles, bloomColumns)
     // `H` records: per-file HLL REGISTERS (m=64, md5-based — the same
     // sketch sketch_hll_distinct proves) over a column — the NDV
     // statistic min/max/bloom can't provide, and the one a planner needs
     // for join-strategy and distinct-count questions WITHOUT scanning
     // (Iceberg ships the same idea as theta sketches in puffin files).
     // Registers are mergeable by per-bucket MAX, so any file subset's
-    // union NDV is O(files·64) driver metadata at read time.
-    val ndvLines = for {
-      c <- ndvColumns
-      f <- dataFiles
-    } yield {
-      val regs = df.sparkSession.read.parquet(f)
-        .select(md5(col(c).cast("string")).as("h"))
-        .select(
-          (expr("conv(substring(h, 1, 2), 16, 10)").cast("long") % 64)
-            .as("bucket"),
-          expr("conv(substring(h, 3, 8), 16, 10)").cast("long").as("w"))
-        .withColumn("rho", when(col("w") === 0, lit(33))
-          .otherwise(lit(33) - length(bin(col("w")))))
-        .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
-        .collect().map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
-      val packed = (0 until 64).map(b => regs.getOrElse(b, 0)).mkString(",")
-      s"H\t$f\t$c\t$packed"
-    }
+    // union NDV is O(files·64) driver metadata at read time. One grouped
+    // pass per column over all new files (same r14 move as `B` records).
+    val ndvLines = ndvLinesFor(df.sparkSession, dataFiles, ndvColumns)
     // `G` records: per-file FIXED-GRID histogram over an integer column —
     // the range-selectivity statistic NDV can't provide (how many rows
     // land in [lo, hi)?). The grid is value div WIDTH with the width
@@ -279,23 +257,122 @@ object VersionedTable {
     * grouping (a NULL belongs to no range, so no cell may count it):
     * `G` counts cover NON-NULL values only, exactly like the SQL range
     * predicates the estimates answer for. */
+  /** The written file's local path from the scan's `_metadata.file_path`
+    * URI (`file:///…` locally), so one grouped pass over a whole commit's
+    * file set can key its per-file partial results back to the manifest's
+    * `listParquet` paths. */
+  private def localPath(uri: String): String = {
+    val u = new java.net.URI(uri)
+    if (u.getScheme == null) uri else u.getPath
+  }
+
+  /** Per-file fixed-grid histogram records in ONE Spark job per column:
+    * group by (file, cell) over a scan of all `files` at once instead of
+    * one sequential job per file (r14 — a thousand-file commit must not
+    * run a thousand jobs; per-file results are identical because the
+    * grid is a pure function of the declared width). Files with no
+    * qualifying rows still emit their (empty) record, exactly as the
+    * per-file jobs did. */
   private def histLinesFor(spark: SparkSession, files: Seq[String],
       histColumns: Seq[(String, Long)]): Seq[String] =
     for {
       (c, w) <- histColumns
-      f <- files
-    } yield {
-      val cells = spark.read.parquet(f)
-        .filter(col(c).isNotNull)
-        .select(expr(
-          s"(cast($c as bigint) - pmod(cast($c as bigint), ${w}L)) div ${w}L")
-          .as("cell"))
-        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1))
-        .sortBy(_._1)
-        .map { case (cell, n) => s"$cell:$n" }.mkString(",")
-      s"G\t$f\t$c\t$w\t$cells"
-    }
+      line <- {
+        val rows = spark.read.parquet(files: _*)
+          .filter(col(c).isNotNull)
+          .select(col("_metadata.file_path").as("__f"), expr(
+            s"(cast($c as bigint) - pmod(cast($c as bigint), ${w}L)) div ${w}L")
+            .as("cell"))
+          .groupBy(col("__f"), col("cell")).agg(count(lit(1)).as("cnt"))
+          .collect()
+        val byFile = rows.groupBy(r => localPath(r.getString(0)))
+        files.map { f =>
+          val cells = byFile.getOrElse(f, Array.empty)
+            .map(r => r.getLong(1) -> r.getLong(2))
+            .sortBy(_._1)
+            .map { case (cell, n) => s"$cell:$n" }.mkString(",")
+          s"G\t$f\t$c\t$w\t$cells"
+        }
+      }
+    } yield line
+
+  /** Per-file HLL register records in ONE Spark job per column (the
+    * histLinesFor move): group the md5 register derivation by
+    * (file, bucket) over all files at once. Registers are bit-identical
+    * to the per-file jobs (same hash, same bucketing). */
+  private def ndvLinesFor(spark: SparkSession, files: Seq[String],
+      ndvColumns: Seq[String]): Seq[String] =
+    for {
+      c <- ndvColumns
+      line <- {
+        val rows = spark.read.parquet(files: _*)
+          .select(col("_metadata.file_path").as("__f"),
+            md5(col(c).cast("string")).as("h"))
+          .select(col("__f"),
+            (expr("conv(substring(h, 1, 2), 16, 10)").cast("long") % 64)
+              .as("bucket"),
+            expr("conv(substring(h, 3, 8), 16, 10)").cast("long").as("w"))
+          .withColumn("rho", when(col("w") === 0, lit(33))
+            .otherwise(lit(33) - length(bin(col("w")))))
+          .groupBy(col("__f"), col("bucket")).agg(max(col("rho")).as("m"))
+          .collect()
+        val byFile = rows.groupBy(r => localPath(r.getString(0)))
+        files.map { f =>
+          val regs = byFile.getOrElse(f, Array.empty)
+            .map(r => r.getLong(1).toInt -> r.getInt(2)).toMap
+          val packed = (0 until 64).map(b => regs.getOrElse(b, 0)).mkString(",")
+          s"H\t$f\t$c\t$packed"
+        }
+      }
+    } yield line
+
+  /** Per-file bloom-filter records in ONE Spark job per column: a
+    * partition-local map of file → filter, merged by `mergeInPlace` —
+    * the accumulation a production writer folds into the write task.
+    * Filters are sized from each file's exact footer row count at 1% fpp,
+    * identical to the per-file builds they replace (same sizing → same
+    * bit layout for the same keys). Files with no rows emit the same
+    * empty filter the per-file job produced. */
+  private def bloomLinesFor(spark: SparkSession, files: Seq[String],
+      bloomColumns: Seq[String]): Seq[String] =
+    for {
+      c <- bloomColumns
+      line <- {
+        val expected = files.map(f => f -> math.max(footerRowCount(f), 1L)).toMap
+        val expectedB = spark.sparkContext.broadcast(expected)
+        val merged = spark.read.parquet(files: _*)
+          .select(col("_metadata.file_path").as("__f"),
+            col(c).cast("long").as("__k"))
+          .rdd.mapPartitions { it =>
+            val acc = scala.collection.mutable.HashMap
+              .empty[String, org.apache.spark.util.sketch.BloomFilter]
+            it.foreach { r =>
+              val f = localPath(r.getString(0))
+              val bf = acc.getOrElseUpdate(f,
+                org.apache.spark.util.sketch.BloomFilter
+                  .create(expectedB.value(f), 0.01))
+              if (!r.isNullAt(1)) bf.putLong(r.getLong(1))
+            }
+            Iterator.single(acc.toMap)
+          }
+          .fold(Map.empty[String, org.apache.spark.util.sketch.BloomFilter]) { (a, b) =>
+            b.foldLeft(a) { case (m, (f, bf)) =>
+              m.get(f) match {
+                case Some(acc) => acc.mergeInPlace(bf); m
+                case None      => m + (f -> bf)
+              }
+            }
+          }
+        files.map { f =>
+          val bf = merged.getOrElse(f,
+            org.apache.spark.util.sketch.BloomFilter.create(expected(f), 0.01))
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+          s"B\t$f\t$c\t$b64"
+        }
+      }
+    } yield line
 
   /** ADD-COLUMN commit (r14, SQL `ALTER TABLE … ADD COLUMN`) — schema
     * widening as a PURE METADATA commit, the Delta/Iceberg contract: every
