@@ -112,6 +112,21 @@ object Bench {
       // 4.1-4.3s mid-suite); (b) plain heap garbage — System.gc() (r4).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // (c) the 25 streaming keys leave their memory-sink tables (full
+      // result rows on the driver heap) registered as temp views for the
+      // life of the session — 3-5 measured passes x 25 keys of dead
+      // tables by the time the suite reaches the memory-hungry wedge
+      // keys (r14: graph_triangles measured 18.9s mid-suite vs 3.3s
+      // isolated on an identical plan). Every key stages or registers
+      // what it reads per invocation, so dropping ALL temp views (and
+      // any cached relations) between keys can never starve the next
+      // key — it only releases dead weight. Same rationale as (a)/(b):
+      // this is harness drainage outside the timed region, not a
+      // methodology change.
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).map(_.name)
+        .foreach(spark.catalog.dropTempView)
       System.gc()
       graft.streaming.StreamQueries.drainStagingNanos() // reset the meters
       graft.streaming.StreamQueries.drainBatchCount()
