@@ -474,7 +474,9 @@ object Dedup {
 
   private[llm] def dedupClustersOver(s: SparkSession, docsIn: DataFrame): DataFrame = {
     val (repMap, sym) = clusterPrelude(s, docsIn)
-    reattachMembers(repMap, minLabelCc(sym))
+    // |labels| ≤ |sym| (every active vertex has an incident edge), and sym
+    // is checkpointed — one cheap count gates the reattach broadcast (r15)
+    reattachMembers(repMap, minLabelCc(sym), sym.count())
   }
 
   /** Exact-dup pre-collapse + verified-pair edge build shared by both CC
@@ -530,6 +532,20 @@ object Dedup {
     (repMap, sym)
   }
 
+  /** Broadcast gate for the CC loops' vertex-grain state frames (r15 —
+    * the GraphOps.gatedBroadcast device): the loops' state is
+    * localCheckpointed each round and carries no size statistics, so
+    * without the hint every per-round join ran SortMergeJoin with BOTH
+    * sides shuffled — including the edge relation. The counts that feed
+    * the gate are free: min-label's active-vertex set is loop-invariant
+    * (counted once), large/small-star already counts its edge set every
+    * round for convergence. Past the limit the shuffled plan is kept —
+    * the right shape for a dup-graph whose active vertices are a large
+    * fraction of a huge corpus. */
+  private val CcBroadcastLimit = 2L * 1000 * 1000
+  private def gatedBc(df: DataFrame, knownCount: Long): DataFrame =
+    if (knownCount <= CcBroadcastLimit) broadcast(df) else df
+
   /** Min-label propagation to the component-min fixpoint over a symmetric
     * edge set; returns (doc_id, cluster_id) for every active vertex. */
   private[llm] def minLabelCc(sym: DataFrame): DataFrame = {
@@ -546,17 +562,27 @@ object Dedup {
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
+    // the active-vertex count is LOOP-INVARIANT (labels keeps the same
+    // doc_ids every superstep) — one count of the checkpointed frame
+    // gates every round's broadcasts (r15; guide §3.1)
+    val nActive = labels.count()
     var converged = false
     var iter = 0
     while (!converged && iter < 64) {
       iter += 1
-      val nbrMin = sym.join(labels, col("dst") === col("doc_id"))
+      // label table broadcasts below the gate → the edge relation is
+      // never exchanged; nbr_min (≤ |active| rows) broadcasts into the
+      // left join, so the superstep's only shuffle is the vertex-grain
+      // hash-agg
+      val nbrMin = sym.join(gatedBc(labels, nActive), col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+      val stepOut = labels.join(gatedBc(nbrMin, nActive),
+          labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"), labels("cluster_id").as("old_cluster"),
           least(labels("cluster_id"),
             coalesce(col("nbr_min"), labels("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+      graft.operators.GraphOps.maybeDumpRoundPlan("dedup_cc_minlabel", iter, stepOut)
+      val next = stepOut.localCheckpoint()
       val delta = next.filter(col("cluster_id") < col("old_cluster")).count()
       labels = next.select(col("doc_id"), col("cluster_id"))
       converged = delta == 0
@@ -567,10 +593,14 @@ object Dedup {
 
   /** Reattach collapsed members: every doc takes its representative's
     * component label; a rep not in `labels` is a singleton component
-    * (its exact group, possibly of size 1) labeled by the rep itself. */
-  private def reattachMembers(repMap: DataFrame, labels: DataFrame): DataFrame =
+    * (its exact group, possibly of size 1) labeled by the rep itself.
+    * The label table is active-vertex-grain (dup density × corpus) while
+    * repMap is corpus-grain — below the gate the labels broadcast and the
+    * corpus side is never exchanged for the join (r15; guide §3.1). */
+  private def reattachMembers(repMap: DataFrame, labels: DataFrame,
+      labelBound: Long): DataFrame =
     repMap
-      .join(labels.withColumnRenamed("doc_id", "rep_id"),
+      .join(gatedBc(labels.withColumnRenamed("doc_id", "rep_id"), labelBound),
         col("rep") === col("rep_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
@@ -603,7 +633,7 @@ object Dedup {
   // A one-parent-per-child functional check still guards the read-off.
   def dedupCcTwophase(s: SparkSession, dir: String): DataFrame = {
     val (repMap, sym) = clusterPrelude(s, load(s, dir, "documents"))
-    reattachMembers(repMap, twophaseCc(sym))
+    reattachMembers(repMap, twophaseCc(sym), sym.count())
   }
 
   private[llm] def twophaseCc(sym0: DataFrame): DataFrame = {
@@ -614,8 +644,11 @@ object Dedup {
       .distinct().localCheckpoint()
     var converged = false
     var iter = 0
-    var eCnt = -1L // edge count of e, carried across rounds (one count job
-                   // per round instead of recounting both sides)
+    // edge count of e, counted up-front (the checkpointed blocks make it
+    // cheap) and carried across rounds — it both gates convergence and,
+    // since |vertices| ≤ 2·|edges|, bounds the per-round min-neighbor
+    // tables for the broadcast gate (r15; guide §3.1)
+    var eCnt = e.count()
     while (!converged && iter < 48) {
       iter += 1
       // large-star over the symmetric view: (v, m(u)) for v > u.
@@ -623,7 +656,10 @@ object Dedup {
       val symE = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mL = symE.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
-      val ls = symE.join(mL, symE("u") === col("c"))
+      // both min-neighbor tables broadcast below the gate, so the edge
+      // stream is never exchanged for the joins — each round's shuffles
+      // are the two hash-aggs and the two distincts only
+      val ls = symE.join(gatedBc(mL, 2 * eCnt), symE("u") === col("c"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
@@ -631,12 +667,13 @@ object Dedup {
       // neighbor; children {v ≠ m} and u itself re-attach to m — output
       // stays canonical ((v, m): v > m since m is the min; (u, m): u > m).
       val mS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = ls.join(mS, Seq("u"))
+      val stepOut = ls.join(gatedBc(mS, 2 * eCnt), Seq("u"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mS.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
-      if (eCnt < 0) eCnt = e.count()
+        .distinct()
+      graft.operators.GraphOps.maybeDumpRoundPlan("dedup_cc_twophase", iter, stepOut)
+      val next = stepOut.localCheckpoint()
       val nextCnt = next.count()
       // both sets are distinct: equal cardinality + containment = equality
       converged = nextCnt == eCnt && next.exceptAll(e).isEmpty

@@ -21,15 +21,15 @@ object DataProfile {
   type Q = (SparkSession, String) => DataFrame
 
   // ---- profile_columns ------------------------------------------------------
-  // Per-column profile of `orders` in ONE scan: null count, exact distinct
-  // count, min/max (rendered to strings AFTER the typed min/max, so numeric
-  // order is preserved). The aggregate runs partial+final; the exact
-  // per-column distincts expand the input (one Expand branch per distinct
-  // aggregate) — at 100 TB production swaps countDistinct for
-  // approx_count_distinct (HLL, mergeable, one pass, no Expand) and keeps
-  // the same shape; exact is kept here because the oracle compares values.
-  // The unpivot to long form is a zero-shuffle Generate over the single
-  // aggregated row.
+  // Per-column profile of `orders` in two linear passes: null count +
+  // min/max in one global aggregate (rendered to strings AFTER the typed
+  // min/max, so numeric order is preserved), exact distinct counts in a
+  // separate Expand-based multi-distinct aggregate (one Expand branch per
+  // distinct column, hash-aggregated — see the r15 note below) — at
+  // 100 TB production swaps countDistinct for approx_count_distinct (HLL,
+  // mergeable, one pass, no Expand) and keeps the same shape; exact is
+  // kept here because the oracle compares values. The unpivot to long
+  // form is a zero-shuffle Generate over the single assembled row.
   def profileColumns(s: SparkSession, dir: String): DataFrame = {
     val o = load(s, dir, "orders")
     val profiled = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -43,14 +43,25 @@ object DataProfile {
         x.cast("date").cast("string")
       case _           => (x: org.apache.spark.sql.Column) => x.cast("string")
     }
-    val aggs = profiled.flatMap { c =>
+    // r15 (guide §1.2 — fix the shape before the knobs): one combined agg
+    // mixed the 6 exact countDistincts (Expand-based two-phase de-dup)
+    // with string-typed min/max aggregates, whose immutable buffers force
+    // SortAggregate — a FULL SORT of the 7×-expanded row stream on a
+    // 7-column key before any de-dup. Split apart, the expanded de-dup
+    // stage is pure grouping (HashAggregate, zero sorts) and the
+    // null/min/max panel is one global no-grouping pass; the two one-row
+    // results glue back with a broadcast cross join. Costs a second scan
+    // of `orders`, which is linear — the sort it removes is O(6n log n)
+    // over the expanded stream. Values are unchanged.
+    val dAggs = profiled.map(c => countDistinct(col(c)).as(s"nd_$c"))
+    val mAggs = profiled.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
         str(c)(min(col(c))).as(s"mn_$c"),
         str(c)(max(col(c))).as(s"mx_$c"))
     }
-    val one = o.agg(aggs.head, aggs.tail: _*)
+    val one = o.agg(dAggs.head, dAggs.tail: _*)
+      .crossJoin(broadcast(o.agg(mAggs.head, mAggs.tail: _*)))
     val stackArgs = profiled
       .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
       .mkString(", ")

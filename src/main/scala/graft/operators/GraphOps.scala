@@ -451,7 +451,36 @@ object GraphOps {
   private def gatedBroadcast(df: DataFrame, knownCount: Long): DataFrame =
     if (knownCount <= NodeBroadcastLimit) broadcast(df) else df
 
+  /** Evidence hook (r15): with SPARK_GRAFT_ROUND_PLANS set, the iterative
+    * loops print the physical plan of their FIRST round's state update —
+    * the final `explain` of a loop key only shows the closing aggregation
+    * over the checkpointed state, so whether the per-round joins actually
+    * run broadcast or shuffled is otherwise invisible in any plan dump.
+    * Round plans piggyback on stdout; the flag is never set in bench or
+    * verify runs. Superseded per-round broadcasts are reclaimed by the
+    * async ContextCleaner once the round's localCheckpoint + count()
+    * drops the last plan reference (noted per r14 ADVICE — ≤32 rounds of
+    * ≤2M-row state between cleaner sweeps is bounded; the bench drains
+    * residue between keys). */
+  private[graft] def maybeDumpRoundPlan(tag: String, round: Int, df: DataFrame): Unit =
+    if (round == 1 && sys.env.contains("SPARK_GRAFT_ROUND_PLANS")) {
+      println(s"===== per-round plan: $tag round $round =====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+
   private def trianglesFromOriented(
+      o: DataFrame, forcePartitioned: Boolean = false,
+      knownEdgeCount: Option[Long] = None): DataFrame =
+    triCorners(o, forcePartitioned, knownEdgeCount)
+      .groupBy(col("p")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("p"))
+
+  /** The exploded triangle-corner stream (one row per (triangle, corner)),
+    * BEFORE the per-node count — split from `trianglesFromOriented` so
+    * graph_lcc can fuse the corner count with its degree aggregate in one
+    * pass (r15) instead of joining two separately-aggregated frames. */
+  private def triCorners(
       o: DataFrame, forcePartitioned: Boolean = false,
       knownEdgeCount: Option[Long] = None): DataFrame = {
     // Broadcast path: both wedge legs broadcast the oriented edge set
@@ -484,8 +513,6 @@ object GraphOps {
         col("wu") === col("e3.u") && col("ww") === col("e3.v"))
       .select(col("wu"), col("wv"), col("ww"))
     tri.select(explode(array(col("wu"), col("wv"), col("ww"))).as("p"))
-      .groupBy(col("p")).agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("p"))
   }
 
   private val graphTrianglesOracle =
@@ -543,12 +570,21 @@ object GraphOps {
 
   private def lccFromOriented(
       o: DataFrame, knownEdgeCount: Option[Long] = None): DataFrame = {
-    val tri = trianglesFromOriented(o, knownEdgeCount = knownEdgeCount)
-    val deg = o.select(col("u").as("p")).unionAll(o.select(col("v").as("p")))
-      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
-    deg.filter(col("deg") >= 2)
-      .join(tri, Seq("p"), "left")
-      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+    // r15 (guide §2.4): degree and per-node triangle count are BOTH
+    // node-grain aggregates of the same relation, so they fuse into ONE
+    // union + hash-agg — the r14 shape aggregated them separately and
+    // paid a SortMergeJoin (two agg exchanges + two sorts) to glue two
+    // ≤|V|-row frames back together. Tagged 0/1 counter columns replay
+    // the left-join semantics exactly: a node with no triangle sums
+    // tc = 0 (the old coalesce), a triangle corner always has deg ≥ 2 so
+    // the degree filter drops nothing the join kept.
+    val rows = o.select(col("u").as("p"), lit(1L).as("dc"), lit(0L).as("tc"))
+      .unionAll(o.select(col("v").as("p"), lit(1L).as("dc"), lit(0L).as("tc")))
+      .unionAll(triCorners(o, knownEdgeCount = knownEdgeCount)
+        .select(col("p"), lit(0L).as("dc"), lit(1L).as("tc")))
+    rows.groupBy(col("p"))
+      .agg(sum(col("dc")).as("deg"), sum(col("tc")).as("n_triangles"))
+      .filter(col("deg") >= 2)
       .withColumn("lcc_ppm",
         expr("(2000000 * n_triangles) div (deg * (deg - 1))"))
       .select(col("p"), col("deg"), col("n_triangles"), col("lcc_ppm"))
@@ -695,14 +731,22 @@ object GraphOps {
     var knownSize = frontierSize
     while (frontierSize > 0 && level < 32) {
       level += 1
-      val nxt = edges
+      // r15 (guide §2.3): the settled-set anti-join runs BEFORE the
+      // distinct — they commute (both key on `node`), and with the settled
+      // set broadcast the anti is a map-side filter, so the distinct's
+      // exchange carries only UNSEEN candidates instead of the whole
+      // expansion (in late rounds almost every candidate is already
+      // settled).
+      val step = edges
         .join(gatedBroadcast(frontier.select(col("node")), frontierSize),
           edges("src") === col("node"))
-        .select(col("dst").as("node")).distinct()
+        .select(col("dst").as("node"))
         .join(gatedBroadcast(known.select(col("node").as("seen")), knownSize),
           col("node") === col("seen"), "left_anti")
+        .distinct()
         .select(col("node"), lit(level).as("dist"))
-        .localCheckpoint()
+      maybeDumpRoundPlan("graph_bfs_distance", level, step)
+      val nxt = step.localCheckpoint()
       frontierSize = nxt.count()
       if (frontierSize > 0) {
         known = known.union(nxt).localCheckpoint()
@@ -771,14 +815,20 @@ object GraphOps {
     var knownSize = frontierSize // the graphBfsDistance broadcast-gate device
     while (frontierSize > 0 && level < HarmonicRadius) {
       level += 1
-      val nxt = edges
+      // r15: settled-set anti-join BEFORE the distinct (they commute on
+      // (seed, node)) — map-side when the settled set broadcasts, so the
+      // distinct's exchange carries only unseen (seed, node) candidates;
+      // see the graph_bfs_distance note.
+      val step = edges
         .join(gatedBroadcast(frontier.select(col("seed"), col("node")),
           frontierSize), edges("src") === col("node"))
-        .select(col("seed"), col("dst").as("node")).distinct()
+        .select(col("seed"), col("dst").as("node"))
         .join(gatedBroadcast(known.select(col("seed"), col("node")), knownSize),
           Seq("seed", "node"), "left_anti")
+        .distinct()
         .withColumn("dist", lit(level))
-        .localCheckpoint()
+      maybeDumpRoundPlan("graph_harmonic", level, step)
+      val nxt = step.localCheckpoint()
       frontierSize = nxt.count()
       if (frontierSize > 0) {
         known = known.union(nxt).localCheckpoint()

@@ -70,31 +70,43 @@ object HealthReport {
   }
 
   private def buildReport(base: DataFrame, ev: DataFrame): DataFrame = {
-    def rowOf(section: String, metric: Column, value: Column,
-        flag: Column = noFlag)(src: DataFrame): DataFrame =
-      src.select(lit(section).as("section"), metric.as("metric"),
-        value.as("value"), flag.as("triggered"))
+    // r15 (guide §2.4, §1.5): the long-form assembly used to be 30
+    // `union` branches, one per report line — and Spark does not dedupe
+    // common subtrees across union branches, so every branch re-ran its
+    // section's whole aggregation pipeline against the cache (the
+    // `latest` subtree 8×, the P&L subtree 15×, ~30 aggregate pipelines
+    // for 36 rows; scaling ratio 0.97 = pure scheduler overhead). Now
+    // each section is aggregated ONCE — four passes over the cached fact
+    // frame (day-grain, completeness, duplicates, circle) and one over
+    // events — the single-row sections are crossJoin-broadcast into one
+    // row, and the 36 report lines are `inline` row constructors over
+    // that. Values and the oracle SQL are unchanged.
 
     // ---- §3.2 step 1: get_daily_metrics(7) — latest row + deltas ----------
-    val asOf = base.agg(max(col("ed")).as("as_of"))
-    val daily = base.crossJoin(broadcast(asOf))
-      .filter(col("ed") >= date_sub(col("as_of"), 6))
-      .groupBy(col("ed")).agg(
+    // ONE day-grain aggregate over the whole frame (was: a separate as-of
+    // max scan + a filtered re-scan); the trailing-week cut moves AFTER
+    // the groupBy — filtering on the group key commutes with the
+    // aggregate — via a window max over the tiny day-grain frame.
+    val daily0 = base.groupBy(col("ed")).agg(
         countDistinct(col("o_orderkey")).as("p"),
         count(col("lk")).as("s"),
         count(when(col("rev") > 1000, lit(1))).as("r"),
         round(sumDec(col("rev")), 2).as("rev_dec"),
         round((sumDec(col("rev")).cast("double") / count(col("rev")))
           .cast("decimal(28,6)"), 2).cast("double").as("avg_rev"))
-    // ≤7 day-grain rows after the aggregate — the window input is tiny.
+    val wAll = Window.rowsBetween( // lint:series-grain (day-grain report series)
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val daily = daily0.withColumn("as_of", max(col("ed")).over(wAll))
+      .filter(col("ed") >= date_sub(col("as_of"), 6))
+    // ≤7 day-grain rows after the cut — the window input is tiny.
     val w = Window.orderBy(col("ed")) // lint:series-grain (7-day report series)
-    val latest = daily.select(col("ed"), col("p"), col("s"), col("r"),
-        col("rev_dec"), col("avg_rev"),
+    val latest = daily.select(col("ed"), col("as_of"), col("p"), col("s"),
+        col("r"), col("rev_dec"), col("avg_rev"),
         lag(col("rev_dec"), 1).over(w).as("prev_rev"),
         lag(col("s"), 1).over(w).as("prev_s"),
         first(col("rev_dec")).over(w.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)).as("first_rev"))
-      .crossJoin(broadcast(asOf)).filter(col("ed") === col("as_of"))
+      .filter(col("ed") === col("as_of"))
       // week-over-week drop %, the check_alerts() trend rule (:397-406)
       .withColumn("wow_pct", roundVia(
         (col("rev_dec") - col("first_rev")).cast("double") /
@@ -108,29 +120,34 @@ object HealthReport {
         round(sumDec(col("rev")), 2).as("trev"))
       .withColumn("coverage",
         roundVia((lit(100) * col("rr")).cast("double") / col("sr"), 1))
-    val costRow = ev.filter(col("event_type").isin(costTypes.values.toSeq: _*))
+    // ONE pass over events serves the cost panel AND freshness (was two):
+    // the per-type rollup groups the WHOLE slice — types outside the cost
+    // map fall out of the max(when) pivot exactly as the old pre-filter
+    // dropped them (a type with no rows has no group, so its pivot cell
+    // is NULL either way) — and the global max event date is the max of
+    // the per-type maxes.
+    val costRow = ev
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sumDec(col("value")), 2).as("amt"))
+      .agg(count(lit(1)).as("n"), round(sumDec(col("value")), 2).as("amt"),
+        max(col("ev_d")).as("mx"))
       .agg(
         max(when(col("event_type") === costTypes("personnel"), col("n"))).as("pn"),
         max(when(col("event_type") === costTypes("personnel"), col("amt"))).as("pa"),
         max(when(col("event_type") === costTypes("travel"), col("n"))).as("vn"),
         max(when(col("event_type") === costTypes("travel"), col("amt"))).as("va"),
         max(when(col("event_type") === costTypes("supplier"), col("n"))).as("sn"),
-        max(when(col("event_type") === costTypes("supplier"), col("amt"))).as("sa"))
+        max(when(col("event_type") === costTypes("supplier"), col("amt"))).as("sa"),
+        max(col("mx")).as("now_d"))
     val pl = comp.crossJoin(broadcast(costRow))
       .withColumn("tc", col("pa") + col("va") + col("sa"))
       .withColumn("nm", col("trev") - (col("pa") + col("va") + col("sa")))
       .withColumn("margin_pct",
         roundVia(dbl(col("nm")) / dbl(col("trev")) * 100, 1))
 
-    // ---- §3.2 step 2b/2c: duplicates + freshness checks --------------------
+    // ---- §3.2 step 2b: duplicates check ------------------------------------
     val dups = base.filter(col("lk").isNotNull)
       .groupBy(col("lk"), col("ln")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).agg(count(lit(1)).as("dk"))
-    val fresh = ev.agg(max(col("ev_d")).as("now_d")).crossJoin(broadcast(asOf))
-      .select(datediff(col("as_of"), lit("1970-01-01").cast("date")).as("epoch_day"),
-        datediff(col("now_d"), col("as_of")).as("days_since"))
 
     // ---- §3.2 step 3: current circle performance ----------------------------
     val circle = base.filter(col("circle").isin(circles: _*))
@@ -138,47 +155,61 @@ object HealthReport {
       .agg(count(col("lk")).as("n"), round(sumDec(col("rev")), 2).as("crev"))
 
     // ---- assembly: one long-form relation -----------------------------------
-    val sections = Seq(
-      rowOf("daily_latest", lit("projects"), dbl(col("p")))(latest),
-      rowOf("daily_latest", lit("subitems"), dbl(col("s")))(latest),
-      rowOf("daily_latest", lit("subitems_with_revenue"), dbl(col("r")))(latest),
-      rowOf("daily_latest", lit("total_revenue"), dbl(col("rev_dec")))(latest),
-      rowOf("daily_latest", lit("avg_revenue"), col("avg_rev"))(latest),
-      rowOf("daily_latest", lit("revenue_change"),
-        dbl(col("rev_dec") - col("prev_rev")))(latest),
-      rowOf("daily_latest", lit("subitems_change"),
-        dbl(col("s") - col("prev_s")))(latest),
-      rowOf("completeness", lit("projects_rows"), dbl(col("pr")))(pl),
-      rowOf("completeness", lit("subitems_rows"), dbl(col("sr")))(pl),
-      rowOf("completeness", lit("revenue_subitems"), dbl(col("rr")))(pl),
-      rowOf("completeness", lit("total_revenue"), dbl(col("trev")))(pl),
-      rowOf("completeness", lit("coverage_pct"), col("coverage"))(pl),
-      rowOf("completeness", lit("personnel_costs_rows"), dbl(col("pn")))(pl),
-      rowOf("completeness", lit("personnel_cost_total"), dbl(col("pa")))(pl),
-      rowOf("completeness", lit("travel_costs_rows"), dbl(col("vn")))(pl),
-      rowOf("completeness", lit("travel_cost_total"), dbl(col("va")))(pl),
-      rowOf("completeness", lit("supplier_costs_rows"), dbl(col("sn")))(pl),
-      rowOf("completeness", lit("supplier_cost_total"), dbl(col("sa")))(pl),
-      rowOf("completeness", lit("total_costs"), dbl(col("tc")))(pl),
-      rowOf("completeness", lit("net_margin"), dbl(col("nm")))(pl),
-      rowOf("completeness", lit("margin_pct"), col("margin_pct"))(pl),
-      rowOf("duplicates", lit("duplicate_keys"), dbl(col("dk")))(dups),
-      rowOf("freshness", lit("last_extraction_epoch_day"),
-        dbl(col("epoch_day")))(fresh),
-      rowOf("freshness", lit("days_since"), dbl(col("days_since")))(fresh),
-      rowOf("circle", concat(col("circle"), lit(":revenue")),
-        dbl(col("crev")))(circle),
-      rowOf("circle", concat(col("circle"), lit(":subitems")),
-        dbl(col("n")))(circle),
-      rowOf("alerts", lit("stale_data"), dbl(col("days_since")),
-        col("days_since") > 1)(fresh),
-      rowOf("alerts", lit("coverage_low"), col("coverage"),
-        col("coverage") < 60.0)(pl),
-      rowOf("alerts", lit("duplicate_rows"), dbl(col("dk")),
-        col("dk") > 0)(dups),
-      rowOf("alerts", lit("revenue_drop_wow"), col("wow_pct"),
-        col("wow_pct") < -5.0)(latest))
-    sections.reduce(_ union _).orderBy(col("section"), col("metric"))
+    // The single-row sections (latest / P&L / duplicates) fold into ONE
+    // row via broadcast cross joins; freshness derives from as_of (latest)
+    // and now_d (the events pass) in place. Every fixed report line is a
+    // struct constructor over that row — `inline` expands them with zero
+    // re-aggregation. The circle section is the only multi-row source: its
+    // two lines per circle ride one inline over the 4-row aggregate.
+    def line(section: String, metric: Column, value: Column,
+        flag: Column = noFlag): Column =
+      struct(lit(section).as("section"), metric.as("metric"),
+        value.cast("double").as("value"), flag.as("triggered"))
+
+    val one = latest.crossJoin(broadcast(pl)).crossJoin(broadcast(dups))
+      .withColumn("epoch_day",
+        datediff(col("as_of"), lit("1970-01-01").cast("date")))
+      .withColumn("days_since", datediff(col("now_d"), col("as_of")))
+    val fixed = one.select(inline(array(
+      line("daily_latest", lit("projects"), dbl(col("p"))),
+      line("daily_latest", lit("subitems"), dbl(col("s"))),
+      line("daily_latest", lit("subitems_with_revenue"), dbl(col("r"))),
+      line("daily_latest", lit("total_revenue"), dbl(col("rev_dec"))),
+      line("daily_latest", lit("avg_revenue"), col("avg_rev")),
+      line("daily_latest", lit("revenue_change"),
+        dbl(col("rev_dec") - col("prev_rev"))),
+      line("daily_latest", lit("subitems_change"),
+        dbl(col("s") - col("prev_s"))),
+      line("completeness", lit("projects_rows"), dbl(col("pr"))),
+      line("completeness", lit("subitems_rows"), dbl(col("sr"))),
+      line("completeness", lit("revenue_subitems"), dbl(col("rr"))),
+      line("completeness", lit("total_revenue"), dbl(col("trev"))),
+      line("completeness", lit("coverage_pct"), col("coverage")),
+      line("completeness", lit("personnel_costs_rows"), dbl(col("pn"))),
+      line("completeness", lit("personnel_cost_total"), dbl(col("pa"))),
+      line("completeness", lit("travel_costs_rows"), dbl(col("vn"))),
+      line("completeness", lit("travel_cost_total"), dbl(col("va"))),
+      line("completeness", lit("supplier_costs_rows"), dbl(col("sn"))),
+      line("completeness", lit("supplier_cost_total"), dbl(col("sa"))),
+      line("completeness", lit("total_costs"), dbl(col("tc"))),
+      line("completeness", lit("net_margin"), dbl(col("nm"))),
+      line("completeness", lit("margin_pct"), col("margin_pct")),
+      line("duplicates", lit("duplicate_keys"), dbl(col("dk"))),
+      line("freshness", lit("last_extraction_epoch_day"),
+        dbl(col("epoch_day"))),
+      line("freshness", lit("days_since"), dbl(col("days_since"))),
+      line("alerts", lit("stale_data"), dbl(col("days_since")),
+        col("days_since") > 1),
+      line("alerts", lit("coverage_low"), col("coverage"),
+        col("coverage") < 60.0),
+      line("alerts", lit("duplicate_rows"), dbl(col("dk")),
+        col("dk") > 0),
+      line("alerts", lit("revenue_drop_wow"), col("wow_pct"),
+        col("wow_pct") < -5.0))))
+    val circleRows = circle.select(inline(array(
+      line("circle", concat(col("circle"), lit(":revenue")), dbl(col("crev"))),
+      line("circle", concat(col("circle"), lit(":subitems")), dbl(col("n"))))))
+    fixed.union(circleRows).orderBy(col("section"), col("metric"))
   }
 
   /** The composed key: persist the shared frames, materialize the (tiny)

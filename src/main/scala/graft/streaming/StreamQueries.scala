@@ -479,18 +479,23 @@ object StreamQueries {
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000)
     def stage(sideName: String, parity: Int, sentId: Long): String = {
       val p = s"$base/src$sideName"
-      // ONE file for the real slice: with maxFilesPerTrigger=1 every file
-      // is a micro-batch, and a 32-part write would cost 32 state-store
-      // round-trips per side for no semantic gain (the flush choreography
-      // only needs real-data batches BEFORE the sentinel batch) — measured
-      // 4.26 s → staged-file count was the whole overhead
-      events.filter(col("event_id") % 2 === parity)
-        .coalesce(1).write.parquet(p)
+      // ONE file per side, sentinel INCLUDED (r15; guide §1.2 — fewer
+      // passes): outer-join emission rides state EXPIRY, which only needs
+      // the watermark to pass every real window — and the watermark is
+      // computed from the max event time seen in a batch REGARDLESS of
+      // how many files delivered it. Staging the far-future sentinel in
+      // the same single file as the real slice means one data micro-batch
+      // (matches emit, watermark advances past every window) plus the
+      // engine-scheduled no-new-data eviction batch (shouldRunAnotherBatch
+      // under AvailableNow) — 2 micro-batches instead of the r14 3 (real
+      // pair, sentinel pair, eviction), and one staged write job per side
+      // instead of two. Eviction output is identical: nothing can match a
+      // sentinel (user_id = -1), and unmatched rows were only ever
+      // emitted by the final eviction batch in both shapes.
       import s.implicits._
-      // separate append job → strictly later mtime → last file the source
-      // picks up → the watermark-advancing final micro-batch
-      Seq((sentId, -1L, sentinelTs)).toDF("event_id", "user_id", "ts")
-        .write.mode("append").parquet(p)
+      events.filter(col("event_id") % 2 === parity)
+        .unionAll(Seq((sentId, -1L, sentinelTs)).toDF("event_id", "user_id", "ts"))
+        .coalesce(1).write.parquet(p)
       p
     }
     val srcA = timedStaging { stage("A", 0, -2L) }
@@ -587,11 +592,12 @@ object StreamQueries {
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000)
     def stage(sideName: String, parity: Int, sentId: Long): String = {
       val p = s"$base/src$sideName"
-      events.filter(col("event_id") % 2 === parity)
-        .coalesce(1).write.parquet(p)
+      // sentinel rides in the single real-slice file — 2 micro-batches
+      // instead of 3; see the stream_outer_join staging note (r15)
       import s.implicits._
-      Seq((sentId, -1L, sentinelTs)).toDF("event_id", "user_id", "ts")
-        .write.mode("append").parquet(p)
+      events.filter(col("event_id") % 2 === parity)
+        .unionAll(Seq((sentId, -1L, sentinelTs)).toDF("event_id", "user_id", "ts"))
+        .coalesce(1).write.parquet(p)
       p
     }
     val srcA = timedStaging { stage("A", 0, -2L) }

@@ -37,10 +37,15 @@ class HealthReportSpec extends SparkSpec {
       })
       val nodes = walk(report.queryExecution.executedPlan)
       val memScans = nodes.collect { case m: InMemoryTableScanExec => m }
-      // daily + completeness + duplicates + circle off base; costs +
-      // freshness off ev; plus the as-of scalar — at least 6 cache reads.
-      assert(memScans.length >= 6,
-        s"expected >=6 InMemoryTableScan sections, got ${memScans.length}")
+      // r15: each section aggregates exactly once — daily + completeness +
+      // duplicates + circle off base, the cost/freshness pass off ev: 5
+      // cache reads TOTAL (the r14 shape re-ran section subtrees per union
+      // branch — ~30 cache reads for 36 rows). An upper bound pins the
+      // collapse; the lower bound still pins that no section bypasses the
+      // shared frames.
+      assert(memScans.length >= 5 && memScans.length <= 6,
+        s"expected 5-6 InMemoryTableScan sections (one per aggregation " +
+          s"pass), got ${memScans.length}")
       // No section may bypass the cache back to the fact files: the only
       // parquet scans allowed in the report plan are the ones INSIDE the
       // cached relations' own definitions (not re-executed once populated).
