@@ -88,7 +88,7 @@ object Dedup {
   // side's ids once per group via a size-bounded set union.
   def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val src = load(s, dir, "documents").select(col("doc_id"), col("source"))
-    val pairs = dedupMinhashLshOver(s, load(s, dir, "documents"))
+    val pairs = dedupMinhashLsh(s, dir)
       .select(col("id_a"), col("id_b"))
     pairs
       .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
@@ -124,10 +124,14 @@ object Dedup {
   // exact-Jaccard verify of candidates only. Deterministic: candidates are a
   // pure function of the data, so the oracle replays the identical algorithm.
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    dedupMinhashLshOver(s, load(s, dir, "documents"))
+    minhashPairsFrom(verifiedArtifact(s, dir))
 
   private[llm] def dedupMinhashLshOver(s: SparkSession, docsIn: DataFrame): DataFrame =
-    lshVerified(s, docsIn)
+    minhashPairsFrom(lshVerified(s, docsIn))
+
+  /** Threshold + report projection over a verified-pair relation. */
+  private def minhashPairsFrom(verified: DataFrame): DataFrame =
+    verified
       .filter(col("inter") * 2 >= col("uni"))  // J >= 0.5, integer-exact
       .select(col("id_a"), col("id_b"),
         round((col("inter").cast("double") / col("uni"))
@@ -149,7 +153,7 @@ object Dedup {
   // when empty (the curve's tail is data, not absence).
   def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val marked = lshVerified(s, load(s, dir, "documents"))
+    val marked = verifiedArtifact(s, dir)
       .withColumn("t10", explode(expr("sequence(5, 9)")))
       .filter(col("inter") * 10 >= col("t10") * col("uni"))
       .localCheckpoint() // read by both rollups; pair-grain, spillable
@@ -182,6 +186,38 @@ object Dedup {
        |       COALESCE(d.n_docs, 0) AS n_docs
        |FROM tt LEFT JOIN p ON p.t10 = tt.t10 LEFT JOIN d ON d.t10 = tt.t10
        |ORDER BY threshold_pct""".stripMargin
+
+  /** The verified-pair relation over the PLAIN documents table as a
+    * derived artifact (r15, the orientedArtifact precedent and the r14
+    * verdict's prescription for the export pipeline): built once per
+    * (source dir, documents fingerprint) under `Staging.timed` — metered
+    * into the bench's `artifact_staging_sec` split — written to temp
+    * parquet, served from disk after that. A deployment lands near-dup
+    * pairs in the pipeline that lands the corpus snapshot, not once per
+    * downstream query: four declared keys (the pair report, the
+    * threshold sweep, the source-overlap report, the keep/drop battery —
+    * and through it the pretrain export) consumed the identical
+    * (id_a, id_b, inter, uni) relation and each re-ran the full
+    * shingle → minhash → band-join → verify chain per invocation. The
+    * artifact is a pure function of the corpus (content-fingerprint
+    * keyed, rebuilt every cold JVM), so every consumer still computes
+    * from the parquet inputs. Derived/stress corpora (the `…Over`
+    * entry points) keep the per-invocation chain. */
+  private val lshCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[llm] def verifiedArtifact(s: SparkSession, dir: String): DataFrame = {
+    // content fingerprint, not bare mtime (the r10 graph-cache lesson)
+    val fp = graft.sink.Sinks.fingerprint(s"$dir/documents.parquet")
+    val root = lshCache.computeIfAbsent(s"$dir@$fp", { _ => graft.Staging.timed {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lsh_").toString
+      sys.addShutdownHook(graft.sink.Sinks.deleteDir(tmp))
+      lshVerified(s, load(s, dir, "documents")).write.parquet(s"$tmp/verified")
+      tmp
+    }})
+    s.read.parquet(s"$root/verified")
+  }
 
   /** The banded candidate generation + exact verify, UNFILTERED — the
     * (id_a, id_b, inter, uni) relation the pair key thresholds at J ≥ 0.5

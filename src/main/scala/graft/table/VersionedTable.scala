@@ -286,6 +286,12 @@ object VersionedTable {
           .groupBy(col("__f"), col("cell")).agg(count(lit(1)).as("cnt"))
           .collect()
         val byFile = rows.groupBy(r => localPath(r.getString(0)))
+        // fail loudly on a path-normalization mismatch (r15, r14 ADVICE):
+        // an unmatched key would otherwise silently emit EMPTY records,
+        // degrading planner estimates with no signal
+        require(byFile.keySet.subsetOf(files.toSet),
+          s"histogram pass keyed unknown file paths: " +
+            s"${byFile.keySet.diff(files.toSet).take(3)}")
         files.map { f =>
           val cells = byFile.getOrElse(f, Array.empty)
             .map(r => r.getLong(1) -> r.getLong(2))
@@ -317,6 +323,11 @@ object VersionedTable {
           .groupBy(col("__f"), col("bucket")).agg(max(col("rho")).as("m"))
           .collect()
         val byFile = rows.groupBy(r => localPath(r.getString(0)))
+        // same fail-loud contract as the histogram pass (bloomLinesFor
+        // gets it for free via expectedB.value(f) throwing)
+        require(byFile.keySet.subsetOf(files.toSet),
+          s"NDV pass keyed unknown file paths: " +
+            s"${byFile.keySet.diff(files.toSet).take(3)}")
         files.map { f =>
           val regs = byFile.getOrElse(f, Array.empty)
             .map(r => r.getLong(1).toInt -> r.getInt(2)).toMap
@@ -327,14 +338,27 @@ object VersionedTable {
     } yield line
 
   /** Per-file bloom-filter records in ONE Spark job per column: a
-    * partition-local map of file → filter, merged by `mergeInPlace` —
-    * the accumulation a production writer folds into the write task.
-    * Filters are sized from each file's exact footer row count at 1% fpp,
-    * identical to the per-file builds they replace (same sizing → same
-    * bit layout for the same keys). Files with no rows emit the same
-    * empty filter the per-file job produced. */
+    * partition-local map of file → filter, merged per file ON THE
+    * EXECUTORS by `reduceByKey` and serialized to the manifest's base64
+    * form there — the accumulation a production writer folds into the
+    * write task. The r14 shape folded every partition's full-size
+    * filters into one driver-side map, holding the whole commit's
+    * filters as live objects on top of the record strings (§5: at 1% fpp
+    * that is ~1.2 bytes/row × the commit, twice); now the driver only
+    * ever holds the final record strings, which the manifest format
+    * embeds anyway — that residual O(commit) is inherent to returning
+    * the lines, not to the build. Records are BIT-IDENTICAL to the
+    * driver-side fold: bloom merge is a bitwise OR (commutative and
+    * associative), so the reduce order cannot change the bit layout, and
+    * sizing still comes from each file's exact footer row count at 1%
+    * fpp. Files with no rows emit the same empty filter as before. */
   private def bloomLinesFor(spark: SparkSession, files: Seq[String],
-      bloomColumns: Seq[String]): Seq[String] =
+      bloomColumns: Seq[String]): Seq[String] = {
+    def b64Of(bf: org.apache.spark.util.sketch.BloomFilter): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
     for {
       c <- bloomColumns
       line <- {
@@ -353,26 +377,19 @@ object VersionedTable {
                   .create(expectedB.value(f), 0.01))
               if (!r.isNullAt(1)) bf.putLong(r.getLong(1))
             }
-            Iterator.single(acc.toMap)
+            acc.iterator
           }
-          .fold(Map.empty[String, org.apache.spark.util.sketch.BloomFilter]) { (a, b) =>
-            b.foldLeft(a) { case (m, (f, bf)) =>
-              m.get(f) match {
-                case Some(acc) => acc.mergeInPlace(bf); m
-                case None      => m + (f -> bf)
-              }
-            }
-          }
+          .reduceByKey { (a, b) => a.mergeInPlace(b); a }
+          .mapValues(b64Of)
+          .collect().toMap
         files.map { f =>
-          val bf = merged.getOrElse(f,
-            org.apache.spark.util.sketch.BloomFilter.create(expected(f), 0.01))
-          val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos)
-          val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+          val b64 = merged.getOrElse(f, b64Of(
+            org.apache.spark.util.sketch.BloomFilter.create(expected(f), 0.01)))
           s"B\t$f\t$c\t$b64"
         }
       }
     } yield line
+  }
 
   /** ADD-COLUMN commit (r14, SQL `ALTER TABLE … ADD COLUMN`) — schema
     * widening as a PURE METADATA commit, the Delta/Iceberg contract: every
