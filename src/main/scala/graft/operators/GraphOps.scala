@@ -1159,7 +1159,7 @@ object GraphOps {
     // gate for every round's label join — below the limit the edge
     // relation is never exchanged (the graphKcore device)
     val nNodes = lbl.count()
-    for (_ <- 1 to LpaRounds) {
+    for (round <- 1 to LpaRounds) {
       val votes = edges
         .join(gatedBroadcast(lbl.select(col("node").as("dn"), col("lbl")),
           nNodes), col("dst") === col("dn"))
@@ -1169,11 +1169,12 @@ object GraphOps {
       val pick = votes.groupBy(col("src"))
         .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("src").as("pn"), (-col("m").getField("neg")).as("new_lbl"))
-      lbl = lbl.join(gatedBroadcast(pick, nNodes), col("node") === col("pn"),
+      val step = lbl.join(gatedBroadcast(pick, nNodes), col("node") === col("pn"),
           "left")
         .select(col("node"),
           coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+      maybeDumpRoundPlan("lpa", round, step)
+      lbl = step.localCheckpoint()
     }
     lbl
   }
@@ -1450,16 +1451,38 @@ object GraphOps {
     * raw weights: retract their old pairs, add their new pairs, sum per
     * edge, drop edges whose weight reaches zero. Split out so the spec
     * can prove maintained == recomputed on planted threshold-crossing and
-    * cap-crossing deltas. */
+    * cap-crossing deltas.
+    *
+    * r15 (guide §2.4): the retraction and addition recomputes FUSE into
+    * one signed pass — the old and new pair slices union under a ±1 sign
+    * tag, the hub cap windows per (sign, ok) (order sizes differ between
+    * versions, so the cap must still be evaluated per version — the sign
+    * doubles as the version tag), the self-join keys on (sign, ok) so
+    * pairs never cross versions, and sum(sign) per (src, dst) IS the
+    * signed delta: one window + one self-join + one agg where the r14
+    * shape ran two of each. Identical by the associativity of the final
+    * per-edge sum. */
   private[operators] def foldTieDeltas(w1: DataFrame, oldPairs: DataFrame,
-      newPairs: DataFrame): DataFrame =
+      newPairs: DataFrame): DataFrame = {
+    val tagged = oldPairs.select(col("ok"), col("pk"), lit(-1L).as("sgn"))
+      .unionAll(newPairs.select(col("ok"), col("pk"), lit(1L).as("sgn")))
+    val capped = tagged
+      .withColumn("k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sgn"), col("ok"))))
+      .filter(col("k") <= maxSuppliersPerOrder)
+      .select(col("ok"), col("pk"), col("sgn"))
+    val delta = capped.as("a")
+      .join(capped.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sgn") === col("b.sgn") &&
+          col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(sum(col("a.sgn")).as("dw"))
     w1.select(col("src"), col("dst"), col("w").as("dw"))
-      .unionAll(tieWeightsRaw(oldPairs)
-        .select(col("src"), col("dst"), (-col("w")).as("dw")))
-      .unionAll(tieWeightsRaw(newPairs)
-        .select(col("src"), col("dst"), col("w").as("dw")))
+      .unionAll(delta)
       .groupBy(col("src"), col("dst")).agg(sum(col("dw")).as("w"))
       .filter(col("w") > 0)
+  }
 
   def graphLpIncremental(s: SparkSession, dir: String): DataFrame = {
     val (factRoot, graphRoot) = lpIncrementalStage(s, dir)
@@ -1478,9 +1501,17 @@ object GraphOps {
       .join(broadcast(changed), Seq("ok"))
     val newPairs = VersionedTable.readVersionWhere(s, factRoot, 2, "ok", lo, hi)
       .join(broadcast(changed), Seq("ok"))
+    // r15: materialize the maintained edge set ONCE — lpaLabels reads its
+    // edge relation in the init distinct, the gate count and every
+    // round's vote join, so handing it the live recompute+fold pipeline
+    // re-executed the pruned scans, window and self-join ~5× (guide §5:
+    // the label_prop sibling gets this for free from its parquet
+    // artifact; the maintained graph is per-invocation state, so a
+    // spillable localCheckpoint is its equivalent)
     val folded = foldTieDeltas(
       VersionedTable.readVersion(s, graphRoot, 1), oldPairs, newPairs)
       .filter(col("w") >= LpaMinWeight)
+      .localCheckpoint()
     lpaLabels(folded).groupBy(col("lbl"))
       .agg(count(lit(1)).as("size"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
