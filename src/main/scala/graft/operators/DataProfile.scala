@@ -123,23 +123,45 @@ object DataProfile {
     val stackArgs = ApproxProfiled.map(c => s"'$c', $c").mkString(", ")
     val long = rendered
       .select(expr(s"stack(${ApproxProfiled.size}, $stackArgs) AS (column_name, v)"))
-    val nulls = long.groupBy(col("column_name"))
-      .agg(sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
-    val regs = long.filter(col("v").isNotNull)
+    // ONE scan serves both panels (r15, guide §2.4 — the null count and
+    // the register maxima previously each re-scanned orders through the
+    // 6× stack): md5(NULL) is NULL, so a null v lands in a NULL bucket
+    // with a NULL rho (w is NULL → both when-branches fall through) and
+    // the (column, bucket) hash-agg carries the null count as the NULL
+    // bucket's row count. The ≤ 6 × 65-row result is localCheckpointed
+    // because two branches (nulls, registers) consume it — without the
+    // checkpoint each branch would replay the full scan (the aggGini
+    // read-thrice precedent).
+    val byBucket = long
       .select(col("column_name"),
         (conv(substring(md5(col("v")), 1, 2), 16, 10).cast("long") % 64)
           .as("bucket"),
         conv(substring(md5(col("v")), 3, 8), 16, 10).cast("long").as("w"))
       .withColumn("rho",
         when(col("w") === 0, lit(33)).otherwise(lit(33) - length(bin(col("w")))))
-      .groupBy(col("column_name"), col("bucket")).agg(max(col("rho")).as("m"))
+      .groupBy(col("column_name"), col("bucket"))
+      .agg(max(col("rho")).as("m"), count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // empty registers participate at m = 0 (contributing 2^33 to the
     // harmonic sum): a 6 × 64 spine left-joins the hit registers
     val names = ApproxProfiled.map(Tuple1.apply)
     import s.implicits._
+    // every column is present in the spine, so a column with zero nulls
+    // still reports n_null = 0 (exactly as the old per-column sum did).
+    // Everything downstream of the checkpoint is ≤ 6 × 65 rows; the
+    // broadcast hints keep these glue joins map-side (the checkpointed
+    // frame carries no stats, so the planner would otherwise SMJ them —
+    // 12 Exchanges of sub-400-row frames in the unhinted plan).
+    val nulls = names.toDF("column_name")
+      .join(broadcast(byBucket.filter(col("bucket").isNull)
+          .select(col("column_name"), col("cnt"))),
+        Seq("column_name"), "left")
+      .select(col("column_name"), coalesce(col("cnt"), lit(0L)).as("n_null"))
+    val regs = byBucket.filter(col("bucket").isNotNull)
+      .select(col("column_name"), col("bucket"), col("m"))
     val spine = names.toDF("column_name")
       .crossJoin(s.range(0, 64).select(col("id").as("bucket")))
-    val sketch = spine.join(regs, Seq("column_name", "bucket"), "left")
+    val sketch = spine.join(broadcast(regs), Seq("column_name", "bucket"), "left")
       .select(col("column_name"), coalesce(col("m"), lit(0)).as("m"))
     val est = sketch.groupBy(col("column_name"))
       .agg(sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_buckets_hit"),
@@ -153,7 +175,7 @@ object DataProfile {
           |       then 64.0 * ln(64.0 / cast(64 - n_buckets_hit as double))
           |       else 0.709 * 64 * 64 * 8589934592.0 / cast(s_scaled as double) end
           |as decimal(28,6)), 2) as double)""".stripMargin))
-    est.join(nulls, Seq("column_name"))
+    est.join(broadcast(nulls), Seq("column_name"))
       .select(col("column_name"), col("n_null"), col("n_distinct_approx"))
       .orderBy(col("column_name"))
   }
