@@ -564,27 +564,50 @@ object GraphOps {
   }
 
   /** Split out so the spec can drive it with a planted graph of known
-    * clustering structure (the trianglesFromEdges precedent). */
-  private[operators] def lccFromEdges(e: DataFrame): DataFrame =
-    lccFromOriented(orientedFromEdges(e).localCheckpoint())
+    * clustering structure (the trianglesFromEdges precedent); the spec
+    * forces both assembly shapes and asserts they agree. */
+  private[operators] def lccFromEdges(
+      e: DataFrame, forceShape: Option[Boolean] = None): DataFrame =
+    lccFromOriented(orientedFromEdges(e).localCheckpoint(),
+      forceShape = forceShape)
 
   private def lccFromOriented(
-      o: DataFrame, knownEdgeCount: Option[Long] = None): DataFrame = {
-    // r15 (guide §2.4): degree and per-node triangle count are BOTH
-    // node-grain aggregates of the same relation, so they fuse into ONE
-    // union + hash-agg — the r14 shape aggregated them separately and
-    // paid a SortMergeJoin (two agg exchanges + two sorts) to glue two
-    // ≤|V|-row frames back together. Tagged 0/1 counter columns replay
-    // the left-join semantics exactly: a node with no triangle sums
-    // tc = 0 (the old coalesce), a triangle corner always has deg ≥ 2 so
-    // the degree filter drops nothing the join kept.
-    val rows = o.select(col("u").as("p"), lit(1L).as("dc"), lit(0L).as("tc"))
-      .unionAll(o.select(col("v").as("p"), lit(1L).as("dc"), lit(0L).as("tc")))
-      .unionAll(triCorners(o, knownEdgeCount = knownEdgeCount)
-        .select(col("p"), lit(0L).as("dc"), lit(1L).as("tc")))
-    rows.groupBy(col("p"))
-      .agg(sum(col("dc")).as("deg"), sum(col("tc")).as("n_triangles"))
-      .filter(col("deg") >= 2)
+      o: DataFrame, knownEdgeCount: Option[Long] = None,
+      forceShape: Option[Boolean] = None): DataFrame = {
+    // r15 (guide §2.4), refined by an sf1 A/B: degree and per-node
+    // triangle count are both node-grain aggregates of the same relation,
+    // and BELOW the broadcast gate fusing them into ONE union + hash-agg
+    // beats the r14 join shape (3.64 → 3.14 s at sf0.1 — the two agg
+    // exchanges and SMJ sorts dominate two ≤|V|-row frames). PAST the
+    // gate the fork reverses: the union hoists the partial aggregate
+    // above a UnionExec boundary, detaching it from the partitioned
+    // wedge pipeline's codegen stage, and measured 19.93 vs 18.48 s at
+    // sf1 (12M edges) — so the large-graph path keeps the r14 shape:
+    // aggregate each stream inside its own pipeline, glue the two
+    // node-grain frames with one join. Both shapes are value-identical
+    // (spec-pinned on a planted graph): tagged 0/1 counters replay the
+    // left-join semantics exactly — a node with no triangle sums tc = 0
+    // (the old coalesce), a triangle corner always has deg ≥ 2.
+    val fuse = forceShape.getOrElse(
+      knownEdgeCount.getOrElse(o.count()) <= BroadcastEdgeLimit)
+    val glued = if (fuse) {
+      o.select(col("u").as("p"), lit(1L).as("dc"), lit(0L).as("tc"))
+        .unionAll(o.select(col("v").as("p"), lit(1L).as("dc"), lit(0L).as("tc")))
+        .unionAll(triCorners(o, knownEdgeCount = knownEdgeCount)
+          .select(col("p"), lit(0L).as("dc"), lit(1L).as("tc")))
+        .groupBy(col("p"))
+        .agg(sum(col("dc")).as("deg"), sum(col("tc")).as("n_triangles"))
+        .filter(col("deg") >= 2)
+    } else {
+      val tri = triCorners(o, knownEdgeCount = knownEdgeCount)
+        .groupBy(col("p")).agg(count(lit(1)).as("n_triangles"))
+      val deg = o.select(col("u").as("p")).unionAll(o.select(col("v").as("p")))
+        .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2)
+        .join(tri, Seq("p"), "left")
+        .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+    }
+    glued
       .withColumn("lcc_ppm",
         expr("(2000000 * n_triangles) div (deg * (deg - 1))"))
       .select(col("p"), col("deg"), col("n_triangles"), col("lcc_ppm"))

@@ -184,6 +184,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(!out.contains(7L), "degree-1 node must be excluded by definition")
   }
 
+  test("lcc gate fork: fused union-agg and join assembly agree row-for-row (r15)") {
+    import spark.implicits._
+    // the K4 + pendant graph again — lccFromOriented picks the fused
+    // union+hash-agg below the broadcast gate and the two-agg + left-join
+    // shape past it (the sf1 A/B in OPTIMIZATION_r15.md); the fork must
+    // only change the plan, never a value
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("p1", "p2")
+    def rows(force: Boolean) =
+      GraphOps.lccFromEdges(e, forceShape = Some(force)).collect()
+        .map(r => (r.getAs[Long]("p"), r.getAs[Long]("deg"),
+          r.getAs[Long]("n_triangles"), r.getAs[Long]("lcc_ppm"))).toSeq
+    assert(rows(force = true) == rows(force = false),
+      "gate fork changed LCC values")
+  }
+
   test("jaccard similarity: ranked per query, candidates share a neighbor, corpus never shuffles for them (r9)") {
     val df = GraphOps.queries("graph_jaccard_sim")(spark, sfDir)
     val rows = df.collect()
